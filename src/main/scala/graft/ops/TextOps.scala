@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a pure per-row column expression built from codegen'd
+  * built-ins — no UDFs, no shuffles — so each scales linearly with input
+  * splits and stays inside WholeStageCodegen.
+  */
+object TextOps {
+
+  /** Whitespace tokens; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(text.isNull || trim(text) === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of word chars count 1 per ~4 chars (subword
+    * pieces), plus each punctuation symbol. A cheap, deterministic proxy for
+    * LLM token budgeting. */
+  def bpeishTokenCount(text: Column): Column = {
+    val words = tokens(text)
+    val wordPieces = aggregate(
+      transform(words, w => ceil(char_length(w).cast(DoubleType) / 4.0)),
+      lit(0L), (acc, x) => acc + x.cast(LongType))
+    val punct = char_length(regexp_replace(coalesce(text, lit("")), "[\\w\\s]+", ""))
+    wordPieces + punct.cast(LongType)
+  }
+
+  /** Quality metrics: char/token counts, mean token length, ratios of
+    * punctuation / digits / uppercase, stopword ratio. Ratios are rounded to
+    * 6 places to be oracle-stable. */
+  val EnStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "an", "be", "this")
+
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    val nChars = char_length(t)
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val meanTokLen = when(nTokens > 0,
+      round(aggregate(transform(toks, w => char_length(w).cast(LongType)),
+        lit(0L), (a, x) => a + x).cast(DoubleType) / nTokens, 4)).otherwise(lit(0.0))
+    val nPunct = char_length(regexp_replace(t, "[^.,;:!?'\"()\\[\\]-]+", ""))
+    val nDigit = char_length(regexp_replace(t, "[^0-9]+", ""))
+    val nUpper = char_length(regexp_replace(t, "[^A-Z]+", ""))
+    val nStop = size(filter(toks, w => lower(w).isin(EnStopwords: _*)))
+    def ratio(n: Column) =
+      when(nChars > 0, round(n.cast(DoubleType) / nChars, 6)).otherwise(lit(0.0))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_token_len" -> meanTokLen,
+      "punct_ratio" -> ratio(nPunct),
+      "digit_ratio" -> ratio(nDigit),
+      "upper_ratio" -> ratio(nUpper),
+      "stopword_ratio" -> when(nTokens > 0,
+        round(nStop.cast(DoubleType) / nTokens, 6)).otherwise(lit(0.0))
+    )
+  }
+
+  /** Language-ID heuristic: per-language function-word hit counts (plus CJK
+    * codepoint presence for zh); argmax with deterministic tie order. */
+  val LangPatterns: Seq[(String, String)] = Seq(
+    "en" -> "(?i)\\b(the|and|of|to|is|in|that|it|for|was)\\b",
+    "es" -> "(?i)\\b(el|la|los|las|de|que|y|en|un|una|es|por)\\b",
+    "de" -> "(?i)\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|von)\\b",
+    "fr" -> "(?i)\\b(le|la|les|des|est|et|une|dans|pour|que|du)\\b"
+  )
+
+  def langScore(text: Column, pattern: String): Column =
+    size(split(coalesce(text, lit("")), pattern)) - 1
+
+  def langId(text: Column): Column = {
+    val zh = when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+    val scores = LangPatterns.map { case (l, p) => l -> langScore(text, p) }
+    // argmax, ties broken by LangPatterns order; all-zero → "und"
+    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bs, bl), (l, s)) =>
+        (when(s > bs, s).otherwise(bs), when(s > bs, lit(l)).otherwise(bl))
+    }
+    coalesce(zh, when(best._1 > 0, best._2).otherwise(lit("und")))
+  }
+
+  /** Content fingerprint: md5 of casefolded, punctuation-stripped,
+    * whitespace-collapsed text. Robust to formatting-only edits. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(coalesce(text, lit(""))), "[^\\p{L}\\p{N}]+", " "))
+
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Polynomial rolling hash (Karp-Rabin) of the normalized text — a cheap
+    * 64-bit content id; also the primitive behind shingle hashing. Driver-
+    * side twin of [[rollingHash]] for tests. */
+  def rollingHashScala(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
+    h
+  }
+
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(normalized(text), ""),
+      lit(0L),
+      (acc, ch) => acc * lit(1000003L) +
+        when(char_length(ch) > 0, ascii(ch).cast(LongType)).otherwise(lit(0L)))
+}
