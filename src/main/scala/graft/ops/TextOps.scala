@@ -95,13 +95,20 @@ object TextOps {
 
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Polynomial rolling hash (Karp-Rabin) of the normalized text — a cheap
-    * 64-bit content id; also the primitive behind shingle hashing. Driver-
-    * side twin of [[rollingHash]] for tests. */
+  /** Polynomial rolling hash (Karp-Rabin) of the normalized text mod the
+    * Mersenne prime 2^31-1 — a cheap content id; also the primitive behind
+    * shingle hashing. The modulus keeps every intermediate < 2^52, so the
+    * expression is safe under ANSI arithmetic (Spark 4 default) with no
+    * overflow. Driver-side twin [[rollingHashScala]] for tests. */
+  val RollingHashMod = 2147483647L // 2^31 - 1
+
   def rollingHashScala(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
+    while (i < s.length) {
+      h = (h * 1000003L + s.charAt(i)) % RollingHashMod
+      i += 1
+    }
     h
   }
 
@@ -109,6 +116,8 @@ object TextOps {
     aggregate(
       split(normalized(text), ""),
       lit(0L),
-      (acc, ch) => acc * lit(1000003L) +
-        when(char_length(ch) > 0, ascii(ch).cast(LongType)).otherwise(lit(0L)))
+      (acc, ch) => pmod(
+        acc * lit(1000003L) +
+          when(char_length(ch) > 0, ascii(ch).cast(LongType)).otherwise(lit(0L)),
+        lit(RollingHashMod)))
 }

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-data operators: text analysis, dedup family, similarity. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, v: String): T =
+    Seq(Option(v)).toDF("t").select(c.as("v")).head().getAs[T](0)
+
+  test("token count: whitespace runs, blanks, null") {
+    assert(one[Int](TextOps.tokenCount(col("t")), "a  b\tc\nd") == 4)
+    assert(one[Int](TextOps.tokenCount(col("t")), "   ") == 0)
+    assert(one[Int](TextOps.tokenCount(col("t")), null) == 0)
+  }
+
+  test("bpe-ish count: ~4 chars per piece + punctuation") {
+    // "hello world!" -> ceil(5/4)+ceil(5/4) + 1 punct = 2+2+1
+    assert(one[Long](TextOps.bpeishTokenCount(col("t")), "hello world!") == 5L)
+  }
+
+  test("quality metrics on a known string") {
+    val m = Seq("The cat, the DOG 42.").toDF("t")
+      .select(TextOps.qualityColumns(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(m.getAs[Int]("n_chars") == 20)
+    assert(m.getAs[Int]("n_tokens") == 5)
+    // tokens: The/cat,/the/DOG/42. -> lens 3,4,3,3,3 = 16/5
+    assert(m.getAs[Double]("mean_token_len") == 3.2)
+    assert(m.getAs[Double]("punct_ratio") == 0.1)       // "," "." / 20
+    assert(m.getAs[Double]("digit_ratio") == 0.1)       // "42" / 20
+    assert(m.getAs[Double]("upper_ratio") == 0.2)       // T,D,O,G / 20
+    assert(m.getAs[Double]("stopword_ratio") == 0.4)    // The,the / 5
+  }
+
+  test("language id picks dominant function words; und; zh") {
+    def lang(s: String) = one[String](TextOps.langId(col("t")), s)
+    assert(lang("the cat and the dog is in that house for it was") == "en")
+    assert(lang("el perro y la casa de que en un una es por") == "es")
+    assert(lang("der Hund und die Katze ist nicht mit ein von") == "de")
+    assert(lang("le chat est dans les des pour une du") == "fr")
+    assert(lang("xyzzy plugh") == "und")
+    assert(lang("你好世界") == "zh")
+  }
+
+  test("fingerprint invariant to case/punct/whitespace") {
+    def fp(s: String) = one[String](TextOps.fingerprint(col("t")), s)
+    assert(fp("Hello, World!") == fp("hello   world"))
+    assert(fp("Hello, World!") != fp("goodbye world"))
+  }
+
+  test("rolling hash column matches scala twin") {
+    val h = one[Long](TextOps.rollingHash(col("t")), "Hello, World!")
+    assert(h == TextOps.rollingHashScala("hello world"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog"), // exact mod case
+    (4L, "completely different text about spark engines here"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups case-normalized duplicates") {
+    val d = Dedup.exact(
+      docs.withColumn("fp", TextOps.fingerprint(col("text"))),
+      Seq("fp"), "doc_id")
+    val m = d.select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 2L) // docs 1 and 3 collapse, min id 1 survives
+    assert(Dedup.exactKeep(docs.withColumn("fp",
+      TextOps.fingerprint(col("text"))), Seq("fp"), "doc_id")
+      .count() == 4)
+  }
+
+  test("shingles: distinct n-grams, short text empty") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).length == 7) // 9 words -> 7 trigrams, all distinct
+    assert(sh(5L).isEmpty)
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // identical after normalization
+    assert(pairs.contains((1L, 2L)) || {
+      // 1-2 share 6 of 8 union trigrams = 0.75
+      val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .filter(col("id_a") === 1 && col("id_b") === 2)
+        .select("jaccard").as[Double].collect()
+      j.nonEmpty && j.head > 0.5
+    })
+  }
+
+  test("minhash LSH: identical docs always candidates, est_jaccard 1.0") {
+    val out = Dedup.minHashCandidates(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, estThreshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    val exact = out.find(r => r._1 == 1L && r._2 == 3L)
+    assert(exact.isDefined && exact.get._3 == 1.0)
+    // near-dup 1-2 should be a candidate with high estimate
+    val near = out.find(r => r._1 == 1L && r._2 == 2L)
+    assert(near.isDefined && near.get._3 > 0.4)
+  }
+
+  test("simhash: identical docs hamming 0; unrelated docs far") {
+    val sigs = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 10)
+    val cands = Dedup.simHashCandidates(docs, "doc_id", "text",
+      chunks = 4, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val c = vecs.as("a").join(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(c((0L, 4L)) - 1.0) < 1e-9)
+    assert(math.abs(c((0L, 2L))) < 1e-9)
+    assert(math.abs(c((0L, 3L)) + 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k order and tie-break") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0), 3).select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 4L, 1L)) // ties 0,4 broken by id
+  }
+
+  test("top-k plan is TakeOrdered, not a global sort") {
+    val plan = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hyperplane signature: equal vectors share bucket; lshTopK finds them") {
+    val sig = vecs.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("embedding"), 12).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(4L))
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0), 2, numPlanes = 12, probeBits = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.headOption.contains(0L))
+  }
+
+  test("cosineDupPairs finds the identical pair") {
+    val pairs = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+}
