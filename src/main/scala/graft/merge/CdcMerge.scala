@@ -74,6 +74,8 @@ object CdcMerge {
     val deduped = dedupe(stage, pks)
     val kept = deleteCommon(target, deduped, pks, broadcastStage)
     val inserted = insertable(dropDeleteOps(deduped))
-    kept.unionByName(inserted)
+    // allowMissingColumns = add-column schema evolution (D4's transact-able
+    // class) for free: old target rows read NULL for newly-added columns.
+    kept.unionByName(inserted, allowMissingColumns = true)
   }
 }

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2 — Confluent wire-format handling (SURVEY §2.1): a Kafka value is
+  * `0x00 ‖ int32-BE schemaId ‖ avro-binary` (tipoca-stream
+  * pkg/serializer/serializer.go:50-83). The frame fields are extracted with
+  * built-in codegen'd expressions; the Avro payload is decoded by a custom
+  * Catalyst expression ([[AvroBinaryToJson]]) that renders the record as
+  * JSON, which `from_json` then parses against the table's StructType —
+  * Spark's vectorized JSON parser does the typed work.
+  */
+object ConfluentAvro {
+
+  val MagicByte: Byte = 0x0
+  val HeaderLength = 5
+
+  /** Schema id: bytes 2..5 big-endian (serializer.go:66-70). */
+  def schemaId(value: Column): Column =
+    conv(hex(substring(value, 2, 4)), 16, 10).cast(IntegerType)
+
+  /** Magic-byte check — rows failing it are corrupt frames. */
+  def hasMagicByte(value: Column): Column =
+    substring(value, 1, 1) === lit(Array(MagicByte))
+
+  /** Avro payload: everything after the 5-byte header. */
+  def payload(value: Column): Column =
+    value.substr(lit(HeaderLength + 1), length(value) - HeaderLength)
+
+  /** Decode a framed Confluent value to a typed envelope struct. */
+  def decode(value: Column, writerSchemaJson: String, sparkSchema: StructType): Column =
+    from_json(avroToJson(payload(value), writerSchemaJson), sparkSchema)
+
+  def avroToJson(payloadCol: Column, writerSchemaJson: String): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      AvroBinaryToJson(
+        org.apache.spark.sql.graft.Shims.expression(payloadCol),
+        writerSchemaJson))
+}
+
+/** Avro-binary → JSON-string decode as a Catalyst expression. Not
+  * codegen'd (CodegenFallback) — it sits at the source boundary before the
+  * codegen'd transform stage, exactly where the reference spends native
+  * deserialization work too. The datum reader is per-partition,
+  * lazily-initialized, and reused across rows. */
+final case class AvroBinaryToJson(child: Expression, writerSchemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"avro payload must be binary, got ${child.dataType}")
+
+  @transient private lazy val schema = new Schema.Parser().parse(writerSchemaJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
+    val record = reader.read(null, decoder)
+    // GenericData.toString renders canonical JSON (quoted names, escaped
+    // strings); unions collapse to their value, which is what from_json
+    // expects.
+    UTF8String.fromString(record.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroBinaryToJson =
+    copy(child = newChild)
+}
