@@ -223,8 +223,17 @@ object Queries {
     }),
 
     "q_x_langid" -> ((s, dir) =>
-      rd(s, dir, "documents").select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"))),
+      // two-stage: materialize the per-language scores, then argmax —
+      // each regex runs once per row instead of once per reference.
+      rd(s, dir, "documents")
+        .select((col("doc_id") +: TextOps.isCjk(col("text")).as("__zh") +:
+          TextOps.LangPatterns.map { case (l, p) =>
+            TextOps.langScore(col("text"), p).as(s"__$l")
+          }): _*)
+        .select(col("doc_id"),
+          TextOps.langIdFromScores(col("__zh"),
+            TextOps.LangPatterns.map { case (l, _) => l -> col(s"__$l") })
+            .as("lang_pred"))),
 
     "q_x_fingerprint" -> ((s, dir) =>
       rd(s, dir, "documents").select(col("doc_id"),
@@ -265,8 +274,15 @@ object Queries {
     }),
 
     "q_x_embed_dup" -> ((s, dir) =>
+      // exact all-pairs variant: the verification baseline (oracle-checked);
+      // the LSH-banded scale path is q_x_embed_dup_lsh.
+      Similarity.bruteForcePairs(rd(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.30)
+        .select("id_a", "id_b")),
+
+    "q_x_embed_dup_lsh" -> ((s, dir) =>
       Similarity.cosineDupPairs(rd(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.9)
+        "embedding", threshold = 0.30, numPlanes = 16, bands = 8)
         .select("id_a", "id_b"))
   )
 
@@ -481,6 +497,13 @@ object Queries {
         |FROM common
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12""".stripMargin
+        |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12""".stripMargin,
+
+    "q_x_embed_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.30""".stripMargin
   )
 }

@@ -18,10 +18,10 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sum of element-wise products in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sum of element-wise products in double — codegen'd custom expression
+    * (graft.functions.DotProduct), not an interpreted higher-order fold:
+    * it's evaluated O(candidate pairs) times in the near-dup joins. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -44,18 +44,11 @@ object Similarity {
       .limit(k)
 
   /** Random-hyperplane signature: bit i = sign(v · h_i), packed into a
-    * long. Hyperplane components are deterministic xxhash64(plane, dim)
-    * values mapped to [-1, 1] — identical on every executor and every run.
-    * Per-row expression, no shuffle. */
+    * long. Hyperplane components are deterministic xxhash64-derived values
+    * in [-1, 1] — identical on every executor and every run. One codegen'd
+    * pass per row (graft.functions.HyperplaneSig), no shuffle. */
   def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
-    (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) *
-            (xxhash64(lit(p), i).cast(DoubleType) / Long.MaxValue.toDouble)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.VectorExprs.hyperplaneSig(vec, numPlanes)
 
   /** LSH-bucketed ANN: candidates share the query's signature bucket (or
     * differ in <= probeBits bits), then exact cosine re-rank of the
@@ -74,17 +67,50 @@ object Similarity {
     bruteForceTopK(candidates.drop("__sig", "__qsig"), idCol, vecCol, query, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via shared LSH bucket + exact
-    * cosine verify. One equi-join on the signature — no all-pairs. */
+  /** Exact cosine near-duplicate pairs — the all-pairs verification
+    * baseline (O(n²); use [[cosineDupPairs]] at scale). Norms are computed
+    * once per vector before the join, so each pair costs a single
+    * codegen'd dot product. Deterministic: double accumulation
+    * left-to-right, `dot/(sqrt(na)*sqrt(nb))`. */
+  def bruteForcePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        when(col("a.nrm") * col("b.nrm") > 0,
+          dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
+    * exact cosine verify. The signature's `numPlanes` bits are split into
+    * `bands`; vectors sharing any band are candidates (an equi-join on the
+    * band key — no all-pairs). More bands → higher recall at lower
+    * thresholds: P(candidate) = 1-(1-p^(planes/bands))^bands where
+    * p = 1 - θ/π. */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 12): DataFrame = {
+      threshold: Double, numPlanes: Int = 16, bands: Int = 8): DataFrame = {
+    val bitsPer = numPlanes / bands
+    val bandMasks = (0 until bands)
+      .map(b => (((1L << bitsPer) - 1) << (b * bitsPer), b))
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       hyperplaneSignature(col(vecCol), numPlanes).as("sig"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    val keyed = sigs.select(col("id"), col("vec"), col("nrm"),
+      explode(array(bandMasks.map { case (mask, b) =>
+        struct(lit(b).as("band"), col("sig").bitwiseAND(lit(mask)).as("bits"))
+      }: _*)).as("bk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.vec"), col("b.vec")).as("cosine_sim"))
+        when(col("a.nrm") * col("b.nrm") > 0,
+          dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+      .distinct()
   }
 }

@@ -77,16 +77,25 @@ object TextOps {
   def langScore(text: Column, pattern: String): Column =
     size(split(coalesce(text, lit("")), pattern)) - 1
 
-  def langId(text: Column): Column = {
-    val zh = when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-    val scores = LangPatterns.map { case (l, p) => l -> langScore(text, p) }
-    // argmax, ties broken by LangPatterns order; all-zero → "und"
-    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
-      case ((bs, bl), (l, s)) =>
-        (when(s > bs, s).otherwise(bs), when(s > bs, lit(l)).otherwise(bl))
+  /** Argmax over language scores, ties broken by `scores` order; all-zero →
+    * "und". Pass *materialized* score columns (attribute refs) — each score
+    * is referenced twice (greatest + equality), so an inline regex-split
+    * expression here would run twice per row. */
+  def langIdFromScores(isZh: Column, scores: Seq[(String, Column)]): Column = {
+    val g = greatest(scores.map(_._2): _*)
+    val byOrder = scores.foldLeft(when(g <= 0, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === g, lit(l))
     }
-    coalesce(zh, when(best._1 > 0, best._2).otherwise(lit("und")))
+    when(isZh, lit("zh")).otherwise(byOrder)
   }
+
+  def isCjk(text: Column): Column = text.rlike("[\\u4e00-\\u9fff]")
+
+  /** Single-expression form; for DataFrame pipelines prefer materializing
+    * [[langScore]] columns and calling [[langIdFromScores]]. */
+  def langId(text: Column): Column =
+    langIdFromScores(isCjk(text),
+      LangPatterns.map { case (l, p) => l -> langScore(text, p) })
 
   /** Content fingerprint: md5 of casefolded, punctuation-stripped,
     * whitespace-collapsed text. Robust to formatting-only edits. */
