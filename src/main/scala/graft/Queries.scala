@@ -4,7 +4,7 @@ import graft.cdc.Temporal
 import graft.core.Cdc
 import graft.mask.{MaskConfig, Masker}
 import graft.merge.CdcMerge
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -259,6 +259,35 @@ object Queries {
       Dedup.simHashCandidates(rd(s, dir, "documents"), "doc_id", "text",
         chunks = 4, maxHamming = 10)),
 
+    // ================= multimodal =======================================
+    "q_x_media_meta" -> ((s, dir) =>
+      // documents.text encoded as the opaque binary payload; metadata via
+      // pure expressions (no decode in the row path).
+      rd(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .select(col("doc_id"),
+          Multimodal.stubMetadata(col("media")).as("m"))
+        .select(col("doc_id"), col("m.byte_len").as("byte_len"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_frames").as("n_frames"))),
+
+    "q_x_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        rd(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", everyNth = 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))),
+
+    "q_x_media_features" -> ((s, dir) =>
+      // per-partition stub decode; rows-only check (splitmix features are
+      // not SQL-expressible), determinism covered by MultimodalSpec.
+      Multimodal.extractFeatures(
+        rd(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "media", dim = 16)
+        .select(col("doc_id"), col("features"))),
+
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -498,6 +527,20 @@ object Queries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12""".stripMargin,
+
+    "q_x_media_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) // 7) % 480 + 16 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) * 20 AS duration_ms,
+        |  CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "q_x_media_frames" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
+        |FROM documents""".stripMargin,
 
     "q_x_embed_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) handling for training-data pipelines.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct
+  * alongside — the pattern that scales to 100 TB: Spark never interprets
+  * the bytes in the row path, metadata filters prune before any decode,
+  * and decode/feature-extraction runs per-partition with a reusable
+  * decoder handle (the expensive native-library initialization happens
+  * once per partition, not once per row — the same batch shape
+  * `mapInPandas`/`mapInArrow` gives Python pipelines).
+  *
+  * NOTE ON STUBS: this container has no image/audio codecs, so
+  * [[StubCodec]] is a clearly-marked deterministic fake. Everything
+  * Spark-side — schemas, partitioning, the per-partition decoder
+  * lifecycle, batch iteration, explode shapes — is real and tested;
+  * swapping in a real codec changes only the [[MediaCodec]] binding.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** A decoder handle with per-partition lifecycle. Implementations wrap
+    * the real codec library; [[StubCodec]] is the deterministic fake. */
+  trait MediaCodec extends Serializable {
+    /** Called once per partition before any row (native lib init). */
+    def open(): Unit
+    /** (width, height, channels) of an encoded image. */
+    def imageDims(bytes: Array[Byte]): (Int, Int, Int)
+    /** Decode + re-encode at new dimensions. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Fixed-length feature vector for a payload. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+    def close(): Unit
+  }
+
+  /** Deterministic stand-in for a codec: dimensions are arithmetic on the
+    * byte length (oracle-expressible), features are a splitmix64 stream
+    * seeded from content. STUB — not a real decoder. */
+  object StubCodec extends MediaCodec {
+    def open(): Unit = ()
+    def close(): Unit = ()
+
+    def imageDims(bytes: Array[Byte]): (Int, Int, Int) =
+      ((bytes.length % 640) + 16, ((bytes.length / 7) % 480) + 16, 3)
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // deterministic fake: header encoding the new dims + content hash
+      val h64 = contentSeed(bytes)
+      Array[Byte](
+        (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+        java.nio.ByteBuffer.allocate(8).putLong(h64).array()
+    }
+
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      var x = contentSeed(bytes)
+      Array.fill(dim) {
+        // splitmix64 step
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        (z.toDouble / Long.MaxValue).toFloat
+      }
+    }
+
+    private def contentSeed(bytes: Array[Byte]): Long = {
+      var h = bytes.length.toLong
+      val n = math.min(bytes.length, 64)
+      var i = 0
+      while (i < n) { h = h * 31 + bytes(i); i += 1 }
+      h
+    }
+  }
+
+  /** Column-level metadata extraction — pure expressions, no decode, so
+    * filters on mime/size prune before any codec runs. The stub's dims
+    * arithmetic is inlined for the oracle-checkable path. */
+  def stubMetadata(media: Column_): Column_ = struct(
+    lit("application/octet-stream").as("mime"),
+    length(media).cast(LongType).as("byte_len"),
+    (pmod(length(media), lit(640)) + 16).cast(IntegerType).as("width"),
+    (pmod(length(media).cast(LongType) / 7L, lit(480)) + 16)
+      .cast(IntegerType).as("height"),
+    lit(3).as("channels"),
+    (length(media).cast(LongType) * 20L).as("duration_ms"),
+    lit(16000).as("sample_rate"),
+    (length(media) / 1024 + 1).cast(IntegerType).as("n_frames"))
+
+  private type Column_ = org.apache.spark.sql.Column
+
+  /** Per-partition feature extraction: one codec open/close per partition,
+    * rows streamed through. Output schema = input + `features
+    * array<float>`. This is the real plumbing a native decoder needs —
+    * swap [[StubCodec]] for the production codec binding. */
+  def extractFeatures(
+      df: DataFrame, mediaCol: String, dim: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = df.schema.add("features", ArrayType(FloatType))
+    val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      codec.open()
+      val it = rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feats = if (bytes == null) null else codec.features(bytes, dim)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+      // close when the iterator is exhausted (no CompletionIterator dep)
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) codec.close()
+          h
+        }
+        def next(): Row = it.next()
+      }
+    }(enc)
+  }
+
+  /** Resize: per-partition decode→scale→re-encode. Same lifecycle shape. */
+  def resize(
+      df: DataFrame, mediaCol: String, w: Int, h: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val enc = Encoders.row(df.schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      codec.open()
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out = if (bytes == null) null else codec.resize(bytes, w, h)
+        Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one row per sampled frame index, frame payload
+    * deferred (frame_id addresses into the source payload — decode happens
+    * downstream, only for sampled frames). Pure expressions: the explode
+    * multiplies rows, nothing decodes. */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      everyNth: Int): DataFrame =
+    df.select(col(idCol),
+        stubMetadata(col(mediaCol)).as("meta"),
+        col(mediaCol))
+      .select(col(idCol), col("meta"),
+        explode(sequence(lit(0),
+          greatest(col("meta.n_frames") - 1, lit(0)), lit(everyNth)))
+          .as("frame_idx"))
+
+  /** Balance partitions by payload bytes before a decode pass: media rows
+    * are wildly skewed (a 4 KB thumbnail vs a 40 MB clip), so range-
+    * repartition on cumulative size, not row count. */
+  def repartitionBySize(df: DataFrame, mediaCol: String,
+      targetPartitions: Int): DataFrame =
+    df.withColumn("__sz", length(col(mediaCol)))
+      .repartitionByRange(targetPartitions, col("__sz"))
+      .drop("__sz")
+}
