@@ -43,8 +43,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
+    // through envelope transform → hash mask → SCD-1 merge.
+    val (cdcSec, nEvents) = {
+      import org.apache.spark.sql.functions._
+      val stage0 = SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir)
+      val masker = new graft.mask.Masker(
+        graft.mask.MaskConfig(nonPiiKeys = Map("events_cdc" -> Seq("user_id"))),
+        "benchsalt")
+      val target = Tables.read(spark, sfDir, "customer").select(
+        col("c_custkey").cast("string").as("user_id"),
+        format_string("%.2f", col("c_acctbal")).as("value"))
+      val n = Tables.read(spark, sfDir, "events").count()
+      val sec = time {
+        graft.merge.CdcMerge
+          .merge(target, masker(stage0, "events_cdc"), Seq("user_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      (sec, n)
+    }
+    val eps = if (cdcSec > 0) nEvents / cdcSec else 0.0
+
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
+        s""""cdc_events":$nEvents,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -170,6 +170,29 @@ object Queries {
         .select("event_id", "user_id", "running_value")
     }),
 
+    // ================= CDC envelope transform (P1-P10) ==================
+    "q_p_envelope_cdc" -> ((s, dir) => {
+      // Debezium-shaped envelopes synthesized from events, then the real
+      // transform stage: op classification, row selection, stringify,
+      // temporal conversion, metadata annotation.
+      import graft.core.{ColSpec, SourceType, TableSpec}
+      val payload = struct(
+        col("user_id"),
+        col("value").cast(DecimalType(18, 2)).as("value"),
+        (col("event_id") % 30000 - 13023).cast(IntegerType).as("dob"))
+      val env = rd(s, dir, "events").select(
+        col("event_id").as("offset"),
+        when(col("event_type") === "signup", lit(null)).otherwise(payload)
+          .as("before"),
+        when(col("event_type") === "error", lit(null)).otherwise(payload)
+          .as("after"))
+      val spec = TableSpec("graft", "events_cdc", Seq(
+        ColSpec("user_id", "long", SourceType("BIGINT")),
+        ColSpec("value", "string", SourceType("DECIMAL", "18", "2")),
+        ColSpec("dob", "int32", SourceType("DATE"))))
+      graft.cdc.DebeziumTransform(env, spec)
+    }),
+
     // ================= masking (SURVEY §2.3) ============================
     "q_m1_hash_mask" -> ((s, dir) => {
       val m = new Masker(MaskConfig(), maskSalt, Masker.Sha256)
@@ -396,6 +419,17 @@ object Queries {
     "q_w_running_sum" ->
       """SELECT event_id, user_id,
         |  sum(value) OVER (PARTITION BY user_id ORDER BY event_id) AS running_value
+        |FROM events""".stripMargin,
+
+    "q_p_envelope_cdc" ->
+      """SELECT CAST(event_id AS VARCHAR) AS kafkaoffset,
+        |  CASE event_type WHEN 'signup' THEN 'CREATE'
+        |                  WHEN 'error' THEN 'DELETE'
+        |                  ELSE 'UPDATE' END AS debeziumop,
+        |  CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+        |  strftime(DATE '1970-01-01' + to_days(CAST(event_id % 30000 - 13023 AS INT)),
+        |           '%Y-%m-%d') AS dob
         |FROM events""".stripMargin,
 
     "q_m1_hash_mask" ->
