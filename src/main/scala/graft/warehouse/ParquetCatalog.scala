@@ -87,6 +87,18 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     fs.delete(trash, true)
   }
 
+  /** S7 — UNLOAD equivalent: export a table (optionally DISTINCT) as CSV,
+    * the reference's table-scan-to-object-store path (redshift.go:812-838).
+    * Spark writes one file per partition; no manifest needed (S8) — readers
+    * list the directory. */
+  def unload(schema: String, table: String, outPath: String,
+      distinct: Boolean = false): Unit = {
+    val df0 = load(schema, table)
+    val df = if (distinct) df0.distinct() else df0
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("escape", "\"").csv(outPath)
+  }
+
   def drop(schema: String, table: String): Unit =
     fs.delete(new Path(tablePath(schema, table)), true)
 
