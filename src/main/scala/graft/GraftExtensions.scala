@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{DotProduct, EqualPositions, HyperplaneSig}
+import graft.sources.AvroBinaryToJson
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registers graft's custom Catalyst expressions as SQL functions, so the
+  * whole engine surface is reachable from `spark.sql(...)`:
+  *
+  *  - `graft_dot(a, b)` — double dot product over array<float|double>;
+  *  - `graft_hyperplane_sig(vec, planes)` — random-hyperplane LSH bits;
+  *  - `graft_equal_positions(a, b)` — MinHash signature agreement;
+  *  - `graft_avro_to_json(payload, schemaJson)` — Avro binary → JSON.
+  *
+  * Use via config (`spark.sql.extensions=graft.GraftExtensions`) or
+  * imperatively with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def str(e: Expression): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal, got $other")
+  }
+
+  private def int(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an int literal, got $other")
+  }
+
+  private[graft] val definitions: Seq[
+      (String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("graft_equal_positions",
+      new ExpressionInfo(classOf[EqualPositions].getName, "graft_equal_positions"),
+      (args: Seq[Expression]) => EqualPositions(args(0), args(1))),
+    ("graft_hyperplane_sig",
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSig(args(0), int(args(1)))),
+    ("graft_avro_to_json",
+      new ExpressionInfo(classOf[AvroBinaryToJson].getName, "graft_avro_to_json"),
+      (args: Seq[Expression]) => AvroBinaryToJson(args(0), str(args(1)))))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+}

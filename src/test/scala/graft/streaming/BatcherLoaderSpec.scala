@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.StaticSchemaFetcher
+import graft.warehouse.ParquetCatalog
+import org.apache.spark.sql.functions._
+
+/** Two-stage batcher → object store → loader mode (reference architecture
+  * parity), checked against the single-job pipeline's result. */
+class BatcherLoaderSpec extends SparkSpec {
+  import spark.implicits._
+  import CdcFixture._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-bl").toString
+
+  private val fetcher = new StaticSchemaFetcher(Map(1 -> envelopeSchemaJson))
+  private def cfg = CdcStream.TopicConfig(
+    topic = "ts.inventory.users", targetSchema = "inventory",
+    targetTable = "users", maskEnabled = false)
+
+  private def toDf(rows: Seq[(Long, (Option[User], Option[User]))]) =
+    rows.map { case (off, (b, a)) => (off, frame(1, b, a)) }
+      .toDF("offset", "value")
+
+  test("batcher writes gzip NDJSON + Job signal; loader merges to same state") {
+    val out = tmp()
+    val batch1 = toDf(Seq(10L -> create(1, "ada", 6807), 11L -> create(2, "bob", 1)))
+    val batch2 = toDf(Seq(12L -> update(1, "ada", "eva"), 13L -> delete(2, "bob")))
+
+    // batcher side
+    val jobs1 = Batcher.processBatch(batch1, 0L, fetcher, cfg, out)
+    val jobs2 = Batcher.processBatch(batch2, 1L, fetcher, cfg, out)
+    assert(jobs1.size == 1 && jobs1.head.skipMerge) // all CREATEs
+    assert(jobs1.head.batchBytes > 0)
+    assert(jobs1.head.s3Path.contains("graft/ts.inventory.users/1/batch_0"))
+    assert(!jobs2.head.skipMerge)
+    val files = new java.io.File(jobs1.head.s3Path).listFiles
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty)
+
+    // loader side
+    val cat = new ParquetCatalog(spark, tmp())
+    (jobs1 ++ jobs2).foreach(j => Loader.load(spark, j, cat, cfg, Seq("id")))
+    val twoStage = cat.load("inventory", "users")
+      .select("id", "name").as[(String, String)].collect().toMap
+
+    // reference: the single-job pipeline over the same batches
+    val cat2 = new ParquetCatalog(spark, tmp())
+    CdcStream.processBatch(batch1, fetcher, cat2, cfg)
+    CdcStream.processBatch(batch2, fetcher, cat2, cfg)
+    val direct = cat2.load("inventory", "users")
+      .select("id", "name").as[(String, String)].collect().toMap
+
+    assert(twoStage == direct)
+    assert(twoStage == Map("1" -> "eva"))
+  }
+}
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d,
+        |       graft_hyperplane_sig(a, 8) AS sig,
+        |       graft_equal_positions(array(1L, 2L), array(1L, 9L)) AS eq
+        |FROM vecs""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(2) == 1L)
+    // sig is deterministic
+    val again = spark.sql("SELECT graft_hyperplane_sig(a, 8) FROM vecs").head()
+    assert(r.getLong(1) == again.getLong(0))
+  }
+}
