@@ -65,10 +65,35 @@ object Bench {
     }
     val eps = if (cdcSec > 0) nEvents / cdcSec else 0.0
 
+    // Per-phase merge timings — the reference's loader histogram phases
+    // (BASELINE.md: dedupe, deletecommon, deleteop, copytarget).
+    val phases = {
+      import org.apache.spark.sql.functions._
+      import graft.merge.CdcMerge
+      val stage = SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir).cache()
+      stage.count()
+      val target = Tables.read(spark, sfDir, "customer").select(
+        col("c_custkey").cast("string").as("user_id"),
+        format_string("%.2f", col("c_acctbal")).as("value"))
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val deduped = CdcMerge.dedupe(stage, Seq("user_id")).cache()
+      val tDedupe = time(noop(deduped))
+      val tDeleteCommon = time(noop(
+        CdcMerge.deleteCommon(target, deduped, Seq("user_id"))))
+      val tDeleteOp = time(noop(CdcMerge.dropDeleteOps(deduped)))
+      val tCopy = time(noop(CdcMerge.insertable(CdcMerge.dropDeleteOps(deduped))))
+      stage.unpersist(); deduped.unpersist()
+      Seq("dedupe" -> tDedupe, "deletecommon" -> tDeleteCommon,
+        "deleteop" -> tDeleteOp, "copytarget" -> tCopy)
+    }
+    val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
-        s""""cdc_events":$nEvents,"sf":"$sfDir"}""")
+        s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** S2 — Confluent wire-format handling (SURVEY §2.1): a Kafka value is
@@ -36,8 +36,17 @@ object ConfluentAvro {
   def payload(value: Column): Column =
     value.substr(lit(HeaderLength + 1), length(value) - HeaderLength)
 
-  /** Decode a framed Confluent value to a typed envelope struct. */
+  /** Decode a framed Confluent value to a typed envelope struct — direct
+    * Avro→InternalRow, no JSON round-trip ([[AvroBinaryToStruct]]). */
   def decode(value: Column, writerSchemaJson: String, sparkSchema: StructType): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      AvroBinaryToStruct(
+        org.apache.spark.sql.graft.Shims.expression(payload(value)),
+        writerSchemaJson, sparkSchema))
+
+  /** JSON-rendering variant (kept for SQL surface + debugging). */
+  def decodeViaJson(value: Column, writerSchemaJson: String,
+      sparkSchema: StructType): Column =
     from_json(avroToJson(payload(value), writerSchemaJson), sparkSchema)
 
   def avroToJson(payloadCol: Column, writerSchemaJson: String): Column =
@@ -78,5 +87,64 @@ final case class AvroBinaryToJson(child: Expression, writerSchemaJson: String)
   }
 
   override protected def withNewChildInternal(newChild: Expression): AvroBinaryToJson =
+    copy(child = newChild)
+}
+
+/** Avro-binary → typed struct in one step: GenericRecord fields are mapped
+  * straight into an InternalRow shaped by `targetType` (by field name,
+  * recursively for nested records). Avoids the render-to-JSON + re-parse
+  * cost of the [[AvroBinaryToJson]] + `from_json` pair — at 100 TB the
+  * source decode is a real fraction of the pipeline. CodegenFallback: it
+  * sits at the source boundary ahead of the codegen'd transform stage. */
+final case class AvroBinaryToStruct(
+    child: Expression, writerSchemaJson: String, targetType: StructType)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = targetType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"avro payload must be binary, got ${child.dataType}")
+
+  @transient private lazy val schema = new Schema.Parser().parse(writerSchemaJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (r: GenericRecord, st: StructType) => record(r, st)
+    case (x: java.lang.Number, IntegerType) => x.intValue()
+    case (x: java.lang.Number, LongType) => x.longValue()
+    case (x: java.lang.Number, ShortType) => x.shortValue()
+    case (x: java.lang.Number, FloatType) => x.floatValue()
+    case (x: java.lang.Number, DoubleType) => x.doubleValue()
+    case (x: java.lang.Boolean, _) => x.booleanValue()
+    case (x: java.nio.ByteBuffer, _) =>
+      val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
+    case (x, StringType) => UTF8String.fromString(x.toString)
+    case (x, _) => UTF8String.fromString(x.toString)
+  }
+
+  private def record(r: GenericRecord, st: StructType): InternalRow = {
+    val vals = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      val f = st(i)
+      val av = if (r.getSchema.getField(f.name) == null) null else r.get(f.name)
+      vals(i) = convert(av, f.dataType)
+      i += 1
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
+    record(reader.read(null, decoder), targetType)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroBinaryToStruct =
     copy(child = newChild)
 }
