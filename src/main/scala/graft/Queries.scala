@@ -325,6 +325,20 @@ object Queries {
         .select(col("vec_id"), col("rank").cast(LongType).as("rank"))
     }),
 
+    "q_x_ann_ivf" -> ((s, dir) => {
+      // IVF scale path: deterministic k-means cells, probe nearest cells
+      // only (rows-only check; IVF is approximate by design).
+      import graft.ops.Ivf
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        model, q, k = 20, nprobe = 2)
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
     "q_x_embed_dup" -> ((s, dir) =>
       // exact all-pairs variant: the verification baseline (oracle-checked);
       // the LSH-banded scale path is q_x_embed_dup_lsh.

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour: k-means-partition
+  * the vectors into `k` cells; a query probes only the `nprobe` nearest
+  * cells and re-ranks exactly inside them. The at-scale companion to
+  * [[Similarity.lshTopK]] — at 100 TB the cell id is a partition column
+  * and a probe touches k/nprobe-th of the data.
+  *
+  * Deterministic throughout: centroid seeds are the k rows with the
+  * smallest xxhash64(id) (no random init), Lloyd iterations are plain
+  * DataFrame aggregations, so training is reproducible across runs and
+  * cluster sizes. Centroids live on the driver (k × dim doubles — k is
+  * hundreds to thousands; they are broadcast inside literal expressions).
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+    /** Nearest-centroid ids for a query vector (driver-side). */
+    def nearest(q: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (dist2(c, q), i) }
+        .sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def vecLit(v: Array[Double]): Column = array(v.map(lit): _*)
+
+  /** ‖x−c‖² as a column: |x|² − 2·x·c + |c|² (|c|² is a driver constant;
+    * |x|² must be a materialized column to avoid re-evaluation). */
+  private def dist2Col(vec: Column, norm2: Column, c: Array[Double]): Column =
+    norm2 - lit(2.0) * VectorExprs.dot(vec, vecLit(c)) +
+      lit(c.map(x => x * x).sum)
+
+  /** Nearest-centroid id. Distances are materialized as one column each
+    * (k columns), then argmin over attribute references — constant work
+    * per reference, no expression-tree blowup. */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val withNorm = df.withColumn("__n2",
+      VectorExprs.dot(col(vecCol), col(vecCol)))
+    val withDists = model.centroids.zipWithIndex.foldLeft(withNorm) {
+      case (d, (c, i)) =>
+        d.withColumn(s"__d$i", dist2Col(col(vecCol), col("__n2"), c))
+    }
+    val best = (1 until model.k).foldLeft(
+      (col("__d0"), lit(0))) { case ((bd, bi), i) =>
+      val closer = col(s"__d$i") < bd
+      (when(closer, col(s"__d$i")).otherwise(bd),
+        when(closer, lit(i)).otherwise(bi))
+    }
+    withDists.withColumn("__cluster", best._2)
+      .drop("__n2" +: (0 until model.k).map(i => s"__d$i"): _*)
+  }
+
+  /** Train by deterministic seeding + `iters` Lloyd passes. Each pass is
+    * one assignment projection and one (cluster, dim) aggregation —
+    * k × dim rows come back to the driver per pass. */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): Model = {
+    val seeds = df
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    var model = Model(seeds)
+    for (_ <- 1 to iters) {
+      val means = assign(df, vecCol, model)
+        .select(col("__cluster"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__cluster", "__pos")
+        .agg(avg(col("__v").cast("double")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      // empty cells keep their previous centroid
+      model = Model(model.centroids.zipWithIndex.map { case (c, i) =>
+        means.getOrElse(i, c)
+      })
+    }
+    model
+  }
+
+  /** ANN top-k: probe the query's `nprobe` nearest cells, exact cosine
+    * re-rank inside them only. */
+  def topK(df: DataFrame, idCol: String, vecCol: String, model: Model,
+      query: Array[Double], k: Int, nprobe: Int = 2): DataFrame = {
+    val probes = model.nearest(query, nprobe)
+    val candidates = assign(df, vecCol, model)
+      .filter(col("__cluster").isin(probes: _*))
+      .drop("__cluster")
+    Similarity.bruteForceTopK(candidates, idCol, vecCol, query, k)
+  }
+}
