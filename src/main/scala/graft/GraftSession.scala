@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession builder for the engine: the settings that
+  * matter at 100 TB, pre-wired (callers override anything via `extra`).
+  *
+  *  - AQE on (runtime coalesce + skew-join splitting);
+  *  - shuffle partitions sized to the cluster, not the 200 default;
+  *  - 128 MiB scan splits (`maxPartitionBytes`) — parquet-friendly;
+  *  - UTC session timezone (temporal conversions assume it);
+  *  - graft SQL functions registered.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
+      extra: Map[String, String] = Map.empty): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+
+  def create(master: String = "local[*]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    GraftExtensions.register(s) // idempotent; covers pre-existing sessions
+    s
+  }
+}

@@ -270,6 +270,17 @@ object Queries {
         Seq("fp"), "doc_id")
         .select("fp", "doc_id", "dup_count")),
 
+    "q_x_dedup_keep" -> ((s, dir) =>
+      Dedup.exactKeep(
+        rd(s, dir, "documents")
+          .withColumn("fp", TextOps.fingerprint(col("text"))),
+        Seq("fp"), "doc_id")
+        .select("doc_id", "fp")),
+
+    "q_x_rolling_hash" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextOps.rollingHash(col("text")).as("rh"))),
+
     "q_x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.12)),
@@ -554,6 +565,14 @@ object Queries {
       """SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_x_dedup_keep" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp FROM f
+        |WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY fp)""".stripMargin,
 
     "q_x_ngram_jaccard" ->
       """WITH docs AS (
