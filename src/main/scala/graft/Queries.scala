@@ -163,6 +163,18 @@ object Queries {
         .limit(50)
         .select("o_orderkey", "o_totalprice")),
 
+    "q_w_rank_topn" -> ((s, dir) => {
+      // rank window + top-n-per-group: the other common window shape
+      // (Spark plans it as WindowGroupLimit — pre-shuffle partial top-n).
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rd(s, dir, "orders")
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("rk").cast(LongType).as("rk"))
+    }),
+
     "q_w_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       rd(s, dir, "events")
@@ -440,6 +452,13 @@ object Queries {
     "q_r10_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_w_rank_topn" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |FROM orders
+        |QUALIFY rk <= 3""".stripMargin,
 
     "q_w_running_sum" ->
       """SELECT event_id, user_id,

@@ -226,6 +226,56 @@ class CdcStreamSpec extends SparkSpec {
     assert(jobs.map(_.updateEvents).sum == 1)
   }
 
+  test("add-column schema evolution across batches (D4 transact class)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    // v2 adds an `email` column to the same table
+    val v2Json =
+      """{"type": "record", "name": "Envelope",
+        |"namespace": "ts.inventory.users",
+        |"fields": [
+        |  {"name": "before", "type": ["null", {
+        |    "type": "record", "name": "Value", "fields": [
+        |      {"name": "id", "type": "int"},
+        |      {"name": "name", "type": ["null", "string"], "default": null},
+        |      {"name": "email", "type": ["null", "string"], "default": null}
+        |  ]}], "default": null},
+        |  {"name": "after", "type": ["null", "Value"], "default": null},
+        |  {"name": "op", "type": ["null", "string"], "default": null}
+        |]}""".stripMargin
+    val v2Schema = new Schema.Parser().parse(v2Json)
+    val v2Value = v2Schema.getField("before").schema().getTypes.get(1)
+    def v2Frame(offset: Int, id: Int, name: String, email: String): Array[Byte] = {
+      val v = new GenericData.Record(v2Value)
+      v.put("id", id); v.put("name", name); v.put("email", email)
+      val env = new GenericData.Record(v2Schema)
+      env.put("after", v)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0)
+      out.write(Array[Byte](0, 0, 0, 2))
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](v2Schema).write(env, enc)
+      enc.flush()
+      out.toByteArray
+    }
+
+    val cat = new ParquetCatalog(spark, tmp())
+    val f = new StaticSchemaFetcher(Map(1 -> envelopeSchemaJson, 2 -> v2Json))
+    // batch 1: old schema
+    CdcStream.processBatch(toDf(Seq(1L -> create(1, "ada", 6807))), f, cat, cfg)
+    assert(!cat.load("inventory", "users").columns.contains("email"))
+    // batch 2: new schema with the extra column
+    val b2 = Seq((2L, v2Frame(2, 2, "bob", "b@x.com"))).toDF("offset", "value")
+    CdcStream.processBatch(b2, f, cat, cfg)
+    val t = cat.load("inventory", "users")
+    assert(t.columns.contains("email"))
+    val rows = t.select("id", "email").as[(String, Option[String])]
+      .collect().toMap
+    assert(rows("2").contains("b@x.com"))
+    assert(rows("1").isEmpty) // old rows read NULL for the new column
+  }
+
   test("masking applied inside the pipeline when enabled") {
     val cat = new ParquetCatalog(spark, tmp())
     val maskedCfg = cfg.copy(
