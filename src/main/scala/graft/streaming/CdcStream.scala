@@ -33,14 +33,19 @@ import org.apache.spark.sql.types._
   */
 object CdcStream {
 
-  /** Per-topic pipeline configuration. */
+  /** Per-topic pipeline configuration. `maskTable` is the table name the
+    * mask rules are keyed by — it stays the base table when `targetTable`
+    * is a `_reload_<v>` rebuild (mask configs know nothing of suffixes). */
   final case class TopicConfig(
       topic: String,
       targetSchema: String,
       targetTable: String,
       maskConfig: MaskConfig = MaskConfig(),
       salt: String = "",
-      maskEnabled: Boolean = true)
+      maskEnabled: Boolean = true,
+      maskTable: String = "") {
+    def maskTableName: String = if (maskTable.isEmpty) targetTable else maskTable
+  }
 
   /** Kafka source frames for a topic regex (S1). Requires the
     * spark-sql-kafka connector on the classpath at runtime. */
@@ -91,7 +96,7 @@ object CdcStream {
     val transformed = DebeziumTransform(decoded, spec0)
     val masked =
       if (cfg.maskEnabled)
-        new Masker(cfg.maskConfig, cfg.salt)(transformed, cfg.targetTable)
+        new Masker(cfg.maskConfig, cfg.salt)(transformed, cfg.maskTableName)
       else transformed
     (masked, spec)
   }
@@ -147,6 +152,22 @@ object CdcStream {
       } finally cached.unpersist()
     }.toSeq
   }
+
+  /** One query per topic (T7/O2: the reference's per-topic consumer
+    * fleet). Each topic gets its own checkpoint subdirectory and target
+    * table; queries run concurrently in the session's scheduler. */
+  def startAll(
+      sources: Seq[(DataFrame, TopicConfig)],
+      fetcher: SchemaFetcher,
+      catalog: ParquetCatalog,
+      checkpointRoot: String,
+      maxWaitSeconds: Int = 30,
+      onBatch: (TopicConfig, Seq[Job]) => Unit = (_, _) => ()): Seq[StreamingQuery] =
+    sources.map { case (src, cfg) =>
+      start(src, fetcher, catalog, cfg,
+        s"$checkpointRoot/${cfg.targetSchema}.${cfg.targetTable}",
+        maxWaitSeconds, jobs => onBatch(cfg, jobs))
+    }
 
   /** Start the streaming query (T2 processing-time trigger, T6 checkpoint).
     * `onBatch` receives the Job audit records of each micro-batch. */
