@@ -43,7 +43,8 @@ object CdcStream {
       maskConfig: MaskConfig = MaskConfig(),
       salt: String = "",
       maskEnabled: Boolean = true,
-      maskTable: String = "") {
+      maskTable: String = "",
+      primaryKeys: Seq[String] = Nil) {
     def maskTableName: String = if (maskTable.isEmpty) targetTable else maskTable
   }
 
@@ -80,12 +81,14 @@ object CdcStream {
     })
 
   /** Decode + transform + mask one schema-homogeneous group of frames.
-    * Input needs `value` (framed bytes) and `offset` columns. */
+    * Input needs `value` (framed bytes) and `offset` columns;
+    * `keySchemaJson` (the Debezium key record) supplies primary keys. */
   def decodeGroup(
       frames: DataFrame,
       writerSchemaJson: String,
-      cfg: TopicConfig): (DataFrame, TableSpec) = {
-    val spec0 = DebeziumSchema.parseEnvelope(writerSchemaJson)
+      cfg: TopicConfig,
+      keySchemaJson: Option[String] = None): (DataFrame, TableSpec) = {
+    val spec0 = DebeziumSchema.parseEnvelope(writerSchemaJson, keySchemaJson)
     val spec = DebeziumSchema.withMaskOverrides(spec0, cfg.maskConfig)
     val envelope = DebeziumTransform.envelopeSchema(payloadStructType(spec0))
     val decoded = frames
@@ -115,9 +118,21 @@ object CdcStream {
     // schema version — almost always 1, briefly 2 during a migration).
     val sids = frames.select("__sid").distinct().collect().map(_.getInt(0))
 
+    // Primary keys come from the Kafka key schema (the reference's
+    // schemaIdKey, serializer/message.go:25-37): sample one key frame,
+    // resolve its schema id against the registry.
+    val keySchemaJson: Option[String] =
+      if (frames.columns.contains("key"))
+        frames.filter(col("key").isNotNull)
+          .select(ConfluentAvro.schemaId(col("key")))
+          .limit(1).collect().headOption
+          .map(r => fetcher.schemaById(r.getInt(0)))
+      else None
+
     sids.sorted.map { sid =>
       val group = frames.filter(col("__sid") === sid)
-      val (masked, spec) = decodeGroup(group, fetcher.schemaById(sid), cfg)
+      val (masked, spec) =
+        decodeGroup(group, fetcher.schemaById(sid), cfg, keySchemaJson)
       val cached = masked.cache()
       try {
         val counts = CdcMerge.eventCounts(cached).collect()
@@ -132,13 +147,16 @@ object CdcStream {
         val skip = CdcMerge.skipMergeEligible(creates, updates, deletes) &&
           catalog.exists(cfg.targetSchema, cfg.targetTable)
 
-        val pks = spec.primaryKeys
+        // PK precedence: explicit config > key schema > first column.
+        val pks =
+          if (cfg.primaryKeys.nonEmpty) cfg.primaryKeys
+          else if (spec.primaryKeys.nonEmpty) spec.primaryKeys
+          else Seq(spec.columns.head.lowerName)
         if (skip)
           catalog.append(cfg.targetSchema, cfg.targetTable,
             CdcMerge.insertable(cached))
         else
-          catalog.merge(cfg.targetSchema, cfg.targetTable, cached,
-            if (pks.nonEmpty) pks else Seq(spec.columns.head.lowerName))
+          catalog.merge(cfg.targetSchema, cfg.targetTable, cached, pks)
 
         Job(
           upstreamTopic = cfg.topic,

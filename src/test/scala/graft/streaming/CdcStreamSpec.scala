@@ -276,6 +276,41 @@ class CdcStreamSpec extends SparkSpec {
     assert(rows("1").isEmpty) // old rows read NULL for the new column
   }
 
+  test("primary keys resolved from the Kafka key schema (schemaIdKey)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    // key schema keys the table by `name`, not by the first column (id)
+    val keyJson =
+      """{"type": "record", "name": "Key", "fields": [
+        |  {"name": "name", "type": "string"}]}""".stripMargin
+    val keySchema = new Schema.Parser().parse(keyJson)
+    def keyFrame(name: String): Array[Byte] = {
+      val k = new GenericData.Record(keySchema)
+      k.put("name", name)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0); out.write(Array[Byte](0, 0, 0, 9))
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](keySchema).write(k, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val f = new StaticSchemaFetcher(
+      Map(1 -> envelopeSchemaJson, 9 -> keyJson))
+    val cat = new ParquetCatalog(spark, tmp())
+    // two CREATEs with the same name but different ids: PK=name must
+    // dedupe them to one row (PK=id would keep both)
+    val batch = Seq(
+      (1L, keyFrame("ada"), frame(1, None, Some(User(1, Some("ada"), None)))),
+      (2L, keyFrame("ada"), frame(1, None, Some(User(2, Some("ada"), None))))
+    ).toDF("offset", "key", "value")
+    CdcStream.processBatch(batch, f, cat, cfg)
+    val rows = cat.load("inventory", "users")
+      .select("id", "name").as[(String, String)].collect()
+    assert(rows.length == 1)
+    assert(rows.head == (("2", "ada"))) // last writer by offset wins
+  }
+
   test("masking applied inside the pipeline when enabled") {
     val cat = new ParquetCatalog(spark, tmp())
     val maskedCfg = cfg.copy(
