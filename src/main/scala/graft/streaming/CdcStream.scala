@@ -112,7 +112,12 @@ object CdcStream {
       fetcher: SchemaFetcher,
       catalog: ParquetCatalog,
       cfg: TopicConfig): Seq[Job] = {
+    // Tombstones out (P11), then corrupt frames: anything without the
+    // Confluent magic byte cannot be decoded — drop rather than kill the
+    // stream (the reference's deserializer rejects them per message,
+    // serializer.go:56-64).
     val frames = DebeziumTransform.dropTombstones(batch)
+      .filter(ConfluentAvro.hasMagicByte(col("value")))
       .withColumn("__sid", ConfluentAvro.schemaId(col("value")))
     // Schema ids in this batch: tiny driver-side set (one per concurrent
     // schema version — almost always 1, briefly 2 during a migration).

@@ -190,14 +190,16 @@ class CdcStreamSpec extends SparkSpec {
     assert(cat.load("inventory", "users").count() == 2)
   }
 
-  test("P11 tombstones are dropped before decode") {
+  test("P11 tombstones and corrupt frames are dropped before decode") {
     val cat = new ParquetCatalog(spark, tmp())
-    val withTombstone = Seq(
+    val withJunk = Seq(
       (1L, frame(1, None, Some(User(1, Some("a"), None)))),
-      (2L, Array.empty[Byte])
+      (2L, Array.empty[Byte]),
+      (3L, "not confluent framed".getBytes("UTF-8"))
     ).toDF("offset", "value")
-    val jobs = CdcStream.processBatch(withTombstone, fetcher, cat, cfg)
+    val jobs = CdcStream.processBatch(withJunk, fetcher, cat, cfg)
     assert(jobs.map(_.createEvents).sum == 1)
+    assert(cat.load("inventory", "users").count() == 1)
   }
 
   test("streaming end-to-end: MemoryStream micro-batches through foreachBatch") {
