@@ -1,0 +1,104 @@
+package graft
+
+import graft.core.Cdc
+import graft.merge.CdcMerge
+import graft.ops.TextOps
+import graft.schema.TypeMapper
+import graft.streaming.ControlPlane
+import scala.util.Random
+
+/** Property-style checks with seeded generation (SURVEY §5 port strategy:
+  * randomized bounds + a model-based merge oracle; deterministic seed so
+  * failures replay). */
+class MergeModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side model of the SCD-1 merge: last writer per PK wins,
+    * DELETE removes. */
+  private def model(
+      target: Map[Int, String],
+      events: Seq[(Int, String, String)]): Map[Int, String] = {
+    val lastPerPk = events.zipWithIndex
+      .groupBy(_._1._1)
+      .map { case (pk, evs) => pk -> evs.maxBy(_._2)._1 }
+    lastPerPk.foldLeft(target) {
+      case (acc, (pk, (_, op, v))) =>
+        if (op == Cdc.OpDelete) acc - pk else acc.updated(pk, v)
+    }
+  }
+
+  test("merge agrees with the sequential model on random C/U/D streams") {
+    val rnd = new Random(42)
+    val ops = Seq(Cdc.OpCreate, Cdc.OpUpdate, Cdc.OpDelete)
+    for (round <- 1 to 12) {
+      val events = Seq.fill(24)((
+        rnd.nextInt(8) + 1,
+        ops(rnd.nextInt(3)),
+        "v" + rnd.nextInt(100)))
+      val target = Map(1 -> "t1", 2 -> "t2", 3 -> "t3")
+      val merged = CdcMerge.merge(
+        target.toSeq.toDF("pk", "v"),
+        events.zipWithIndex
+          .map { case ((pk, op, v), i) => (i.toString, op, pk, v) }
+          .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v"),
+        Seq("pk")).as[(Int, String)].collect().toMap
+      assert(merged == model(target, events),
+        s"round $round diverged; events=$events")
+    }
+  }
+}
+
+class BoundsPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val rnd = new Random(7)
+
+  test("varchar sizing always lands in [50 if masked else 1, 65535]") {
+    for (_ <- 1 to 200) {
+      val len = rnd.nextInt(100001)
+      val masked = rnd.nextBoolean()
+      val t = TypeMapper.warehouseType("string", "VARCHAR",
+        if (len == 0) "" else len.toString, "", masked)
+      val n = t.stripPrefix("character varying(").stripSuffix(")").toInt
+      assert(n >= 1 && n <= 65535, s"len=$len masked=$masked -> $t")
+      if (masked) assert(n >= 50)
+    }
+  }
+
+  test("numeric precision/scale clamped to (38, 37)") {
+    for (_ <- 1 to 200) {
+      val (p, s) = (rnd.nextInt(100) + 1, rnd.nextInt(101))
+      val t = TypeMapper.warehouseType("string", "DECIMAL", p.toString, s.toString)
+      val Array(prec, scale) = t.stripPrefix("numeric(").stripSuffix(")")
+        .split(',').map(_.toInt)
+      assert(prec <= 38 && scale <= 37, s"p=$p s=$s -> $t")
+    }
+  }
+
+  test("randomize stays within +/-pct for any base") {
+    for (_ <- 1 to 500) {
+      val base = rnd.nextLong(1000000L) + 1
+      val pct = rnd.nextDouble() * 0.5
+      val v = ControlPlane.randomize(base, pct)
+      assert(v >= base - (base * pct).toLong, s"base=$base pct=$pct v=$v")
+      assert(v <= base + (base * pct).toLong, s"base=$base pct=$pct v=$v")
+    }
+  }
+
+  test("rollingHashScala is always in [0, 2^31-1)") {
+    for (_ <- 1 to 500) {
+      val s = rnd.nextString(rnd.nextInt(200))
+      val h = TextOps.rollingHashScala(s)
+      assert(h >= 0 && h < TextOps.RollingHashMod)
+    }
+  }
+
+  test("chunkTopics partitions losslessly") {
+    for (_ <- 1 to 100) {
+      val topics = Seq.fill(rnd.nextInt(30))("t" + rnd.nextInt(1000))
+      val n = rnd.nextInt(10) + 1
+      val chunks = ControlPlane.chunkTopics(topics, n)
+      assert(chunks.flatten == topics)
+      assert(chunks.forall(_.size <= n))
+    }
+  }
+}
