@@ -614,6 +614,21 @@ object Queries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12""".stripMargin,
 
+    "q_x_ann_cosine" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |              * sqrt(list_inner_product(qe, qe)) > 0
+        |         THEN list_inner_product(CAST(e.embedding AS DOUBLE[]), qe)
+        |              / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |                 * sqrt(list_inner_product(qe, qe)))
+        |         ELSE 0.0 END AS sim
+        |  FROM embeddings e, q WHERE vec_id <> 0)
+        |SELECT vec_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |FROM s ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+
     "q_x_media_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,
