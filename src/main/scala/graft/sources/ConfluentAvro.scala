@@ -112,19 +112,35 @@ final case class AvroBinaryToStruct(
   @transient private lazy val schema = new Schema.Parser().parse(writerSchemaJson)
   @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
 
-  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (r: GenericRecord, st: StructType) => record(r, st)
-    case (x: java.lang.Number, IntegerType) => x.intValue()
-    case (x: java.lang.Number, LongType) => x.longValue()
-    case (x: java.lang.Number, ShortType) => x.shortValue()
-    case (x: java.lang.Number, FloatType) => x.floatValue()
-    case (x: java.lang.Number, DoubleType) => x.doubleValue()
-    case (x: java.lang.Boolean, _) => x.booleanValue()
-    case (x: java.nio.ByteBuffer, _) =>
-      val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
-    case (x, StringType) => UTF8String.fromString(x.toString)
-    case (x, _) => UTF8String.fromString(x.toString)
+  private def bytesOf(x: java.nio.ByteBuffer): Array[Byte] = {
+    val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
+  }
+
+  /** Dispatch on the TARGET type first — the value's runtime class alone
+    * is ambiguous (Avro `bytes` may land in a string, binary, or decimal
+    * slot; putting the wrong JVM type in an InternalRow corrupts rows
+    * downstream, not here). */
+  private def convert(v: Any, dt: DataType): Any = if (v == null) null else dt match {
+    case st: StructType => v match {
+      case r: GenericRecord => record(r, st)
+      case other => throw new IllegalArgumentException(
+        s"expected record for $st, got ${other.getClass}")
+    }
+    case IntegerType => v.asInstanceOf[java.lang.Number].intValue()
+    case LongType => v.asInstanceOf[java.lang.Number].longValue()
+    case ShortType => v.asInstanceOf[java.lang.Number].shortValue()
+    case FloatType => v.asInstanceOf[java.lang.Number].floatValue()
+    case DoubleType => v.asInstanceOf[java.lang.Number].doubleValue()
+    case BooleanType => v.asInstanceOf[java.lang.Boolean].booleanValue()
+    case BinaryType => v match {
+      case bb: java.nio.ByteBuffer => bytesOf(bb)
+      case b: Array[Byte] => b
+      case other => other.toString.getBytes("UTF-8")
+    }
+    case _ => v match { // StringType and everything stringly
+      case bb: java.nio.ByteBuffer => UTF8String.fromBytes(bytesOf(bb))
+      case other => UTF8String.fromString(other.toString)
+    }
   }
 
   private def record(r: GenericRecord, st: StructType): InternalRow = {

@@ -111,6 +111,42 @@ class ConfluentAvroSpec extends SparkSpec {
     assert(r.getInt(2) == 6807)
   }
 
+  test("avro bytes land correctly in string and binary slots") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import org.apache.spark.sql.types._
+    val sj = """{"type": "record", "name": "R", "fields": [
+               |  {"name": "blob", "type": "bytes"},
+               |  {"name": "n", "type": "boolean"}]}""".stripMargin
+    val sc = new Schema.Parser().parse(sj)
+    val r = new GenericData.Record(sc)
+    r.put("blob", java.nio.ByteBuffer.wrap("payload".getBytes("UTF-8")))
+    r.put("n", true)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](sc).write(r, enc)
+    enc.flush()
+    val df = Seq(Tuple1(out.toByteArray)).toDF("payload")
+    // same avro value decoded into different target slots
+    val asStr = StructType(Seq(StructField("blob", StringType),
+      StructField("n", StringType)))
+    val asBin = StructType(Seq(StructField("blob", BinaryType)))
+    val got = df.select(
+      org.apache.spark.sql.graft.Shims.column(
+        graft.sources.AvroBinaryToStruct(
+          org.apache.spark.sql.graft.Shims.expression(col("payload")),
+          sj, asStr)).as("s"),
+      org.apache.spark.sql.graft.Shims.column(
+        graft.sources.AvroBinaryToStruct(
+          org.apache.spark.sql.graft.Shims.expression(col("payload")),
+          sj, asBin)).as("b")).head()
+    assert(got.getStruct(0).getString(0) == "payload")
+    assert(got.getStruct(0).getString(1) == "true")
+    assert(new String(got.getStruct(1).getAs[Array[Byte]](0), "UTF-8") ==
+      "payload")
+  }
+
   test("decode of DELETE event: after null, before populated") {
     val spec = graft.schema.DebeziumSchema.parseEnvelope(envelopeSchemaJson)
     val envType = graft.cdc.DebeziumTransform.envelopeSchema(
