@@ -1,0 +1,95 @@
+package graft.warehouse
+
+import graft.merge.CdcMerge
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PK-hash-bucketed table store: the 100 TB answer to
+  * [[ParquetCatalog]]'s full-table rewrite.
+  *
+  * Layout: `root/<schema>/<table>/bucket=<i>/…parquet`, where
+  * `i = pmod(xxhash64(pk…), nBuckets)`. A CDC micro-batch touches few
+  * distinct PKs → few buckets, so the merge:
+  *
+  *  1. buckets the stage rows (one narrow projection);
+  *  2. reads ONLY the affected buckets of the target (`bucket IN (…)` is
+  *     partition pruning — untouched data is never opened);
+  *  3. runs the same broadcast-anti merge on that slice;
+  *  4. rewrites only those bucket directories (shadow + per-bucket
+  *     rename; readers see per-bucket atomicity).
+  *
+  * Rewrite cost goes from O(|target|) to O(|affected buckets|) ≈
+  * O(batch · target/nBuckets). The bucket column doubles as the join
+  * co-location key: two bucketed tables with the same nBuckets join
+  * bucket-to-bucket without a full shuffle.
+  */
+final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 64) {
+
+  private val BucketCol = "bucket"
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(schema: String, table: String): String = s"$root/$schema/$table"
+
+  def exists(schema: String, table: String): Boolean =
+    fs.exists(new Path(tablePath(schema, table)))
+
+  private def bucketed(df: DataFrame, pks: Seq[String]): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(xxhash64(pks.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+
+  /** Load the full table (bucket column retained for co-located joins). */
+  def load(schema: String, table: String): DataFrame =
+    spark.read.parquet(tablePath(schema, table))
+
+  def save(schema: String, table: String, df: DataFrame, pks: Seq[String]): Unit =
+    bucketed(df, pks).write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(tablePath(schema, table))
+
+  /** SCD-1 merge rewriting only the buckets the stage touches. */
+  def merge(schema: String, table: String, stage: DataFrame,
+      pks: Seq[String]): Unit = {
+    if (!exists(schema, table)) {
+      save(schema, table,
+        CdcMerge.insertable(CdcMerge.dropDeleteOps(CdcMerge.dedupe(stage, pks))),
+        pks)
+      return
+    }
+    val stagedB = bucketed(stage, pks).cache()
+    try {
+      val affected = stagedB.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      // partition pruning: only affected bucket dirs are read
+      val targetSlice = load(schema, table)
+        .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
+      val merged = CdcMerge.merge(
+        targetSlice.drop(BucketCol),
+        stagedB.drop(BucketCol), pks)
+      val shadow = new Path(tablePath(schema, table) + "__merging")
+      bucketed(merged, pks).write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(shadow.toString)
+      // swap only the affected bucket directories into place
+      affected.foreach { b =>
+        val src = new Path(shadow, s"$BucketCol=$b")
+        val dst = new Path(tablePath(schema, table), s"$BucketCol=$b")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(shadow, true)
+    } finally stagedB.unpersist()
+  }
+
+  def drop(schema: String, table: String): Unit =
+    fs.delete(new Path(tablePath(schema, table)), true)
+
+  /** Bucket directories currently present (diagnostics / tests). */
+  def buckets(schema: String, table: String): Seq[Int] = {
+    val p = new Path(tablePath(schema, table))
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).sorted.toSeq
+  }
+}

@@ -1,0 +1,71 @@
+package graft.warehouse
+
+import graft.SparkSpec
+import graft.core.Cdc
+import org.apache.spark.sql.functions._
+
+class BucketedCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-bucket").toString
+
+  test("merge rewrites only affected buckets; result matches plain catalog") {
+    val root = tmp()
+    val cat = new BucketedCatalog(spark, root, nBuckets = 16)
+    val plain = new ParquetCatalog(spark, tmp())
+
+    val target = (1 to 200).map(i => (i, s"v$i")).toDF("pk", "v")
+    cat.save("s", "t", target, Seq("pk"))
+    plain.save("s", "t", target)
+    assert(cat.buckets("s", "t").size > 8) // keys spread over buckets
+
+    // record per-bucket file state before the merge
+    def bucketFiles(): Map[String, Set[String]] = {
+      val base = new java.io.File(s"$root/s/t")
+      base.listFiles.filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles.map(f => f.getName + ":" + f.lastModified)
+          .toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+
+    // a small batch touching 2 PKs
+    val stage = Seq(
+      ("10", Cdc.OpUpdate, 7, "v7b"),
+      ("11", Cdc.OpDelete, 8, "v8"))
+      .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v")
+    cat.merge("s", "t", stage, Seq("pk"))
+    plain.merge("s", "t", stage, Seq("pk"))
+
+    // correctness: same content as the plain catalog
+    val got = cat.load("s", "t").select("pk", "v")
+      .as[(Int, String)].collect().toMap
+    val want = plain.load("s", "t").as[(Int, String)].collect().toMap
+    assert(got == want)
+    assert(got(7) == "v7b" && !got.contains(8) && got(9) == "v9")
+
+    // efficiency: untouched buckets' files unchanged
+    val after = bucketFiles()
+    val touched = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(touched.size <= 2, s"touched $touched")
+  }
+
+  test("first merge creates the bucketed table") {
+    val cat = new BucketedCatalog(spark, tmp(), nBuckets = 4)
+    val stage = Seq(("1", Cdc.OpCreate, 1, "a"))
+      .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v")
+    cat.merge("s", "t", stage, Seq("pk"))
+    assert(cat.load("s", "t").select("pk", "v")
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+  }
+
+  test("scan of one bucket prunes partitions") {
+    val cat = new BucketedCatalog(spark, tmp(), nBuckets = 8)
+    cat.save("s", "t", (1 to 50).map(i => (i, s"v$i")).toDF("pk", "v"),
+      Seq("pk"))
+    val plan = cat.load("s", "t").filter(col("bucket") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+  }
+}
