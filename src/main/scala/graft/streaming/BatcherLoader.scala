@@ -4,7 +4,7 @@ import graft.cdc.DebeziumTransform
 import graft.core.{Cdc, Job}
 import graft.merge.CdcMerge
 import graft.sources.{ConfluentAvro, SchemaFetcher}
-import graft.warehouse.ParquetCatalog
+import graft.warehouse.TableStore
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,13 +85,13 @@ object Loader {
   def load(
       spark: SparkSession,
       job: Job,
-      catalog: ParquetCatalog,
+      catalog: TableStore,
       cfg: CdcStream.TopicConfig,
       pks: Seq[String]): Unit = {
     val stage = NdjsonGzSink.read(spark, job.s3Path)
     if (job.skipMergeEligible && catalog.exists(cfg.targetSchema, cfg.targetTable))
       catalog.append(cfg.targetSchema, cfg.targetTable,
-        CdcMerge.insertable(stage))
+        CdcMerge.insertable(stage), pks)
     else
       catalog.merge(cfg.targetSchema, cfg.targetTable, stage, pks)
   }

@@ -6,7 +6,7 @@ import graft.mask.{MaskConfig, Masker}
 import graft.merge.CdcMerge
 import graft.schema.DebeziumSchema
 import graft.sources.{ConfluentAvro, SchemaFetcher}
-import graft.warehouse.ParquetCatalog
+import graft.warehouse.TableStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -110,7 +110,7 @@ object CdcStream {
   def processBatch(
       batch: DataFrame,
       fetcher: SchemaFetcher,
-      catalog: ParquetCatalog,
+      catalog: TableStore,
       cfg: TopicConfig): Seq[Job] = {
     // Tombstones out (P11), then corrupt frames: anything without the
     // Confluent magic byte cannot be decoded — drop rather than kill the
@@ -149,8 +149,18 @@ object CdcStream {
         val offsets = cached.agg(
           min(col(Cdc.OffsetColumn).cast(LongType)),
           max(col(Cdc.OffsetColumn).cast(LongType))).head()
+        // R5 applies only when the batch's columns match the live table:
+        // parquet append doesn't widen the read schema, so a schema change
+        // (D4 add/drop column) must go through the merge rewrite — the
+        // reference likewise migrates the table before any load
+        // (load_processor.go:395-444).
         val skip = CdcMerge.skipMergeEligible(creates, updates, deletes) &&
-          catalog.exists(cfg.targetSchema, cfg.targetTable)
+          catalog.exists(cfg.targetSchema, cfg.targetTable) && {
+            // "bucket" is the BucketedCatalog partition column, not data
+            val tgtCols = catalog.load(cfg.targetSchema, cfg.targetTable)
+              .columns.toSet - "bucket"
+            CdcMerge.insertable(cached).columns.toSet == tgtCols
+          }
 
         // PK precedence: explicit config > key schema > first column.
         val pks =
@@ -159,7 +169,7 @@ object CdcStream {
           else Seq(spec.columns.head.lowerName)
         if (skip)
           catalog.append(cfg.targetSchema, cfg.targetTable,
-            CdcMerge.insertable(cached))
+            CdcMerge.insertable(cached), pks)
         else
           catalog.merge(cfg.targetSchema, cfg.targetTable, cached, pks)
 
@@ -182,7 +192,7 @@ object CdcStream {
   def startAll(
       sources: Seq[(DataFrame, TopicConfig)],
       fetcher: SchemaFetcher,
-      catalog: ParquetCatalog,
+      catalog: TableStore,
       checkpointRoot: String,
       maxWaitSeconds: Int = 30,
       onBatch: (TopicConfig, Seq[Job]) => Unit = (_, _) => ()): Seq[StreamingQuery] =
@@ -197,7 +207,7 @@ object CdcStream {
   def start(
       source: DataFrame,
       fetcher: SchemaFetcher,
-      catalog: ParquetCatalog,
+      catalog: TableStore,
       cfg: TopicConfig,
       checkpointDir: String,
       maxWaitSeconds: Int = 30,

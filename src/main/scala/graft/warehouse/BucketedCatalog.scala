@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * co-location key: two bucketed tables with the same nBuckets join
   * bucket-to-bucket without a full shuffle.
   */
-final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 64) {
+final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 64)
+    extends TableStore {
 
   private val BucketCol = "bucket"
 
@@ -46,6 +47,12 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
 
   def save(schema: String, table: String, df: DataFrame, pks: Seq[String]): Unit =
     bucketed(df, pks).write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(tablePath(schema, table))
+
+  /** R5 fast path: bucketed append. */
+  override def append(schema: String, table: String, df: DataFrame,
+      pks: Seq[String]): Unit =
+    bucketed(df, pks).write.mode(SaveMode.Append)
       .partitionBy(BucketCol).parquet(tablePath(schema, table))
 
   /** SCD-1 merge rewriting only the buckets the stage touches. */

@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * on top; the merge itself (broadcast anti-join) only shuffles the
   * micro-batch, never the target.
   */
-final class ParquetCatalog(spark: SparkSession, root: String) {
+final class ParquetCatalog(spark: SparkSession, root: String)
+    extends TableStore {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -41,6 +42,9 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
   /** R5 skipMerge fast path: append-only load. */
   def append(schema: String, table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(tablePath(schema, table))
+
+  override def append(schema: String, table: String, df: DataFrame,
+      pks: Seq[String]): Unit = append(schema, table, df)
 
   /** Full SCD-1 merge of a CDC micro-batch into the table (R1-R4). The
     * result is rewritten through a shadow dir + swap. */

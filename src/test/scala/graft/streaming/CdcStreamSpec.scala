@@ -349,6 +349,19 @@ class CdcStreamSpec extends SparkSpec {
     assert(rows.head == (("2", "ada"))) // last writer by offset wins
   }
 
+  test("pipeline runs against the bucketed store (TableStore plug)") {
+    val cat = new graft.warehouse.BucketedCatalog(spark, tmp(), nBuckets = 4)
+    CdcStream.processBatch(
+      toDf(Seq(10L -> create(1, "ada", 6807), 11L -> create(2, "bob", 0))),
+      fetcher, cat, cfg)
+    CdcStream.processBatch(
+      toDf(Seq(12L -> update(1, "ada", "eva"), 13L -> delete(2, "bob"))),
+      fetcher, cat, cfg)
+    assert(cat.load("inventory", "users")
+      .select("id", "name").as[(String, String)].collect().toMap ==
+      Map("1" -> "eva"))
+  }
+
   test("masking applied inside the pipeline when enabled") {
     val cat = new ParquetCatalog(spark, tmp())
     val maskedCfg = cfg.copy(
