@@ -163,6 +163,23 @@ object Queries {
         .limit(50)
         .select("o_orderkey", "o_totalprice")),
 
+    "q_x_salted_count" -> ((s, dir) =>
+      // skew-resistant two-level count: hot keys split across salts
+      // (result is identical to a plain groupBy count - that's the oracle).
+      graft.ops.Skew.saltedCount(rd(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_orderkey"), n = 8)
+        .orderBy("l_returnflag")),
+
+    "q_w_time_window" -> ((s, dir) =>
+      // event-time tumbling window aggregation (batch form of the
+      // streaming windowed count - same operator).
+      rd(s, dir, "events")
+        .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("n"))
+        .orderBy("window_start")),
+
     "q_w_rank_topn" -> ((s, dir) => {
       // rank window + top-n-per-group: the other common window shape
       // (Spark plans it as WindowGroupLimit — pre-shuffle partial top-n).
@@ -452,6 +469,14 @@ object Queries {
     "q_r10_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_x_salted_count" ->
+      """SELECT l_returnflag, count(*) AS count FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_w_time_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_w_rank_topn" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
