@@ -74,10 +74,10 @@ object Dedup {
         sh.join(broadcast(rare), Seq("shingle"), "left_semi")
       case None => sh
     }
-    val sizes = df
-      .select(col(idCol).as("id"),
-        TextOps.tokens(TextOps.normalized(col(textCol))).as("__w"))
-      .select(col("id"), size(shinglesFromWords(col("__w"), n)).as("sz"))
+    // shingles are distinct per doc, so |doc| = count of its exploded rows
+    // (from the UNCUT set — Jaccard denominators must ignore the df-cut).
+    // Saves a second tokenization pass over the corpus.
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = filtered.as("a").join(filtered.as("b"), "shingle")
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
