@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * O(batch · target/nBuckets). The bucket column doubles as the join
   * co-location key: two bucketed tables with the same nBuckets join
   * bucket-to-bucket without a full shuffle.
+  *
+  * Measured crossover (graft.tools.BucketBench): at a 600 k-row target on
+  * local[32] the constant costs (bucket projection, extra driver actions,
+  * per-bucket renames) still outweigh the saved I/O (2.7 s full rewrite
+  * vs 3.3 s bucketed) — the store pays off when the target is large
+  * relative to the batch and storage is remote (the 100 TB case), where
+  * I/O proportionality, not constant overhead, dominates.
   */
 final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 64)
     extends TableStore {
