@@ -90,10 +90,15 @@ object Bench {
     val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
-        s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,"sf":"$sfDir"}""")
+        s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,"sf":"$sfDir"}"""
+    // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
+    // reading the stream can be poisoned — the file copy is always clean.
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

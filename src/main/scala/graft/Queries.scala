@@ -343,13 +343,17 @@ object Queries {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))),
 
     "q_x_media_features" -> ((s, dir) =>
-      // per-partition stub decode; rows-only check (splitmix features are
-      // not SQL-expressible), determinism covered by MultimodalSpec.
+      // per-partition stub decode. Emits sortable SCALAR digests of the
+      // feature vector (first/last slot) rather than the raw array — the
+      // driver harness canonicalizes by sorting columns and arrays aren't
+      // sortable; the stub formula is portable so DuckDB verifies values.
       Multimodal.extractFeatures(
         rd(s, dir, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "media", dim = 16)
-        .select(col("doc_id"), col("features"))),
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast(DoubleType).as("f_first"),
+          element_at(col("features"), 16).cast(DoubleType).as("f_last"))),
 
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
@@ -444,9 +448,9 @@ object Queries {
     "q_r5_skipmerge_gate" ->
       s"""WITH $cdcStageSql
          |SELECT
-         |  sum(CASE WHEN debeziumop = 'CREATE' THEN 1 ELSE 0 END) AS create_events,
-         |  sum(CASE WHEN debeziumop = 'UPDATE' THEN 1 ELSE 0 END) AS update_events,
-         |  sum(CASE WHEN debeziumop = 'DELETE' THEN 1 ELSE 0 END) AS delete_events,
+         |  CAST(sum(CASE WHEN debeziumop = 'CREATE' THEN 1 ELSE 0 END) AS BIGINT) AS create_events,
+         |  CAST(sum(CASE WHEN debeziumop = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS update_events,
+         |  CAST(sum(CASE WHEN debeziumop = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS delete_events,
          |  (sum(CASE WHEN debeziumop = 'UPDATE' THEN 1 ELSE 0 END) = 0
          |   AND sum(CASE WHEN debeziumop = 'DELETE' THEN 1 ELSE 0 END) = 0
          |   AND sum(CASE WHEN debeziumop = 'CREATE' THEN 1 ELSE 0 END) > 0) AS skip_merge
@@ -515,7 +519,7 @@ object Queries {
         |  sha256(printf('%.2f', c_acctbal) || 'graftsalt') AS c_acctbal,
         |  CASE WHEN CAST(c_nationkey AS VARCHAR) IN ('7', '11') THEN c_mktsegment
         |       ELSE sha256(c_mktsegment || 'graftsalt') END AS c_mktsegment,
-        |  len(c_name) AS c_name_length,
+        |  strlen(c_name) AS c_name_length,
         |  substr(c_name, 1, 5) AS c_name_init5,
         |  CASE WHEN regexp_matches(c_mktsegment, '(?i)build') THEN 'true'
         |       ELSE 'false' END AS c_mktsegment_has_build
@@ -549,10 +553,10 @@ object Queries {
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-        |  (SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |  CAST((SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 0
         |       ELSE list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |                                    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) END
-        |   + len(regexp_replace(coalesce(text, ''), '[\w\s]+', '', 'g'))) AS n_bpeish
+        |   + len(regexp_replace(coalesce(text, ''), '[\w\s]+', '', 'g'))) AS BIGINT) AS n_bpeish
         |FROM documents""".stripMargin,
 
     "q_x_quality" ->
@@ -667,6 +671,34 @@ object Queries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    // Stub features are a Karp-Rabin byte fold (mod 2^31-1); the payload is
+    // the UTF-8 encoding of `text`, and the corpus is ASCII, so folding
+    // DuckDB's per-char codepoints reproduces the byte fold exactly.
+    "q_x_media_features" ->
+      """WITH seeds AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(coalesce(text, '')) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |              (acc, x) -> (acc * 1000003 + x) % 2147483647) END AS seed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST(((seed * 1000003 + 0) % 2147483647) / 2147483647.0 AS FLOAT) AS DOUBLE) AS f_first,
+        |  CAST(CAST(((seed * 1000003 + 15) % 2147483647) / 2147483647.0 AS FLOAT) AS DOUBLE) AS f_last
+        |FROM seeds""".stripMargin,
+
+    "q_x_rolling_hash" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(norm, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |            (acc, x) -> (acc * 1000003 + x) % 2147483647) END AS BIGINT) AS rh
+        |FROM n""".stripMargin,
 
     "q_x_embed_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -83,10 +83,10 @@ final class Masker(
     val extras = names.flatMap { n =>
       val c = allCols(n)
       val length =
-        // M5 — length key: char length of original, 0 for NULL
-        // (masker.go:99-111).
+        // M5 — length key: UTF-8 byte length of original (Go len(*cVal),
+        // masker.go:99-111), 0 for NULL.
         if (cfg.lengthKey(table, n))
-          Seq(coalesce(char_length(c), lit(0)).as(s"${n}_length"))
+          Seq(coalesce(octet_length(c), lit(0)).as(s"${n}_length"))
         else Nil
       val mobile =
         // M6 — mobile key: first 5 chars (masker.go:112-132).

@@ -67,16 +67,17 @@ object Multimodal {
     }
 
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      var x = contentSeed(bytes)
-      Array.fill(dim) {
-        // splitmix64 step
-        x += 0x9e3779b97f4a7c15L
-        var z = x
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
-        (z.toDouble / Long.MaxValue).toFloat
-      }
+      // Karp-Rabin rolling hash of ALL payload bytes mod 2^31-1, then one
+      // multiplicative step per slot. Every intermediate stays < 2^52, and
+      // the formula is portable — an SQL oracle can recompute it exactly
+      // (see Queries.q_x_media_features), unlike the splitmix stream this
+      // replaced.
+      val P = 2147483647L
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = (h * 1000003L + (bytes(i) & 0xff)) % P; i += 1 }
+      val seed = h
+      Array.tabulate(dim)(j => (((seed * 1000003L + j) % P).toDouble / P).toFloat)
     }
 
     private def contentSeed(bytes: Array[Byte]): Long = {

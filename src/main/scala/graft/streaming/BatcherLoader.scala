@@ -34,7 +34,11 @@ object Batcher {
       cfg: CdcStream.TopicConfig,
       outRoot: String,
       group: String = "graft"): Seq[Job] = {
+    // Same corrupt-frame policy as CdcStream.processBatch: a frame without
+    // the Confluent magic byte yields a garbage schema id and would kill
+    // the stream at fetcher.schemaById — drop it per message instead.
     val frames = DebeziumTransform.dropTombstones(batch)
+      .filter(ConfluentAvro.hasMagicByte(col("value")))
       .withColumn("__sid", ConfluentAvro.schemaId(col("value")))
     val sids = frames.select("__sid").distinct().collect().map(_.getInt(0))
 
@@ -89,7 +93,17 @@ object Loader {
       cfg: CdcStream.TopicConfig,
       pks: Seq[String]): Unit = {
     val stage = NdjsonGzSink.read(spark, job.s3Path)
-    if (job.skipMergeEligible && catalog.exists(cfg.targetSchema, cfg.targetTable))
+    // Column-set gate before the R5 append (as CdcStream.processBatch):
+    // NDJSON drops all-null columns on write, so an append could otherwise
+    // slip a schema-divergent slice into the target; route those through
+    // the merge rewrite instead.
+    val skip = job.skipMergeEligible &&
+      catalog.exists(cfg.targetSchema, cfg.targetTable) && {
+        val tgtCols = catalog.load(cfg.targetSchema, cfg.targetTable)
+          .columns.toSet - "bucket"
+        CdcMerge.insertable(stage).columns.toSet == tgtCols
+      }
+    if (skip)
       catalog.append(cfg.targetSchema, cfg.targetTable,
         CdcMerge.insertable(stage), pks)
     else

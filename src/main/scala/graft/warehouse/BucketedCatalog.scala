@@ -48,9 +48,15 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
     df.withColumn(BucketCol,
       pmod(xxhash64(pks.map(col): _*), lit(nBuckets.toLong)).cast("int"))
 
-  /** Load the full table (bucket column retained for co-located joins). */
+  /** Load the full table (bucket column retained for co-located joins).
+    * mergeSchema: a crashed/interrupted evolving merge can leave buckets
+    * with heterogeneous footers; schema must be the union, not whichever
+    * file footer Spark samples first (else a new column silently vanishes
+    * and later merges rewrite buckets without its data). Steady state is
+    * homogeneous — [[merge]] full-rewrites on evolution — so the extra
+    * footer reads are the rare-case price, parallelized by Spark. */
   def load(schema: String, table: String): DataFrame =
-    spark.read.parquet(tablePath(schema, table))
+    spark.read.option("mergeSchema", "true").parquet(tablePath(schema, table))
 
   def save(schema: String, table: String, df: DataFrame, pks: Seq[String]): Unit =
     bucketed(df, pks).write.mode(SaveMode.Overwrite)
@@ -73,10 +79,29 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
     }
     val stagedB = bucketed(stage, pks).cache()
     try {
+      val target = load(schema, table)
+      // Schema evolution gate: CdcMerge.merge unions by name with missing
+      // columns allowed, so an evolving stage would rewrite ONLY the
+      // affected buckets with the new column — leaving the table with
+      // heterogeneous bucket schemas (silent data loss on later merges).
+      // Evolution forces a full-table rewrite so buckets stay consistent.
+      val stageCols = CdcMerge.insertable(stagedB).columns.toSet - BucketCol
+      val targetCols = target.columns.toSet - BucketCol
+      if (stageCols != targetCols) {
+        val full = CdcMerge.merge(
+          target.drop(BucketCol), stagedB.drop(BucketCol), pks)
+        val shadow = new Path(tablePath(schema, table) + "__evolving")
+        bucketed(full, pks).write.mode(SaveMode.Overwrite)
+          .partitionBy(BucketCol).parquet(shadow.toString)
+        val tgt = new Path(tablePath(schema, table))
+        fs.delete(tgt, true)
+        fs.rename(shadow, tgt)
+        return
+      }
       val affected = stagedB.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted
       // partition pruning: only affected bucket dirs are read
-      val targetSlice = load(schema, table)
+      val targetSlice = target
         .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
       val merged = CdcMerge.merge(
         targetSlice.drop(BucketCol),

@@ -20,7 +20,9 @@ object Ddl {
     val typ = TypeMapper.warehouseType(c)
     val parts = Seq(q(c.lowerName), typ) ++
       (if (c.defaultVal.nonEmpty && typ.startsWith("character varying"))
-        Seq(s"DEFAULT '${c.defaultVal}'") else Nil) ++
+        // single quotes doubled: Debezium defaults can carry quotes, and an
+        // unescaped one breaks (or injects into) the emitted statement
+        Seq(s"DEFAULT '${c.defaultVal.replace("'", "''")}'") else Nil) ++
       (if (c.notNull) Seq("NOT NULL") else Nil)
     parts.mkString(" ")
   }
