@@ -315,11 +315,13 @@ object Queries {
         n = 3, threshold = 0.12)),
 
     "q_x_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashCandidates(rd(s, dir, "documents"), "doc_id", "text",
+      // portable (md5-family) variant → full DuckDB value oracle; the
+      // xxhash64 fast path is spec-tested (DedupSpec).
+      Dedup.minHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, estThreshold = 0.3)),
 
     "q_x_simhash" -> ((s, dir) =>
-      Dedup.simHashCandidates(rd(s, dir, "documents"), "doc_id", "text",
+      Dedup.simHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
         chunks = 4, maxHamming = 10)),
 
     // ================= multimodal =======================================
@@ -371,7 +373,8 @@ object Queries {
 
     "q_x_ann_ivf" -> ((s, dir) => {
       // IVF scale path: deterministic k-means cells, probe nearest cells
-      // only (rows-only check; IVF is approximate by design).
+      // only. Training is bit-portable (md5 seeding + DECIMAL means), so
+      // the DuckDB oracle replays it end to end — a full value check.
       import graft.ops.Ivf
       val emb = rd(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -391,12 +394,171 @@ object Queries {
         .select("id_a", "id_b")),
 
     "q_x_embed_dup_lsh" -> ((s, dir) =>
-      Similarity.cosineDupPairs(rd(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.30, numPlanes = 16, bands = 8)
+      Similarity.cosineDupPairsPortable(rd(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.30, numPlanes = 16, bands = 8, dim = 64)
         .select("id_a", "id_b"))
   )
 
+  // ---- machine-generated oracles for the portable sketch queries --------
+  // These recompute the md5-derived signatures bit-for-bit in DuckDB, so
+  // the approximate (banded) operators get FULL value oracles, not
+  // rows-only checks. Constants are interpolated from the same
+  // graft.functions.Portable formulas the Spark plans use.
+
+  private def normSql(textExpr: String): String =
+    s"trim(regexp_replace(lower(coalesce($textExpr, '')), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+
+  private val minhashOracleSql: String = {
+    import graft.functions.Portable
+    val P = Portable.P
+    val mins = (0 until 64).map(i =>
+      s"min((h * ${Portable.hashA(i)} + ${Portable.hashB(i)}) % $P) AS m$i")
+      .mkString(",\n  ")
+    val bandCase = (0 until 16).map { b =>
+      s"WHEN $b THEN " + (0 until 4).map(k => s"m${4 * b + k}").mkString(" || ',' || ")
+    }.mkString("\n      ")
+    val eq = (0 until 64)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    string_split_regex(${normSql("text")}, '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+       |  FROM docs WHERE len(w) >= 3),
+       |h AS (SELECT doc_id, ${Portable.h31Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, r.range AS band,
+       |    CASE r.range
+       |      $bandCase
+       |    END AS bucket
+       |  FROM sig, range(16) r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT id_a, id_b, CAST($eq AS DOUBLE) / 64 AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+       |WHERE est_jaccard >= 0.3""".stripMargin
+  }
+
+  private val simhashOracleSql: String = {
+    import graft.functions.Portable
+    val sums = (0 until 60).map(i =>
+      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n  ")
+    val pack = (0 until 60)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" +\n    ")
+    val maskCase = (0 until 4)
+      .map(c => s"WHEN $c THEN ${((1L << 15) - 1) << (c * 15)}").mkString(" ")
+    s"""WITH n AS (
+       |  SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS t
+       |        FROM n WHERE norm <> ''),
+       |h AS (SELECT doc_id, ${Portable.h60Sql("t")} AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |  $sums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS sig FROM bits),
+       |k AS (
+       |  SELECT doc_id, sig, r.range AS c,
+       |    sig & (CASE r.range $maskCase END) AS bits
+       |  FROM sig, range(4) r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM k a JOIN k b ON a.c = b.c AND a.bits = b.bits AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 10""".stripMargin
+  }
+
+  private val embedLshOracleSql: String = {
+    import graft.functions.Portable
+    val P = Portable.P
+    s"""WITH pl AS (
+       |  SELECT i.range AS i,
+       |    list((${Portable.h60Sql("'p_' || i.range || '_' || j.range")} % $P) / $P.0 * 2.0 - 1.0 ORDER BY j.range) AS plane
+       |  FROM range(16) i, range(64) j GROUP BY i.range),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sb AS (
+       |  SELECT v.vec_id,
+       |    CASE WHEN list_inner_product(v.e, pl.plane) >= 0
+       |         THEN CAST(1 AS BIGINT) << CAST(pl.i AS INT) ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM v, pl),
+       |sig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM sb GROUP BY vec_id),
+       |vs AS (SELECT v.vec_id, v.e, sqrt(list_inner_product(v.e, v.e)) AS nrm, sig.sig
+       |       FROM v JOIN sig USING (vec_id)),
+       |k AS (
+       |  SELECT vec_id, e, nrm, sig, r.range AS band,
+       |    sig & (CAST(3 AS BIGINT) << (CAST(r.range AS INT) * 2)) AS bits
+       |  FROM vs, range(8) r),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CASE WHEN a.nrm * b.nrm > 0
+       |         THEN list_inner_product(a.e, b.e) / (a.nrm * b.nrm) ELSE 0.0 END AS cosine_sim
+       |  FROM k a JOIN k b ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b FROM cand WHERE cosine_sim >= 0.30""".stripMargin
+  }
+
+  /** Full DuckDB replica of Ivf.train (k=8, iters=2) + topK (nprobe=2):
+    * md5-ordered seeding, two unrolled Lloyd passes with DECIMAL-exact
+    * means, probe the 2 nearest cells, exact cosine re-rank. Every
+    * floating step mirrors the Spark formula tree (see Ivf.scala), so the
+    * approximate ANN operator is value-checked end to end. */
+  private val ivfOracleSql: String = {
+    // one nearest-centroid assignment pass against centroid CTE `cIn`
+    def assignBlock(name: String, cIn: String, filter: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        (list_inner_product(v.e, v.e) - 2.0 * list_inner_product(v.e, c.c)) + list_inner_product(c.c, c.c),
+         |        c.cell) AS rn
+         |    FROM emb v, $cIn c$filter)
+         |  WHERE rn = 1)""".stripMargin
+    // per-(cell, dim) exact-decimal mean; empty cells keep their centroid
+    def meanBlock(aIn: String, mOut: String, cIn: String, cOut: String): String =
+      s"""$mOut AS (
+         |  SELECT cell, j.range AS pos,
+         |    CAST(sum(CAST(e[CAST(j.range AS INT) + 1] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+         |  FROM $aIn, range(64) j GROUP BY cell, j.range),
+         |$cOut AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM $mOut GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, c FROM $cIn WHERE cell NOT IN (SELECT cell FROM $mOut))""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |c0 AS (
+       |  SELECT cell, c FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, e AS c
+       |    FROM emb)
+       |  WHERE cell < 8),
+       |${assignBlock("a1", "c0", "")},
+       |${meanBlock("a1", "m1", "c0", "c1")},
+       |${assignBlock("a2", "c1", "")},
+       |${meanBlock("a2", "m2", "c1", "c2")},
+       |pd AS (
+       |  SELECT cell, sum(dv * dv) AS d2 FROM (
+       |    SELECT c.cell AS cell, c.c[CAST(j.range AS INT) + 1] - q.qe[CAST(j.range AS INT) + 1] AS dv
+       |    FROM c2 c, q, range(64) j)
+       |  GROUP BY cell),
+       |probes AS (SELECT cell FROM pd ORDER BY d2, cell LIMIT 2),
+       |${assignBlock("af", "c2", " WHERE v.vec_id <> 0")},
+       |scored AS (
+       |  SELECT af.vec_id,
+       |    CASE WHEN sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(q.qe, q.qe)) > 0
+       |         THEN list_inner_product(af.e, q.qe) / (sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(q.qe, q.qe)))
+       |         ELSE 0.0 END AS cosine_sim
+       |  FROM af, q WHERE af.cell IN (SELECT cell FROM probes))
+       |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x_ann_ivf" -> ivfOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -671,6 +833,10 @@ object Queries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    "q_x_minhash_lsh" -> minhashOracleSql,
+    "q_x_simhash" -> simhashOracleSql,
+    "q_x_embed_dup_lsh" -> embedLshOracleSql,
 
     // Stub features are a Karp-Rabin byte fold (mod 2^31-1); the payload is
     // the UTF-8 encoding of `text`, and the corpus is ASCII, so folding

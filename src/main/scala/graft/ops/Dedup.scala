@@ -153,6 +153,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Portable twin of [[minHashCandidates]]: identical plan shape (explode
+    * → numHashes codegen'd min aggs → band equi-join → estimate filter)
+    * but the hash family is md5-derived ([[graft.functions.Portable]]) so
+    * an external SQL engine recomputes signatures bit-for-bit — this is
+    * the oracle-checked variant; xxhash64 stays the in-cluster default
+    * (cheaper per shingle). Band buckets are the joined signature slice
+    * itself (a string) rather than its xxhash — a slightly wider shuffle
+    * key, same join cardinality. */
+  def minHashCandidatesPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.5): DataFrame = {
+    import graft.functions.Portable
+    val rows = numHashes / bands
+    val hashed = explodedShingles(df, idCol, textCol, n)
+      .select(col("id"), Portable.h31(col("shingle")).as("h"))
+    val mins = (0 until numHashes).map(i =>
+      min((col("h") * Portable.hashA(i) + Portable.hashB(i)) % Portable.P)
+        .as(s"__m$i"))
+    val sigs = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+    val keyed = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          array_join(slice(col("sig"), b * rows + 1, rows), ",").as("bucket"))
+      ): _*)).as("bk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (graft.functions.VectorExprs.equalPositions(col("a.sig"), col("b.sig"))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+      .distinct()
+  }
+
   /** SimHash: 64-bit sketch; near-dups differ in few bits. Computed per-row
     * by folding token hashes into a 64-dim counter array, then packing the
     * counter signs into a long in the fold's finish lambda. */
@@ -194,13 +230,18 @@ object Dedup {
     * shared chunk → candidate; verify by Hamming distance <= maxHamming. */
   def simHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val bitsPer = 64 / chunks
-    // chunk c = the signature masked to bits [c*bitsPer, (c+1)*bitsPer);
-    // equality of masked values == equality of the chunk, no shift needed.
+      chunks: Int = 4, maxHamming: Int = 3): DataFrame =
+    simHashBandJoin(simHashSignatures(df, idCol, textCol), 64, chunks, maxHamming)
+
+  /** Chunk-banded candidate join over a (id, sig) frame of `bits`-wide
+    * simhash signatures. Chunk c = the signature masked to bits
+    * [c·bitsPer, (c+1)·bitsPer) — equality of masked values == equality of
+    * the chunk, no shift needed. */
+  private def simHashBandJoin(withSig: DataFrame, bits: Int, chunks: Int,
+      maxHamming: Int): DataFrame = {
+    val bitsPer = bits / chunks
     val chunkMasks = (0 until chunks)
       .map(c => (((1L << bitsPer) - 1) << (c * bitsPer), c))
-    val withSig = simHashSignatures(df, idCol, textCol)
     val keyed = withSig.select(col("id"), col("sig"),
       explode(array(chunkMasks.map { case (mask, c) =>
         struct(lit(c).as("chunk"),
@@ -209,8 +250,38 @@ object Dedup {
     keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast(LongType)
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Portable twin of [[simHashSignatures]]: 60-bit signatures from the
+    * md5-derived token hash ([[graft.functions.Portable.h60]]) so an SQL
+    * oracle reproduces them exactly. Same plan: explode tokens, one hash
+    * per token, 60 codegen'd conditional sums, pack the signs. */
+  def simHashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.Portable
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("t"))
+      .select(col("id"), Portable.h60(col("t")).as("h"))
+    val sums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$i"))
+    hashed.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 60)
+          .map(i => when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Portable twin of [[simHashCandidates]] (60-bit signatures, 15-bit
+    * chunks at chunks=4) — the oracle-checked variant. */
+  def simHashCandidatesPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      chunks: Int = 4, maxHamming: Int = 3): DataFrame =
+    simHashBandJoin(simHashSignaturesPortable(df, idCol, textCol), 60,
+      chunks, maxHamming)
 }

@@ -65,11 +65,18 @@ object Ivf {
 
   /** Train by deterministic seeding + `iters` Lloyd passes. Each pass is
     * one assignment projection and one (cluster, dim) aggregation —
-    * k × dim rows come back to the driver per pass. */
+    * k × dim rows come back to the driver per pass.
+    *
+    * Fully portable determinism: seeds are the k rows with the smallest
+    * md5(id) (any SQL engine reproduces the order), and centroid means
+    * accumulate in exact DECIMAL before one double division — so training
+    * is bit-reproducible across runs, partitionings, cluster sizes AND
+    * external engines (a double `avg` would depend on reduction order).
+    * This is what lets q_x_ann_ivf carry a full DuckDB value oracle. */
   def train(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): Model = {
     val seeds = df
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(k)
       .select(col(vecCol))
       .collect()
@@ -84,7 +91,8 @@ object Ivf {
         .select(col("__cluster"),
           posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy("__cluster", "__pos")
-        .agg(avg(col("__v").cast("double")).as("__m"))
+        .agg((sum(col("__v").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("__m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cl, rows) =>

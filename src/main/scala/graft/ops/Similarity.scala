@@ -85,6 +85,35 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
   }
 
+  /** Deterministic portable hyperplanes: component (i, j) =
+    * (md5-derived h60("p_i_j") mod P) / P · 2 − 1 ∈ [−1, 1) — computable
+    * identically by an SQL oracle. Driver-computed once (numPlanes × dim
+    * doubles), embedded as literals. */
+  def portablePlanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    import graft.functions.Portable
+    Array.tabulate(numPlanes)(i => Array.tabulate(dim)(j =>
+      (Portable.h60(s"p_${i}_$j") % Portable.P).toDouble / Portable.P * 2.0 - 1.0))
+  }
+
+  /** Signature from explicit plane literals: bit i = (v · w_i ≥ 0). One
+    * codegen'd dot product per plane. */
+  def portableSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, vecLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Portable twin of [[cosineDupPairs]]: same banded plan, but
+    * hyperplanes come from [[portablePlanes]] so a SQL oracle reproduces
+    * the candidate set (and hence the verified pairs) exactly. `dim` is
+    * the embedding dimensionality (plane literals are driver-side). */
+  def cosineDupPairsPortable(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = portablePlanes(numPlanes, dim)
+    bandedDupPairs(df, idCol, vecCol, threshold, numPlanes, bands,
+      portableSignature(_, planes))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
     * exact cosine verify. The signature's `numPlanes` bits are split into
     * `bands`; vectors sharing any band are candidates (an equi-join on the
@@ -93,13 +122,19 @@ object Similarity {
     * p = 1 - θ/π. */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 16, bands: Int = 8): DataFrame = {
+      threshold: Double, numPlanes: Int = 16, bands: Int = 8): DataFrame =
+    bandedDupPairs(df, idCol, vecCol, threshold, numPlanes, bands,
+      hyperplaneSignature(_, numPlanes))
+
+  private def bandedDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int, bands: Int, signature: Column => Column): DataFrame = {
     val bitsPer = numPlanes / bands
     val bandMasks = (0 until bands)
       .map(b => (((1L << bitsPer) - 1) << (b * bitsPer), b))
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
-      hyperplaneSignature(col(vecCol), numPlanes).as("sig"))
+      signature(col(vecCol)).as("sig"))
     val keyed = sigs.select(col("id"), col("vec"), col("nrm"),
       explode(array(bandMasks.map { case (mask, b) =>
         struct(lit(b).as("band"), col("sig").bitwiseAND(lit(mask)).as("bits"))
