@@ -18,16 +18,44 @@ trait SchemaFetcher {
   def latest(subject: String): (Int, String)
 }
 
-/** In-memory fetcher for tests and file-sourced replays. */
+/** Registry write path (schemaregistry.go:139-188 CreateSchema): register
+  * a schema under a subject, returning its id — needed when the engine is
+  * the *producer* of a topic (Job/audit signals). Registration is
+  * idempotent: re-posting an identical schema returns the existing id. */
+trait SchemaRegistrar {
+  def createSchema(subject: String, schema: String): Int
+}
+
+/** In-memory fetcher/registrar for tests and file-sourced replays. */
 final class StaticSchemaFetcher(
     byId: Map[Int, String],
-    latestBySubject: Map[String, Int] = Map.empty) extends SchemaFetcher {
+    latestBySubject: Map[String, Int] = Map.empty)
+    extends SchemaFetcher with SchemaRegistrar {
+
+  private val registered = TrieMap.empty[Int, String]
+  private val subjectLatest = TrieMap((latestBySubject.toSeq): _*)
+  private val nextId = new java.util.concurrent.atomic.AtomicInteger(
+    (byId.keys ++ latestBySubject.values).maxOption.getOrElse(0) + 1)
+
   def schemaById(id: Int): String =
-    byId.getOrElse(id, throw new NoSuchElementException(s"schema id $id"))
+    byId.getOrElse(id, registered.getOrElse(id,
+      throw new NoSuchElementException(s"schema id $id")))
+
   def latest(subject: String): (Int, String) = {
-    val id = latestBySubject.getOrElse(subject,
+    val id = subjectLatest.getOrElse(subject,
       throw new NoSuchElementException(s"subject $subject"))
     (id, schemaById(id))
+  }
+
+  def createSchema(subject: String, schema: String): Int = synchronized {
+    subjectLatest.get(subject)
+      .filter(id => scala.util.Try(schemaById(id)).toOption.contains(schema))
+      .getOrElse {
+        val id = nextId.getAndIncrement()
+        registered.put(id, schema)
+        subjectLatest.put(subject, id)
+        id
+      }
   }
 }
 
@@ -38,7 +66,7 @@ final class HttpSchemaFetcher(
     baseUrl: String,
     maxRetries: Int = 10,
     minWaitMs: Int = 2000,
-    maxWaitMs: Int = 30000) extends SchemaFetcher {
+    maxWaitMs: Int = 30000) extends SchemaFetcher with SchemaRegistrar {
 
   private val cache = TrieMap.empty[Int, String]
   private val client = HttpClient.newHttpClient()
@@ -86,5 +114,24 @@ final class HttpSchemaFetcher(
     val schema = field(body, "schema")
     cache.putIfAbsent(id, schema)
     (id, schema)
+  }
+
+  /** POST /subjects/{subject}/versions (schemaregistry.go:139-188). The
+    * registry deduplicates identical schemas per subject server-side. */
+  def createSchema(subject: String, schema: String): Int = withRetry {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val body = compact(render("schema" -> schema))
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"$baseUrl/subjects/$subject/versions"))
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 300)
+      throw new RuntimeException(
+        s"registry POST /subjects/$subject/versions -> ${resp.statusCode()}")
+    val id = field(resp.body(), "id").toInt
+    cache.putIfAbsent(id, schema)
+    id
   }
 }

@@ -45,9 +45,9 @@ object EventTime {
   /** Session windows via `flatMapGroupsWithState` (T10 pattern): events
     * for a key belong to one session while inter-event gaps stay under
     * `gapMs`; a later event past the gap closes the previous session and
-    * emits it. Input rows: (key, eventTimeMs). (Idle-session expiry would
-    * add a GroupStateTimeout; the gap-close path is the deterministic part
-    * and what batch replays exercise.) */
+    * emits it. Input rows: (key, eventTimeMs). Gap-close only — for
+    * open-session expiry (idle keys never seeing another event) use
+    * [[sessionizeExpiring]], which adds an event-time GroupStateTimeout. */
   def sessionize(
       ds: Dataset[(String, Long)], gapMs: Long): Dataset[SessionUpdate] = {
     implicit val outEnc: Encoder[SessionUpdate] = Encoders.product[SessionUpdate]
@@ -72,6 +72,59 @@ object EventTime {
           open.foreach(state.update)
           closed.iterator.map(s =>
             SessionUpdate(key, s.startMs, s.lastMs, s.events))
+      }
+  }
+
+  /** [[sessionize]] + idle expiry: an open session whose key sees no event
+    * before the watermark passes `lastMs + idleMs` is flushed via an
+    * event-time GroupStateTimeout — so every session is eventually
+    * emitted, bounding state for keys that simply stop (the gap in the
+    * gap-close-only variant). `watermarkDelay` is the late-data allowance
+    * (e.g. "10 seconds"). */
+  def sessionizeExpiring(
+      ds: Dataset[(String, Long)], gapMs: Long,
+      watermarkDelay: String, idleMs: Long): Dataset[SessionUpdate] = {
+    implicit val outEnc: Encoder[SessionUpdate] = Encoders.product[SessionUpdate]
+    implicit val stEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val rowEnc: Encoder[(String, Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.TIMESTAMP)
+
+    ds.toDF("key", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(key, s.startMs, s.lastMs, s.events))
+          } else {
+            val times = events.map(_._2).toSeq.sorted
+            val (closed, open) = times.foldLeft(
+              (Vector.empty[SessionState], state.getOption)) {
+              case ((done, cur), t) => cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  (done, Some(s.copy(lastMs = t, events = s.events + 1)))
+                case Some(s) =>
+                  (done :+ s, Some(SessionState(t, t, 1)))
+                case None =>
+                  (done, Some(SessionState(t, t, 1)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // expire once the watermark passes lastMs + idleMs (the
+              // timestamp must sit beyond the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator.map(s =>
+              SessionUpdate(key, s.startMs, s.lastMs, s.events))
+          }
       }
   }
 }

@@ -52,4 +52,29 @@ class EventTimeSpec extends SparkSpec {
       assert(out.contains(("u1", 100L, 1200L, 3L)))
     } finally q.stop()
   }
+
+  test("T10 extension: idle open sessions expire via event-time timeout") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sessions = EventTime.sessionizeExpiring(mem.toDS(), gapMs = 1000L,
+      watermarkDelay = "0 seconds", idleMs = 2000L)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_exp").start()
+    try {
+      mem.addData(("idle", 100L), ("idle", 700L))
+      q.processAllAvailable()
+      // "idle" never sees another event; watermark moves past
+      // lastMs + idleMs (700 + 2000) on other keys' traffic only
+      mem.addData(("other", 60000L))
+      q.processAllAvailable()
+      mem.addData(("other", 120000L))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT key, sessionStartMs, sessionEndMs, events FROM sessions_exp")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      // the open idle session was flushed without a closing event
+      assert(out.contains(("idle", 100L, 700L, 2L)))
+    } finally q.stop()
+  }
 }
