@@ -16,6 +16,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // canary knob: set SPARK_GRAFT_CODEGEN_FALLBACK=false to turn silent
+      // codegen de-vectorization into a hard error (perf triage)
+      .config("spark.sql.codegen.fallback",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_FALLBACK", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

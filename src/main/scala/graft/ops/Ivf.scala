@@ -35,7 +35,9 @@ object Ivf {
     s
   }
 
-  private def vecLit(v: Array[Double]): Column = array(v.map(lit): _*)
+  // constant array literal — NOT array(lit...), which codegen rebuilds
+  // per row; a typedlit is a single shared ArrayData constant
+  private def vecLit(v: Array[Double]): Column = typedlit(v.toSeq)
 
   /** ‖x−c‖² as a column: |x|² − 2·x·c + |c|² (|c|² is a driver constant;
     * |x|² must be a materialized column to avoid re-evaluation). */
@@ -43,25 +45,21 @@ object Ivf {
     norm2 - lit(2.0) * VectorExprs.dot(vec, vecLit(c)) +
       lit(c.map(x => x * x).sum)
 
-  /** Nearest-centroid id. Distances are materialized as one column each
-    * (k columns), then argmin over attribute references — constant work
-    * per reference, no expression-tree blowup. */
-  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val withNorm = df.withColumn("__n2",
-      VectorExprs.dot(col(vecCol), col(vecCol)))
-    val withDists = model.centroids.zipWithIndex.foldLeft(withNorm) {
-      case (d, (c, i)) =>
-        d.withColumn(s"__d$i", dist2Col(col(vecCol), col("__n2"), c))
-    }
-    val best = (1 until model.k).foldLeft(
-      (col("__d0"), lit(0))) { case ((bd, bi), i) =>
-      val closer = col(s"__d$i") < bd
-      (when(closer, col(s"__d$i")).otherwise(bd),
-        when(closer, lit(i)).otherwise(bi))
-    }
-    withDists.withColumn("__cluster", best._2)
-      .drop("__n2" +: (0 until model.k).map(i => s"__d$i"): _*)
-  }
+  /** Nearest-centroid id: one array of the k distances, then
+    * array_min + array_position (first occurrence = lowest cell on ties,
+    * identical to a strict-< fold). The array form keeps each distance
+    * expression in the generated code ONCE — a when-chain fold duplicates
+    * its accumulator per step, i.e. 2^k copies of the dot products, which
+    * blows the JVM's 64 KB generated-method limit at k=8 (found by a
+    * codegen.fallback=false canary; the fallback silently de-vectorized
+    * this plan). */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("__n2", VectorExprs.dot(col(vecCol), col(vecCol)))
+      .withColumn("__ds", array(model.centroids.map(c =>
+        dist2Col(col(vecCol), col("__n2"), c)): _*))
+      .withColumn("__cluster",
+        (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("int"))
+      .drop("__n2", "__ds")
 
   /** Train by deterministic seeding + `iters` Lloyd passes. Each pass is
     * one assignment projection and one (cluster, dim) aggregation —

@@ -30,8 +30,10 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
-  private def vecLit(v: Array[Double]): Column =
-    array(v.map(x => lit(x)): _*)
+  // constant array literal — NOT array(lit...), which codegen rebuilds per
+  // row; a typedlit is one shared ArrayData constant (matters when 16
+  // plane vectors are dotted against every row)
+  private def vecLit(v: Array[Double]): Column = typedlit(v.toSeq)
 
   /** Brute-force top-k by cosine against a fixed query vector.
     * Deterministic tie-break on id ascending. */
