@@ -48,25 +48,60 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
     df.withColumn(BucketCol,
       pmod(xxhash64(pks.map(col): _*), lit(nBuckets.toLong)).cast("int"))
 
+  private def schemaSidecar(schema: String, table: String): Path =
+    new Path(tablePath(schema, table), "_graft_schema.json")
+
+  /** Record the authoritative table schema (incl. the bucket column) next
+    * to the data. `dir` defaults to the table path; the evolving-merge
+    * path writes it into the shadow dir so the rename installs data and
+    * schema together. */
+  private def writeSidecar(df: DataFrame, dir: Path): Unit = {
+    val out = fs.create(new Path(dir, "_graft_schema.json"), true)
+    try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Load the full table (bucket column retained for co-located joins).
-    * mergeSchema: a crashed/interrupted evolving merge can leave buckets
-    * with heterogeneous footers; schema must be the union, not whichever
-    * file footer Spark samples first (else a new column silently vanishes
-    * and later merges rewrite buckets without its data). Steady state is
-    * homogeneous — [[merge]] full-rewrites on evolution — so the extra
-    * footer reads are the rare-case price, parallelized by Spark. */
-  def load(schema: String, table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(tablePath(schema, table))
+    *
+    * Schema comes from the `_graft_schema.json` sidecar, NOT from file
+    * footers: after an interrupted evolving merge buckets can carry
+    * heterogeneous footers, and footer-sampled schema would silently drop
+    * a new column (then later merges rewrite buckets without its data).
+    * The sidecar gives the union schema with ZERO footer reads — at 100 TB
+    * `mergeSchema` would stat every file per load. Missing columns in old
+    * files read as null, Spark's standard name-based parquet resolution.
+    * Tables written before the sidecar existed fall back to mergeSchema
+    * (correct, just footer-priced). */
+  def load(schema: String, table: String): DataFrame = {
+    val sidecar = schemaSidecar(schema, table)
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      spark.read
+        .schema(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(tablePath(schema, table))
+    } else
+      spark.read.option("mergeSchema", "true").parquet(tablePath(schema, table))
+  }
 
-  def save(schema: String, table: String, df: DataFrame, pks: Seq[String]): Unit =
-    bucketed(df, pks).write.mode(SaveMode.Overwrite)
+  def save(schema: String, table: String, df: DataFrame, pks: Seq[String]): Unit = {
+    val b = bucketed(df, pks)
+    b.write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(tablePath(schema, table))
+    writeSidecar(b, new Path(tablePath(schema, table)))
+  }
 
-  /** R5 fast path: bucketed append. */
+  /** R5 fast path: bucketed append (callers gate on column-set equality,
+    * so the sidecar schema stays valid). */
   override def append(schema: String, table: String, df: DataFrame,
-      pks: Seq[String]): Unit =
-    bucketed(df, pks).write.mode(SaveMode.Append)
+      pks: Seq[String]): Unit = {
+    val b = bucketed(df, pks)
+    b.write.mode(SaveMode.Append)
       .partitionBy(BucketCol).parquet(tablePath(schema, table))
+    if (!fs.exists(schemaSidecar(schema, table)))
+      writeSidecar(b, new Path(tablePath(schema, table)))
+  }
 
   /** SCD-1 merge rewriting only the buckets the stage touches. */
   def merge(schema: String, table: String, stage: DataFrame,
@@ -91,8 +126,12 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
         val full = CdcMerge.merge(
           target.drop(BucketCol), stagedB.drop(BucketCol), pks)
         val shadow = new Path(tablePath(schema, table) + "__evolving")
-        bucketed(full, pks).write.mode(SaveMode.Overwrite)
+        val b = bucketed(full, pks)
+        b.write.mode(SaveMode.Overwrite)
           .partitionBy(BucketCol).parquet(shadow.toString)
+        // sidecar travels inside the shadow dir: the rename installs the
+        // evolved data and its schema together
+        writeSidecar(b, shadow)
         val tgt = new Path(tablePath(schema, table))
         fs.delete(tgt, true)
         fs.rename(shadow, tgt)

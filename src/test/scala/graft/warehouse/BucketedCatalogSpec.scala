@@ -60,6 +60,39 @@ class BucketedCatalogSpec extends SparkSpec {
       .as[(Int, String)].collect().toSeq == Seq((1, "a")))
   }
 
+  test("schema-evolving merge full-rewrites; all buckets stay consistent") {
+    val root = tmp()
+    val cat = new BucketedCatalog(spark, root, nBuckets = 8)
+    cat.save("s", "t", (1 to 100).map(i => (i, s"v$i")).toDF("pk", "v"),
+      Seq("pk"))
+
+    // stage carries a NEW column: must trigger the full-table rewrite, not
+    // a per-bucket patch that would leave heterogeneous schemas
+    val stage = Seq(("1", Cdc.OpUpdate, 7, "v7b", "extra7"))
+      .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v", "extra")
+    cat.merge("s", "t", stage, Seq("pk"))
+
+    val loaded = cat.load("s", "t")
+    assert(loaded.columns.contains("extra"))
+    val got = loaded.select("pk", "v", "extra")
+      .as[(Int, String, Option[String])].collect()
+      .map { case (k, v, e) => k -> ((v, e)) }.toMap
+    assert(got(7) == (("v7b", Some("extra7"))))
+    assert(got(8) == (("v8", None))) // untouched rows: new column null
+    assert(got.size == 100)
+
+    // a later merge must NOT lose the new column (the round-1 advice bug:
+    // footer-sampled schema dropped it and rewrote buckets without it)
+    val stage2 = Seq(("2", Cdc.OpUpdate, 9, "v9b", "extra9"))
+      .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v", "extra")
+    cat.merge("s", "t", stage2, Seq("pk"))
+    val again = cat.load("s", "t").select("pk", "v", "extra")
+      .as[(Int, String, Option[String])].collect()
+      .map { case (k, v, e) => k -> ((v, e)) }.toMap
+    assert(again(7) == (("v7b", Some("extra7"))))
+    assert(again(9) == (("v9b", Some("extra9"))))
+  }
+
   test("scan of one bucket prunes partitions") {
     val cat = new BucketedCatalog(spark, tmp(), nBuckets = 8)
     cat.save("s", "t", (1 to 50).map(i => (i, s"v$i")).toDF("pk", "v"),
