@@ -48,8 +48,20 @@ object CdcStream {
     def maskTableName: String = if (maskTable.isEmpty) targetTable else maskTable
   }
 
-  /** Kafka source frames for a topic regex (S1). Requires the
-    * spark-sql-kafka connector on the classpath at runtime. */
+  /** Kafka source frames for a topic regex (S1).
+    *
+    * Runtime requirement (not bundled with Spark): the Kafka connector
+    * matching your Spark/Scala build, e.g.
+    * {{{
+    * spark-submit --packages \
+    *   org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 ...
+    * }}}
+    * Plan construction here is lazy — `format("kafka")` resolves the
+    * connector only when `load()` materializes, so this module compiles
+    * and everything downstream of the source (decode → transform → mask →
+    * merge) is exercised by MemoryStream-driven specs without the jar
+    * (CdcStreamSpec); the reference's consumer-group behavior is
+    * pkg/kafka/consumer_group.go:40-66. */
   def kafkaSource(
       spark: SparkSession,
       brokers: String,
