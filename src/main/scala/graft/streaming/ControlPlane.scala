@@ -43,4 +43,60 @@ object ControlPlane {
     * pass (redshiftsink_controller.go:75-77). */
   def releaseBatch[T](ready: Seq[T], maxPerReconcile: Int = 5): Seq[T] =
     ready.take(maxPerReconcile)
+
+  // ---- T8: usage-aware load throttling (loader_handler.go:142-243) ----
+
+  /** At most this many merges in flight before new ones wait
+    * (loader_handler.go:23). */
+  val MaxRunningLoaders = 10
+
+  /** (max wait-checks, seconds between checks): how patiently a table's
+    * load waits for a merge slot before barging in anyway. */
+  final case class ThrottleBudget(maxChecks: Int, intervalSeconds: Int)
+
+  /** Budget tiers from the reference (loader_handler.go:166-186): hot
+    * (recently queried) tables on their first load wait longest — they're
+    * worth scheduling well; hot re-loads only spread briefly; cold tables
+    * back off with long intervals so they never crowd out hot ones.
+    * `usageKnown=false` degrades to the metrics-disabled tiering. */
+  def throttleBudget(
+      queries: Double, firstLoad: Boolean,
+      usageKnown: Boolean = true): ThrottleBudget =
+    if (!usageKnown) {
+      if (firstLoad) ThrottleBudget(120, 15) // 30 min max
+      else ThrottleBudget(10, 15)            // 2.5 min max
+    } else if (queries > 0 && firstLoad) ThrottleBudget(120, 15) // 30 min
+    else if (queries > 0) ThrottleBudget(3, 10)                  // 30 s
+    else if (firstLoad) ThrottleBudget(8, 900)                   // 2 h
+    else ThrottleBudget(4, 900)                                  // 1 h
+
+  /** Wait for a merge slot: poll `runningLoaders` every
+    * `budget.intervalSeconds` until it drops to [[MaxRunningLoaders]] or
+    * the budget is exhausted (then proceed anyway — the reference "go
+    * load!"). Reload sink groups skip throttling entirely. Returns true
+    * when a slot opened inside the budget. `sleep` is injectable for
+    * deterministic tests. */
+  def throttle(
+      budget: ThrottleBudget,
+      runningLoaders: () => Int,
+      isReload: Boolean = false,
+      sleep: Int => Unit = s => Thread.sleep(s * 1000L)): Boolean = {
+    if (isReload) return true
+    var cnt = 0
+    while (cnt < budget.maxChecks) {
+      if (runningLoaders() <= MaxRunningLoaders) return true
+      sleep(budget.intervalSeconds)
+      cnt += 1
+    }
+    false // budget exhausted: caller loads anyway
+  }
+
+  /** Usage-aware trigger wait (randomMaxWait, loader_handler.go:245-268):
+    * hot tables trigger at most at `base`, cold tables at least at
+    * `base` — each jittered ±pct so loads spread out. */
+  def usageMaxWait(base: Long, queries: Double, pct: Double = 0.20,
+      seed: Option[Long] = None): Long = {
+    val r = randomize(base, pct, seed)
+    if (queries > 0) math.min(r, base) else math.max(r, base)
+  }
 }

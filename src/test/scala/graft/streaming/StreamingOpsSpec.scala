@@ -53,6 +53,48 @@ class ControlPlaneSpec extends AnyFunSuite {
       Seq(Seq("a", "b"), Seq("c", "d"), Seq("e")))
     assert(ControlPlane.releaseBatch(1 to 10, 5) == (1 to 5))
   }
+
+  test("T8 throttle budget tiers match the reference") {
+    import ControlPlane.{throttleBudget, ThrottleBudget}
+    // loader_handler.go:166-186
+    assert(throttleBudget(5.0, firstLoad = true) == ThrottleBudget(120, 15))
+    assert(throttleBudget(5.0, firstLoad = false) == ThrottleBudget(3, 10))
+    assert(throttleBudget(0.0, firstLoad = true) == ThrottleBudget(8, 900))
+    assert(throttleBudget(0.0, firstLoad = false) == ThrottleBudget(4, 900))
+    // metrics disabled: uniform tiering on firstLoad only
+    assert(throttleBudget(99.0, firstLoad = true, usageKnown = false) ==
+      ThrottleBudget(120, 15))
+    assert(throttleBudget(99.0, firstLoad = false, usageKnown = false) ==
+      ThrottleBudget(10, 15))
+  }
+
+  test("T8 throttle waits for a slot, barges after budget, skips reloads") {
+    import ControlPlane.{throttle, ThrottleBudget}
+    val slept = collection.mutable.Buffer.empty[Int]
+    // slot frees after 2 checks
+    var calls = 0
+    val freeing = () => { calls += 1; if (calls > 2) 3 else 99 }
+    assert(throttle(ThrottleBudget(10, 15), freeing, sleep = slept.append(_)))
+    assert(slept.toSeq == Seq(15, 15))
+    // never frees: budget exhausts, returns false ("go load!" anyway)
+    slept.clear()
+    assert(!throttle(ThrottleBudget(3, 10), () => 99, sleep = slept.append(_)))
+    assert(slept.toSeq == Seq(10, 10, 10))
+    // reload sink group is never throttled
+    slept.clear()
+    assert(throttle(ThrottleBudget(3, 10), () => 99, isReload = true,
+      sleep = slept.append(_)))
+    assert(slept.isEmpty)
+  }
+
+  test("T8 usage-aware max wait: hot capped at base, cold floored at base") {
+    for (seed <- 1L to 50L) {
+      val hot = ControlPlane.usageMaxWait(60, queries = 5.0, seed = Some(seed))
+      val cold = ControlPlane.usageMaxWait(60, queries = 0.0, seed = Some(seed))
+      assert(hot >= 48 && hot <= 60)
+      assert(cold >= 60 && cold <= 72)
+    }
+  }
 }
 
 class SinksSpec extends SparkSpec {
