@@ -142,15 +142,21 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
-    val keyed = sigs.select(col("id"), col("sig"),
+    // ids-only band join → distinct pairs → rejoin signatures (see
+    // minHashCandidatesPortable for the rationale)
+    val keyed = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, numHashes)).as("bk"))
-    keyed.as("a").join(keyed.as("b"),
+    val cand = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (graft.functions.VectorExprs.equalPositions(col("a.sig"), col("b.sig"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "__sa")), "id_a")
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.VectorExprs.equalPositions(col("__sa"), col("__sb"))
           .cast(DoubleType) / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
-      .distinct()
   }
 
   /** Portable twin of [[minHashCandidates]]: identical plan shape (explode
@@ -175,18 +181,25 @@ object Dedup {
     val sigs = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-    val keyed = sigs.select(col("id"), col("sig"),
+    // ids-only band join → distinct pairs → rejoin signatures → estimate
+    // once per pair (see bandedDupPairs: avoids shuffling the 64-long
+    // signature per band collision and estimating per duplicate).
+    val keyed = sigs.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           array_join(slice(col("sig"), b * rows + 1, rows), ",").as("bucket"))
       ): _*)).as("bk"))
-    keyed.as("a").join(keyed.as("b"),
+    val cand = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (graft.functions.VectorExprs.equalPositions(col("a.sig"), col("b.sig"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "__sa")), "id_a")
+      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.VectorExprs.equalPositions(col("__sa"), col("__sb"))
           .cast(DoubleType) / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
-      .distinct()
   }
 
   /** SimHash: 64-bit sketch; near-dups differ in few bits. Computed per-row

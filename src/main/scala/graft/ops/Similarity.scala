@@ -137,17 +137,31 @@ object Similarity {
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       signature(col(vecCol)).as("sig"))
-    val keyed = sigs.select(col("id"), col("vec"), col("nrm"),
+    // Band join on (id, band-key) ONLY — a pair colliding in several bands
+    // would otherwise drag its vectors through the join once per band and
+    // pay the verification dot product per collision; dedup to one row
+    // per candidate pair FIRST, then join the vectors back and verify
+    // once. The collision stream carries 3 small ints instead of the
+    // embedding payload — at 100 TB that's the difference between
+    // shuffling candidate ids and shuffling the corpus multiple times.
+    val keyed = sigs.select(col("id"),
       explode(array(bandMasks.map { case (mask, b) =>
         struct(lit(b).as("band"), col("sig").bitwiseAND(lit(mask)).as("bits"))
       }: _*)).as("bk"))
-    keyed.as("a").join(keyed.as("b"),
+    val cand = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        when(col("a.nrm") * col("b.nrm") > 0,
-          dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val v = sigs.select(col("id"), col("vec"), col("nrm"))
+    cand
+      .join(v.withColumnsRenamed(
+        Map("id" -> "id_a", "vec" -> "__va", "nrm" -> "__na")), "id_a")
+      .join(v.withColumnsRenamed(
+        Map("id" -> "id_b", "vec" -> "__vb", "nrm" -> "__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(col("__na") * col("__nb") > 0,
+          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
           .otherwise(lit(0.0)).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
-      .distinct()
   }
 }
