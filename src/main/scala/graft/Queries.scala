@@ -28,6 +28,14 @@ object Queries {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     Tables.read(s, dir, t)
 
+  /** The documents table spread across the cluster: the test file is one
+    * parquet row group (one split), which would run the expression-heavy
+    * text analytics single-threaded ahead of any shuffle. A ~600 KB
+    * round-robin exchange buys full parallelism; on a real corpus the scan
+    * already has splits and pipelines without this. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   // ---- shared CDC stage derived from the events table -------------------
   // events → Debezium-shaped change stream: event_id is the Kafka offset,
   // signup/error map to CREATE/DELETE, the rest are UPDATEs (FIXTURES.md §9).
@@ -262,7 +270,7 @@ object Queries {
 
     // ================= text analysis ====================================
     "q_x_token_count" -> ((s, dir) =>
-      rd(s, dir, "documents").select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"))),
 
@@ -271,13 +279,13 @@ object Queries {
         case (n, c) if n == "n_chars" || n == "n_tokens" => c.cast(LongType).as(n)
         case (n, c) => c.as(n)
       }
-      rd(s, dir, "documents").select((col("doc_id") +: cols): _*)
+      docs(s, dir).select((col("doc_id") +: cols): _*)
     }),
 
     "q_x_langid" -> ((s, dir) =>
       // two-stage: materialize the per-language scores, then argmax —
       // each regex runs once per row instead of once per reference.
-      rd(s, dir, "documents")
+      docs(s, dir)
         .select((col("doc_id") +: TextOps.isCjk(col("text")).as("__zh") +:
           TextOps.LangPatterns.map { case (l, p) =>
             TextOps.langScore(col("text"), p).as(s"__$l")
@@ -288,26 +296,26 @@ object Queries {
             .as("lang_pred"))),
 
     "q_x_fingerprint" -> ((s, dir) =>
-      rd(s, dir, "documents").select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
     // ================= dedup ============================================
     "q_x_dedup_exact" -> ((s, dir) =>
       Dedup.exact(
-        rd(s, dir, "documents")
+        docs(s, dir)
           .withColumn("fp", TextOps.fingerprint(col("text"))),
         Seq("fp"), "doc_id")
         .select("fp", "doc_id", "dup_count")),
 
     "q_x_dedup_keep" -> ((s, dir) =>
       Dedup.exactKeep(
-        rd(s, dir, "documents")
+        docs(s, dir)
           .withColumn("fp", TextOps.fingerprint(col("text"))),
         Seq("fp"), "doc_id")
         .select("doc_id", "fp")),
 
     "q_x_rolling_hash" -> ((s, dir) =>
-      rd(s, dir, "documents").select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         TextOps.rollingHash(col("text")).as("rh"))),
 
     "q_x_ngram_jaccard" -> ((s, dir) =>
@@ -328,7 +336,7 @@ object Queries {
     "q_x_media_meta" -> ((s, dir) =>
       // documents.text encoded as the opaque binary payload; metadata via
       // pure expressions (no decode in the row path).
-      rd(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
         .select(col("doc_id"),
           Multimodal.stubMetadata(col("media")).as("m"))
@@ -339,7 +347,7 @@ object Queries {
 
     "q_x_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        rd(s, dir, "documents")
+        docs(s, dir)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media", everyNth = 1)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))),
@@ -350,7 +358,7 @@ object Queries {
       // driver harness canonicalizes by sorting columns and arrays aren't
       // sortable; the stub formula is portable so DuckDB verifies values.
       Multimodal.extractFeatures(
-        rd(s, dir, "documents")
+        docs(s, dir)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "media", dim = 16)
         .select(col("doc_id"),
