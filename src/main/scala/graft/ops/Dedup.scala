@@ -155,21 +155,32 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, n, numHashes)
-    // ids-only band join → distinct pairs → rejoin signatures (see
-    // minHashCandidatesPortable for the rationale)
-    val keyed = sigs.select(col("id"),
-      explode(lshBandKeys(col("sig"), bands, numHashes)).as("bk"))
-    val cand = keyed.as("a").join(keyed.as("b"),
+    minHashBandJoin(sigs, bands, numHashes, estThreshold,
+      sig => explode(lshBandKeys(sig, bands, numHashes)))
+  }
+
+  /** Band self-join of a (id, sig) frame. The signature RIDES THROUGH the
+    * join (it's bands×8B per doc and the estimate is a cheap codegen'd
+    * compare) — rejoining it after a pair-dedup would recompute the whole
+    * shingle→hash→agg pipeline per join side, two extra corpus passes
+    * (verified in the physical plan: renamed-column rejoins defeat
+    * exchange reuse). Contrast [[Similarity]].bandedDupPairs, where the
+    * carried payload is the embedding and the rejoin is a raw re-scan. */
+  private def minHashBandJoin(sigs: DataFrame, bands: Int, numHashes: Int,
+      estThreshold: Double, bandKeys: Column => Column): DataFrame = {
+    val keyed = sigs.select(col("id"), col("sig"),
+      bandKeys(col("sig")).as("bk"))
+    // merge-join hint: both sides are the SAME keyed frame, so the sorted
+    // shuffle is planned once and read twice (ReusedExchange) — one
+    // signature-pipeline pass total. A broadcast here would materialize
+    // (and badly under-estimate) an O(docs)·sig-width build side.
+    keyed.as("a").hint("merge").join(keyed.as("b").hint("merge"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "__sa")), "id_a")
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "__sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (graft.functions.VectorExprs.equalPositions(col("__sa"), col("__sb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (graft.functions.VectorExprs.equalPositions(col("a.sig"), col("b.sig"))
           .cast(DoubleType) / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
+      .distinct()
   }
 
   /** Portable twin of [[minHashCandidates]]: identical plan shape (explode
@@ -194,25 +205,11 @@ object Dedup {
     val sigs = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-    // ids-only band join → distinct pairs → rejoin signatures → estimate
-    // once per pair (see bandedDupPairs: avoids shuffling the 64-long
-    // signature per band collision and estimating per duplicate).
-    val keyed = sigs.select(col("id"),
-      explode(array((0 until bands).map(b =>
+    minHashBandJoin(sigs, bands, numHashes, estThreshold,
+      sig => explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          array_join(slice(col("sig"), b * rows + 1, rows), ",").as("bucket"))
-      ): _*)).as("bk"))
-    val cand = keyed.as("a").join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "__sa")), "id_a")
-      .join(sigs.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "__sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (graft.functions.VectorExprs.equalPositions(col("__sa"), col("__sb"))
-          .cast(DoubleType) / numHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= estThreshold)
+          array_join(slice(sig, b * rows + 1, rows), ",").as("bucket"))
+      ): _*)))
   }
 
   /** SimHash: 64-bit sketch; near-dups differ in few bits. Computed per-row
