@@ -322,6 +322,20 @@ object Queries {
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.12)),
 
+    "q_x_dup_clusters" -> ((s, dir) =>
+      // pair graph → connected components → canonical representative per
+      // duplicate cluster (min-label fixpoint; the recursive-CTE oracle
+      // computes the same reachability minimum).
+      Dedup.clusters(rd(s, dir, "documents"), "doc_id",
+        Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.12))
+        .select(col("id").as("doc_id"), col("cluster"))),
+
+    "q_x_keywords" -> ((s, dir) =>
+      TextOps.topKeywords(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("rank"),
+          col("score"))),
+
     "q_x_minhash_lsh" -> ((s, dir) =>
       // portable (md5-family) variant → full DuckDB value oracle; the
       // xxhash64 fast path is spec-tested (DedupSpec).
@@ -843,6 +857,57 @@ object Queries {
         |FROM documents""".stripMargin,
 
     "q_x_minhash_lsh" -> minhashOracleSql,
+
+    // connected components of the near-dup pair graph: min reachable id
+    // via a recursive CTE — the same fixpoint the Spark label propagation
+    // converges to.
+    "q_x_dup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
+    "q_x_keywords" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\s+')) AS term
+        |        FROM n WHERE norm <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |total AS (SELECT count(*) AS nn FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, df,
+        |    CAST(tf AS DOUBLE) * (nn + 1) / (df + 1) AS score
+        |  FROM tf JOIN dfreq USING (term), total)
+        |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, df ASC, term ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     "q_x_simhash" -> simhashOracleSql,
     "q_x_embed_dup_lsh" -> embedLshOracleSql,
 

@@ -307,4 +307,50 @@ object Dedup {
       chunks: Int = 4, maxHamming: Int = 3): DataFrame =
     simHashBandJoin(simHashSignaturesPortable(df, idCol, textCol), 60,
       chunks, maxHamming)
+
+  /** Duplicate-cluster resolution: the step a dedup pipeline ends with.
+    * Near-dup detection yields PAIRS; keep-one-per-group needs the
+    * connected COMPONENTS of the pair graph (A~B, B~C ⇒ {A,B,C} even if
+    * A,C were never compared). Returns (id, cluster) where cluster = the
+    * smallest id reachable from `id` — the canonical representative.
+    *
+    * Algorithm: min-label propagation to the fixpoint. Each round is one
+    * shuffle (neighbor-min join + groupBy); rounds needed = graph
+    * diameter, and near-dup components are tiny/star-shaped in practice,
+    * so 2–4 rounds close real corpora. Labels are localCheckpoint'ed per
+    * round to keep lineage flat (an iterative plan otherwise doubles per
+    * round). Every step is a deterministic min — the result is exactly
+    * the reachability fixpoint a recursive-CTE oracle computes.
+    *
+    * `ids`: one row per member (e.g. the documents table keyed by doc_id);
+    * isolated ids come out as their own cluster. */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // symmetric edge list: propagate along both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over own label and all neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "src", "cluster" -> "c")),
+          "src")
+        .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -129,4 +130,33 @@ object TextOps {
         acc * lit(1000003L) +
           when(char_length(ch) > 0, ascii(ch).cast(LongType)).otherwise(lit(0L)),
         lit(RollingHashMod)))
+
+  /** Corpus keyword extraction: top-`k` terms per document by rational
+    * tf-idf — score = tf · (N+1)/(df+1), N = corpus size, df = document
+    * frequency. Rational (no logarithm) on purpose: libm `log` is not
+    * bit-identical across engines, integer-derived double division is —
+    * so an SQL oracle reproduces scores exactly; the RANKING it induces
+    * matches log-idf's (both are monotone decreasing in df for fixed tf).
+    *
+    * Plan: token explode → (doc, term) tf agg → term df agg (broadcast
+    * back: the vocabulary is tiny next to the corpus) → per-doc window
+    * top-k. Two shuffles + one window, all partial-aggregated map-side;
+    * ties broken (df, term) so output is deterministic. */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokens(normalized(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score",
+        col("tf").cast(DoubleType) * lit(n + 1.0) / (col("df") + lit(1L)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("rank").cast(LongType).as("rank"),
+        col("score"))
+  }
 }

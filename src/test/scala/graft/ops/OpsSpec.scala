@@ -121,6 +121,34 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 3L)))
   }
+
+  test("clusters: transitive closure of the pair graph, min-id canonical") {
+    // chain 1-2, 2-3 (1 and 3 never directly compared) + isolated 4, 5
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    // empty pair set: everyone is their own cluster
+    val alone = Dedup.clusters(ids, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(alone.forall { case (k, v) => k == v })
+  }
+
+  test("topKeywords: rare terms outrank common ones; deterministic ties") {
+    val corpus = Seq(
+      (1L, "alpha alpha shared shared shared"),
+      (2L, "beta shared shared"),
+      (3L, "gamma shared")).toDF("doc_id", "text")
+    val kw = TextOps.topKeywords(corpus, "doc_id", "text", k = 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    // "shared" has df=3; each doc's unique term (df=1) scores higher
+    assert(kw == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    val ranks = TextOps.topKeywords(corpus, "doc_id", "text", k = 2)
+      .select("id", "term", "rank").as[(Long, String, Long)].collect().toSet
+    assert(ranks.contains((1L, "shared", 2L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
