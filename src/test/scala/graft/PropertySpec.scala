@@ -102,3 +102,50 @@ class BoundsPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Model-based check of the connected-components operator: Spark label
+  * propagation must agree with a driver-side union-find on random graphs
+  * (seeded — failures replay). */
+class ClustersModelSpec extends SparkSpec {
+  import graft.ops.Dedup
+  import spark.implicits._
+
+  private def model(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val minOfRoot = (1L to n.toLong).groupBy(find).map {
+      case (root, members) => root -> members.min
+    }
+    (1L to n.toLong).map(i => i -> minOfRoot(find(i))).toMap
+  }
+
+  test("clusters agree with union-find on random graphs") {
+    val rnd = new Random(11)
+    for (round <- 1 to 6) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = Seq.fill(rnd.nextInt(12)) {
+        (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L)
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = Dedup.clusters(
+        (1L to n.toLong).toDF("id0"), "id0",
+        edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == model(n, edges), s"round $round edges=$edges")
+    }
+  }
+
+  test("portable h60: column form equals driver twin on random ASCII") {
+    import graft.functions.Portable
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(13)
+    val strs = Seq.fill(40)(
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val got = strs.toDF("s")
+      .select(Portable.h60(col("s"))).as[Long].collect().toSeq
+    assert(got == strs.map(Portable.h60))
+    assert(got.forall(h => h >= 0 && h < (1L << 60)))
+  }
+}
