@@ -326,9 +326,13 @@ object Dedup {
     * isolated ids come out as their own cluster. */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // symmetric edge list: propagate along both directions
+    // symmetric edge list: propagate along both directions. Materialized
+    // once — `pairs` is typically a whole near-dup detection pipeline,
+    // and every propagation round (plus the convergence check) would
+    // otherwise re-run it from the scan.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
       .localCheckpoint()
     var converged = false
