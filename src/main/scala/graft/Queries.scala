@@ -88,16 +88,28 @@ object Queries {
 
     // ================= flagship aggregations ============================
     "q1_pricing_summary" -> ((s, dir) => {
+      // Exact accumulation via scaled integers (cents), not DECIMAL: a
+      // decimal(18,2) sum has precision 28, which leaves Spark's compact
+      // Long decimal representation and aggregates boxed BigDecimals.
+      // round(x*100) as a long is equally order-independent and exact
+      // (inputs carry 2 decimals), sums in a primitive, and any SQL
+      // engine reproduces it bit-for-bit.
       val li = rd(s, dir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
-      val d = (c: String) => col(c).cast(DecimalType(18, 2))
+      val cents = (c: String) => round(col(c) * 100).cast(LongType)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(d("l_quantity")).cast(DoubleType).as("sum_qty"),
-          sum(d("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
-          sum(d("l_extendedprice") * (lit(1) - d("l_discount")))
-            .cast(DoubleType).as("sum_disc_price"),
-          (sum(d("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(cents("l_quantity")).cast(DoubleType) / 100.0).as("sum_qty"),
+          (sum(cents("l_extendedprice")).cast(DoubleType) / 100.0)
+            .as("sum_base_price"),
+          // price·(1−disc): discount has 2 decimals, so (1−disc)·100 is an
+          // integer — cent·percent units, /1e4 at the end. Headroom: ~2^58
+          // of slack before a 6e8-row-group sum nears Long range (and ANSI
+          // mode fails loudly, never silently, if it ever did).
+          (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+            .cast(DoubleType) / 10000.0).as("sum_disc_price"),
+          (sum(cents("l_quantity")).cast(DoubleType) / 100.0 / count(lit(1)))
+            .as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -106,15 +118,16 @@ object Queries {
       val c = rd(s, dir, "customer")
       val o = rd(s, dir, "orders")
       val li = rd(s, dir, "lineitem")
-      val d = (c: Column) => c.cast(DecimalType(18, 2))
+      // scaled-integer revenue (see q1): exact, order-free, primitive sums
+      val cents = (col_ : Column) => round(col_ * 100).cast(LongType)
       // dims are small relative to lineitem: broadcast them so the fact
       // table never shuffles for the join.
       li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(d(col("l_extendedprice")) * (lit(1) - d(col("l_discount"))))
-            .cast(DoubleType).as("revenue"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast(DoubleType) / 10000.0).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
@@ -583,17 +596,19 @@ object Queries {
     "q_x_ann_ivf" -> ivfOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_revenue_by_segment" ->
       """SELECT c_mktsegment,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
