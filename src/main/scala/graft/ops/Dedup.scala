@@ -343,10 +343,20 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "src", "cluster" -> "c")),
           "src")
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+      // pointer jumping: also adopt the label OF the current label (labels
+      // are ids, so a self-join resolves it). Neighbor-min alone needs
+      // O(diameter) rounds — a chain component converges link by link;
+      // the shortcut doubles the effective hop each round → O(log n),
+      // which is what makes the fixpoint reachable within maxIter on
+      // adversarial long chains at scale.
+      val next = stepped.as("x")
+        .join(stepped.withColumnsRenamed(
+          Map("id" -> "pid", "cluster" -> "pc")), col("cluster") === col("pid"))
+        .select(col("id"), least(col("cluster"), col("pc")).as("cluster"))
         .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))

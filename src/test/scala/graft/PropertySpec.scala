@@ -137,6 +137,17 @@ class ClustersModelSpec extends SparkSpec {
     }
   }
 
+  test("long chains converge within the iteration budget (pointer jumping)") {
+    import org.apache.spark.sql.functions.col
+    val n = 48
+    val chain = (1L until n.toLong).map(i => (i, i + 1)) // path graph
+    val got = Dedup.clusters(
+      (1L to n.toLong).toDF("id0"), "id0",
+      chain.toDF("id_a", "id_b"), maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L), s"unconverged: ${got.filter(_._2 != 1L)}")
+  }
+
   test("portable h60: column form equals driver twin on random ASCII") {
     import graft.functions.Portable
     import org.apache.spark.sql.functions.col
