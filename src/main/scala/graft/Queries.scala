@@ -421,6 +421,19 @@ object Queries {
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
+    "q_x_ann_lsh" -> ((s, dir) => {
+      // query-time LSH: probe only signature-near buckets, exact rerank
+      // inside them (portable planes → full value oracle).
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      // probeBits=4 of 16 → probe ~4% of the signature space
+      Similarity.lshTopKPortable(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", q, k = 20, numPlanes = 16, probeBits = 4, dim = 64)
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
     "q_x_embed_dup" -> ((s, dir) =>
       // exact all-pairs variant: the verification baseline (oracle-checked);
       // the LSH-banded scale path is q_x_embed_dup_lsh.
@@ -589,6 +602,40 @@ object Queries {
        |         THEN list_inner_product(af.e, q.qe) / (sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(q.qe, q.qe)))
        |         ELSE 0.0 END AS cosine_sim
        |  FROM af, q WHERE af.cell IN (SELECT cell FROM probes))
+       |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Query-time LSH ANN: portable signatures for corpus AND query, probe
+    * = Hamming ≤ 2 on the 16-bit signature, exact cosine rerank. */
+  private val annLshOracleSql: String = {
+    import graft.functions.Portable
+    val P = Portable.P
+    s"""WITH pl AS (
+       |  SELECT i.range AS i,
+       |    list((${Portable.h60Sql("'p_' || i.range || '_' || j.range")} % $P) / $P.0 * 2.0 - 1.0 ORDER BY j.range) AS plane
+       |  FROM range(16) i, range(64) j GROUP BY i.range),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |sb AS (
+       |  SELECT v.vec_id,
+       |    CASE WHEN list_inner_product(v.e, pl.plane) >= 0
+       |         THEN CAST(1 AS BIGINT) << CAST(pl.i AS INT) ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM v, pl),
+       |sig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM sb GROUP BY vec_id),
+       |qsig AS (
+       |  SELECT CAST(sum(CASE WHEN list_inner_product(q.qe, pl.plane) >= 0
+       |                       THEN CAST(1 AS BIGINT) << CAST(pl.i AS INT)
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS qs
+       |  FROM q, pl),
+       |cand AS (
+       |  SELECT v.vec_id, v.e FROM v JOIN sig USING (vec_id), qsig
+       |  WHERE v.vec_id <> 0 AND bit_count(xor(sig.sig, qsig.qs)) <= 4),
+       |scored AS (
+       |  SELECT vec_id,
+       |    CASE WHEN sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe)) > 0
+       |         THEN list_inner_product(e, qe) / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe)))
+       |         ELSE 0.0 END AS cosine_sim
+       |  FROM cand, q)
        |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
   }
 
@@ -872,6 +919,7 @@ object Queries {
         |FROM documents""".stripMargin,
 
     "q_x_minhash_lsh" -> minhashOracleSql,
+    "q_x_ann_lsh" -> annLshOracleSql,
 
     // connected components of the near-dup pair graph: min reachable id
     // via a recursive CTE — the same fixpoint the Spark label propagation

@@ -69,6 +69,28 @@ object Similarity {
     bruteForceTopK(candidates.drop("__sig", "__qsig"), idCol, vecCol, query, k)
   }
 
+  /** Portable twin of [[lshTopK]]: signatures from [[portablePlanes]],
+    * the query's signature computed driver-side with the same
+    * left-to-right double dot — so an SQL oracle reproduces the probe set
+    * and the re-rank exactly. */
+  def lshTopKPortable(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int,
+      numPlanes: Int = 16, probeBits: Int = 2, dim: Int = 64): DataFrame = {
+    val planes = portablePlanes(numPlanes, dim)
+    val querySig = planes.zipWithIndex.map { case (p, i) =>
+      var s = 0.0
+      var j = 0
+      while (j < math.min(p.length, query.length)) { s += query(j) * p(j); j += 1 }
+      if (s >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val candidates = df
+      .withColumn("__sig", portableSignature(col(vecCol), planes))
+      .filter(bit_count(col("__sig").bitwiseXOR(lit(querySig))) <= probeBits)
+      .drop("__sig")
+    bruteForceTopK(candidates, idCol, vecCol, query, k)
+  }
+
   /** Exact cosine near-duplicate pairs — the all-pairs verification
     * baseline (O(n²); use [[cosineDupPairs]] at scale). Norms are computed
     * once per vector before the join, so each pair costs a single
