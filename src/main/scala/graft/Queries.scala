@@ -327,6 +327,26 @@ object Queries {
         Seq("fp"), "doc_id")
         .select("doc_id", "fp")),
 
+    "q_x_dedup_incr" -> ((s, dir) => {
+      // ingest-time dedup: docs arriving after id 400 survive only if
+      // their fingerprint is unseen in the accumulated corpus (id <= 400)
+      val fp = docs(s, dir)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      Dedup.incremental(
+        fp.filter(col("doc_id") > 400).select("doc_id", "fp"),
+        fp.filter(col("doc_id") <= 400).select("fp"),
+        Seq("fp"), "doc_id")
+    }),
+
+    "q_x_vocab" -> ((s, dir) =>
+      // corpus vocabulary: top terms by document frequency
+      docs(s, dir)
+        .select(explode(array_distinct(
+          TextOps.tokens(TextOps.normalized(col("text"))))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20)),
+
     "q_x_rolling_hash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.rollingHash(col("text")).as("rh"))),
@@ -854,6 +874,30 @@ object Queries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q_x_dedup_incr" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |batch AS (SELECT doc_id, fp FROM f WHERE doc_id > 400),
+        |corpus AS (SELECT fp FROM f WHERE doc_id <= 400),
+        |keep1 AS (
+        |  SELECT doc_id, fp FROM batch
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM batch GROUP BY fp))
+        |SELECT doc_id, fp FROM keep1
+        |WHERE fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    "q_x_vocab" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(norm, '\s+'))) AS term
+        |  FROM n WHERE norm <> '')
+        |SELECT term, count(*) AS df FROM tok
+        |GROUP BY 1 ORDER BY df DESC, term LIMIT 20""".stripMargin,
 
     "q_x_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp,

@@ -28,6 +28,21 @@ object Dedup {
       exact(df, keyCols, idCol).select((idCol +: keyCols).map(col): _*),
       (idCol +: keyCols), "left_semi")
 
+  /** Incremental (ingest-time) dedup: keep the batch rows whose key is
+    * new — first within the batch itself AND absent from the accumulated
+    * corpus keys. Append the survivors' keys back to the store to advance
+    * the corpus.
+    *
+    * Scale note: the anti-join's right side is the full corpus history —
+    * keep it in a key-bucketed store ([[graft.warehouse.BucketedCatalog]]
+    * keyed on `keyCols`) so the lookup partition-prunes to the batch's
+    * buckets instead of scanning/shuffling all history per micro-batch
+    * (the same bounded-I/O shape as the bucketed CDC merge). */
+  def incremental(batch: DataFrame, corpusKeys: DataFrame,
+      keyCols: Seq[String], idCol: String): DataFrame =
+    exactKeep(batch, keyCols, idCol)
+      .join(corpusKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
+
   /** Word n-gram shingles from a *materialized* token-array column.
     * IMPORTANT: `words` should be a plain column reference, not an
     * expression — every shingle position references it, and Catalyst

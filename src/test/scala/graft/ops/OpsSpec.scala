@@ -122,6 +122,19 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 3L)))
   }
 
+  test("incremental dedup: batch-first AND corpus-unseen keys survive") {
+    val corpus = Seq("k1", "k2").toDF("fp")
+    val batch = Seq(
+      (10L, "k2"), // already in corpus -> dropped
+      (11L, "k3"), // new -> survives
+      (12L, "k3"), // batch-internal dup -> dropped (11 is first)
+      (13L, "k4")  // new -> survives
+    ).toDF("doc_id", "fp")
+    val out = Dedup.incremental(batch, corpus, Seq("fp"), "doc_id")
+      .select("doc_id", "fp").as[(Long, String)].collect().toSet
+    assert(out == Set((11L, "k3"), (13L, "k4")))
+  }
+
   test("clusters: transitive closure of the pair graph, min-id canonical") {
     // chain 1-2, 2-3 (1 and 3 never directly compared) + isolated 4, 5
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
