@@ -412,6 +412,15 @@ object Queries {
           element_at(col("features"), 1).cast(DoubleType).as("f_first"),
           element_at(col("features"), 16).cast(DoubleType).as("f_last"))),
 
+    "q_x_media_resize" -> ((s, dir) =>
+      // per-partition decode→scale→re-encode (stub: dims header + portable
+      // content hash); hex-encoded so the harness sorts a plain string.
+      Multimodal.resize(
+        docs(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "media", w = 32, h = 24)
+        .select(col("doc_id"), hex(col("media")).as("resized_hex"))),
+
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1032,6 +1041,20 @@ object Queries {
         |SELECT doc_id,
         |  CAST(CAST(((seed * 1000003 + 0) % 2147483647) / 2147483647.0 AS FLOAT) AS DOUBLE) AS f_first,
         |  CAST(CAST(((seed * 1000003 + 15) % 2147483647) / 2147483647.0 AS FLOAT) AS DOUBLE) AS f_last
+        |FROM seeds""".stripMargin,
+
+    // resize stub output = 4-byte (32,24) dims header + 8-byte big-endian
+    // content seed (Karp-Rabin over the first 64 payload bytes, seeded
+    // with the length, mod 2^31-1 — ASCII corpus, so chars == bytes)
+    "q_x_media_resize" ->
+      """WITH seeds AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(coalesce(text, '')) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE list_reduce(list_prepend(CAST(len(text) % 2147483647 AS BIGINT),
+        |                list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(unicode(c) AS BIGINT))),
+        |              (acc, x) -> (acc * 1000003 + x) % 2147483647) END AS seed
+        |  FROM documents)
+        |SELECT doc_id, '00200018' || lpad(hex(seed), 16, '0') AS resized_hex
         |FROM seeds""".stripMargin,
 
     "q_x_rolling_hash" ->

@@ -66,6 +66,19 @@ object Multimodal {
         java.nio.ByteBuffer.allocate(8).putLong(h64).array()
     }
 
+    /** Portable content seed: Karp-Rabin fold mod 2^31-1 over the first
+      * 64 bytes, seeded with the length — every intermediate < 2^52, so
+      * an SQL oracle reproduces it (wrapping-overflow hashes could not
+      * be, and DuckDB BIGINT arithmetic traps on overflow anyway). */
+    private def contentSeed(bytes: Array[Byte]): Long = {
+      val P = 2147483647L
+      var h = bytes.length.toLong % P
+      val n = math.min(bytes.length, 64)
+      var i = 0
+      while (i < n) { h = (h * 1000003L + (bytes(i) & 0xff)) % P; i += 1 }
+      h
+    }
+
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       // Karp-Rabin rolling hash of ALL payload bytes mod 2^31-1, then one
       // multiplicative step per slot. Every intermediate stays < 2^52, and
@@ -80,13 +93,6 @@ object Multimodal {
       Array.tabulate(dim)(j => (((seed * 1000003L + j) % P).toDouble / P).toFloat)
     }
 
-    private def contentSeed(bytes: Array[Byte]): Long = {
-      var h = bytes.length.toLong
-      val n = math.min(bytes.length, 64)
-      var i = 0
-      while (i < n) { h = h * 31 + bytes(i); i += 1 }
-      h
-    }
   }
 
   /** Column-level metadata extraction — pure expressions, no decode, so
