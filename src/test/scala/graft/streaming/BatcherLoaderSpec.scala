@@ -55,6 +55,30 @@ class BatcherLoaderSpec extends SparkSpec {
     assert(twoStage == direct)
     assert(twoStage == Map("1" -> "eva"))
   }
+
+  test("loader column gate: schema-divergent NDJSON routes through merge") {
+    val out = tmp()
+    // dob all-null in this batch → the NDJSON objects omit the column
+    // entirely (null fields aren't written), so the read-back stage is
+    // schema-divergent from the target
+    val batch = Seq(
+      (20L, frame(1, None, Some(User(1, Some("ada"), None)))))
+      .toDF("offset", "value")
+    val jobs = Batcher.processBatch(batch, 0L, fetcher, cfg, out)
+    assert(jobs.head.skipMerge) // CREATE-only: eligible on counts alone
+
+    val cat = new ParquetCatalog(spark, tmp())
+    // pre-existing target WITH the dob column and the same PK
+    cat.save("inventory", "users",
+      Seq(("1", "old", "1988-09-02")).toDF("id", "name", "dob"))
+    Loader.load(spark, jobs.head, cat, cfg, Seq("id"))
+    val t = cat.load("inventory", "users")
+    // a blind append would have duplicated pk=1 (and written a parquet
+    // slice without dob); the gate must fall back to the SCD-1 merge
+    val rows = t.select("id", "name").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("1", "ada")), s"got $rows")
+    assert(t.columns.contains("dob"))
+  }
 }
 
 class GraftExtensionsSpec extends SparkSpec {
