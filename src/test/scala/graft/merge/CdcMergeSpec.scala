@@ -80,6 +80,26 @@ class CdcMergeSpec extends SparkSpec {
       once.as[(Int, String)].collect().toMap)
   }
 
+  test("merge with composite primary keys") {
+    // (tenant, region) composite key: same tenant, different regions are
+    // DIFFERENT rows — a single-column merge would conflate them
+    val tgt = Seq(("a", 1, "old1"), ("a", 2, "old2"), ("b", 1, "old3"))
+      .toDF("tenant", "region", "v")
+    val st = Seq(
+      ("20", Cdc.OpUpdate, "a", 1, "mid1"),
+      ("21", Cdc.OpDelete, "a", 2, "old2"),
+      ("22", Cdc.OpCreate, "b", 2, "new2"),
+      ("23", Cdc.OpUpdate, "a", 1, "new1") // later offset wins on (a,1)
+    ).toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "tenant", "region", "v")
+    val out = CdcMerge.merge(tgt, st, Seq("tenant", "region"))
+      .as[(String, Int, String)].collect()
+      .map { case (t, r, v) => (t, r) -> v }.toMap
+    assert(out == Map(
+      ("a", 1) -> "new1", // updated, last offset wins
+      ("b", 1) -> "old3", // untouched
+      ("b", 2) -> "new2")) // created; (a,2) deleted
+  }
+
   test("merge plan broadcasts stage keys (target never shuffles)") {
     val plan = CdcMerge.merge(target, stage, Seq("pk"))
       .queryExecution.executedPlan.toString
