@@ -30,11 +30,11 @@ object Queries {
 
   /** The documents table spread across the cluster: the test file is one
     * parquet row group (one split), which would run the expression-heavy
-    * text analytics single-threaded ahead of any shuffle. A ~600 KB
-    * round-robin exchange buys full parallelism; on a real corpus the scan
-    * already has splits and pipelines without this. */
+    * text analytics single-threaded ahead of any shuffle. Dedup.spread is
+    * conditional, so on a corpus whose scan already has enough splits
+    * this is a no-op, not an extra exchange. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Dedup.spread(rd(s, dir, "documents"))
 
   // ---- shared CDC stage derived from the events table -------------------
   // events → Debezium-shaped change stream: event_id is the Kafka offset,
@@ -619,10 +619,16 @@ object Queries {
        |${assignBlock("a2", "c1", "")},
        |${meanBlock("a2", "m2", "c1", "c2")},
        |pd AS (
-       |  SELECT cell, sum(dv * dv) AS d2 FROM (
-       |    SELECT c.cell AS cell, c.c[CAST(j.range AS INT) + 1] - q.qe[CAST(j.range AS INT) + 1] AS dv
-       |    FROM c2 c, q, range(64) j)
-       |  GROUP BY cell),
+       |  -- sequential left-to-right fold, mirroring Model.nearest's
+       |  -- dimension-order loop (an unordered double SUM could differ in
+       |  -- the last ulp and flip a probe-cell near-tie)
+       |  SELECT c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)])
+       |             * (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM c2 c, q),
        |probes AS (SELECT cell FROM pd ORDER BY d2, cell LIMIT 2),
        |${assignBlock("af", "c2", " WHERE v.vec_id <> 0")},
        |scored AS (

@@ -69,7 +69,7 @@ object Dedup {
     * tokenize/shingle/hash would run single-threaded ahead of the first
     * shuffle. No-op when the scan already has enough splits (the 100 TB
     * case) — then an extra corpus shuffle would be pure harm. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

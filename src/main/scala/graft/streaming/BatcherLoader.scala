@@ -100,7 +100,7 @@ object Loader {
     val skip = job.skipMergeEligible &&
       catalog.exists(cfg.targetSchema, cfg.targetTable) && {
         val tgtCols = catalog.load(cfg.targetSchema, cfg.targetTable)
-          .columns.toSet - "bucket"
+          .columns.toSet - graft.warehouse.BucketedCatalog.BucketCol
         CdcMerge.insertable(stage).columns.toSet == tgtCols
       }
     if (skip)

@@ -168,9 +168,9 @@ object CdcStream {
         // (load_processor.go:395-444).
         val skip = CdcMerge.skipMergeEligible(creates, updates, deletes) &&
           catalog.exists(cfg.targetSchema, cfg.targetTable) && {
-            // "bucket" is the BucketedCatalog partition column, not data
+            // the BucketedCatalog partition column is layout, not data
             val tgtCols = catalog.load(cfg.targetSchema, cfg.targetTable)
-              .columns.toSet - "bucket"
+              .columns.toSet - graft.warehouse.BucketedCatalog.BucketCol
             CdcMerge.insertable(cached).columns.toSet == tgtCols
           }
 

@@ -46,8 +46,10 @@ object ControlPlane {
 
   // ---- T8: usage-aware load throttling (loader_handler.go:142-243) ----
 
-  /** At most this many merges in flight before new ones wait
-    * (loader_handler.go:23). */
+  /** Concurrency watermark for merges: a new load is admitted while the
+    * running count is AT OR BELOW this (reference semantics —
+    * loader_handler.go:23,231 uses `<=`, so one more than the watermark
+    * can briefly be in flight). */
   val MaxRunningLoaders = 10
 
   /** (max wait-checks, seconds between checks): how patiently a table's

@@ -57,7 +57,7 @@ object BucketBench {
       bucketed.save("s", "t", target, Seq("pk"))
 
       val affected = stage
-        .withColumn("b", pmod(xxhash64(col("pk")), lit(64L)).cast("int"))
+        .withColumn("b", BucketedCatalog.bucketExpr(Seq("pk"), 64))
         .select("b").distinct().as[Int].collect().toSet
       val fs = new Path(tmp).getFileSystem(
         spark.sparkContext.hadoopConfiguration)

@@ -31,10 +31,21 @@ import org.apache.spark.sql.functions._
   * relative to the batch and storage is remote (the 100 TB case), where
   * I/O proportionality, not constant overhead, dominates.
   */
+object BucketedCatalog {
+  /** Partition-column name of the bucketed layout. */
+  val BucketCol = "bucket"
+
+  /** The bucket of a PK tuple — THE formula; anything computing affected
+    * buckets (tooling, benches) must use this, not a re-implementation
+    * that can drift. */
+  def bucketExpr(pks: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(pks.map(col): _*), lit(nBuckets.toLong)).cast("int")
+}
+
 final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 64)
     extends TableStore {
 
-  private val BucketCol = "bucket"
+  private val BucketCol = BucketedCatalog.BucketCol
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,8 +56,7 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
     fs.exists(new Path(tablePath(schema, table)))
 
   private def bucketed(df: DataFrame, pks: Seq[String]): DataFrame =
-    df.withColumn(BucketCol,
-      pmod(xxhash64(pks.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+    df.withColumn(BucketCol, BucketedCatalog.bucketExpr(pks, nBuckets))
 
   private def schemaSidecar(schema: String, table: String): Path =
     new Path(tablePath(schema, table), "_graft_schema.json")
@@ -115,14 +125,17 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
     val stagedB = bucketed(stage, pks).cache()
     try {
       val target = load(schema, table)
-      // Schema evolution gate: CdcMerge.merge unions by name with missing
-      // columns allowed, so an evolving stage would rewrite ONLY the
-      // affected buckets with the new column — leaving the table with
-      // heterogeneous bucket schemas (silent data loss on later merges).
-      // Evolution forces a full-table rewrite so buckets stay consistent.
+      // Schema evolution gate: a stage with NEW columns would rewrite
+      // ONLY the affected buckets with those columns — leaving the table
+      // with heterogeneous bucket schemas (silent data loss on later
+      // merges) — so it forces a full-table rewrite. A stage MISSING
+      // columns is fine per-bucket: CdcMerge.merge unions by name against
+      // the full-schema target slice, so the patched buckets keep every
+      // column (all-null batch columns are a routine CDC shape and must
+      // not degrade the O(affected-buckets) merge to O(table)).
       val stageCols = CdcMerge.insertable(stagedB).columns.toSet - BucketCol
       val targetCols = target.columns.toSet - BucketCol
-      if (stageCols != targetCols) {
+      if ((stageCols -- targetCols).nonEmpty) {
         val full = CdcMerge.merge(
           target.drop(BucketCol), stagedB.drop(BucketCol), pks)
         val shadow = new Path(tablePath(schema, table) + "__evolving")
@@ -132,9 +145,17 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
         // sidecar travels inside the shadow dir: the rename installs the
         // evolved data and its schema together
         writeSidecar(b, shadow)
+        // rename-aside swap (as ParquetCatalog.swapInto): the table dir
+        // exists at every instant — a crash between a delete and a rename
+        // must never leave no table at all
         val tgt = new Path(tablePath(schema, table))
-        fs.delete(tgt, true)
-        fs.rename(shadow, tgt)
+        val trash = new Path(tablePath(schema, table) + "__old")
+        if (fs.exists(trash)) fs.delete(trash, true)
+        if (!fs.rename(tgt, trash))
+          throw new IllegalStateException(s"swap failed renaming $tgt aside")
+        if (!fs.rename(shadow, tgt))
+          throw new IllegalStateException(s"swap failed renaming $shadow in")
+        fs.delete(trash, true)
         return
       }
       val affected = stagedB.select(BucketCol).distinct()

@@ -93,6 +93,35 @@ class BucketedCatalogSpec extends SparkSpec {
     assert(again(9) == (("v9b", Some("extra9"))))
   }
 
+  test("stage MISSING a column stays on the per-bucket path, schema intact") {
+    val root = tmp()
+    val cat = new BucketedCatalog(spark, root, nBuckets = 8)
+    cat.save("s", "t",
+      (1 to 100).map(i => (i, s"v$i", s"e$i")).toDF("pk", "v", "extra"),
+      Seq("pk"))
+    def files(): Map[String, Set[String]] = {
+      val base = new java.io.File(s"$root/s/t")
+      base.listFiles.filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles.map(f => f.getName + ":" + f.lastModified).toSet
+      }.toMap
+    }
+    val before = files()
+    // all-null / dropped column batch (the NDJSON shape): must NOT force
+    // a full-table rewrite — union-by-name against the full-schema slice
+    // keeps patched buckets homogeneous
+    val stage = Seq(("1", Cdc.OpUpdate, 7, "v7b"))
+      .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v")
+    cat.merge("s", "t", stage, Seq("pk"))
+    val touched = files().keySet.filter(k => before.get(k) != files().get(k))
+    assert(touched.size <= 1, s"full rewrite happened: $touched")
+    val got = cat.load("s", "t").select("pk", "v", "extra")
+      .as[(Int, String, Option[String])].collect()
+      .map { case (k, v, e) => k -> ((v, e)) }.toMap
+    assert(got(7) == (("v7b", None))) // replaced row: missing col null
+    assert(got(8) == (("v8", Some("e8")))) // untouched rows keep all cols
+    assert(got.size == 100)
+  }
+
   test("scan of one bucket prunes partitions") {
     val cat = new BucketedCatalog(spark, tmp(), nBuckets = 8)
     cat.save("s", "t", (1 to 50).map(i => (i, s"v$i")).toDF("pk", "v"),
