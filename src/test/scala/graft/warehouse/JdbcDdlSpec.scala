@@ -98,6 +98,31 @@ class JdbcDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(queryLongs("SELECT count(*) FROM \"graft\".\"users\"") == Seq(2L))
   }
 
+  test("D5 table-replace migration: new-typed clone + copy + swap") {
+    // TypeMigrate (SchemaDiff's non-transactable class): widen balance
+    // from numeric to varchar via a staged rebuild, reference strategy =
+    // create-new → INSERT..SELECT cast → swap (redshift.go ReplaceTable)
+    val migrated = TableSpec("graft", "users_migrating", Seq(
+      spec.columns.head,
+      spec.columns(1),
+      ColSpec("balance", "string", SourceType("VARCHAR", "24"))))
+    val d = SchemaDiff.diff(migrated.copy(name = "users"), spec)
+    assert(d.needsTableMigration) // numeric -> varchar can't ALTER in place
+    JdbcRunner.inTransaction(conn, Seq(
+      Ddl.createTable(migrated, dialect = Ddl.Ansi),
+      "INSERT INTO \"graft\".\"users_migrating\" (\"id\", \"name\", \"balance\") " +
+        "SELECT \"id\", \"name\", TRIM(CAST(\"balance\" AS CHAR(24))) " +
+        "FROM \"graft\".\"users\""))
+    Ddl.releaseSwap("graft", "users", "_migrating", None, Ddl.Ansi)
+      .foreach(JdbcRunner.execute(conn, _))
+    val st = conn.createStatement()
+    val rs = st.executeQuery(
+      "SELECT \"balance\" FROM \"graft\".\"users\" WHERE \"id\" = 1")
+    rs.next()
+    assert(rs.getString(1).nonEmpty) // stringified numeric survived the copy
+    st.close()
+  }
+
   test("D7 releaseSwap executes: drop + rename") {
     JdbcRunner.execute(conn,
       "CREATE TABLE \"graft\".\"users_reload_v2\" (\"id\" bigint)")
