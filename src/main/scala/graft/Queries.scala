@@ -132,6 +132,20 @@ object Queries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // filter-dominated scan: all three predicates reach the parquet
+      // reader as PushedFilters (asserted in PushdownSpec) — at 100 TB
+      // row-group statistics skip most of the table before any CPU.
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 25)
+        .agg((sum(round(col("l_extendedprice") * 100).cast(LongType) *
+            round(col("l_discount") * 100).cast(LongType))
+          .cast(DoubleType) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
     // ================= CDC merge core (SURVEY §2.4) =====================
     "q_r1_dedupe" -> ((s, dir) =>
       CdcMerge.dedupe(cdcStage(s, dir), Seq("user_id"))),
@@ -696,6 +710,15 @@ object Queries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.07 AND l_quantity < 25""".stripMargin,
 
     "q_r1_dedupe" ->
       s"""WITH $cdcStageSql
