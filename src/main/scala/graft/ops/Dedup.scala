@@ -348,7 +348,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // iterate ONLY over nodes with at least one edge: isolated ids are
+    // their own cluster by definition and would just ride along through
+    // every round — near-dup components are typically a small fraction of
+    // the corpus, so this shrinks the per-round joins from O(corpus) to
+    // O(component members) at any scale.
+    val members = edges.select(col("src").as("id")).distinct()
+    var labels = members.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -380,6 +386,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels
+    // isolated ids come back as their own cluster
+    val isolated = ids.select(col(idCol).as("id"))
+      .join(members, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labels.union(isolated)
   }
 }

@@ -85,6 +85,14 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(throttle(ThrottleBudget(3, 10), () => 99, isReload = true,
       sleep = slept.append(_)))
     assert(slept.isEmpty)
+    // admission boundary matches the reference's <= (loader_handler.go:231):
+    // AT the watermark a load is admitted without waiting
+    slept.clear()
+    assert(throttle(ThrottleBudget(3, 10), () => ControlPlane.MaxRunningLoaders,
+      sleep = slept.append(_)))
+    assert(slept.isEmpty)
+    assert(!throttle(ThrottleBudget(1, 10),
+      () => ControlPlane.MaxRunningLoaders + 1, sleep = slept.append(_)))
   }
 
   test("T8 usage-aware max wait: hot capped at base, cold floored at base") {
