@@ -63,6 +63,32 @@ def main(sf_dir, out_dir):
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
             results[name] = f"COLS_MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
             continue
+        # dtype parity: the driver's hash compare is dtype-SENSITIVE (round 1
+        # failed two queries on DuckDB HUGEINT vs Spark BIGINT with equal
+        # values), so flag any oracle column whose type doesn't map onto the
+        # Spark parquet type.
+        DUCK_TO_ARROW = {
+            "BIGINT": {"int64"}, "INTEGER": {"int32"}, "SMALLINT": {"int16"},
+            "DOUBLE": {"double"}, "FLOAT": {"float"},
+            "VARCHAR": {"string", "large_string"}, "BOOLEAN": {"bool"},
+            "DATE": {"date32[day]"},
+        }
+        spark_types = {f.name.lower(): str(f.type) for f in tbl.schema}
+        dtype_errs = []
+        for cname, dtype in zip(rel.columns, rel.types):
+            d = str(dtype)
+            if d.startswith("TIMESTAMP"):
+                ok_types = None  # timestamps normalize via isoformat
+            else:
+                ok_types = DUCK_TO_ARROW.get(d)
+            st = spark_types.get(cname.lower(), "?")
+            if ok_types is None and not d.startswith("TIMESTAMP"):
+                dtype_errs.append(f"{cname}: duck {d} has no Spark mapping (HUGEINT/DECIMAL will hash-fail)")
+            elif ok_types is not None and st not in ok_types:
+                dtype_errs.append(f"{cname}: duck {d} vs spark {st}")
+        if dtype_errs:
+            results[name] = f"DTYPE_MISMATCH {dtype_errs[:3]}"
+            continue
         a = canon(spark_rows, [c.lower() for c in spark_cols])
         b = canon(duck_rows, [c.lower() for c in duck_cols])
         if len(a) != len(b):
