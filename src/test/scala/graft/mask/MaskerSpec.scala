@@ -84,6 +84,12 @@ class MaskerSpec extends SparkSpec {
     assert(rn.getAs[Int]("email_length") == 0)
   }
 
+  test("M5 length key counts UTF-8 bytes, not characters (masker.go len())") {
+    // "héllo" = 5 chars but 6 UTF-8 bytes; Go len(*cVal) counts bytes
+    val r = masker(df1("1", "a", "b", "héllo", "m", "q"), "customers").head()
+    assert(r.getAs[Int]("email_length") == 6)
+  }
+
   test("M6 mobile key: first 5 chars exposed") {
     val r = masker(df1("1", "a", "b", "e", "+919812345678", "q"), "customers")
       .head()

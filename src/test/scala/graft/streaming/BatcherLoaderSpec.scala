@@ -56,6 +56,18 @@ class BatcherLoaderSpec extends SparkSpec {
     assert(twoStage == Map("1" -> "eva"))
   }
 
+  test("batcher drops corrupt (non-magic-byte) frames instead of dying") {
+    val out = tmp()
+    val good = toDf(Seq(30L -> create(7, "zoe", 2)))
+    // a frame whose first byte isn't the Confluent magic 0x00 would decode
+    // a garbage schema id and kill processBatch at fetcher.schemaById
+    val corrupt = Seq((31L, Array[Byte](0x42, 0x00, 0x00, 0x00, 0x63)))
+      .toDF("offset", "value")
+    val jobs = Batcher.processBatch(good.union(corrupt), 0L, fetcher, cfg, out)
+    assert(jobs.size == 1)
+    assert(jobs.head.createEvents == 1L)
+  }
+
   test("loader column gate: schema-divergent NDJSON routes through merge") {
     val out = tmp()
     // dob all-null in this batch → the NDJSON objects omit the column

@@ -23,6 +23,12 @@ class DdlSpec extends AnyFunSuite {
         """ DISTKEY ("id") COMPOUND SORTKEY ("email")""")
   }
 
+  test("D3 default values with single quotes are SQL-escaped") {
+    val quoted = spec.copy(columns = spec.columns.map(c =>
+      if (c.name == "email") c.copy(defaultVal = "O'Brien's") else c))
+    assert(Ddl.createTable(quoted).contains("DEFAULT 'O''Brien''s'"))
+  }
+
   test("D3 diststyle even when no distkey") {
     val noDist = spec.copy(columns = spec.columns.map(_.copy(distKey = false)))
     assert(Ddl.createTable(noDist).contains("DISTSTYLE EVEN"))
