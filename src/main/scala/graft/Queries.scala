@@ -4,7 +4,7 @@ import graft.cdc.Temporal
 import graft.core.Cdc
 import graft.mask.{MaskConfig, Masker}
 import graft.merge.CdcMerge
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -487,7 +487,75 @@ object Queries {
     "q_x_embed_dup_lsh" -> ((s, dir) =>
       Similarity.cosineDupPairsPortable(rd(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.30, numPlanes = 16, bands = 8, dim = 64)
-        .select("id_a", "id_b"))
+        .select("id_a", "id_b")),
+
+    // ================= temporal joins ===================================
+    "q_x_asof_join" -> ((s, dir) => {
+      // each event picks up the customer's latest order at event time
+      // (union+window as-of join: one key shuffle, zero row explosion)
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t_us"))
+      val ord = rd(s, dir, "orders").select(col("o_custkey").as("user_id"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+        // cast reads the naive value as a UTC instant (= DuckDB epoch_us)
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("o_t_us"),
+        col("o_orderkey"), col("o_totalprice"))
+      AsOf.asofJoin(ev, ord, "user_id", "t_us", "o_t_us",
+          payload = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+
+    "q_x_range_join" -> ((s, dir) => {
+      // pure interval self-join (no equi key): neighbors within ±60 s,
+      // banded into constant-factor bucket equi-join
+      val a = rd(s, dir, "events")
+        .select(col("event_id").as("a_id"), expr("ts div 1000").as("a_t"))
+      val b = rd(s, dir, "events")
+        .select(col("event_id").as("b_id"), expr("ts div 1000").as("b_t"))
+      AsOf.rangeJoin(a, b, "a_t", "b_t", width = 60000000L)
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy(col("a_id").as("event_id"))
+        .agg(count(lit(1)).as("n_near"))
+    }),
+
+    // ================= curation / sampling ==============================
+    "q_x_repetition" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +:
+          TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)),
+
+    "q_x_stratified" -> ((s, dir) =>
+      // 20 docs per language, selected by deterministic hash order —
+      // reproducible on any cluster size / engine
+      Sampling.stratified(rd(s, dir, "documents"), Seq("lang"), "doc_id", 20)
+        .select(col("lang"), col("doc_id"), col("rk").cast(LongType).as("rk"))),
+
+    "q_x_pii_scrub" -> ((s, dir) => {
+      // corpus has no real PII, so the query plants deterministic synthetic
+      // email/phone tokens (varying by doc_id) and then scrubs them
+      val synth = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("source"), lit("@example.com "))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("+91 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+            lit(" "))).otherwise(lit("")),
+        substring(col("text"), 1, 60))
+      docs(s, dir)
+        .select(col("doc_id"), synth.as("synth"))
+        .select(
+          col("doc_id") +:
+            TextOps.piiScrub(col("synth")).as("scrubbed") +:
+            TextOps.piiCounts(col("synth")).map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    "q_x_quantiles" -> ((s, dir) =>
+      // exact interpolated percentiles for the oracle; at 100 TB the same
+      // shape runs with approx_percentile (t-digest, partial-aggregated)
+      rd(s, dir, "documents").groupBy("lang").agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        count(lit(1)).as("n")))
   )
 
   // ---- machine-generated oracles for the portable sketch queries --------
@@ -1103,6 +1171,87 @@ object Queries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.30""".stripMargin
+        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.30""".stripMargin,
+
+    // as-of: latest order per (customer, event time); ties -> max orderkey.
+    // The window formulation is the oracle's independent expression of the
+    // same semantics (DuckDB's native ASOF JOIN leaves ties unspecified).
+    "q_x_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us
+        |           FROM events),
+        |o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_t_us,
+        |             o_orderkey, o_totalprice FROM orders),
+        |j AS (SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY o.o_t_us DESC, o.o_orderkey DESC) AS rn
+        |      FROM e JOIN o ON e.user_id = o.user_id AND o.o_t_us <= e.t_us)
+        |SELECT e.event_id, e.user_id, j.o_orderkey, j.o_totalprice
+        |FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)""".stripMargin,
+
+    "q_x_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS t FROM events)
+        |SELECT a.event_id AS event_id, count(*) AS n_near
+        |FROM e a JOIN e b
+        |  ON abs(a.t - b.t) <= 60000000 AND a.event_id <> b.event_id
+        |GROUP BY 1""".stripMargin,
+
+    "q_x_repetition" -> {
+      val tok = s"CASE WHEN norm = '' THEN [] " +
+        s"ELSE string_split_regex(norm, '\\s+') END"
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |tok AS (SELECT doc_id, $tok AS l FROM n)
+         |SELECT doc_id,
+         |  CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(l) > 0 THEN
+         |    round(CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+         |  ELSE 0.0 END AS dup_token_frac,
+         |  CASE WHEN len(l) > 0 THEN
+         |    round(CAST(list_max(list_transform(list_distinct(l),
+         |      t -> len(list_filter(l, x -> x = t)))) AS DOUBLE) / len(l), 6)
+         |  ELSE 0.0 END AS top_token_frac,
+         |  CASE WHEN len(l) > 1 THEN
+         |    round(CAST((len(l) - 1) - len(list_distinct(list_transform(
+         |      range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS DOUBLE)
+         |      / (len(l) - 1), 6)
+         |  ELSE 0.0 END AS dup_bigram_frac
+         |FROM tok""".stripMargin
+    },
+
+    "q_x_stratified" ->
+      s"""SELECT lang, doc_id, rk FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${graft.functions.Portable.h60Sql("CAST(doc_id AS VARCHAR)")},
+         |               doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20""".stripMargin,
+
+    "q_x_pii_scrub" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{4}"
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    concat(
+         |      CASE WHEN doc_id % 3 = 0
+         |           THEN concat(source, '@example.com ') ELSE '' END,
+         |      CASE WHEN doc_id % 2 = 0
+         |           THEN concat('+91 555-',
+         |                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ')
+         |           ELSE '' END,
+         |      substr(text, 1, 60)) AS synth
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(synth, '$emailRe', '<EMAIL>', 'g'),
+         |                 '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(synth, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(synth, '$phoneRe')) AS BIGINT) AS n_phones
+         |FROM s""".stripMargin
+    },
+
+    "q_x_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+        |       quantile_cont(n_chars, 0.9) AS p90,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

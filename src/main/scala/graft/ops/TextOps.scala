@@ -131,6 +131,54 @@ object TextOps {
           when(char_length(ch) > 0, ascii(ch).cast(LongType)).otherwise(lit(0L)),
         lit(RollingHashMod)))
 
+  /** Repetition signals (the Gopher-style quality filters): what fraction
+    * of a document is repeated tokens / bigrams, and how dominant is its
+    * single most frequent token. Pure per-row expressions over the
+    * normalized token array — no shuffle; the per-row top-token scan is
+    * O(distinct·tokens), bounded by document length, not corpus size.
+    * Ratios are exact-integer double divisions rounded to 6 places
+    * (cross-engine stable, see the header rules).
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(normalized(text))
+    val n = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val frac = (num: Column, den: Column) =>
+      when(den > 0, round(num.cast(DoubleType) / den, 6)).otherwise(lit(0.0))
+    // most frequent token's share: count occurrences of each distinct token
+    val topCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    // adjacent-token bigrams; i is 0-based, element_at 1-based
+    val bigrams = transform(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      (w, i) => concat(w, lit(" "), element_at(toks, i + 2)))
+    val nb = size(bigrams)
+    Seq(
+      "n_tokens" -> n.cast(LongType),
+      "dup_token_frac" -> frac(n - nDistinct, n),
+      "top_token_frac" -> frac(when(n > 0, topCount).otherwise(lit(0)), n),
+      "dup_bigram_frac" -> frac(nb - size(array_distinct(bigrams)), nb))
+  }
+
+  /** PII scrubbing: email and phone patterns replaced with typed redaction
+    * tags, plus match counts for audit metrics. The regexes stick to the
+    * syntax subset shared by Java regex and RE2 so external engines can
+    * reproduce the scrub. Pure per-row expressions. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{4}"
+
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(coalesce(text, lit("")), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    Seq(
+      "n_emails" -> regexp_count(t, lit(EmailRe)).cast(LongType),
+      "n_phones" -> regexp_count(t, lit(PhoneRe)).cast(LongType))
+  }
+
   /** Corpus keyword extraction: top-`k` terms per document by rational
     * tf-idf — score = tf · (N+1)/(df+1), N = corpus size, df = document
     * frequency. Rational (no logarithm) on purpose: libm `log` is not

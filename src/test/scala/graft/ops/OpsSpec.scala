@@ -55,6 +55,34 @@ class TextOpsSpec extends SparkSpec {
     val h = one[Long](TextOps.rollingHash(col("t")), "Hello, World!")
     assert(h == TextOps.rollingHashScala("hello world"))
   }
+
+  test("repetition signals on known strings") {
+    def rep(s: String) = Seq(Option(s)).toDF("t")
+      .select(TextOps.repetitionColumns(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    val m = rep("a a b") // tokens [a,a,b]; bigrams ["a a","a b"]
+    assert(m.getAs[Long]("n_tokens") == 3L)
+    assert(m.getAs[Double]("dup_token_frac") == 0.333333) // (3-2)/3
+    assert(m.getAs[Double]("top_token_frac") == 0.666667) // "a" 2/3
+    assert(m.getAs[Double]("dup_bigram_frac") == 0.0)
+    val x = rep("x x x") // bigrams ["x x","x x"] -> 1 dup of 2
+    assert(x.getAs[Double]("dup_bigram_frac") == 0.5)
+    val e = rep(null)
+    assert(e.getAs[Long]("n_tokens") == 0L)
+    assert(e.getAs[Double]("dup_token_frac") == 0.0)
+  }
+
+  test("pii scrub: emails and phones redacted and counted") {
+    val r = Seq("mail a@b.co or b.c@d.org, call +91 555-0042 now")
+      .toDF("t")
+      .select(TextOps.piiScrub(col("t")).as("s") +:
+        TextOps.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(r.getAs[String]("s") ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE> now")
+    assert(r.getAs[Long]("n_emails") == 2L)
+    assert(r.getAs[Long]("n_phones") == 1L)
+  }
 }
 
 class DedupSpec extends SparkSpec {
