@@ -40,18 +40,23 @@ object Bench {
     // reports the engine's steady-state throughput, which is what a resident
     // cluster job sees after its first micro-batch.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
+    val runsByQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs = try {
         Seq.fill(nRuns)(
-          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).min
+          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          Seq(-1.0)
       }
-      name -> sec
+      name -> secs
     }
+    val results = runsByQuery.map { case (n, secs) => n -> secs.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // first-run times too: cold = Catalyst analysis + codegen javac + JIT;
+    // the gap between cold and min is warm-up, not plan cost
+    val qsCold = runsByQuery.map { case (k, v) => "\"" + k + "\":" + v.head }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -104,6 +109,7 @@ object Bench {
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_cold":$qsCold,"bench_runs":$nRuns,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
         s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser

@@ -21,10 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * imperatively with [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // interval theta-join -> banded equi-join (kills BNLJ/cartesian plans)
+    ext.injectOptimizerRule(_ => graft.plans.BandedIntervalJoin)
+  }
 }
 
 object GraftExtensions {
@@ -57,9 +60,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => AvroBinaryToJson(args(0), str(args(1)))))
 
   /** Imperative registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.BandedIntervalJoin))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.BandedIntervalJoin)
+  }
 }

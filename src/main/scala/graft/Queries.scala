@@ -549,6 +549,14 @@ object Queries {
             TextOps.piiCounts(col("synth")).map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_x_sessions" -> ((s, dir) =>
+      // gap-based sessionization (12 h) over the event stream, per-session
+      // stats; single key-shuffle, both windows share one sort
+      graft.ops.Sessions.stats(
+        rd(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t")),
+        "user_id", "t", "event_id", gapMicros = 43200000000L)),
+
     "q_x_quantiles" -> ((s, dir) =>
       // exact interpolated percentiles for the oracle; at 100 TB the same
       // shape runs with approx_percentile (t-digest, partial-aggregated)
@@ -1247,6 +1255,22 @@ object Queries {
          |  CAST(len(regexp_extract_all(synth, '$phoneRe')) AS BIGINT) AS n_phones
          |FROM s""".stripMargin
     },
+
+    "q_x_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, t,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |               OR t - lag(t) OVER w > 43200000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, t,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |      FROM m)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |       count(*) AS n_events, min(t) AS t_start, max(t) AS t_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_x_quantiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
