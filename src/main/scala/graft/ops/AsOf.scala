@@ -45,17 +45,19 @@ object AsOf {
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at the same timestamp (side 0 < 1),
     // so `<=` matches; among right rows with equal t the last in tieBreak
-    // order wins. last(ignoreNulls) skips interleaved left rows (their
-    // payload is null from the union).
+    // order wins. The payload travels as ONE struct that is null exactly
+    // for left rows: last(ignoreNulls) then selects the latest right ROW
+    // as a unit — a null payload field on that row stays null (per-column
+    // last(ignoreNulls) would wrongly reach back to an older right row).
+    val packed = when(col("__side") === 0, struct(rightCols.map(col): _*))
     val w = Window.partitionBy(key)
       .orderBy(col("__t"), col("__side"), col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"__asof_$p", last(col(p), ignoreNulls = true).over(w))
-    }
-    val out = attached.filter(col("__side") === 1)
-      .drop((rightCols ++ Seq("__t", "__side")): _*)
-    payload.foldLeft(out)((df, p) => df.withColumnRenamed(s"__asof_$p", p))
+    val attached = unioned
+      .withColumn("__asof", last(packed, ignoreNulls = true).over(w))
+    attached.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__asof.$p").as(p)): _*)
   }
 
   /** Inner interval join: all (left, right) pairs with

@@ -41,6 +41,19 @@ class AsOfSpec extends SparkSpec {
     assert(got.columns.toSet == Set("k", "tt", "trade_id", "price", "seq"))
   }
 
+  test("asofJoin: null payload on the latest right row stays null") {
+    // the t=30 quote has a null price; trades after it must see null, not
+    // reach back to the older non-null quote (row-level as-of semantics)
+    val q = Seq(("a", 10L, Some(1.0), 1L), ("a", 30L, None, 2L))
+      .toDF("k", "qt", "price", "seq")
+    val t = Seq(("a", 35L, 200L)).toDF("k", "tt", "trade_id")
+    val got = AsOf.asofJoin(t, q, "k", "tt", "qt",
+        payload = Seq("price", "seq"), tieBreak = "seq")
+      .select("trade_id", "price", "seq")
+      .as[(Long, Option[Double], Long)].collect().toSeq
+    assert(got == Seq((200L, None, 2L)))
+  }
+
   test("rangeJoin: each qualifying pair exactly once, incl. bucket edges") {
     // width 10: buckets are [0,10), [10,20)... values placed to cross edges
     val l = Seq((1L, 9L), (2L, 10L), (3L, 25L)).toDF("lid", "lt")
