@@ -533,14 +533,18 @@ object Queries {
     "q_x_pii_scrub" -> ((s, dir) => {
       // corpus has no real PII, so the query plants deterministic synthetic
       // email/phone tokens (varying by doc_id) and then scrubs them
+      // coalesce the nullable inputs: Spark concat null-propagates while
+      // DuckDB concat skips nulls — without this a null source/text row
+      // would diverge from the oracle
       val synth = concat(
         when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(col("source"), lit("@example.com "))).otherwise(lit("")),
+          concat(coalesce(col("source"), lit("")), lit("@example.com ")))
+          .otherwise(lit("")),
         when(pmod(col("doc_id"), lit(2)) === 0,
           concat(lit("+91 555-"),
             lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
             lit(" "))).otherwise(lit("")),
-        substring(col("text"), 1, 60))
+        substring(coalesce(col("text"), lit("")), 1, 60))
       docs(s, dir)
         .select(col("doc_id"), synth.as("synth"))
         .select(
@@ -1241,12 +1245,13 @@ object Queries {
          |  SELECT doc_id,
          |    concat(
          |      CASE WHEN doc_id % 3 = 0
-         |           THEN concat(source, '@example.com ') ELSE '' END,
+         |           THEN concat(coalesce(source, ''), '@example.com ')
+         |           ELSE '' END,
          |      CASE WHEN doc_id % 2 = 0
          |           THEN concat('+91 555-',
          |                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ')
          |           ELSE '' END,
-         |      substr(text, 1, 60)) AS synth
+         |      substr(coalesce(text, ''), 1, 60)) AS synth
          |  FROM documents)
          |SELECT doc_id,
          |  regexp_replace(regexp_replace(synth, '$emailRe', '<EMAIL>', 'g'),

@@ -40,8 +40,13 @@ object AsOf {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
     val r = right.select(
-      (Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        rightCols.map(col)): _*)
+        (Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
+          rightCols.map(col)): _*)
+      // SQL join semantics: a null key matches nothing. Window.partitionBy
+      // would group null-keyed rows of both sides together — dropping
+      // null-keyed RIGHT rows leaves null-keyed left rows alone in their
+      // partition, so they keep a null payload.
+      .where(col(key).isNotNull && col(rightTime).isNotNull)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at the same timestamp (side 0 < 1),
     // so `<=` matches; among right rows with equal t the last in tieBreak
@@ -75,13 +80,22 @@ object AsOf {
       rightTime: String,
       width: Long): DataFrame = {
     require(width > 0, "width must be positive")
-    val lb = left.withColumn("__lb", floor(col(leftTime) / width))
+    val lb = left.withColumn("__lb", floorDivExact(leftTime, width))
+    val rbkt = floorDivExact(rightTime, width)
     val rb = right.withColumn("__rb",
-      explode(array(floor(col(rightTime) / width) - 1,
-        floor(col(rightTime) / width),
-        floor(col(rightTime) / width) + 1)))
+      explode(array(rbkt - 1, rbkt, rbkt + 1)))
     lb.join(rb, lb("__lb") === rb("__rb"))
       .filter(abs(col(leftTime) - col(rightTime)) <= width)
       .drop("__lb", "__rb")
   }
+
+  /** Exact floor(t/w) on integer columns. `t - pmod(t, w)` is the exact
+    * multiple of `w` at or below `t` (also for negative `t`), and integral
+    * `div` of an exact multiple is exact — no double math anywhere: a
+    * `floor(t / w)` double bucket silently misrounds past 2^53 (epoch
+    * nanos), which here would drop qualifying pairs at band boundaries.
+    * Same formulation as [[graft.plans.BandedIntervalJoin]]'s expression
+    * tree. */
+  private def floorDivExact(timeCol: String, w: Long): Column =
+    expr(s"(`$timeCol` - pmod(`$timeCol`, ${w}L)) div ${w}L")
 }

@@ -54,6 +54,35 @@ class AsOfSpec extends SparkSpec {
     assert(got == Seq((200L, None, 2L)))
   }
 
+  test("asofJoin: null keys match nothing (SQL join semantics)") {
+    val q = Seq((Option("a"), 10L, 1.0, 1L), (Option.empty[String], 5L, 9.0, 2L))
+      .toDF("k", "qt", "price", "seq")
+    val t = Seq((Option.empty[String], 20L, 300L), (Option("a"), 20L, 301L))
+      .toDF("k", "tt", "trade_id")
+    val got = AsOf.asofJoin(t, q, "k", "tt", "qt",
+        payload = Seq("price"), tieBreak = "seq")
+      .select("trade_id", "price")
+      .as[(Long, Option[Double])].collect().toMap
+    // the null-keyed trade must NOT pick up the null-keyed quote
+    assert(got == Map(300L -> None, 301L -> Some(1.0)))
+  }
+
+  test("rangeJoin banding is exact past 2^53 (epoch-nanos regime)") {
+    // at 2^60 a double has 128-ns granularity: floor(t/w) via double
+    // division misbuckets these and silently drops qualifying pairs
+    val base = 1L << 60
+    val l = Seq((1L, base + 65L)).toDF("lid", "lt")
+    val r = Seq((10L, base + 66L), (11L, base + 1065L), (12L, base - 935L),
+      (13L, base + 1066L)).toDF("rid", "rt")
+    val banded = AsOf.rangeJoin(l, r, "lt", "rt", width = 1000L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = l.crossJoin(r)
+      .filter(abs(col("lt") - col("rt")) <= 1000L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    assert(banded == Set((1L, 10L), (1L, 11L), (1L, 12L)))
+  }
+
   test("rangeJoin: each qualifying pair exactly once, incl. bucket edges") {
     // width 10: buckets are [0,10), [10,20)... values placed to cross edges
     val l = Seq((1L, 9L), (2L, 10L), (3L, 25L)).toDF("lid", "lt")
