@@ -520,9 +520,9 @@ object Queries {
 
     // ================= curation / sampling ==============================
     "q_x_repetition" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id") +:
-          TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)),
+      TextOps.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_tokens", "dup_token_frac", "top_token_frac",
+          "dup_bigram_frac")),
 
     "q_x_stratified" -> ((s, dir) =>
       // 20 docs per language, selected by deterministic hash order —

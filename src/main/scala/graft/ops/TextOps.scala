@@ -131,23 +131,19 @@ object TextOps {
           when(char_length(ch) > 0, ascii(ch).cast(LongType)).otherwise(lit(0L)),
         lit(RollingHashMod)))
 
-  /** Repetition signals (the Gopher-style quality filters): what fraction
-    * of a document is repeated tokens / bigrams, and how dominant is its
-    * single most frequent token. Pure per-row expressions over the
-    * normalized token array — no shuffle; the per-row top-token scan is
-    * O(distinct·tokens), bounded by document length, not corpus size.
-    * Ratios are exact-integer double divisions rounded to 6 places
-    * (cross-engine stable, see the header rules).
-    */
-  def repetitionColumns(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(normalized(text))
+  private def repFrac(num: Column, den: Column): Column =
+    when(den > 0, round(num.cast(DoubleType) / den, 6)).otherwise(lit(0.0))
+
+  /** Per-row repetition signals over a MATERIALIZED token-array column.
+    * `toks` must be a plain column reference, not the tokenize expression:
+    * a reference inside the bigram lambda is re-evaluated per array
+    * element, so an inline `tokens(normalized(text))` there would re-run
+    * the regex pipeline O(tokens) times per row (measured 4-25× this
+    * query's entire cost). Ratios are exact-integer double divisions
+    * rounded to 6 places (cross-engine stable, see the header rules). */
+  def repetitionColumns(toks: Column): Seq[(String, Column)] = {
     val n = size(toks)
     val nDistinct = size(array_distinct(toks))
-    val frac = (num: Column, den: Column) =>
-      when(den > 0, round(num.cast(DoubleType) / den, 6)).otherwise(lit(0.0))
-    // most frequent token's share: count occurrences of each distinct token
-    val topCount = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
     // adjacent-token bigrams; i is 0-based, element_at 1-based
     val bigrams = transform(
       slice(toks, lit(1), greatest(n - 1, lit(0))),
@@ -155,9 +151,32 @@ object TextOps {
     val nb = size(bigrams)
     Seq(
       "n_tokens" -> n.cast(LongType),
-      "dup_token_frac" -> frac(n - nDistinct, n),
-      "top_token_frac" -> frac(when(n > 0, topCount).otherwise(lit(0)), n),
-      "dup_bigram_frac" -> frac(nb - size(array_distinct(bigrams)), nb))
+      "dup_token_frac" -> repFrac(n - nDistinct, n),
+      "dup_bigram_frac" -> repFrac(nb - size(array_distinct(bigrams)), nb))
+  }
+
+  /** Full repetition signals per document, adding `top_token_frac` (the
+    * most frequent token's share). Tokenizes ONCE into a materialized
+    * column, computes the per-row signals from it, and gets the top count
+    * via explode → (doc, token) count → per-doc max — one extra shuffle,
+    * O(tokens) total work: the per-row alternative
+    * `transform(distinct, count-scan)` is O(distinct·tokens)
+    * interpreted-lambda work that degrades quadratically on long
+    * documents. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = df
+      .select(col(idCol), tokens(normalized(col(textCol))).as("__toks"))
+    val base = withToks.select(
+      col(idCol) +: col("__toks") +:
+        repetitionColumns(col("__toks")).map { case (n, c) => c.as(n) }: _*)
+    val top = withToks
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .groupBy(idCol, "__tok").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max(col("__c")).as("__topc"))
+    base.join(top, Seq(idCol), "left")
+      .withColumn("top_token_frac",
+        repFrac(coalesce(col("__topc"), lit(0L)), col("n_tokens")))
+      .drop("__toks", "__topc")
   }
 
   /** PII scrubbing: email and phone patterns replaced with typed redaction

@@ -57,9 +57,8 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("repetition signals on known strings") {
-    def rep(s: String) = Seq(Option(s)).toDF("t")
-      .select(TextOps.repetitionColumns(col("t")).map { case (n, c) => c.as(n) }: _*)
-      .head()
+    def rep(s: String) = TextOps.repetitionSignals(
+      Seq((1L, Option(s))).toDF("id", "t"), "id", "t").head()
     val m = rep("a a b") // tokens [a,a,b]; bigrams ["a a","a b"]
     assert(m.getAs[Long]("n_tokens") == 3L)
     assert(m.getAs[Double]("dup_token_frac") == 0.333333) // (3-2)/3
@@ -67,9 +66,11 @@ class TextOpsSpec extends SparkSpec {
     assert(m.getAs[Double]("dup_bigram_frac") == 0.0)
     val x = rep("x x x") // bigrams ["x x","x x"] -> 1 dup of 2
     assert(x.getAs[Double]("dup_bigram_frac") == 0.5)
-    val e = rep(null)
+    assert(x.getAs[Double]("top_token_frac") == 1.0)
+    val e = rep(null) // no tokens: every signal 0, no null leaks
     assert(e.getAs[Long]("n_tokens") == 0L)
     assert(e.getAs[Double]("dup_token_frac") == 0.0)
+    assert(e.getAs[Double]("top_token_frac") == 0.0)
   }
 
   test("pii scrub: emails and phones redacted and counted") {
