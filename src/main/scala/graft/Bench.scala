@@ -52,7 +52,10 @@ object Bench {
         }
       }
       val good = secs.filter(_ >= 0)
-      name -> (secs.head, if (good.nonEmpty) good.min else -1.0)
+      // cold = first SUCCESSFUL run (a -1 sentinel would corrupt the
+      // cold-vs-min warm-up gap when run 1 fails transiently)
+      name -> (good.headOption.getOrElse(-1.0),
+        if (good.nonEmpty) good.min else -1.0)
     }
     val results = runsByQuery.map { case (n, cm) => n -> cm._2 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -75,18 +78,26 @@ object Bench {
         col("c_custkey").cast("string").as("user_id"),
         format_string("%.2f", col("c_acctbal")).as("value"))
       val n = Tables.read(spark, sfDir, "events").count()
-      val sec = Seq.fill(nRuns)(time {
-        graft.merge.CdcMerge
-          .merge(target, masker(stage0, "events_cdc"), Seq("user_id"))
-          .write.format("noop").mode("overwrite").save()
-      }).min
-      (sec, n)
+      // same per-run failure isolation as the query loop: one transient
+      // failure must not abort the bench before the JSON line is written
+      val secs = (1 to nRuns).flatMap { i =>
+        try Some(time {
+          graft.merge.CdcMerge
+            .merge(target, masker(stage0, "events_cdc"), Seq("user_id"))
+            .write.format("noop").mode("overwrite").save()
+        }) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] cdc merge run $i failed: ${e.getMessage}")
+            None
+        }
+      }
+      (secs.minOption.getOrElse(-1.0), n)
     }
     val eps = if (cdcSec > 0) nEvents / cdcSec else 0.0
 
     // Per-phase merge timings — the reference's loader histogram phases
     // (BASELINE.md: dedupe, deletecommon, deleteop, copytarget).
-    val phases = {
+    val phases = try {
       import org.apache.spark.sql.functions._
       import graft.merge.CdcMerge
       val stage = SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir).cache()
@@ -111,6 +122,10 @@ object Bench {
       stage.unpersist(); deduped.unpersist()
       Seq("dedupe" -> tDedupe, "deletecommon" -> tDeleteCommon,
         "deleteop" -> tDeleteOp, "copytarget" -> tCopy)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] phase timing failed: ${e.getMessage}")
+        Seq.empty[(String, Double)]
     }
     val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

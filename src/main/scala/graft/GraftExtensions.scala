@@ -59,13 +59,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[AvroBinaryToJson].getName, "graft_avro_to_json"),
       (args: Seq[Expression]) => AvroBinaryToJson(args(0), str(args(1)))))
 
-  /** Imperative registration on an existing session. */
+  /** Imperative registration on an existing session. Idempotent also
+    * against the `spark.sql.extensions` path: injectOptimizerRule'd rules
+    * live in the optimizer's batch list (not extraOptimizations), so the
+    * guard checks both — otherwise a GraftSession (extensions config +
+    * register) would install the rule twice and pay two plan traversals
+    * per query. */
   def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info, builder)
     }
-    if (!spark.experimental.extraOptimizations
+    val viaExtensions = spark.sessionState.optimizer.batches.exists(
+      _.rules.contains(graft.plans.BandedIntervalJoin))
+    if (!viaExtensions && !spark.experimental.extraOptimizations
         .contains(graft.plans.BandedIntervalJoin))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.BandedIntervalJoin)

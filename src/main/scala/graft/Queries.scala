@@ -563,10 +563,14 @@ object Queries {
 
     "q_x_quantiles" -> ((s, dir) =>
       // exact interpolated percentiles for the oracle; at 100 TB the same
-      // shape runs with approx_percentile (t-digest, partial-aggregated)
+      // shape runs with approx_percentile (t-digest, partial-aggregated).
+      // Rounded to 6 places on BOTH engines: p90's interpolation is
+      // multi-step double arithmetic whose rounding ORDER differs between
+      // Spark's Percentile and DuckDB's quantile_cont — a last-ULP hazard
+      // the file-header rules exist to avoid (p50 happens to be exact)
       rd(s, dir, "documents").groupBy("lang").agg(
-        expr("percentile(n_chars, 0.5)").as("p50"),
-        expr("percentile(n_chars, 0.9)").as("p90"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
         count(lit(1)).as("n")))
   )
 
@@ -1278,8 +1282,8 @@ object Queries {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_x_quantiles" ->
-      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
-        |       quantile_cont(n_chars, 0.9) AS p90,
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 6) AS p90,
         |       count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin
   )
