@@ -553,6 +553,13 @@ object Queries {
             TextOps.piiCounts(col("synth")).map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_x_oov" -> ((s, dir) =>
+      // out-of-vocabulary rate against the corpus's top-50 vocabulary —
+      // LM-free quality prior; vocabulary is a broadcast-sized artifact
+      TextOps.vocabCoverage(docs(s, dir), "doc_id", "text", topK = 50)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_in_vocab"),
+          col("oov_rate"))),
+
     "q_x_sessions" -> ((s, dir) =>
       // gap-based sessionization (12 h) over the event stream, per-session
       // stats; single key-shuffle, both windows share one sort
@@ -1264,6 +1271,25 @@ object Queries {
          |  CAST(len(regexp_extract_all(synth, '$phoneRe')) AS BIGINT) AS n_phones
          |FROM s""".stripMargin
     },
+
+    "q_x_oov" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term
+         |        FROM n WHERE norm <> ''),
+         |vocab AS (SELECT term FROM (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |  GROUP BY 1 ORDER BY df DESC, term LIMIT 50)),
+         |cnt AS (SELECT doc_id, count(*) AS n_tokens,
+         |          sum(CASE WHEN term IN (SELECT term FROM vocab)
+         |              THEN 1 ELSE 0 END) AS n_in
+         |        FROM tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(c.n_in, 0) AS BIGINT) AS n_in_vocab,
+         |  CASE WHEN coalesce(c.n_tokens, 0) > 0
+         |       THEN round(CAST(c.n_tokens - c.n_in AS DOUBLE) / c.n_tokens, 6)
+         |       ELSE 0.0 END AS oov_rate
+         |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
 
     "q_x_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t

@@ -235,4 +235,35 @@ object TextOps {
       .select(col("id"), col("term"), col("rank").cast(LongType).as("rank"),
         col("score"))
   }
+
+  /** Vocabulary coverage / out-of-vocabulary rate — the LM-free quality
+    * prior: what fraction of a document's tokens fall outside the
+    * corpus's top-`topK` vocabulary (by document frequency, ties broken
+    * by term so the vocabulary is deterministic). High OOV → gibberish,
+    * boilerplate, or the wrong language.
+    *
+    * Plan: the vocabulary is a topK-row artifact — broadcast to the token
+    * explode (no shuffle of the corpus against it), then one groupBy(id)
+    * to re-assemble per-document counts; the per-row token count comes
+    * from the same tokenize-once projection. Left join keeps zero-token
+    * documents (oov_rate 0). */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    val withToks = df.select(col(idCol).as("id"),
+      tokens(normalized(col(textCol))).as("__toks"))
+    val toks = withToks.select(col("id"), explode(col("__toks")).as("term"))
+    val vocab = toks
+      .groupBy("term").agg(countDistinct(col("id")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(topK)
+      .select("term")
+    val inVocab = toks.join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("__in"))
+    withToks
+      .select(col("id"), size(col("__toks")).cast(LongType).as("n_tokens"))
+      .join(inVocab, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("__in"), lit(0L)).as("n_in_vocab"),
+        repFrac(col("n_tokens") - coalesce(col("__in"), lit(0L)),
+          col("n_tokens")).as("oov_rate"))
+  }
 }

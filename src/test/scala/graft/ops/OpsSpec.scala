@@ -73,6 +73,18 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getAs[Double]("top_token_frac") == 0.0)
   }
 
+  test("vocab coverage: OOV rate against top-k corpus vocabulary") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "x"), (4L, null))
+      .toDF("id", "t")
+    // df: a->2 docs, b/c/x->1; top-1 vocabulary = {a}
+    val got = TextOps.vocabCoverage(docs, "id", "t", topK = 1)
+      .select("id", "n_tokens", "n_in_vocab", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 2L, 0.333333), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 1.0), (4L, 0L, 0L, 0.0)))
+  }
+
   test("pii scrub: emails and phones redacted and counted") {
     val r = Seq("mail a@b.co or b.c@d.org, call +91 555-0042 now")
       .toDF("t")
