@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * and a probe touches k/nprobe-th of the data.
   *
   * Deterministic throughout: centroid seeds are the k rows with the
-  * smallest xxhash64(id) (no random init), Lloyd iterations are plain
+  * smallest md5-derived [[graft.functions.Portable.h60]] of the id (no
+  * random init — md5, not xxhash64, so the DuckDB oracle can replay the
+  * seeding), Lloyd iterations are plain
   * DataFrame aggregations, so training is reproducible across runs and
   * cluster sizes. Centroids live on the driver (k × dim doubles — k is
   * hundreds to thousands; they are broadcast inside literal expressions).
@@ -89,6 +91,9 @@ object Ivf {
         .select(col("__cluster"),
           posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy("__cluster", "__pos")
+        // denominator counts positions (count(*)), matching the DuckDB
+        // oracle's replay exactly; embedding arrays must not contain null
+        // elements (malformed input) or the null-skipping sum would bias
         .agg((sum(col("__v").cast("decimal(27,12)")).cast("double") /
           count(lit(1))).as("__m"))
         .collect()

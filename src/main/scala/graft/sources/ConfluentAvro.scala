@@ -32,6 +32,13 @@ object ConfluentAvro {
   def hasMagicByte(value: Column): Column =
     substring(value, 1, 1) === lit(Array(MagicByte))
 
+  /** Full framing check: magic byte AND the 5-byte header present. A
+    * frame that starts with 0x00 but is shorter than the header would
+    * yield a null [[schemaId]] (NPE at the driver-side collect) — drop it
+    * with the corrupt frames. */
+  def isFramed(value: Column): Column =
+    length(value) >= HeaderLength && hasMagicByte(value)
+
   /** Avro payload: everything after the 5-byte header. */
   def payload(value: Column): Column =
     value.substr(lit(HeaderLength + 1), length(value) - HeaderLength)

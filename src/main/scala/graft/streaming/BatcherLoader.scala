@@ -38,7 +38,7 @@ object Batcher {
     // the Confluent magic byte yields a garbage schema id and would kill
     // the stream at fetcher.schemaById — drop it per message instead.
     val frames = DebeziumTransform.dropTombstones(batch)
-      .filter(ConfluentAvro.hasMagicByte(col("value")))
+      .filter(ConfluentAvro.isFramed(col("value")))
       .withColumn("__sid", ConfluentAvro.schemaId(col("value")))
     val sids = frames.select("__sid").distinct().collect().map(_.getInt(0))
 
@@ -92,17 +92,29 @@ object Loader {
       catalog: TableStore,
       cfg: CdcStream.TopicConfig,
       pks: Seq[String]): Unit = {
-    val stage = NdjsonGzSink.read(spark, job.s3Path)
-    // Column-set gate before the R5 append (as CdcStream.processBatch):
-    // NDJSON drops all-null columns on write, so an append could otherwise
-    // slip a schema-divergent slice into the target; route those through
-    // the merge rewrite instead.
-    val skip = job.skipMergeEligible &&
-      catalog.exists(cfg.targetSchema, cfg.targetTable) && {
-        val tgtCols = catalog.load(cfg.targetSchema, cfg.targetTable)
-          .columns.toSet - graft.warehouse.BucketedCatalog.BucketCol
-        CdcMerge.insertable(stage).columns.toSet == tgtCols
-      }
+    val raw = NdjsonGzSink.read(spark, job.s3Path)
+    // Conform NDJSON-inferred types to the live table: per-batch JSON
+    // inference can flip a column's type (all-numeric strings → bigint),
+    // and a name-only gate would then let a type-divergent parquet slice
+    // into the append path. Casting aligns the types; a genuinely
+    // unconvertible value fails loudly under ANSI instead of writing
+    // mixed-type parquet.
+    val stage =
+      if (catalog.exists(cfg.targetSchema, cfg.targetTable)) {
+        val tgtTypes = catalog.load(cfg.targetSchema, cfg.targetTable)
+          .schema.map(f => f.name -> f.dataType).toMap
+        raw.columns.foldLeft(raw) { (df, c) =>
+          tgtTypes.get(c).filter(_ != df.schema(c).dataType)
+            .map(t => df.withColumn(c, col(c).cast(t))).getOrElse(df)
+        }
+      } else raw
+    // Column-set gate before the R5 append (CdcStream.appendGateOk, the
+    // shared single-job gate): NDJSON drops all-null columns on write, so
+    // an append could otherwise slip a schema-divergent slice into the
+    // target; route those through the merge rewrite instead. job.skipMerge
+    // is the Batcher's decision on the event counts; the gate re-checks
+    // the batch's actual columns.
+    val skip = job.skipMerge && CdcStream.appendGateOk(catalog, cfg, stage)
     if (skip)
       catalog.append(cfg.targetSchema, cfg.targetTable,
         CdcMerge.insertable(stage), pks)

@@ -116,6 +116,20 @@ object CdcStream {
     (masked, spec)
   }
 
+  /** R5 column-set gate, shared by the single-job path and
+    * [[Loader.load]]: append only when the batch's data columns exactly
+    * match the live table's (the BucketedCatalog partition column is
+    * layout, not data) — a schema change (D4 add/drop) must go through
+    * the merge rewrite, as the reference migrates before any load
+    * (load_processor.go:395-444). */
+  private[streaming] def appendGateOk(catalog: TableStore, cfg: TopicConfig,
+      stage: org.apache.spark.sql.DataFrame): Boolean =
+    catalog.exists(cfg.targetSchema, cfg.targetTable) && {
+      val tgtCols = catalog.load(cfg.targetSchema, cfg.targetTable)
+        .columns.toSet - graft.warehouse.BucketedCatalog.BucketCol
+      CdcMerge.insertable(stage).columns.toSet == tgtCols
+    }
+
   /** The foreachBatch body: tombstone filter → per-schema-id groups (T3) →
     * decode/transform/mask → merge or skipMerge append (R1-R5). Returns the
     * per-group Job audit records. */
@@ -129,7 +143,7 @@ object CdcStream {
     // stream (the reference's deserializer rejects them per message,
     // serializer.go:56-64).
     val frames = DebeziumTransform.dropTombstones(batch)
-      .filter(ConfluentAvro.hasMagicByte(col("value")))
+      .filter(ConfluentAvro.isFramed(col("value")))
       .withColumn("__sid", ConfluentAvro.schemaId(col("value")))
     // Schema ids in this batch: tiny driver-side set (one per concurrent
     // schema version — almost always 1, briefly 2 during a migration).
@@ -138,9 +152,13 @@ object CdcStream {
     // Primary keys come from the Kafka key schema (the reference's
     // schemaIdKey, serializer/message.go:25-37): sample one key frame,
     // resolve its schema id against the registry.
+    // Keys get the same framing guard as values: with a non-Avro key
+    // converter upstream (JSON/string keys), schemaId would yield garbage
+    // or null and schemaById would kill the stream — fall back to the
+    // no-key-schema PK path instead.
     val keySchemaJson: Option[String] =
       if (frames.columns.contains("key"))
-        frames.filter(col("key").isNotNull)
+        frames.filter(ConfluentAvro.isFramed(col("key")))
           .select(ConfluentAvro.schemaId(col("key")))
           .limit(1).collect().headOption
           .map(r => fetcher.schemaById(r.getInt(0)))
@@ -167,12 +185,7 @@ object CdcStream {
         // reference likewise migrates the table before any load
         // (load_processor.go:395-444).
         val skip = CdcMerge.skipMergeEligible(creates, updates, deletes) &&
-          catalog.exists(cfg.targetSchema, cfg.targetTable) && {
-            // the BucketedCatalog partition column is layout, not data
-            val tgtCols = catalog.load(cfg.targetSchema, cfg.targetTable)
-              .columns.toSet - graft.warehouse.BucketedCatalog.BucketCol
-            CdcMerge.insertable(cached).columns.toSet == tgtCols
-          }
+          appendGateOk(catalog, cfg, cached)
 
         // PK precedence: explicit config > key schema > first column.
         val pks =
@@ -225,7 +238,10 @@ object CdcStream {
       maxWaitSeconds: Int = 30,
       onBatch: Seq[Job] => Unit = _ => ()): StreamingQuery =
     source.writeStream
-      .queryName(s"graft-cdc-${cfg.targetTable}")
+      // schema-qualified: two topics loading same-named tables in
+      // different schemas must not collide on the query name (Spark
+      // rejects duplicate active names, and RealtimeTracker keys on it)
+      .queryName(s"graft-cdc-${cfg.targetSchema}-${cfg.targetTable}")
       .trigger(Trigger.ProcessingTime(s"$maxWaitSeconds seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

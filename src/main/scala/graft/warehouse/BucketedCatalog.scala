@@ -52,8 +52,37 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
 
   def tablePath(schema: String, table: String): String = s"$root/$schema/$table"
 
-  def exists(schema: String, table: String): Boolean =
+  def exists(schema: String, table: String): Boolean = {
+    recover(schema, table)
     fs.exists(new Path(tablePath(schema, table)))
+  }
+
+  /** Crash recovery for the two swap paths:
+    *  - evolving swap (whole-table two-rename): a crash between the
+    *    renames leaves no table dir but a full copy in `<table>__old` —
+    *    restore it (else a replayed batch would silently re-create the
+    *    table from itself);
+    *  - per-bucket swap: a crash between renaming a bucket aside and
+    *    renaming its replacement in leaves that bucket in
+    *    `<table>__trash/bucket=i` — restore any bucket missing from the
+    *    live table. */
+  private def recover(schema: String, table: String): Unit = {
+    val tgt = new Path(tablePath(schema, table))
+    val old = new Path(tablePath(schema, table) + "__old")
+    if (!fs.exists(tgt) && fs.exists(old) && !fs.rename(old, tgt))
+      throw new IllegalStateException(s"swap recovery failed renaming $old back")
+    val trash = new Path(tablePath(schema, table) + "__trash")
+    if (fs.exists(tgt) && fs.exists(trash)) {
+      fs.listStatus(trash).filter(_.getPath.getName.startsWith(s"$BucketCol="))
+        .foreach { st =>
+          val dst = new Path(tgt, st.getPath.getName)
+          if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+            throw new IllegalStateException(
+              s"bucket recovery failed renaming ${st.getPath} back")
+        }
+      fs.delete(trash, true)
+    }
+  }
 
   private def bucketed(df: DataFrame, pks: Seq[String]): DataFrame =
     df.withColumn(BucketCol, BucketedCatalog.bucketExpr(pks, nBuckets))
@@ -82,6 +111,7 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
     * Tables written before the sidecar existed fall back to mergeSchema
     * (correct, just footer-priced). */
   def load(schema: String, table: String): DataFrame = {
+    recover(schema, table)
     val sidecar = schemaSidecar(schema, table)
     if (fs.exists(sidecar)) {
       val in = fs.open(sidecar)
@@ -169,13 +199,23 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
       val shadow = new Path(tablePath(schema, table) + "__merging")
       bucketed(merged, pks).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
-      // swap only the affected bucket directories into place
+      // swap only the affected bucket directories into place —
+      // rename-aside into __trash, never delete-before-rename: a crash
+      // (or failed rename) between a delete and a rename would lose the
+      // bucket with no copy anywhere; recover() restores any bucket
+      // stranded in __trash on the next catalog operation
+      val trash = new Path(tablePath(schema, table) + "__trash")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      fs.mkdirs(trash)
       affected.foreach { b =>
         val src = new Path(shadow, s"$BucketCol=$b")
         val dst = new Path(tablePath(schema, table), s"$BucketCol=$b")
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst)
+        if (fs.exists(dst) && !fs.rename(dst, new Path(trash, s"$BucketCol=$b")))
+          throw new IllegalStateException(s"swap failed renaming $dst aside")
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new IllegalStateException(s"swap failed renaming $src in")
       }
+      fs.delete(trash, true)
       fs.delete(shadow, true)
     } finally stagedB.unpersist()
   }

@@ -14,7 +14,11 @@ import graft.schema.TypeMapper
   */
 object Ddl {
 
-  private def q(ident: String): String = "\"" + ident + "\""
+  // doubled quotes: an identifier with an embedded `"` (legal in Postgres
+  // sources) must not break out of the quoting — same reason DEFAULT
+  // values escape single quotes below
+  private def q(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** Dialect hooks for the statements whose syntax differs across JDBC
     * warehouses. [[Redshift]] matches the reference's target

@@ -25,7 +25,9 @@ object JdbcRunner {
       conn.commit()
     } catch {
       case e: Throwable =>
-        conn.rollback()
+        // a dead connection makes rollback() itself throw — keep the
+        // original statement failure as the primary diagnostic
+        try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
         throw e
     } finally conn.setAutoCommit(auto)
   }

@@ -28,11 +28,30 @@ final class ParquetCatalog(spark: SparkSession, root: String)
 
   def tablePath(schema: String, table: String): String = s"$root/$schema/$table"
 
-  def exists(schema: String, table: String): Boolean =
+  def exists(schema: String, table: String): Boolean = {
+    recoverSwap(schema, table)
     fs.exists(new Path(tablePath(schema, table)))
+  }
 
-  def load(schema: String, table: String): DataFrame =
+  /** Crash recovery for [[swapInto]]'s two-rename window: if a crash hit
+    * between renaming the table aside and renaming the shadow in, the
+    * table dir is missing while `<table>__old` holds the full pre-swap
+    * data. Restoring it here means the replayed micro-batch (checkpoint
+    * at-least-once semantics) merges against the real table — without
+    * this, `merge()` would see `!exists` and silently re-create the table
+    * from the one batch, and the next swap's trash cleanup would delete
+    * the history. */
+  private def recoverSwap(schema: String, table: String): Unit = {
+    val tgt = new Path(tablePath(schema, table))
+    val old = new Path(tablePath(schema, table + "__old"))
+    if (!fs.exists(tgt) && fs.exists(old) && !fs.rename(old, tgt))
+      throw new IllegalStateException(s"swap recovery failed renaming $old back")
+  }
+
+  def load(schema: String, table: String): DataFrame = {
+    recoverSwap(schema, table)
     spark.read.parquet(tablePath(schema, table))
+  }
 
   /** Create-or-replace from a DataFrame (D3 analogue — schema is carried by
     * parquet, no DDL needed). */

@@ -51,6 +51,35 @@ class BucketedCatalogSpec extends SparkSpec {
     assert(touched.size <= 2, s"touched $touched")
   }
 
+  test("crash recovery: bucket stranded in __trash is restored on load") {
+    val root = tmp()
+    val cat = new BucketedCatalog(spark, root, nBuckets = 4)
+    cat.save("s", "t", (1 to 40).map(i => (i, s"v$i")).toDF("pk", "v"), Seq("pk"))
+    val before = cat.load("s", "t").count()
+    // simulate the crash window: a bucket renamed aside but its
+    // replacement never renamed in
+    val buckets = new java.io.File(s"$root/s/t").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val victim = buckets.head
+    val trash = new java.io.File(s"$root/s/t__trash")
+    assert(trash.mkdirs())
+    assert(victim.renameTo(new java.io.File(trash, victim.getName)))
+    // load() must restore the stranded bucket and clear the trash
+    assert(cat.load("s", "t").count() == before)
+    assert(!trash.exists())
+  }
+
+  test("crash recovery: evolving-swap window restores from __old") {
+    val root = tmp()
+    val cat = new BucketedCatalog(spark, root, nBuckets = 4)
+    cat.save("s", "t", Seq((1, "a"), (2, "b")).toDF("pk", "v"), Seq("pk"))
+    // simulate the crash between rename(tgt, old) and rename(shadow, tgt)
+    assert(new java.io.File(s"$root/s/t")
+      .renameTo(new java.io.File(s"$root/s/t__old")))
+    assert(cat.exists("s", "t")) // recovery restores the table
+    assert(cat.load("s", "t").count() == 2)
+  }
+
   test("first merge creates the bucketed table") {
     val cat = new BucketedCatalog(spark, tmp(), nBuckets = 4)
     val stage = Seq(("1", Cdc.OpCreate, 1, "a"))

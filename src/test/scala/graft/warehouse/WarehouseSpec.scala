@@ -23,6 +23,12 @@ class DdlSpec extends AnyFunSuite {
         """ DISTKEY ("id") COMPOUND SORTKEY ("email")""")
   }
 
+  test("D3 identifiers with embedded double quotes are SQL-escaped") {
+    val weird = spec.copy(columns = spec.columns.map(c =>
+      if (c.name == "email") c.copy(name = "e\"mail") else c))
+    assert(Ddl.createTable(weird).contains("\"e\"\"mail\""))
+  }
+
   test("D3 default values with single quotes are SQL-escaped") {
     val quoted = spec.copy(columns = spec.columns.map(c =>
       if (c.name == "email") c.copy(defaultVal = "O'Brien's") else c))
@@ -142,6 +148,23 @@ class ParquetCatalogSpec extends SparkSpec {
     cat.merge("s", "t", b2, Seq("pk"))
     assert(cat.load("s", "t").as[(Int, String)].collect().toMap ==
       Map(1 -> "a2", 3 -> "c"))
+  }
+
+  test("crash recovery: swap window restores table from __old") {
+    val root = tmp()
+    val cat = new ParquetCatalog(spark, root)
+    cat.save("s", "t", Seq((1, "a"), (2, "b")).toDF("pk", "v"))
+    // simulate a crash between rename(tgt, old) and rename(shadow, tgt):
+    // the table dir is gone, the full data sits in __old
+    assert(new java.io.File(s"$root/s/t")
+      .renameTo(new java.io.File(s"$root/s/t__old")))
+    // without recovery this merge would re-create the table from the
+    // batch alone and the next swap would delete the history
+    val b = Seq(("9", Cdc.OpUpdate, 1, "a2"))
+      .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v")
+    cat.merge("s", "t", b, Seq("pk"))
+    assert(cat.load("s", "t").as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2", 2 -> "b"))
   }
 
   test("D7 release swaps reload table into place atomically") {
