@@ -22,11 +22,17 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** Keep-one projection: drops all but the min-id row per key. */
-  def exactKeep(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
-    df.join(
-      exact(df, keyCols, idCol).select((idCol +: keyCols).map(col): _*),
-      (idCol +: keyCols), "left_semi")
+  /** Keep-one projection: drops all but the min-id row per key. Null-safe
+    * join keys: groupBy treats null keys as one group, so the semi-join
+    * must too — a plain equality would silently DROP every null-key row
+    * instead of keeping one. */
+  def exactKeep(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val keep = exact(df, keyCols, idCol)
+      .select((idCol +: keyCols).map(c => col(c).as(s"__keep_$c")): _*)
+    val cond = (idCol +: keyCols).map(c => col(c) <=> col(s"__keep_$c"))
+      .reduce(_ && _)
+    df.join(keep, cond, "left_semi")
+  }
 
   /** Incremental (ingest-time) dedup: keep the batch rows whose key is
     * new — first within the batch itself AND absent from the accumulated
@@ -153,8 +159,13 @@ object Dedup {
   }
 
   /** LSH banding: split a signature into `bands` equal bands and hash each;
-    * docs sharing any (band, hash) are candidates. */
+    * docs sharing any (band, hash) are candidates. `bands` must divide
+    * `numHashes`: truncating division would give 0-row bands whose key is
+    * constant — every row collides with every row and the banded join
+    * silently degenerates to the all-pairs cross join it exists to avoid. */
   def lshBandKeys(sig: Column, bands: Int, numHashes: Int): Column = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     array((0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -211,6 +222,8 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5): DataFrame = {
     import graft.functions.Portable
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     val hashed = explodedShingles(df, idCol, textCol, n)
       .select(col("id"), Portable.h31(col("shingle")).as("h"))
@@ -265,7 +278,14 @@ object Dedup {
   }
 
   /** SimHash candidate pairs: band the 64 bits into `chunks` pieces; any
-    * shared chunk → candidate; verify by Hamming distance <= maxHamming. */
+    * shared chunk → candidate; verify by Hamming distance <= maxHamming.
+    *
+    * Recall contract: the pigeonhole guarantee (a pair within distance d
+    * must share a chunk) only holds for `maxHamming < chunks` — with
+    * `maxHamming >= chunks` the result is the BANDED CANDIDATE set
+    * (pairs within maxHamming that also share a chunk), a deliberate
+    * recall/cost trade like any LSH; raise `chunks` for completeness at
+    * larger distances. */
   def simHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3): DataFrame =
@@ -382,6 +402,10 @@ object Dedup {
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      // the superseded checkpoint's blocks are dead once `changed` has
+      // consumed them — free them, or a long component chain retains one
+      // full label set per round in executor storage
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -123,21 +123,23 @@ object Multimodal {
     val idx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       codec.open()
-      val it = rows.map { r =>
+      registerClose(codec)
+      rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         val feats = if (bytes == null) null else codec.features(bytes, dim)
         Row.fromSeq(r.toSeq :+ feats)
       }
-      // close when the iterator is exhausted (no CompletionIterator dep)
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h) codec.close()
-          h
-        }
-        def next(): Row = it.next()
-      }
     }(enc)
+  }
+
+  /** Close the codec when the TASK ends, not when the iterator drains:
+    * a downstream limit/take abandons the iterator early (exhaustion-
+    * based close never fires → native handle leak), and exhaustion
+    * checks can double-close on repeated hasNext. Task completion fires
+    * exactly once, on success, early-exit, and failure alike. */
+  private def registerClose(codec: MediaCodec): Unit = {
+    val ctx = org.apache.spark.TaskContext.get()
+    if (ctx != null) { ctx.addTaskCompletionListener[Unit](_ => codec.close()); () }
   }
 
   /** Resize: per-partition decode→scale→re-encode. Same lifecycle shape. */
@@ -148,6 +150,7 @@ object Multimodal {
     val idx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       codec.open()
+      registerClose(codec)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         val out = if (bytes == null) null else codec.resize(bytes, w, h)
@@ -170,12 +173,21 @@ object Multimodal {
           greatest(col("meta.n_frames") - 1, lit(0)), lit(everyNth)))
           .as("frame_idx"))
 
-  /** Balance partitions by payload bytes before a decode pass: media rows
-    * are wildly skewed (a 4 KB thumbnail vs a 40 MB clip), so range-
-    * repartition on cumulative size, not row count. */
+  /** Balance partitions by payload BYTES before a decode pass: media rows
+    * are wildly skewed (a 4 KB thumbnail vs a 40 MB clip). Rows scatter
+    * by a content-prefix hash, which lands the large payloads uniformly
+    * across partitions (statistically byte-balanced; exact LPT packing
+    * would need a global sort). A range-repartition on the size column
+    * would do the OPPOSITE of balancing — co-locate every big clip in
+    * the same partition — and plain round-robin balances row counts,
+    * not bytes. Hashing only a 64-byte prefix + the length keeps the
+    * stripe key cheap on multi-MB payloads and deterministic across
+    * retries (unlike monotonically_increasing_id). */
   def repartitionBySize(df: DataFrame, mediaCol: String,
       targetPartitions: Int): DataFrame =
-    df.withColumn("__sz", length(col(mediaCol)))
-      .repartitionByRange(targetPartitions, col("__sz"))
-      .drop("__sz")
+    df.withColumn("__stripe",
+        pmod(xxhash64(substring(col(mediaCol), 1, 64), length(col(mediaCol))),
+          lit(targetPartitions.toLong)))
+      .repartition(targetPartitions, col("__stripe"))
+      .drop("__stripe")
 }

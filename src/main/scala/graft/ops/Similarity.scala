@@ -153,6 +153,10 @@ object Similarity {
   private def bandedDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numPlanes: Int, bands: Int, signature: Column => Column): DataFrame = {
+    // bitsPer=0 would mask every band key to 0 — all rows collide in all
+    // bands and the banded join degenerates to the all-pairs cross join
+    require(bands > 0 && numPlanes % bands == 0,
+      s"bands=$bands must divide numPlanes=$numPlanes")
     val bitsPer = numPlanes / bands
     val bandMasks = (0 until bands)
       .map(b => (((1L << bitsPer) - 1) << (b * bitsPer), b))

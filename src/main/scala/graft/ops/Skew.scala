@@ -31,10 +31,18 @@ object Skew {
     * (keys…, salt), splitting each hot key across n partitions. */
   def saltedJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String],
-      saltSrc: Column, n: Int, joinType: String = "inner"): DataFrame =
+      saltSrc: Column, n: Int, joinType: String = "inner"): DataFrame = {
+    // the small side is replicated once per salt, so join types that
+    // emit unmatched SMALL-side rows (right/full outer) would return
+    // each such row n times — refuse rather than silently multiply
+    val safe = Set("inner", "cross", "left", "leftouter", "leftsemi",
+      "semi", "leftanti", "anti")
+    require(safe.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti join types, got $joinType")
     addSalt(big, saltSrc, n)
       .join(replicate(small, n), keys :+ SaltCol, joinType)
       .drop(SaltCol)
+  }
 
   /** Skew-resistant count per key: salted partial counts, then a second
     * (tiny) aggregation over n partials per key. */

@@ -214,10 +214,13 @@ object TextOps {
     * so an SQL oracle reproduces scores exactly; the RANKING it induces
     * matches log-idf's (both are monotone decreasing in df for fixed tf).
     *
-    * Plan: token explode → (doc, term) tf agg → term df agg (broadcast
-    * back: the vocabulary is tiny next to the corpus) → per-doc window
-    * top-k. Two shuffles + one window, all partial-aggregated map-side;
-    * ties broken (df, term) so output is deterministic. */
+    * Plan: token explode → (doc, term) tf agg → term df agg → join back →
+    * per-doc window top-k. The tf↔df join is left to AQE: on a small
+    * vocabulary it converts to a broadcast join at runtime; at corpus
+    * scale the distinct-term table grows with the corpus (ids, typos,
+    * hashes — far past any broadcast cap), where the shuffle join on
+    * `term` is the only shape that survives. Ties broken (df, term) so
+    * output is deterministic. */
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val n = df.count()
@@ -227,7 +230,7 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("df").asc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .withColumn("score",
         col("tf").cast(DoubleType) * lit(n + 1.0) / (col("df") + lit(1L)))
       .withColumn("rank", row_number().over(w))
@@ -249,21 +252,24 @@ object TextOps {
     * documents (oov_rate 0). */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 1000): DataFrame = {
-    val withToks = df.select(col(idCol).as("id"),
-      tokens(normalized(col(textCol))).as("__toks"))
-    val toks = withToks.select(col("id"), explode(col("__toks")).as("term"))
+    // two tokenization passes total (vocabulary build + coverage count) —
+    // the token and in-vocabulary counts come from ONE aggregation over
+    // the explode (a separate per-row size() projection would be a third
+    // full tokenize); zero-token documents rejoin via the id left join
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(normalized(col(textCol)))).as("term"))
     val vocab = toks
       .groupBy("term").agg(countDistinct(col("id")).as("df"))
       .orderBy(col("df").desc, col("term")).limit(topK)
-      .select("term")
-    val inVocab = toks.join(broadcast(vocab), Seq("term"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("__in"))
-    withToks
-      .select(col("id"), size(col("__toks")).cast(LongType).as("n_tokens"))
-      .join(inVocab, Seq("id"), "left")
-      .select(col("id"), col("n_tokens"),
+      .select(col("term"), lit(1).as("__inv"))
+    val counts = toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("id").agg(count(lit(1)).as("__n"), count(col("__inv")).as("__in"))
+    df.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
         coalesce(col("__in"), lit(0L)).as("n_in_vocab"),
-        repFrac(col("n_tokens") - coalesce(col("__in"), lit(0L)),
-          col("n_tokens")).as("oov_rate"))
+        repFrac(coalesce(col("__n"), lit(0L)) - coalesce(col("__in"), lit(0L)),
+          coalesce(col("__n"), lit(0L))).as("oov_rate"))
   }
 }

@@ -119,6 +119,26 @@ class DedupSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("exactKeep keeps one row per null-key group (null-safe semi join)") {
+    val df = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "k")
+    val kept = Dedup.exactKeep(df, Seq("k"), "id")
+      .select("id").as[Long].collect().toSet
+    // a null-unsafe join would drop ids 2 and 3 entirely
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("banding rejects non-dividing band counts (degenerate cross join)") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandKeys(col("sig"), bands = 7, numHashes = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairs(
+        Seq((1L, Array(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0.5, numPlanes = 16, bands = 32)
+    }
+  }
+
   test("shingles: distinct n-grams, short text empty") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
       .as[(Long, Seq[String])].collect().toMap
