@@ -185,9 +185,11 @@ object Multimodal {
     * retries (unlike monotonically_increasing_id). */
   def repartitionBySize(df: DataFrame, mediaCol: String,
       targetPartitions: Int): DataFrame =
+    // the raw 64-bit hash feeds the partitioner (repartition re-hashes the
+    // expression): pre-folding it to n residues would leave only n distinct
+    // values, whose re-hash can collide into fewer partitions
     df.withColumn("__stripe",
-        pmod(xxhash64(substring(col(mediaCol), 1, 64), length(col(mediaCol))),
-          lit(targetPartitions.toLong)))
+        xxhash64(substring(col(mediaCol), 1, 64), length(col(mediaCol))))
       .repartition(targetPartitions, col("__stripe"))
       .drop("__stripe")
 }

@@ -73,6 +73,24 @@ class MultimodalSpec extends SparkSpec {
       .rdd.getNumPartitions
     assert(parts == 2)
   }
+
+  test("repartitionBySize spreads large payloads across partitions") {
+    import spark.implicits._
+    // 64 big clips + 64 small thumbnails: a range-repartition on size
+    // would put ALL big payloads in one partition; the hash stripe must
+    // spread bytes to within a small factor
+    val skewed = ((1 to 64).map(i => (i.toLong, Array.fill(10000)(i.toByte))) ++
+      (65 to 128).map(i => (i.toLong, Array.fill(10)(i.toByte))))
+      .toDF("id", "media")
+    val bytesPerPart = Multimodal.repartitionBySize(skewed, "media", 2)
+      .rdd.mapPartitions(it =>
+        Iterator(it.map(_.getAs[Array[Byte]]("media").length.toLong).sum))
+      .collect()
+    assert(bytesPerPart.length == 2)
+    assert(bytesPerPart.min > 0)
+    assert(bytesPerPart.max.toDouble / bytesPerPart.min < 3.0,
+      s"byte-skewed partitions: ${bytesPerPart.toSeq}")
+  }
 }
 
 object MultimodalSpec {
