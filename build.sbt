@@ -15,6 +15,15 @@ run / fork := true
 // prefix: graft.Bench prints one bare JSON line on stdout that downstream
 // tooling parses, and the prefix would poison that parse.
 run / outputStrategy := Some(StdoutOutput)
+// …and nothing may print AFTER it: sbt's closing "[success] Total time: …"
+// line lands on stdout after the forked JVM exits, so a parser that reads
+// the LAST line gets sbt's trailer instead of the JSON (BENCH r3 parsed
+// null for exactly this). Suppress the success/timing trailer globally.
+Global / showSuccess := false
+Global / showTiming := false
+// both keys are consumed by sbt's command engine, not a task — lintUnused
+// can't see that and would warn on every load
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -361,31 +361,39 @@ object Dedup {
     * isolated ids come out as their own cluster. */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // symmetric edge list: propagate along both directions. Materialized
-    // once — `pairs` is typically a whole near-dup detection pipeline,
-    // and every propagation round (plus the convergence check) would
-    // otherwise re-run it from the scan.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair pipeline ONCE: `pairs` is typically a whole
+    // near-dup detection pipeline, and both the symmetric union below and
+    // every propagation round would otherwise re-run it from the scan
+    // (the naive `pairs.union(pairs.swap)` plan computes the detection
+    // joins twice even before the first round).
+    val half = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
+    // symmetric edge list from the checkpointed blocks — a narrow
+    // double-scan, not a double pipeline run
+    val edges = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst")))
     // iterate ONLY over nodes with at least one edge: isolated ids are
     // their own cluster by definition and would just ride along through
     // every round — near-dup components are typically a small fraction of
     // the corpus, so this shrinks the per-round joins from O(corpus) to
-    // O(component members) at any scale.
-    val members = edges.select(col("src").as("id")).distinct()
-    var labels = members.select(col("id"), col("id").as("cluster"))
+    // O(component members) at any scale. Initial label = min(id, min
+    // neighbor): one aggregation that IS round 1's neighbor-min, fused
+    // with the member-set computation (star components finish here).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over own label and all neighbors' labels
+      // min over own label and all neighbors' labels; carry the incoming
+      // label as `prev` so convergence is a scan over the checkpointed
+      // result, not another join+shuffle per round
       val viaNeighbors = edges
         .join(labels.withColumnsRenamed(Map("id" -> "src", "cluster" -> "c")),
           "src")
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
       // pointer jumping: also adopt the label OF the current label (labels
@@ -395,24 +403,24 @@ object Dedup {
       // which is what makes the fixpoint reachable within maxIter on
       // adversarial long chains at scale.
       val next = stepped.as("x")
-        .join(stepped.withColumnsRenamed(
-          Map("id" -> "pid", "cluster" -> "pc")), col("cluster") === col("pid"))
-        .select(col("id"), least(col("cluster"), col("pc")).as("cluster"))
+        .join(stepped.select(col("id").as("pid"), col("cluster").as("pc")),
+          col("cluster") === col("pid"))
+        .select(col("id"), least(col("cluster"), col("pc")).as("cluster"),
+          col("prev"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
-      // the superseded checkpoint's blocks are dead once `changed` has
-      // consumed them — free them, or a long component chain retains one
+      val changed = next.filter(col("cluster") =!= col("prev"))
+        .limit(1).count()
+      // the superseded checkpoint's blocks are dead once `next` is
+      // materialized — free them, or a long component chain retains one
       // full label set per round in executor storage
       labels.unpersist()
-      labels = next
+      labels = next.drop("prev")
       converged = changed == 0
       iter += 1
     }
     // isolated ids come back as their own cluster
     val isolated = ids.select(col(idCol).as("id"))
-      .join(members, Seq("id"), "left_anti")
+      .join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
     labels.union(isolated)
   }
