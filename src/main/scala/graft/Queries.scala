@@ -4,7 +4,7 @@ import graft.cdc.Temporal
 import graft.core.Cdc
 import graft.mask.{MaskConfig, Masker}
 import graft.merge.CdcMerge
-import graft.ops.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{AsOf, Dedup, Ivf, Multimodal, Packing, Sampling, SemDedup, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -489,6 +489,33 @@ object Queries {
         "embedding", threshold = 0.30, numPlanes = 16, bands = 8, dim = 64)
         .select("id_a", "id_b")),
 
+    "q_x_semdedup" -> ((s, dir) => {
+      // SemDeDup: near-dup pairs within k-means cells only — the geometric
+      // candidate bound (vs the probabilistic LSH bound of embed_dup_lsh);
+      // md5-seeded training makes cells AND pairs oracle-replayable.
+      val emb = rd(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      SemDedup.pairs(emb, "vec_id", "embedding", model, threshold = 0.30)
+        .select("id_a", "id_b", "cell")
+    }),
+
+    "q_x_semdedup_keep" -> ((s, dir) => {
+      // the curation projection: corpus minus greedy min-id duplicates
+      val emb = rd(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      SemDedup.keep(emb, "vec_id", "embedding", model, threshold = 0.30)
+        .select("vec_id")
+    }),
+
+    "q_x_cell_sample" -> ((s, dir) => {
+      // cell-balanced deterministic sample: ≤10 per k-means cell by
+      // md5-order — diversity-preserving curation (rare semantic regions
+      // keep representation); one window shuffle on the cell key.
+      val emb = rd(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      SemDedup.cellSample(emb, "vec_id", "embedding", model, perCell = 10)
+    }),
+
     // ================= temporal joins ===================================
     "q_x_asof_join" -> ((s, dir) => {
       // each event picks up the customer's latest order at event time
@@ -529,6 +556,18 @@ object Queries {
       // reproducible on any cluster size / engine
       Sampling.stratified(rd(s, dir, "documents"), Seq("lang"), "doc_id", 20)
         .select(col("lang"), col("doc_id"), col("rk").cast(LongType).as("rk"))),
+
+    "q_x_pack" -> ((s, dir) =>
+      // sequence packing: shard-local next-fit by running token total —
+      // the curation→batch-assembly step; one shard-key shuffle, windows
+      // sort within shards only (no global sort at any scale)
+      Packing.nextFit(
+          docs(s, dir).select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 80L, shards = 8)
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+          col("shard").cast(LongType).as("shard"), col("pack_id"),
+          col("pack_pos"), col("oversize").cast(LongType).as("oversize"))),
 
     "q_x_pii_scrub" -> ((s, dir) => {
       // corpus has no real PII, so the query plants deterministic synthetic
@@ -691,38 +730,48 @@ object Queries {
     * means, probe the 2 nearest cells, exact cosine re-rank. Every
     * floating step mirrors the Spark formula tree (see Ivf.scala), so the
     * approximate ANN operator is value-checked end to end. */
-  private val ivfOracleSql: String = {
-    // one nearest-centroid assignment pass against centroid CTE `cIn`
-    def assignBlock(name: String, cIn: String, filter: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, e, cell FROM (
-         |    SELECT v.vec_id, v.e, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        (list_inner_product(v.e, v.e) - 2.0 * list_inner_product(v.e, c.c)) + list_inner_product(c.c, c.c),
-         |        c.cell) AS rn
-         |    FROM emb v, $cIn c$filter)
-         |  WHERE rn = 1)""".stripMargin
-    // per-(cell, dim) exact-decimal mean; empty cells keep their centroid
-    def meanBlock(aIn: String, mOut: String, cIn: String, cOut: String): String =
-      s"""$mOut AS (
-         |  SELECT cell, j.range AS pos,
-         |    CAST(sum(CAST(e[CAST(j.range AS INT) + 1] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
-         |  FROM $aIn, range(64) j GROUP BY cell, j.range),
-         |$cOut AS (
-         |  SELECT cell, list(m ORDER BY pos) AS c FROM $mOut GROUP BY cell
-         |  UNION ALL
-         |  SELECT cell, c FROM $cIn WHERE cell NOT IN (SELECT cell FROM $mOut))""".stripMargin
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+  // one nearest-centroid assignment pass against centroid CTE `cIn`
+  private def ivfAssignBlock(name: String, cIn: String, filter: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT v.vec_id, v.e, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        (list_inner_product(v.e, v.e) - 2.0 * list_inner_product(v.e, c.c)) + list_inner_product(c.c, c.c),
+       |        c.cell) AS rn
+       |    FROM emb v, $cIn c$filter)
+       |  WHERE rn = 1)""".stripMargin
+
+  // per-(cell, dim) exact-decimal mean; empty cells keep their centroid
+  private def ivfMeanBlock(aIn: String, mOut: String, cIn: String,
+      cOut: String): String =
+    s"""$mOut AS (
+       |  SELECT cell, j.range AS pos,
+       |    CAST(sum(CAST(e[CAST(j.range AS INT) + 1] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+       |  FROM $aIn, range(64) j GROUP BY cell, j.range),
+       |$cOut AS (
+       |  SELECT cell, list(m ORDER BY pos) AS c FROM $mOut GROUP BY cell
+       |  UNION ALL
+       |  SELECT cell, c FROM $cIn WHERE cell NOT IN (SELECT cell FROM $mOut))""".stripMargin
+
+  /** CTE chain replaying Ivf.train(k=8, iters=2) end to end: `emb` (all
+    * vectors, doubles) → md5-order seeds `c0` → two Lloyd passes → final
+    * centroids `c2`. Shared by every oracle that consumes cell structure
+    * (q_x_ann_ivf, q_x_semdedup*, q_x_cell_sample). */
+  private val ivfTrainCtes: String =
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (
        |  SELECT cell, c FROM (
        |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, e AS c
        |    FROM emb)
        |  WHERE cell < 8),
-       |${assignBlock("a1", "c0", "")},
-       |${meanBlock("a1", "m1", "c0", "c1")},
-       |${assignBlock("a2", "c1", "")},
-       |${meanBlock("a2", "m2", "c1", "c2")},
+       |${ivfAssignBlock("a1", "c0", "")},
+       |${ivfMeanBlock("a1", "m1", "c0", "c1")},
+       |${ivfAssignBlock("a2", "c1", "")},
+       |${ivfMeanBlock("a2", "m2", "c1", "c2")}""".stripMargin
+
+  private val ivfOracleSql: String = {
+    s"""WITH $ivfTrainCtes,
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
        |pd AS (
        |  -- sequential left-to-right fold, mirroring Model.nearest's
        |  -- dimension-order loop (an unordered double SUM could differ in
@@ -735,7 +784,7 @@ object Queries {
        |      (a, b) -> a + b) AS d2
        |  FROM c2 c, q),
        |probes AS (SELECT cell FROM pd ORDER BY d2, cell LIMIT 2),
-       |${assignBlock("af", "c2", " WHERE v.vec_id <> 0")},
+       |${ivfAssignBlock("af", "c2", " WHERE v.vec_id <> 0")},
        |scored AS (
        |  SELECT af.vec_id,
        |    CASE WHEN sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(q.qe, q.qe)) > 0
@@ -744,6 +793,38 @@ object Queries {
        |  FROM af, q WHERE af.cell IN (SELECT cell FROM probes))
        |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
   }
+
+  // within-cell exact-cosine pair CTE over the final assignment `af` —
+  // the same nrm-product-then-divide arithmetic the Spark side codegens
+  private val semdedupPairsCte: String =
+    s"""${ivfAssignBlock("af", "c2", "")},
+       |sdpairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS BIGINT) AS cell
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CASE WHEN sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)) > 0
+       |        THEN list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))
+       |        ELSE 0.0 END >= 0.30)""".stripMargin
+
+  private val semdedupOracleSql: String =
+    s"""WITH $ivfTrainCtes,
+       |$semdedupPairsCte
+       |SELECT id_a, id_b, cell FROM sdpairs""".stripMargin
+
+  private val semdedupKeepOracleSql: String =
+    s"""WITH $ivfTrainCtes,
+       |$semdedupPairsCte
+       |SELECT vec_id FROM emb
+       |WHERE vec_id NOT IN (SELECT id_b FROM sdpairs)""".stripMargin
+
+  private val cellSampleOracleSql: String =
+    s"""WITH $ivfTrainCtes,
+       |${ivfAssignBlock("af", "c2", "")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM af)
+       |WHERE rn <= 10""".stripMargin
 
   /** Query-time LSH ANN: portable signatures for corpus AND query, probe
     * = Hamming ≤ 2 on the 16-bit signature, exact cosine rerank. */
@@ -781,6 +862,34 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
+    "q_x_semdedup" -> semdedupOracleSql,
+    "q_x_semdedup_keep" -> semdedupKeepOracleSql,
+    "q_x_cell_sample" -> cellSampleOracleSql,
+
+    // shard-local next-fit packing: the ROWS running sum equals Spark's
+    // RANGE frame because (h, doc_id) is a total order (doc_id unique)
+    "q_x_pack" -> {
+      val h = graft.functions.Portable.h60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n,
+         |    $h AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n, h, CAST(h % 8 AS INT) AS shard,
+         |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |                 ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(shard AS BIGINT) AS shard,
+         |  CAST(floor(CAST(cum - n AS DOUBLE) / 80) AS BIGINT) AS pack_id,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY shard, floor(CAST(cum - n AS DOUBLE) / 80)
+         |    ORDER BY h, doc_id) AS BIGINT) AS pack_pos,
+         |  CAST(n > 80 AS BIGINT) AS oversize
+         |FROM c""".stripMargin
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", arXiv:2303.09540): k-means-partition the embedding
+  * space into cells, then search for near-duplicate pairs WITHIN each
+  * cell only. Complements the hyperplane-LSH path
+  * ([[Similarity.cosineDupPairs]]): LSH bands bound the candidate set
+  * probabilistically, SemDeDup bounds it geometrically — and the cell id
+  * doubles as a curriculum/diversity key for downstream sampling.
+  *
+  * Scale design: the only shuffle is the equi-join on the cell id, so the
+  * all-pairs blowup is confined to within-cell candidate sets. At corpus
+  * scale `k` grows with the corpus (k ≈ n / targetCellSize, the paper runs
+  * 50k cells for LAION) keeping per-cell work bounded; a skewed (giant)
+  * cell is handled the same way any skewed join key is — raise `k` or
+  * recursively re-cluster the offending cell. Centroids are a k×dim
+  * driver-side artifact embedded as literals ([[Ivf.Model]]) — assignment
+  * is a narrow codegen'd projection, not a join.
+  *
+  * Determinism: training ([[Ivf.train]]) is md5-seeded with exact-DECIMAL
+  * means, and the verify cosine accumulates left-to-right in double — so
+  * an external SQL engine replays cells AND pairs bit-for-bit (the
+  * q_x_semdedup oracle does, end to end).
+  */
+object SemDedup {
+
+  /** Near-duplicate pairs (id_a < id_b) with their cell id: exact cosine
+    * within k-means cells. Norms are computed once per row before the
+    * join, so each candidate pair costs one codegen'd dot product. */
+  def pairs(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
+      threshold: Double): DataFrame = {
+    val a = Ivf.assign(df, vecCol, model)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"),
+        col("__cluster").as("cell"))
+    a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cell").cast("long").as("cell"),
+        when(col("a.nrm") * col("b.nrm") > 0,
+          Similarity.dot(col("a.vec"), col("b.vec")) /
+            (col("a.nrm") * col("b.nrm")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Keep-one projection: drops every row that near-duplicates a
+    * smaller-id row in its cell (the greedy min-id keep rule — one
+    * deterministic representative per duplicate chain; the paper keeps a
+    * random member, which is not replayable). Broadcast of the drop-ids
+    * is appropriate: duplicates are a small fraction of the corpus, and
+    * the anti-join then never shuffles the corpus side. */
+  def keep(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
+      threshold: Double): DataFrame = {
+    val drop = pairs(df, idCol, vecCol, model, threshold)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(broadcast(drop), col(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** Cell-balanced deterministic sample: at most `perCell` rows per
+    * k-means cell, chosen by md5-order within the cell (replayable by any
+    * SQL engine — no rand()). The diversity-preserving counterpart of
+    * uniform sampling for training-data curation: rare semantic regions
+    * keep representation instead of being washed out by dense ones.
+    * One window over the cell partition — a single key shuffle. */
+  def cellSample(df: DataFrame, idCol: String, vecCol: String,
+      model: Ivf.Model, perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    Ivf.assign(df, vecCol, model)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCell)
+      .select(col(idCol), col("__cluster").cast("long").as("cell"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters (anchor dims 0 / 1); inside each, ids 0/1
+  // (resp. 20/21) are near-identical (cosine ≈ 1) while every other member
+  // carries a 30-unit tail in its OWN dimension, keeping non-dup cosines
+  // ≤ 0.96 (100²/(100²+30²) ≈ 0.917 tail-tail, ≈ 0.958 anchor-tail)
+  private val dim = 50
+  private def vec(anchor: Int, dup: Option[Float], tail: Option[Int]): Array[Float] = {
+    val a = Array.fill(dim)(0f)
+    a(anchor) = 100f
+    dup.foreach(eps => a(2) = eps)
+    tail.foreach(t => a(t) = 30f)
+    a
+  }
+  private def vecs = ((0 until 20).map { i =>
+    val x = if (i <= 1) vec(0, Some(0.01f * i), None)
+            else vec(0, None, Some(10 + i))
+    (i.toLong, x)
+  } ++ (20 until 40).map { i =>
+    val x = if (i <= 21) vec(1, Some(0.01f * (i - 20)), None)
+            else vec(1, None, Some(10 + i))
+    (i.toLong, x)
+  }).toDF("vec_id", "embedding")
+
+  private def model = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 3)
+
+  test("pairs finds within-cell near-dups and only within-cell ones") {
+    val p = SemDedup.pairs(vecs, "vec_id", "embedding", model,
+      threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p.contains((0L, 1L)))
+    assert(p.contains((20L, 21L)))
+    // no cross-cluster pair can appear: the join key is the cell
+    assert(p.forall { case (a, b) => (a < 20) == (b < 20) })
+  }
+
+  test("pairs within a cell match brute force over that cell") {
+    val m = model
+    val assigned = Ivf.assign(vecs, "embedding", m)
+    val cellOf0 = assigned.filter(col("vec_id") === 0)
+      .select("__cluster").as[Int].head()
+    val cell = assigned.filter(col("__cluster") === cellOf0)
+      .select("vec_id", "embedding")
+    val brute = Similarity.bruteForcePairs(cell, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = SemDedup.pairs(vecs, "vec_id", "embedding", m, 0.9)
+      .filter(col("id_a").isin(brute.map(_._1).toSeq ++ brute.map(_._2): _*))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.subsetOf(sem))
+  }
+
+  test("keep drops exactly the greedy min-id duplicates") {
+    val kept = SemDedup.keep(vecs, "vec_id", "embedding", model, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // 1 duplicates 0, 21 duplicates 20 → the larger ids are dropped
+    assert(!kept.contains(1L) && !kept.contains(21L))
+    assert(kept.contains(0L) && kept.contains(20L))
+    assert(kept.size == 38)
+  }
+
+  test("cellSample caps per cell, is deterministic, keeps both cells") {
+    val s1 = SemDedup.cellSample(vecs, "vec_id", "embedding", model, 5)
+    val s2 = SemDedup.cellSample(vecs, "vec_id", "embedding", model, 5)
+    assert(s1.collect().toSet == s2.collect().toSet)
+    val perCell = s1.groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(perCell.values.forall(_ == 5) && perCell.size == 2)
+  }
+}
