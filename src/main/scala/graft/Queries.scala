@@ -383,6 +383,23 @@ object Queries {
         .select(col("id").as("doc_id"), col("term"), col("rank"),
           col("score"))),
 
+    "q_x_contamination" -> ((s, dir) =>
+      // eval-leakage gate: flag docs sharing 3-gram shingles with the
+      // "benchmark" (every 50th doc — a deterministic stand-in eval set);
+      // benchmark shingles broadcast, corpus side never shuffles to probe
+      Dedup.contamination(docs(s, dir), "doc_id", "text",
+          rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text",
+          n = 3, minHits = 1)
+        .select(col("id").as("doc_id"), col("n_hits"),
+          col("contaminated").cast(LongType).as("contaminated"))),
+
+    "q_x_chunk" -> ((s, dir) =>
+      // token-window chunking (40-token windows, 8-token overlap) — the
+      // downstream of q_x_pack's oversize flag; pure per-row explode
+      TextOps.chunk(docs(s, dir), "doc_id", "text", budget = 40, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          col("chunk_tokens"), col("chunk"))),
+
     "q_x_minhash_lsh" -> ((s, dir) =>
       // portable (md5-family) variant → full DuckDB value oracle; the
       // xxhash64 fast path is spec-tested (DedupSpec).
@@ -890,6 +907,41 @@ object Queries {
          |  CAST(n > 80 AS BIGINT) AS oversize
          |FROM c""".stripMargin
     },
+
+    "q_x_contamination" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM d0 WHERE len(w) >= 3),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bsh USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // chunk k covers tokens [k*32+1, k*32+40] (1-based, stride 32 =
+    // budget 40 − overlap 8); trailing chunk clamps; blank text → no rows
+    "q_x_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN []
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    greatest(1, CAST(ceil(CAST(len(w) - 8 AS DOUBLE) / 32) AS BIGINT)) AS nk
+        |  FROM d WHERE len(w) > 0),
+        |c AS (SELECT doc_id, w, n, unnest(range(nk)) AS cid FROM k)
+        |SELECT doc_id, cid AS chunk_id,
+        |  least(40, n - cid * 32) AS chunk_tokens,
+        |  array_to_string(w[CAST(cid*32 + 1 AS INT):CAST(cid*32 + 40 AS INT)], ' ') AS chunk
+        |FROM c""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

@@ -343,6 +343,34 @@ object Dedup {
     simHashBandJoin(simHashSignaturesPortable(df, idCol, textCol), 60,
       chunks, maxHamming)
 
+  /** Benchmark decontamination — the eval-leakage gate every pretraining
+    * pipeline runs: flag corpus documents sharing word n-gram shingles
+    * with a benchmark/eval set (the GPT-3/PaLM-style 13-gram collision
+    * test; `n` is a parameter since synthetic corpora need smaller
+    * grams). Returns one row per corpus document: distinct-shingle hit
+    * count and the `contaminated` flag (hits ≥ minHits).
+    *
+    * Scale shape: the benchmark is the SMALL side by construction (eval
+    * sets are MBs against a 100 TB corpus) — its distinct shingles are
+    * broadcast, so the corpus-side explode never shuffles for the probe;
+    * the only wide op is the per-doc hit-count aggregation (map-side
+    * partial over the doc id the explode already carries). */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      minHits: Int = 1): DataFrame = {
+    val docSh = explodedShingles(corpus, idCol, textCol, n)
+    val benchSh = explodedShingles(
+        benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, n)
+      .select("shingle").distinct()
+    val hits = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
   /** Duplicate-cluster resolution: the step a dedup pipeline ends with.
     * Near-dup detection yields PAIRS; keep-one-per-group needs the
     * connected COMPONENTS of the pair graph (A~B, B~C ⇒ {A,B,C} even if

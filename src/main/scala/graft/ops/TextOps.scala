@@ -207,6 +207,43 @@ object TextOps {
       "n_phones" -> regexp_count(t, lit(PhoneRe)).cast(LongType))
   }
 
+  /** Token-window chunking — the downstream of [[graft.ops.Packing]]'s
+    * `oversize` flag: split each document into windows of `budget`
+    * whitespace tokens overlapping by `overlap` (context continuity for
+    * training/embedding). Chunk k covers token positions
+    * [k·(budget−overlap), k·(budget−overlap)+budget); the last chunk may
+    * be short; a document of ≤ budget tokens yields itself; zero-token
+    * documents yield no chunks. Chunk text is the tokens re-joined with
+    * single spaces (original whitespace is not preserved — chunking
+    * feeds tokenizers, not renderers).
+    *
+    * Pure per-row explode — tokenize once into a materialized column (the
+    * lambda re-evaluation trap), no shuffle, linear in corpus size. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && budget > overlap,
+      s"need budget=$budget > overlap=$overlap >= 0")
+    val stride = budget - overlap
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"), size(col("__toks")).as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__k",
+        greatest(lit(1L),
+          ceil((col("__n") - lit(overlap)).cast(DoubleType) / stride)
+            .cast(LongType)))
+      .select(col("id"), col("__n"),
+        posexplode(transform(
+          sequence(lit(0L), col("__k") - 1),
+          k => array_join(
+            slice(col("__toks"), (k * stride + 1).cast(IntegerType),
+              lit(budget)),
+            " "))))
+      .select(col("id"), col("pos").cast(LongType).as("chunk_id"),
+        least(lit(budget.toLong), col("__n") - col("pos") * stride)
+          .as("chunk_tokens"),
+        col("col").as("chunk"))
+  }
+
   /** Corpus keyword extraction: top-`k` terms per document by rational
     * tf-idf — score = tf · (N+1)/(df+1), N = corpus size, df = document
     * frequency. Rational (no logarithm) on purpose: libm `log` is not
