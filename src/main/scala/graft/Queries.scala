@@ -574,6 +574,14 @@ object Queries {
       Sampling.stratified(rd(s, dir, "documents"), Seq("lang"), "doc_id", 20)
         .select(col("lang"), col("doc_id"), col("rk").cast(LongType).as("rk"))),
 
+    "q_x_zorder" -> ((s, dir) =>
+      // z-curve kernel over (user_id, event-time µs) low 10 bits — the
+      // write-side clustering key for multi-column file skipping
+      // (LayoutSpec measures the locality win; this checks the curve)
+      rd(s, dir, "events").select(col("event_id"),
+        graft.warehouse.Layout.zValue(
+          Seq(col("user_id"), expr("ts div 1000")), bits = 10).as("z"))),
+
     "q_x_pack" -> ((s, dir) =>
       // sequence packing: shard-local next-fit by running token total —
       // the curation→batch-assembly step; one shard-key shuffle, windows
@@ -907,6 +915,14 @@ object Queries {
          |  CAST(n > 80 AS BIGINT) AS oversize
          |FROM c""".stripMargin
     },
+
+    "q_x_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(10), j ->
+        |    ((((user_id & 1023) >> j) & 1) << (2*j)) +
+        |    (((((epoch_ns(ts) // 1000) & 1023) >> j) & 1) << (2*j + 1))
+        |  )) AS BIGINT) AS z
+        |FROM events""".stripMargin,
 
     "q_x_contamination" ->
       """WITH d0 AS (

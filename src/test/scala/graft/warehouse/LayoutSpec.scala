@@ -36,4 +36,46 @@ class LayoutSpec extends SparkSpec {
     val plan = Layout.arrange(df, spec, 4).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(k"), plan)
   }
+
+  /** Driver-side model of the z-curve interleave. */
+  private def zModel(vals: Seq[Long], bits: Int): Long = {
+    val n = vals.size
+    vals.zipWithIndex.flatMap { case (v, ci) =>
+      (0 until bits).map(j => (((v & ((1L << bits) - 1)) >> j) & 1L) << (j * n + ci))
+    }.reduce(_ | _)
+  }
+
+  test("zValue agrees with the bit-interleave model") {
+    val data = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+      (5L, 9L), (700L, 31L), (4096L + 5L, 9L)) // masking: 4101 ≡ 5 mod 2^10
+    val out = data.toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 10).as("z"))
+      .as[Long].collect().toSeq
+    assert(out == data.map { case (x, y) => zModel(Seq(x, y), 10) })
+    // x occupies even bit positions: (1,0) -> 1, (0,1) -> 2
+    assert(zModel(Seq(1L, 0L), 10) == 1L && zModel(Seq(0L, 1L), 10) == 2L)
+  }
+
+  test("z-order clusters a 2-D box into fewer files than a linear sort") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    // deterministic scatter over the 1024x1024 grid
+    val df = (0 until 8192).map { i =>
+      (i.toLong, (i * 7919L) % 1024, (i * 104729L) % 1024)
+    }.toDF("id", "x", "y")
+    val files = 16
+    Layout.zorder(df, Seq(col("x"), col("y")), files, bits = 10)
+      .write.parquet(s"$dir/z")
+    df.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("x") < 256 && col("y") < 256)
+        .select(input_file_name()).distinct().count()
+    val (zf, lf) = (filesTouched(s"$dir/z"), filesTouched(s"$dir/linear"))
+    // the box is 1/16 of the plane: z-order confines its rows to a
+    // handful of files; a linear x-sort spreads them across every file
+    // of the x stripe (y unconstrained)
+    assert(zf < lf, s"z-order touched $zf files, linear $lf")
+    assert(zf <= files / 4, s"z-order touched $zf of $files files")
+  }
 }
