@@ -642,7 +642,27 @@ object Queries {
       rd(s, dir, "documents").groupBy("lang").agg(
         round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
-        count(lit(1)).as("n")))
+        count(lit(1)).as("n"))),
+
+    "q_x_gopher" -> ((s, dir) =>
+      // Gopher-style quality-rule battery + keep flag; thresholds tuned so
+      // the synthetic corpus splits (stop_hits>=1: the word-salad text
+      // carries 'the'/'a' but not the rest of Gopher's stopword list)
+      docs(s, dir).select(
+        col("doc_id") +: TextOps.gopherColumns(col("text"),
+          minWords = 40, minStopHits = 1).map { case (n, c) => c.as(n) }: _*)),
+
+    "q_x_domain_stats" -> ((s, dir) =>
+      // per-source corpus report: volume, internal dup rate, doc shape —
+      // the domain-gating view (one hash-agg shuffle, partials map-side)
+      graft.ops.CorpusStats.domainStats(docs(s, dir), "source", "text")),
+
+    "q_x_embed_project" -> ((s, dir) =>
+      // Johnson-Lindenstrauss ±1 projection 64→8 dims; DECIMAL-exact sums
+      // make the values engine-portable (full value oracle)
+      Similarity.randomProject(rd(s, dir, "embeddings"), "vec_id",
+          "embedding", outDim = 8)
+        .withColumnRenamed("id", "vec_id"))
   )
 
   // ---- machine-generated oracles for the portable sketch queries --------
@@ -1488,6 +1508,71 @@ object Queries {
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
         |       round(quantile_cont(n_chars, 0.9), 6) AS p90,
         |       count(*) AS n
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // keep is evaluated over the ROUNDED metrics (as the Spark side does),
+    // so threshold comparisons can't straddle a last-ULP difference
+    "q_x_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS txt,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) > 0
+        |         THEN round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks), 4)
+        |         ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(toks) > 0
+        |         THEN round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+        |         ELSE 0.0 END AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+        |         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    CASE WHEN len(toks) > 0
+        |         THEN round(CAST(len(regexp_replace(txt, '[^#]+', '', 'g'))
+        |                  + len(string_split_regex(txt, '\.\.\.|…')) - 1 AS DOUBLE) / len(toks), 6)
+        |         ELSE 0.0 END AS symbol_ratio
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+        |  symbol_ratio,
+        |  CAST(n_words BETWEEN 40 AND 100000
+        |       AND mean_word_len BETWEEN 3.0 AND 10.0
+        |       AND alpha_word_frac >= 0.8 AND stop_hits >= 1
+        |       AND symbol_ratio <= 0.1 AS BIGINT) AS keep
+        |FROM m""".stripMargin,
+
+    "q_x_domain_stats" ->
+      """WITH d AS (
+        |  SELECT source AS domain,
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  round(CAST(1 AS DOUBLE) - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS mean_doc_tokens
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // float→DOUBLE→DECIMAL(27,12) mirrors the Ivf oracle's proven cast
+    // chain; the exact-decimal sum makes accumulation order irrelevant
+    "q_x_embed_project" -> {
+      val cols = (0 until 8).map(j =>
+        s"""  CAST(sum(CASE WHEN ((i*73856093 + $j*19349663) % 97) % 2 = 0
+           |       THEN v ELSE -v END) AS DOUBLE) AS p$j""".stripMargin)
+        .mkString(",\n")
+      s"""WITH x AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i, embedding
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         |    CAST(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(27,12)) AS v
+         |  FROM x)
+         |SELECT vec_id,
+         |$cols
+         |FROM v GROUP BY vec_id""".stripMargin
+    }
   )
 }

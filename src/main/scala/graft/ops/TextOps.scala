@@ -66,6 +66,55 @@ object TextOps {
     )
   }
 
+  /** Gopher-style document-quality rule battery (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A1.1 repetition/quality
+    * filters — the word-level subset that needs no line structure):
+    * word-count bounds, mean-word-length bounds, fraction of words
+    * containing an alphabetic character, required-stopword hits, and a
+    * symbol-to-word ratio ('#' and ellipses). `keep` is the conjunction
+    * the paper applies; thresholds are parameters because every corpus
+    * re-tunes them. Pure per-row expressions over one tokenize — no
+    * shuffle, fully codegen'd, trivially 100 TB-safe. */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have",
+    "with")
+
+  def gopherColumns(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      maxSymbolRatio: Double = 0.1): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast(LongType)
+    val meanLen = when(nWords > 0,
+      round(aggregate(transform(toks, w => char_length(w).cast(LongType)),
+        lit(0L), (a, x) => a + x).cast(DoubleType) / nWords, 4))
+      .otherwise(lit(0.0))
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast(LongType)
+    val alphaFrac = when(nWords > 0,
+      round(nAlpha.cast(DoubleType) / nWords, 6)).otherwise(lit(0.0))
+    // DISTINCT required-stopword hits: Gopher demands >= 2 of its 8-word
+    // list appear, not 2 occurrences of one word
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, w => lower(w))),
+      typedlit(GopherStopwords))).cast(LongType)
+    val t = coalesce(text, lit(""))
+    val nSymbols = (char_length(regexp_replace(t, "[^#]+", "")) +
+      (size(split(t, "\\.\\.\\.|\\u2026", -1)) - 1)).cast(LongType)
+    val symbolRatio = when(nWords > 0,
+      round(nSymbols.cast(DoubleType) / nWords, 6)).otherwise(lit(0.0))
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      alphaFrac >= minAlphaFrac && stopHits >= minStopHits &&
+      symbolRatio <= maxSymbolRatio
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "alpha_word_frac" -> alphaFrac,
+      "stop_hits" -> stopHits,
+      "symbol_ratio" -> symbolRatio,
+      "keep" -> keep.cast(LongType)
+    )
+  }
+
   /** Language-ID heuristic: per-language function-word hit counts (plus CJK
     * codepoint presence for zh); argmax with deterministic tie order. */
   val LangPatterns: Seq[(String, String)] = Seq(

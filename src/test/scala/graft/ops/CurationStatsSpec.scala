@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gopher quality rules, per-domain corpus stats, JL random projection. */
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def signals(text: String, minWords: Int = 3) =
+    Seq(Option(text)).toDF("t")
+      .select(TextOps.gopherColumns(col("t"), minWords = minWords,
+        minStopHits = 1).map { case (n, c) => c.as(n) }: _*)
+      .head()
+
+  test("word stats and keep on a clean sentence") {
+    val m = signals("the quick brown fox jumps over that lazy dog")
+    assert(m.getAs[Long]("n_words") == 9L)
+    // lens 3,5,5,3,5,4,4,4,3 = 36/9
+    assert(m.getAs[Double]("mean_word_len") == 4.0)
+    assert(m.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(m.getAs[Long]("stop_hits") == 2L) // the, that (distinct hits)
+    assert(m.getAs[Double]("symbol_ratio") == 0.0)
+    assert(m.getAs[Long]("keep") == 1L)
+  }
+
+  test("distinct stopword hits, not occurrences") {
+    // 'the' repeated: still one distinct hit -> fails minStopHits=2 default
+    val m = Seq("the the the the").toDF("t")
+      .select(TextOps.gopherColumns(col("t"), minWords = 2)
+        .map { case (n, c) => c.as(n) }: _*).head()
+    assert(m.getAs[Long]("stop_hits") == 1L)
+    assert(m.getAs[Long]("keep") == 0L)
+  }
+
+  test("symbol ratio counts '#' chars and ellipses; gates keep") {
+    val m = signals("the code ## snippet that trails ... off … now")
+    assert(m.getAs[Long]("n_words") == 10L)
+    // 2 '#' + '...' + unicode ellipsis = 4 symbols / 10 words
+    assert(m.getAs[Double]("symbol_ratio") == 0.4)
+    assert(m.getAs[Long]("keep") == 0L)
+  }
+
+  test("non-alphabetic words drop alpha_word_frac below the gate") {
+    val m = signals("the 12 34 56 78 90")
+    assert(m.getAs[Double]("alpha_word_frac") ==
+      math.rint(1.0 / 6 * 1e6) / 1e6)
+    assert(m.getAs[Long]("keep") == 0L)
+  }
+
+  test("null and blank text: zero rows of signal, not NaN") {
+    for (t <- Seq(null, "   ")) {
+      val m = signals(t)
+      assert(m.getAs[Long]("n_words") == 0L)
+      assert(m.getAs[Double]("mean_word_len") == 0.0)
+      assert(m.getAs[Double]("alpha_word_frac") == 0.0)
+      assert(m.getAs[Long]("keep") == 0L)
+    }
+  }
+}
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-domain counts, dup rate, token totals") {
+    val df = Seq(
+      ("a", "x y z"), ("a", "x  y Z"), ("a", "unique words here"),
+      ("b", "p q"), ("b", "p q")
+    ).toDF("source", "text")
+    val got = CorpusStats.domainStats(df, "source", "text")
+      .orderBy("domain").collect()
+    // domain a: 3 docs, fingerprints of "x y z" == "x  y Z" (casefold +
+    // whitespace collapse) -> 2 unique
+    assert(got(0).getAs[String]("domain") == "a")
+    assert(got(0).getAs[Long]("n_docs") == 3L)
+    assert(got(0).getAs[Long]("n_unique") == 2L)
+    assert(got(0).getAs[Double]("dup_rate") == math.rint((1 - 2.0 / 3) * 1e6) / 1e6)
+    assert(got(0).getAs[Long]("total_tokens") == 9L)
+    assert(got(0).getAs[Double]("mean_doc_tokens") == 3.0)
+    assert(got(1).getAs[Long]("n_docs") == 2L)
+    assert(got(1).getAs[Long]("n_unique") == 1L)
+    assert(got(1).getAs[Double]("dup_rate") == 0.5)
+  }
+
+  test("null text counts as zero tokens and one fingerprint class") {
+    val df = Seq(("d", null: String), ("d", ""), ("d", "w")).toDF("source", "text")
+    val got = CorpusStats.domainStats(df, "source", "text").head()
+    assert(got.getAs[Long]("n_docs") == 3L)
+    assert(got.getAs[Long]("n_unique") == 2L) // "" and null collapse
+    assert(got.getAs[Long]("total_tokens") == 1L)
+  }
+}
+
+class RandomProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sign(i: Int, j: Int): Double =
+    if (((i.toLong * 73856093L + j.toLong * 19349663L) % 97) % 2 == 0) 1.0
+    else -1.0
+
+  test("projection matches the driver-side sign fold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(-0.5f, 0.25f, 0.0f, 8.0f)))
+    val got = Similarity.randomProject(vecs.toDF("id", "v"), "id", "v", 3)
+      .orderBy("id").collect()
+    for ((r, (_, v)) <- got.zip(vecs); j <- 0 until 3) {
+      val expect = v.zipWithIndex
+        .map { case (x, i) => BigDecimal(x.toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP) * sign(i, j) }.sum
+      assert(r.getAs[Double](s"p$j") == expect.toDouble,
+        s"id=${r.getLong(0)} j=$j")
+    }
+  }
+
+  test("projection preserves exact duplicates and separates non-dups") {
+    val df = Seq(
+      (1L, Array.fill(8)(0.7f)), (2L, Array.fill(8)(0.7f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+    .toDF("id", "v")
+    val rows = Similarity.randomProject(df, "id", "v", 4)
+      .orderBy("id").collect()
+    assert(rows(0).toSeq.drop(1) == rows(1).toSeq.drop(1))
+    assert(rows(0).toSeq.drop(1) != rows(2).toSeq.drop(1))
+  }
+
+  test("null and empty vectors are absent from the projection") {
+    val df = Seq((1L, Array(1.0f)), (2L, Array.empty[Float]),
+      (3L, null: Array[Float])).toDF("id", "v")
+    assert(col1[Long](Similarity.randomProject(df, "id", "v", 2)
+      .select("id")) == Seq(1L))
+  }
+}
