@@ -662,7 +662,32 @@ object Queries {
       // make the values engine-portable (full value oracle)
       Similarity.randomProject(rd(s, dir, "embeddings"), "vec_id",
           "embedding", outDim = 8)
-        .withColumnRenamed("id", "vec_id"))
+        .withColumnRenamed("id", "vec_id")),
+
+    "q_x_split" -> ((s, dir) =>
+      // deterministic 90/5/5 split: pure hash projection, stable under
+      // corpus growth — a row's split never depends on other rows
+      Sampling.splitBy(rd(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
+
+    "q_x_mix" -> ((s, dir) =>
+      // source-weighted mixing: up/down-sample whole domains by static
+      // weight — a pure scan-stage filter, no shuffle at any scale
+      Sampling.weightedKeep(rd(s, dir, "documents"), "source", "doc_id",
+          Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25),
+          defaultWeight = 0.1)
+        .select(col("doc_id"), col("source"))),
+
+    "q_x_knn_graph" -> ((s, dir) => {
+      // top-3 cosine neighbors within each SemDeDup cell — the kNN graph
+      // behind component dedup / diversity scoring; md5-seeded cells make
+      // the whole graph oracle-replayable
+      val emb = rd(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.knnGraph(emb, "vec_id", "embedding", model, k = 3)
+        .withColumnRenamed("id", "vec_id")
+    })
   )
 
   // ---- machine-generated oracles for the portable sketch queries --------
@@ -1573,6 +1598,52 @@ object Queries {
          |SELECT vec_id,
          |$cols
          |FROM v GROUP BY vec_id""".stripMargin
-    }
+    },
+
+    // thresholds interpolated from Sampling.fracThreshold so both engines
+    // compare the hash against the exact same integers
+    "q_x_split" -> {
+      import graft.functions.Portable
+      val h = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+      val t1 = graft.ops.Sampling.fracThreshold(0.9)
+      val t2 = graft.ops.Sampling.fracThreshold(0.95)
+      s"""SELECT doc_id,
+         |  CASE WHEN h < $t1 THEN 'train'
+         |       WHEN h < $t2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $h % ${Portable.P} AS h FROM documents)""".stripMargin
+    },
+
+    "q_x_mix" -> {
+      import graft.functions.Portable
+      def t(w: Double) = graft.ops.Sampling.fracThreshold(w)
+      val h = Portable.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, $h % ${Portable.P} AS h FROM documents)
+         |WHERE h < CASE source WHEN 'src1' THEN ${t(1.0)}
+         |                      WHEN 'src2' THEN ${t(0.5)}
+         |                      WHEN 'src3' THEN ${t(0.25)}
+         |                      ELSE ${t(0.1)} END""".stripMargin
+    },
+
+    // same double cosine on both engines (left-to-right folds), so the
+    // (cos DESC, nbr) window order is total and engine-portable
+    "q_x_knn_graph" ->
+      s"""WITH $ivfTrainCtes,
+         |${ivfAssignBlock("af", "c2", "")},
+         |p AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         |    CASE WHEN sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)) > 0
+         |         THEN list_inner_product(a.e, b.e) /
+         |              (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))
+         |         ELSE 0.0 END AS cos
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nbr, CAST(rank AS BIGINT) AS rank,
+         |  round(cos, 6) AS cos_sim FROM (
+         |  SELECT vec_id, nbr, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, nbr) AS rank
+         |  FROM p)
+         |WHERE rank <= 3""".stripMargin
   )
 }

@@ -35,4 +35,56 @@ object Sampling {
     require(buckets > 0 && keep >= 0 && keep <= buckets)
     df.filter(pmod(Portable.h60(col(idCol).cast("string")), lit(buckets)) < keep)
   }
+
+  /** Integer threshold for a cumulative fraction of the hash space: rows
+    * with h31 < threshold(f) form a deterministic f-fraction. Shared by
+    * [[splitBy]] / [[weightedKeep]] and their SQL oracles so both engines
+    * compare against the exact same integer. */
+  def fracThreshold(f: Double): Long = math.floor(f * Portable.P).toLong
+
+  /** Deterministic train/val/test (or any) split: each row's id hashes to
+    * a point in [0, P); cumulative fraction boundaries carve the space.
+    * A row's split never depends on other rows (stable under corpus
+    * growth and re-partitioning), assignment is a pure projection — no
+    * shuffle, no RNG, replayable by any engine. `salt` decorrelates this
+    * split from other hash-keyed decisions on the same ids. */
+  def splitBy(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    val h = Portable.h31(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last arm is `otherwise`: the final boundary is P itself, and a <
+    // compare against floor(1.0·P) would misroute the (rare) max hash
+    val assigned = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+        val cond = h < fracThreshold(c)
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn("split", assigned)
+  }
+
+  /** Source-weighted deterministic mixing: keep a row iff its id hashes
+    * under its domain's weight threshold — static corpus reweighting
+    * (up/down-sampling whole sources, the DoReMi-style mixture applied at
+    * curation time). Pure filter: no shuffle, no per-domain state; the
+    * weight table is a when-chain literal (domains are few). Unknown
+    * domains fall back to `defaultWeight`. */
+  def weightedKeep(df: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String = "mix"): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w =>
+      w >= 0 && w <= 1), s"weights must be in [0,1]")
+    val h = Portable.h31(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val thresh = weights.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (d, w)) =>
+        val arm = col(domainCol) === d
+        val t = lit(fracThreshold(w))
+        Some(acc.fold(when(arm, t))(_.when(arm, t)))
+      }
+      .fold(lit(fracThreshold(defaultWeight)))(
+        _.otherwise(lit(fracThreshold(defaultWeight))))
+    df.filter(h < thresh)
+  }
 }

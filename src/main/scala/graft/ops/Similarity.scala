@@ -191,6 +191,43 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
   }
 
+  /** k-nearest-neighbor graph, cell-bounded: for every vector, its top-k
+    * cosine neighbors WITHIN its k-means cell (the SemDeDup geometry —
+    * [[graft.ops.SemDedup]]). The graph feeds downstream curation:
+    * connected-component dedup ([[graft.ops.Dedup.clusters]]), diversity
+    * scoring, label propagation.
+    *
+    * Scale: the only shuffles are the cell equi-join and the per-source
+    * window; candidates are bounded by cell size (k grows with the corpus
+    * exactly as SemDeDup's does), and the window sorts each source's
+    * candidate list only — never a global sort. Norms are precomputed
+    * per row, so each candidate pair costs one codegen'd dot product.
+    * Cross-cell edges are intentionally absent (cell-approximate kNN);
+    * raise nprobe-style recall by enlarging cells, same as SemDeDup. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      model: graft.ops.Ivf.Model, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = graft.ops.Ivf.assign(df, vecCol, model)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+        col("__cluster").as("cell"))
+    val pairs = a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nbr"),
+        col("a.cell").cast(LongType).as("cell"),
+        when(col("a.nrm") * col("b.nrm") > 0,
+          dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .otherwise(lit(0.0)).as("cos"))
+    // ties on cosine break by neighbor id: both engines computed the SAME
+    // double (left-to-right folds), so the (cos desc, nbr) order is total
+    // and engine-portable
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    pairs.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("nbr"), col("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Johnson–Lindenstrauss random projection: maps `vecCol`
     * (`array<float>`, any length) to `outDim` doubles with a
     * deterministic ±1 sign matrix — the classic Achlioptas (2003)

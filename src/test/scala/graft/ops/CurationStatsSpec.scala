@@ -131,3 +131,40 @@ class RandomProjectSpec extends SparkSpec {
       .select("id")) == Seq(1L))
   }
 }
+
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two axis-separated cells; within cell 1 the neighbor order of id=1 is
+  // known: 2 (identical, cos 1) then 3 (tilted) — id 10 is in the other
+  // cell and must never appear as a neighbor of 1
+  private val df = Seq(
+    (1L, Array(10f, 0f, 0f)), (2L, Array(10f, 0f, 0f)),
+    (3L, Array(10f, 3f, 0f)), (4L, Array(10f, 0f, 8f)),
+    (10L, Array(0f, 10f, 0f)), (11L, Array(0f, 10f, 1f))
+  ).toDF("vec_id", "embedding")
+
+  private val model = Ivf.Model(Array(
+    Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+
+  test("per-node top-k within the cell, ranked by cosine then id") {
+    val got = Similarity.knnGraph(df, "vec_id", "embedding", model, k = 2)
+      .select("id", "nbr", "rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got(1L) == Seq(2L, 3L)) // exact dup first, tilt second
+    assert(got(2L) == Seq(1L, 3L)) // symmetric, tie on cos -> lower id
+    assert(got(10L) == Seq(11L))   // other cell: only its own members
+    assert(got(11L) == Seq(10L))
+    // k caps the degree even in the dense cell
+    assert(Similarity.knnGraph(df, "vec_id", "embedding", model, k = 1)
+      .groupBy("id").count().select(max("count")).head().getLong(0) == 1L)
+  }
+
+  test("cos_sim is the cosine, rounded") {
+    val m = Similarity.knnGraph(df, "vec_id", "embedding", model, k = 2)
+      .filter(col("id") === 1 && col("nbr") === 2)
+      .select("cos_sim").head().getDouble(0)
+    assert(m == 1.0)
+  }
+}

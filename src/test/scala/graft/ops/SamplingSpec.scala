@@ -41,4 +41,41 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashMod(corpus, "id", 10, 10).count() == 200)
     assert(Sampling.hashMod(corpus, "id", 10, 0).count() == 0)
   }
+
+  test("splitBy: total partition, near-nominal rates, growth-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitBy(corpus, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 200) // every row assigned exactly one split
+    val byName = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 140 && byName("train") < 180)
+    // assignment is per-row: a smaller corpus agrees on shared ids
+    val small = Sampling.splitBy(corpus.filter(col("id") <= 50), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, s) => got(id) == s })
+    // different salt decorrelates
+    val salted = Sampling.splitBy(corpus, "id", splits, salt = "other")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(salted.exists { case (id, s) => got(id) != s })
+    assertThrows[IllegalArgumentException](
+      Sampling.splitBy(corpus, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("weightedKeep: weight 1 keeps all, 0 drops all, default applies") {
+    val df = corpus.withColumn("src", col("lang"))
+    val kept = Sampling.weightedKeep(df, "src", "id",
+        Map("en" -> 1.0, "de" -> 0.0), defaultWeight = 0.5)
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("en", 0) == 66) // ids 3,6,...,198 all kept
+    assert(!bySrc.contains("de"))
+    val fr = bySrc.getOrElse("fr", 0) // 67 rows at weight 0.5
+    assert(fr > 20 && fr < 47)
+    // deterministic: rerun selects the identical rows
+    val again = Sampling.weightedKeep(df, "src", "id",
+        Map("en" -> 1.0, "de" -> 0.0), defaultWeight = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
 }
