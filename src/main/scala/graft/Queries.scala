@@ -687,6 +687,44 @@ object Queries {
       val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
       Similarity.knnGraph(emb, "vec_id", "embedding", model, k = 3)
         .withColumnRenamed("id", "vec_id")
+    }),
+
+    "q_x_dup_spans" -> ((s, dir) =>
+      // cross-document 5-gram repetition (exact-substring-dedup signal):
+      // fraction of a doc's shingles shared with other documents
+      Dedup.crossDocShingleFrac(docs(s, dir), "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id")),
+
+    "q_x_bloom_gate" -> ((s, dir) => {
+      // bloom-gate ingest dedup: corpus fingerprints fold into a sketch,
+      // the batch probes it broadcast-side. Oracle checks the exact batch
+      // size + true-dup count and the bloom INVARIANT (no false
+      // negatives -> n_missed is identically 0); the false-positive set
+      // is sketch-internal and deliberately not part of the contract.
+      val fp = docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val corpus = fp.filter(col("doc_id") <= 400).select("fp")
+      // sketch sized to the corpus (bits ~ 20x items keeps fp ~0); the
+      // default 1 MiB literal would dominate this toy-scale plan
+      val gated = Dedup.bloomGate(
+        fp.filter(col("doc_id") > 400), corpus, Seq("fp"),
+        expectedItems = 1L << 12, numBits = 1L << 17)
+      gated
+        .join(corpus.distinct().withColumn("__in", lit(1)), Seq("fp"), "left")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("__in") === 1, 1L).otherwise(0L)).as("n_true_dup"),
+          sum(when(col("__in") === 1 && !col("maybe_seen"), 1L)
+            .otherwise(0L)).as("n_missed"))
+    }),
+
+    "q_x_embed_outlier" -> ((s, dir) => {
+      // distance-to-centroid prototypicality: far = atypical for its
+      // semantic cell (the SemDeDup keep-typical axis); one projection
+      val emb = rd(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Ivf.assignDist(emb, "embedding", model)
+        .select(col("vec_id"), col("__cluster").cast(LongType).as("cell"),
+          round(col("__dist2"), 6).as("dist2"))
     })
   )
 
@@ -1644,6 +1682,59 @@ object Queries {
          |    row_number() OVER (PARTITION BY vec_id
          |                       ORDER BY cos DESC, nbr) AS rank
          |  FROM p)
-         |WHERE rank <= 3""".stripMargin
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_x_dup_spans" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+        |  FROM d0 WHERE len(w) >= 5),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |per AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh JOIN dfreq USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+        |  CASE WHEN coalesce(n_shingles, 0) > 0
+        |       THEN round(CAST(n_dup AS DOUBLE) / n_shingles, 6)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
+
+    // the bloom false-positive set is sketch-internal; the CONTRACT is
+    // exact batch/true-dup counts and zero false negatives
+    "q_x_bloom_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |b AS (SELECT fp FROM f WHERE doc_id > 400),
+        |c AS (SELECT DISTINCT fp FROM f WHERE doc_id <= 400)
+        |SELECT count(*) AS n_batch,
+        |  CAST(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+        |  CAST(0 AS BIGINT) AS n_missed
+        |FROM b LEFT JOIN c ON b.fp = c.fp""".stripMargin,
+
+    // assignment + distance replayed with the exact Spark formula tree
+    // ((|x|^2 - 2 x.c) + |c|^2, ties to the lowest cell)
+    "q_x_embed_outlier" ->
+      s"""WITH $ivfTrainCtes,
+         |ad AS (
+         |  SELECT vec_id, cell, d2 FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      (list_inner_product(v.e, v.e) - 2.0 * list_inner_product(v.e, c.c)) + list_inner_product(c.c, c.c) AS d2,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        (list_inner_product(v.e, v.e) - 2.0 * list_inner_product(v.e, c.c)) + list_inner_product(c.c, c.c),
+         |        c.cell) AS rn
+         |    FROM emb v, c2 c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(d2, 6) AS dist2
+         |FROM ad""".stripMargin
   )
 }

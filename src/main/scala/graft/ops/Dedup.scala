@@ -49,6 +49,65 @@ object Dedup {
     exactKeep(batch, keyCols, idCol)
       .join(corpusKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
 
+  /** Bloom-gate ingest dedup — the 100 TB companion to [[incremental]]:
+    * the corpus's key set folds into a bloom sketch (megabytes for
+    * billions of keys) that broadcasts to the batch; `maybe_seen=false`
+    * rows are DEFINITELY new (bloom has no false negatives) and skip the
+    * exact lookup entirely, so the bucketed-store anti-join only runs for
+    * the (few) flagged rows. The sketch build is one aggregation with
+    * map-side partials (bloom bitmaps OR together); the single
+    * `numBits/8`-byte result is a bounded driver artifact (the IVF
+    * centroid pattern — 1 MiB at defaults, never data-sized) embedded
+    * as a literal, because `might_contain` requires a constant sketch.
+    * The probe is then a pure batch-side projection — no join, no
+    * shuffle of the batch at any scale. */
+  def bloomGate(batch: DataFrame, corpusKeys: DataFrame,
+      keyCols: Seq[String], expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    import graft.functions.Bloom
+    def keyHash(d: DataFrame) = xxhash64(keyCols.map(d(_)): _*)
+    val sketch = corpusKeys
+      .agg(Bloom.bloomAgg(keyHash(corpusKeys), expectedItems, numBits)
+        .as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    // empty corpus -> null sketch: nothing was ever seen
+    if (sketch == null) batch.withColumn("maybe_seen", lit(false))
+    else batch.withColumn("maybe_seen",
+      coalesce(Bloom.mightContain(lit(sketch), keyHash(batch)), lit(false)))
+  }
+
+  /** Cross-document repetition: the fraction of a document's distinct
+    * n-gram shingles that occur in at least `minDf` OTHER documents — the
+    * signal behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): high dup_frac = the
+    * document is mostly boilerplate shared across the corpus.
+    *
+    * Scale: the [[ngramJaccardPairs]] skeleton minus the pair join —
+    * explode distinct shingles, one count per shingle, join the counts
+    * back on the shingle key, one per-doc aggregation. Shingle-frequency
+    * skew is inherent (that's the signal); the join carries (id, df)
+    * pairs, never document text. Zero-shingle docs come back with
+    * dup_frac 0 via the id left join. */
+  def crossDocShingleFrac(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int = 2): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n)
+    // shingles are distinct per doc, so a plain count per shingle IS its
+    // document frequency (countDistinct would add an Expand for nothing)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val perDoc = sh.join(dfreq, "shingle")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+            col("n_shingles"), 6)).otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Word n-gram shingles from a *materialized* token-array column.
     * IMPORTANT: `words` should be a plain column reference, not an
     * expression — every shingle position references it, and Catalyst

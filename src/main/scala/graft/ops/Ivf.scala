@@ -56,11 +56,19 @@ object Ivf {
     * codegen.fallback=false canary; the fallback silently de-vectorized
     * this plan). */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    assignDist(df, vecCol, model).drop("__dist2")
+
+  /** [[assign]] plus `__dist2`, the squared distance to the assigned
+    * centroid — the prototypicality/outlier axis (far-from-centroid =
+    * atypical for its semantic region; SemDeDup keeps cluster-typical
+    * examples on exactly this score). Same single projection, no joins. */
+  def assignDist(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("__n2", VectorExprs.dot(col(vecCol), col(vecCol)))
       .withColumn("__ds", array(model.centroids.map(c =>
         dist2Col(col(vecCol), col("__n2"), c)): _*))
       .withColumn("__cluster",
         (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("int"))
+      .withColumn("__dist2", array_min(col("__ds")))
       .drop("__n2", "__ds")
 
   /** Train by deterministic seeding + `iters` Lloyd passes. Each pass is

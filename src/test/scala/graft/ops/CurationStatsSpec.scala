@@ -168,3 +168,75 @@ class KnnGraphSpec extends SparkSpec {
     assert(m == 1.0)
   }
 }
+
+class BloomGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every corpus-present key is flagged") {
+    val corpus = (1 to 500).map(i => s"key$i").toDF("k")
+    val batch = (400 to 700).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    val got = Dedup.bloomGate(batch, corpus, Seq("k"))
+      .select("id", "maybe_seen").as[(Long, Boolean)].collect().toMap
+    // ids 400..500 are truly in the corpus: bloom MUST flag all of them
+    assert((400L to 500L).forall(got(_)))
+    // definitely-new verdicts must be true negatives (sound to skip)
+    val defNew = got.filter(!_._2).keySet
+    assert(defNew.forall(_ > 500L))
+    // at 8M bits / 500 items the fp rate is ~0: new keys pass the gate
+    assert(defNew.size > 150)
+  }
+
+  test("deterministic across runs; empty corpus flags nothing") {
+    val corpus = (1 to 100).map(i => s"k$i").toDF("k")
+    val batch = (50 to 150).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val a = Dedup.bloomGate(batch, corpus, Seq("k"))
+      .select("id", "maybe_seen").as[(Long, Boolean)].collect().toSet
+    val b = Dedup.bloomGate(batch, corpus, Seq("k"))
+      .select("id", "maybe_seen").as[(Long, Boolean)].collect().toSet
+    assert(a == b)
+    val none = Dedup.bloomGate(batch, corpus.limit(0), Seq("k"))
+    assert(none.filter(col("maybe_seen")).count() == 0)
+  }
+}
+
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-doc shingle fraction: shared block vs unique text") {
+    val docs = Seq(
+      (1L, "a b c d e unique1 tail1 here now"),
+      (2L, "a b c d e unique2 tail2 there later"),
+      (3L, "totally different words with no overlap at all"),
+      (4L, "x"), // under n tokens: zero shingles
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocShingleFrac(docs, "doc_id", "text", n = 5)
+      .select("id", "n_shingles", "n_dup").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // docs 1/2: 9 tokens -> 5 shingles each; only "a b c d e" is shared
+    assert(got(1L) == ((5L, 1L)) && got(2L) == ((5L, 1L)))
+    assert(got(3L)._2 == 0L)          // nothing cross-doc
+    assert(got(4L) == ((0L, 0L)))     // sub-n doc present with zeros
+    assert(got(5L) == ((0L, 0L)))     // null text too
+    val frac = Dedup.crossDocShingleFrac(docs, "doc_id", "text", n = 5)
+      .filter(col("id") === 1).select("dup_frac").head().getDouble(0)
+    assert(frac == 0.2)
+  }
+}
+
+class AssignDistSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignDist: squared distance to the assigned centroid") {
+    val model = Ivf.Model(Array(Array(0.0, 0.0), Array(10.0, 0.0)))
+    val got = Ivf.assignDist(
+        Seq((1L, Array(1.0f, 1.0f)), (2L, Array(9.0f, 2.0f)))
+          .toDF("id", "v"), "v", model)
+      .select("id", "__cluster", "__dist2")
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, c, d) => id -> ((c, math.rint(d * 1e9) / 1e9)) }
+      .toMap
+    assert(got(1L) == ((0, 2.0)))  // (1,1) -> origin: 1+1
+    assert(got(2L) == ((1, 5.0)))  // (9,2) -> (10,0): 1+4
+  }
+}
