@@ -725,6 +725,45 @@ object Queries {
       Ivf.assignDist(emb, "embedding", model)
         .select(col("vec_id"), col("__cluster").cast(LongType).as("cell"),
           round(col("__dist2"), 6).as("dist2"))
+    }),
+
+    "q_x_curate" -> ((s, dir) => {
+      // THE capstone composition: the full curation pipeline in one plan —
+      // Gopher quality AND language-id AND exact-dedup survivorship AND
+      // benchmark decontamination, with per-rule flags for auditability.
+      // Quality+language are one pure projection; dedup adds one
+      // fingerprint hash-agg; decontamination's eval shingles broadcast.
+      val d = docs(s, dir)
+      val gKeep = TextOps.gopherColumns(col("text"), minWords = 40,
+        minStopHits = 1).find(_._1 == "keep").get._2
+      val flags = d.select(
+        (col("doc_id") +: gKeep.as("keep_quality") +:
+          TextOps.isCjk(col("text")).as("__zh") +:
+          TextOps.LangPatterns.map { case (l, p) =>
+            TextOps.langScore(col("text"), p).as(s"__$l") }): _*)
+        .select(col("doc_id"), col("keep_quality"),
+          (TextOps.langIdFromScores(col("__zh"),
+            TextOps.LangPatterns.map { case (l, _) => l -> col(s"__$l") })
+            === "en").cast(LongType).as("keep_lang"))
+      val kept = Dedup.exactKeep(
+          d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+          Seq("fp"), "doc_id")
+        .select(col("doc_id"), lit(1L).as("__kept"))
+      val clean = Dedup.contamination(d, "doc_id", "text",
+          rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text",
+          n = 3, minHits = 1)
+        .select(col("id").as("doc_id"),
+          (lit(1L) - col("contaminated").cast(LongType)).as("keep_clean"))
+      flags
+        .join(kept, Seq("doc_id"), "left")
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("keep_quality"), col("keep_lang"),
+          coalesce(col("__kept"), lit(0L)).as("keep_dedup"),
+          coalesce(col("keep_clean"), lit(0L)).as("keep_clean"),
+          (col("keep_quality") === 1 && col("keep_lang") === 1 &&
+            coalesce(col("__kept"), lit(0L)) === 1 &&
+            coalesce(col("keep_clean"), lit(0L)) === 1)
+            .cast(LongType).as("curated"))
     })
   )
 
@@ -1735,6 +1774,77 @@ object Queries {
          |    FROM emb v, c2 c)
          |  WHERE rn = 1)
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(d2, 6) AS dist2
-         |FROM ad""".stripMargin
+         |FROM ad""".stripMargin,
+
+    // the four rule CTEs are the proven fragments of q_x_gopher /
+    // q_x_langid / q_x_dedup_keep / q_x_contamination, joined on doc_id
+    "q_x_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS txt,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) > 0
+        |         THEN round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks), 4)
+        |         ELSE 0.0 END AS mwl,
+        |    CASE WHEN len(toks) > 0
+        |         THEN round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+        |         ELSE 0.0 END AS awf,
+        |    CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+        |         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS shh,
+        |    CASE WHEN len(toks) > 0
+        |         THEN round(CAST(len(regexp_replace(txt, '[^#]+', '', 'g'))
+        |                  + len(string_split_regex(txt, '\.\.\.|…')) - 1 AS DOUBLE) / len(toks), 6)
+        |         ELSE 0.0 END AS sr
+        |  FROM t),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(n_words BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |         AND awf >= 0.8 AND shh >= 1 AND sr <= 0.1 AS BIGINT) AS keep_quality
+        |  FROM q),
+        |ls AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(the|and|of|to|is|in|that|it|for|was)\b')) - 1 AS en,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(el|la|los|las|de|que|y|en|un|una|es|por)\b')) - 1 AS es,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|von)\b')) - 1 AS de,
+        |    len(string_split_regex(coalesce(text,''), '(?i)\b(le|la|les|des|est|et|une|dans|pour|que|du)\b')) - 1 AS fr
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN FALSE
+        |              WHEN greatest(en, es, de, fr) <= 0 THEN FALSE
+        |              WHEN en = greatest(en, es, de, fr) THEN TRUE
+        |              ELSE FALSE END AS BIGINT) AS keep_lang
+        |  FROM ls),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keepd AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp),
+        |d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM d0 WHERE len(w) >= 3),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bsh USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, qual.keep_quality, lang.keep_lang,
+        |  CAST(k.doc_id IS NOT NULL AS BIGINT) AS keep_dedup,
+        |  CAST(coalesce(h.n_hits, 0) < 1 AS BIGINT) AS keep_clean,
+        |  CAST(qual.keep_quality = 1 AND lang.keep_lang = 1
+        |       AND k.doc_id IS NOT NULL
+        |       AND coalesce(h.n_hits, 0) < 1 AS BIGINT) AS curated
+        |FROM documents d
+        |JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+        |LEFT JOIN keepd k ON k.doc_id = d.doc_id
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
   )
 }
