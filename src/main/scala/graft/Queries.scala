@@ -764,6 +764,22 @@ object Queries {
             coalesce(col("__kept"), lit(0L)) === 1 &&
             coalesce(col("keep_clean"), lit(0L)) === 1)
             .cast(LongType).as("curated"))
+    }),
+
+    "q_x_snapshot_diff" -> ((s, dir) => {
+      // corpus versioning: old snapshot = ids <= 400, new = ids > 100
+      // with every 7th doc "edited" (fingerprint over text + a marker) —
+      // added/removed/changed/unchanged counts per status
+      val d = rd(s, dir, "documents")
+      val olds = d.filter(col("doc_id") <= 400)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val news = d.filter(col("doc_id") > 100)
+        .select(col("doc_id"), TextOps.fingerprint(
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+      graft.ops.CorpusStats.snapshotDiff(olds, news, "doc_id", "fp")
+        .groupBy("status").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -1845,6 +1861,25 @@ object Queries {
         |FROM documents d
         |JOIN qual USING (doc_id) JOIN lang USING (doc_id)
         |LEFT JOIN keepd k ON k.doc_id = d.doc_id
-        |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
+
+    "q_x_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id <= 400),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(
+        |      CASE WHEN doc_id % 7 = 0 THEN concat(coalesce(text, ''), ' v2')
+        |           ELSE coalesce(text, '') END), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id > 100)
+        |SELECT CASE WHEN o.fp IS NULL THEN 'added'
+        |            WHEN n.fp IS NULL THEN 'removed'
+        |            WHEN o.fp <> n.fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  count(*) AS n
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -45,4 +45,22 @@ object CorpusStats {
         round(col("total_tokens").cast(DoubleType) / col("n_docs"), 4)
           .as("mean_doc_tokens"))
   }
+
+  /** Snapshot diff — corpus versioning report between two crawls/dumps:
+    * per-document status (`added` / `removed` / `changed` / `unchanged`)
+    * from a full outer join on the id with content-fingerprint compare.
+    * One key shuffle (both sides hash-partition on the id); the
+    * fingerprint is computed per side before the exchange, so the join
+    * carries (id, fp) pairs, never document payloads. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      fpCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"), col(fpCol).as("__fp_old"))
+    val n = newSnap.select(col(idCol).as("id"), col(fpCol).as("__fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

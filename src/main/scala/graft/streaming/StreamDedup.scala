@@ -30,4 +30,31 @@ object StreamDedup {
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** `foreachBatch` body for against-all-history dedup with the bloom
+    * fast path ([[graft.ops.Dedup.bloomGate]]): rows the sketch marks
+    * definitely-new skip the store lookup entirely; only the flagged
+    * slice anti-joins the corpus keys (bucketed-store lookup at scale).
+    * Result set is IDENTICAL to [[graft.ops.Dedup.incremental]] — the
+    * bloom has no false negatives, so no true duplicate can take the
+    * fast path (`StreamDedupSpec` asserts the equivalence); the win is
+    * that the expensive exact lookup runs on a few candidate rows
+    * instead of the whole micro-batch. */
+  def bloomGatedBatch(batch: DataFrame, corpusKeys: DataFrame,
+      keyCols: Seq[String], idCol: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.col
+    val gated = Dedup.bloomGate(batch, corpusKeys, keyCols,
+      expectedItems, numBits)
+    val fast = gated.filter(!col("maybe_seen")).drop("maybe_seen")
+    val slow = gated.filter(col("maybe_seen")).drop("maybe_seen")
+    // keep-min-per-key commutes with key-membership filtering, so
+    // deduping the union equals incremental() on the whole batch
+    Dedup.exactKeep(
+      fast.unionByName(
+        slow.join(corpusKeys.select(keyCols.map(col): _*), keyCols,
+          "left_anti")),
+      keyCols, idCol)
+  }
 }

@@ -89,6 +89,15 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.getAs[Long]("n_unique") == 2L) // "" and null collapse
     assert(got.getAs[Long]("total_tokens") == 1L)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val n = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "fp")
+    val got = CorpusStats.snapshotDiff(o, n, "id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
 
 class RandomProjectSpec extends SparkSpec {

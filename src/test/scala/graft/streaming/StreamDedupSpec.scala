@@ -34,4 +34,21 @@ class StreamDedupSpec extends SparkSpec {
       assert(ks.count(_ == "b") == 1 && ks.count(_ == "c") == 1)
     } finally q.stop()
   }
+
+  test("bloomGatedBatch is set-identical to Dedup.incremental") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val corpus = (1 to 300).map(i => s"k$i").toDF("k")
+    // batch: corpus dups (100-300), new keys (301-450), within-batch dups
+    val batch = ((100 to 450).map(i => (i.toLong, s"k$i")) ++
+      Seq((900L, "k310"), (901L, "k449"))).toDF("id", "k")
+    val viaBloom = StreamDedup.bloomGatedBatch(batch, corpus, Seq("k"), "id")
+      .select("id").as[Long].collect().toSet
+    val viaExact = Dedup.incremental(batch, corpus, Seq("k"), "id")
+      .select("id").as[Long].collect().toSet
+    assert(viaBloom == viaExact)
+    // sanity on the semantics themselves: corpus keys gone, min id kept
+    assert(!viaBloom.contains(100L) && viaBloom.contains(310L))
+    assert(viaBloom.contains(449L) && !viaBloom.contains(901L))
+  }
 }
