@@ -780,8 +780,34 @@ object Queries {
             .otherwise(col("text"))).as("fp"))
       graft.ops.CorpusStats.snapshotDiff(olds, news, "doc_id", "fp")
         .groupBy("status").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_x_nfc" -> ((s, dir) => {
+      // unicode normalization (custom codegen'd Expression): corpus is
+      // ASCII, so plant mixed-normalization suffixes — decomposed on even
+      // ids, precomposed on odd — and canonicalize; the byte-parity gate
+      // ahead of fingerprint/dedup. bytes_folded shows the fold working.
+      val synth = concat(
+        substring(coalesce(col("text"), lit("")), 1, 40), lit(" "),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(QNfc.Decomposed)).otherwise(lit(QNfc.Precomposed)))
+      docs(s, dir)
+        .select(col("doc_id"), synth.as("__s"))
+        .select(col("doc_id"), col("__s"),
+          graft.functions.TextExprs.nfc(col("__s")).as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          (octet_length(col("__s")) - octet_length(col("norm_text")))
+            .cast(LongType).as("bytes_folded"))
     })
   )
+
+  /** Mixed-normalization fixture strings for q_x_nfc: the same visible
+    * text "cafe-acute noel-diaeresis" in decomposed (combining marks)
+    * and precomposed byte forms. */
+  private object QNfc {
+    val Decomposed = "cafe\u0301 noe\u0308l"
+    val Precomposed = "caf\u00e9 no\u00ebl"
+  }
 
   // ---- machine-generated oracles for the portable sketch queries --------
   // These recompute the md5-derived signatures bit-for-bit in DuckDB, so
@@ -1880,6 +1906,19 @@ object Queries {
         |            ELSE 'unchanged' END AS status,
         |  count(*) AS n
         |FROM o FULL OUTER JOIN n USING (doc_id)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // DuckDB strlen = bytes (its octet_length is blob-only); nfc_normalize
+    // is the engine's NFC — same canonical form the JDK Normalizer emits
+    "q_x_nfc" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    substring(coalesce(text, ''), 1, 40) || ' ' ||
+         |      CASE WHEN doc_id % 2 = 0 THEN '${QNfc.Decomposed}'
+         |           ELSE '${QNfc.Precomposed}' END AS syn
+         |  FROM documents)
+         |SELECT doc_id, nfc_normalize(syn) AS norm_text,
+         |  CAST(strlen(syn) - strlen(nfc_normalize(syn)) AS BIGINT) AS bytes_folded
+         |FROM s""".stripMargin
   )
 }

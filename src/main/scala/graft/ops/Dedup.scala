@@ -82,19 +82,22 @@ object Dedup {
     * Training Data Makes Language Models Better"): high dup_frac = the
     * document is mostly boilerplate shared across the corpus.
     *
-    * Scale: the [[ngramJaccardPairs]] skeleton minus the pair join —
-    * explode distinct shingles, one count per shingle, join the counts
-    * back on the shingle key, one per-doc aggregation. Shingle-frequency
-    * skew is inherent (that's the signal); the join carries (id, df)
-    * pairs, never document text. Zero-shingle docs come back with
-    * dup_frac 0 via the id left join. */
+    * Scale: explode distinct shingles ONCE, take the document frequency
+    * as a count over the shingle window (one exchange on the shingle
+    * key — the separate count-then-join-back formulation explodes and
+    * shuffles the shingle stream twice), then one per-doc aggregation.
+    * Shingle-frequency skew is inherent (that's the signal) and lands on
+    * single window partitions exactly as it would on groupBy reducers.
+    * Zero-shingle docs come back with dup_frac 0 via the id left join. */
   def crossDocShingleFrac(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = explodedShingles(df, idCol, textCol, n)
     // shingles are distinct per doc, so a plain count per shingle IS its
     // document frequency (countDistinct would add an Expand for nothing)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    val perDoc = sh.join(dfreq, "shingle")
+    val withDf = sh.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val perDoc = withDf
       .groupBy("id").agg(
         count(lit(1)).as("n_shingles"),
         sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
