@@ -782,6 +782,15 @@ object Queries {
         .groupBy("status").agg(count(lit(1)).as("n"))
     }),
 
+    "q_x_rollup" -> ((s, dir) =>
+      // hierarchical corpus report: (source, lang) cells + per-source
+      // subtotals + grand total in ONE pass — Spark expands the grouping
+      // sets before a single hash-agg shuffle (no re-scan per level)
+      docs(s, dir).rollup(col("source"), col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast(LongType))
+          .as("total_tokens"))),
+
     "q_x_nfc" -> ((s, dir) => {
       // unicode normalization (custom codegen'd Expression): corpus is
       // ASCII, so plant mixed-normalization suffixes — decomposed on even
@@ -1907,6 +1916,16 @@ object Queries {
         |  count(*) AS n
         |FROM o FULL OUTER JOIN n USING (doc_id)
         |GROUP BY 1""".stripMargin,
+
+    "q_x_rollup" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY ROLLUP (source, lang)""".stripMargin,
 
     // DuckDB strlen = bytes (its octet_length is blob-only); nfc_normalize
     // is the engine's NFC — same canonical form the JDK Normalizer emits

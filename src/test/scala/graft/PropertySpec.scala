@@ -160,3 +160,73 @@ class ClustersModelSpec extends SparkSpec {
     assert(got.forall(h => h >= 0 && h < (1L << 60)))
   }
 }
+
+/** Model/property checks for the round-4 curation operators (seeded —
+  * failures replay). */
+class CurationModelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.{Dedup, Sampling, Similarity}
+  import org.apache.spark.sql.functions.col
+
+  test("splitBy: exactly one split per row at any fractions (seeded)") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 5) {
+      val a = 0.5 + rnd.nextDouble() * 0.4
+      val b = (1.0 - a) * rnd.nextDouble()
+      val splits = Seq("x" -> a, "y" -> b, "z" -> (1.0 - a - b))
+      val ids = (1 to 300).map(_.toLong).toDF("id")
+      val got = Sampling.splitBy(ids, "id", splits)
+        .select("id", "split").as[(Long, String)].collect()
+      assert(got.length == 300 && got.map(_._1).distinct.length == 300)
+      assert(got.map(_._2).toSet.subsetOf(Set("x", "y", "z")))
+    }
+  }
+
+  test("weightedKeep is monotone in the weight (threshold nesting)") {
+    val df = (1 to 400).map(i => (i.toLong, "d")).toDF("id", "src")
+    def kept(w: Double) = Sampling.weightedKeep(df, "src", "id",
+      Map("d" -> w), defaultWeight = 0.0)
+      .select("id").as[Long].collect().toSet
+    val w25 = kept(0.25); val w50 = kept(0.5); val w100 = kept(1.0)
+    assert(w25.subsetOf(w50) && w50.subsetOf(w100))
+    assert(w100.size == 400)
+  }
+
+  test("randomProject is invariant to row order and partitioning") {
+    val rnd = new Random(11)
+    val vecs = (1 to 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.randomProject(df, "id", "v", 4)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val base = run(vecs.toDF("id", "v"))
+    val shuffled = run(new Random(3).shuffle(vecs).toDF("id", "v")
+      .repartition(7))
+    assert(base == shuffled)
+  }
+
+  test("crossDocShingleFrac agrees with a driver-side model (seeded)") {
+    val rnd = new Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val corpus = (1L to 30L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    // model: distinct word-3-grams per doc, df over docs, frac with df>=2
+    val grams = corpus.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val dfreq = grams.values.flatten.groupBy(identity).map {
+      case (g, occ) => g -> occ.size }
+    val expect = corpus.map { case (id, _) =>
+      val g = grams(id)
+      val dup = g.count(dfreq(_) >= 2)
+      id -> ((g.size.toLong, dup.toLong))
+    }.toMap
+    val got = Dedup.crossDocShingleFrac(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .select("id", "n_shingles", "n_dup").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+}
