@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, EqualPositions, HyperplaneSig}
+import graft.functions.{DotProduct, EqualPositions, HyperplaneSig, UnicodeNormalize}
 import graft.sources.AvroBinaryToJson
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_dot(a, b)` — double dot product over array<float|double>;
   *  - `graft_hyperplane_sig(vec, planes)` — random-hyperplane LSH bits;
   *  - `graft_equal_positions(a, b)` — MinHash signature agreement;
-  *  - `graft_avro_to_json(payload, schemaJson)` — Avro binary → JSON.
+  *  - `graft_avro_to_json(payload, schemaJson)` — Avro binary → JSON;
+  *  - `graft_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD')` — Unicode
+  *    normalization (codegen'd JDK Normalizer).
   *
   * Use via config (`spark.sql.extensions=graft.GraftExtensions`) or
   * imperatively with [[GraftExtensions.register]].
@@ -57,7 +59,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => HyperplaneSig(args(0), int(args(1)))),
     ("graft_avro_to_json",
       new ExpressionInfo(classOf[AvroBinaryToJson].getName, "graft_avro_to_json"),
-      (args: Seq[Expression]) => AvroBinaryToJson(args(0), str(args(1)))))
+      (args: Seq[Expression]) => AvroBinaryToJson(args(0), str(args(1)))),
+    ("graft_normalize",
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (args: Seq[Expression]) => UnicodeNormalize(args(0), str(args(1)))))
 
   /** Imperative registration on an existing session. Idempotent also
     * against the `spark.sql.extensions` path: injectOptimizerRule'd rules

@@ -42,4 +42,11 @@ class TextExprsSpec extends SparkSpec {
       org.apache.spark.sql.graft.Shims.expression(col("t")), "NFX")
     assert(e.checkInputDataTypes().isFailure)
   }
+
+  test("graft_normalize is reachable from SQL") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(s"SELECT graft_normalize('$deco', 'NFC') AS n")
+      .head().getString(0)
+    assert(got == pre)
+  }
 }
