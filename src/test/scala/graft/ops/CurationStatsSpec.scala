@@ -195,6 +195,15 @@ class BloomGateSpec extends SparkSpec {
     assert(defNew.size > 150)
   }
 
+  test("the probe plan is a pure projection: no exchange, no join") {
+    val corpus = (1 to 100).map(i => s"k$i").toDF("k")
+    val batch = (1 to 50).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val plan = Dedup.bloomGate(batch, corpus, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe side shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"probe side joined:\n$plan")
+  }
+
   test("deterministic across runs; empty corpus flags nothing") {
     val corpus = (1 to 100).map(i => s"k$i").toDF("k")
     val batch = (50 to 150).map(i => (i.toLong, s"k$i")).toDF("id", "k")
