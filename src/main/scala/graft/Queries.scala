@@ -791,6 +791,17 @@ object Queries {
         sum(TextOps.tokenCount(col("text")).cast(LongType))
           .as("total_tokens"))),
 
+    "q_x_pivot" -> ((s, dir) => {
+      // wide per-source report: explicit pivot values keep the plan a
+      // single hash-agg (value discovery would add a driver collect);
+      // empty cells coalesce to 0 so the wide table is dense
+      val srcs = (0 until 5).map(i => s"src$i")
+      docs(s, dir).filter(col("source").isin(srcs: _*))
+        .groupBy("lang").pivot("source", srcs).agg(count(lit(1)))
+        .select(col("lang") +:
+          srcs.map(sc => coalesce(col(sc), lit(0L)).as(sc)): _*)
+    }),
+
     "q_x_nfc" -> ((s, dir) => {
       // unicode normalization (custom codegen'd Expression): corpus is
       // ASCII, so plant mixed-normalization suffixes — decomposed on even
@@ -1916,6 +1927,16 @@ object Queries {
         |  count(*) AS n
         |FROM o FULL OUTER JOIN n USING (doc_id)
         |GROUP BY 1""".stripMargin,
+
+    "q_x_pivot" -> {
+      val cols = (0 until 5).map(i =>
+        s"  CAST(sum(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END) AS BIGINT) AS src$i")
+        .mkString(",\n")
+      s"""SELECT lang,
+         |$cols
+         |FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+         |GROUP BY 1""".stripMargin
+    },
 
     "q_x_rollup" ->
       """WITH d AS (
