@@ -248,6 +248,7 @@ object Similarity {
     * from the result (they have no projection). */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
     val exploded = df.select(col(idCol).as("id"),
       posexplode(col(vecCol)).as(Seq("__i", "__v")))
       .select(col("id"), col("__i"),
