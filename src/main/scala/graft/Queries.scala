@@ -689,6 +689,23 @@ object Queries {
         .withColumnRenamed("id", "vec_id")
     }),
 
+    "q_x_ann_pq" -> ((s, dir) => {
+      // product quantization: 4 subspaces x 16 dims, 8 codes each — the
+      // 100 TB compression path (vectors -> 4 bytes); ADC scan is one
+      // codegen'd projection + TakeOrdered. Training/encoding/ADC all
+      // replay bit-for-bit in the DuckDB oracle (md5 seeds + DECIMAL
+      // means per subspace, left-to-right lookup-table addition).
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 4, dsub = 16,
+        k = 8, iters = 2)
+      Pq.adcTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        cb, q, topK = 20)
+    }),
+
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
       // fraction of a doc's shingles shared with other documents
@@ -978,6 +995,76 @@ object Queries {
        |${ivfAssignBlock("a2", "c1", "")},
        |${ivfMeanBlock("a2", "m2", "c1", "c2")}""".stripMargin
 
+  /** DuckDB replica of Pq.train(m=4, dsub=16, k=8, iters=2) + encode +
+    * adcTopK: per-subspace md5-seeded Lloyd passes with DECIMAL-exact
+    * means (the proven Ivf pattern over sliced vectors), final
+    * assignments as the codes, and the ADC estimate as a left-to-right
+    * sum of per-subspace lookup distances — a full value oracle for the
+    * compressed-search operator. */
+  private val pqOracleSql: String = {
+    val m = 4; val dsub = 16; val k = 8
+    def subCte(j: Int) =
+      s"s$j AS (SELECT vec_id, e[${j * dsub + 1}:${(j + 1) * dsub}] AS e FROM emb)"
+    def seedCte(j: Int) =
+      s"""c0_$j AS (
+         |  SELECT cell, c FROM (
+         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, e AS c
+         |    FROM s$j)
+         |  WHERE cell < $k)""".stripMargin
+    def assignCte(name: String, cIn: String, src: String) =
+      s"""$name AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        (list_inner_product(v.e, v.e) - 2.0 * list_inner_product(v.e, c.c)) + list_inner_product(c.c, c.c),
+         |        c.cell) AS rn
+         |    FROM $src v, $cIn c)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(aIn: String, mOut: String, cIn: String, cOut: String) =
+      s"""$mOut AS (
+         |  SELECT cell, j.range AS pos,
+         |    CAST(sum(CAST(e[CAST(j.range AS INT) + 1] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+         |  FROM $aIn, range($dsub) j GROUP BY cell, j.range),
+         |$cOut AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM $mOut GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, c FROM $cIn WHERE cell NOT IN (SELECT cell FROM $mOut))""".stripMargin
+    def lutCte(j: Int) =
+      s"""q$j AS (SELECT e AS qe FROM s$j WHERE vec_id = 0),
+         |ld$j AS (
+         |  SELECT c.cell,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${dsub + 1}),
+         |        i -> (c.c[CAST(i AS INT)] - q$j.qe[CAST(i AS INT)])
+         |             * (c.c[CAST(i AS INT)] - q$j.qe[CAST(i AS INT)]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM c2_$j c, q$j)""".stripMargin
+    val perSub = (0 until m).map { j =>
+      Seq(subCte(j), seedCte(j),
+        assignCte(s"a1_$j", s"c0_$j", s"s$j"),
+        meanCte(s"a1_$j", s"m1_$j", s"c0_$j", s"c1_$j"),
+        assignCte(s"a2_$j", s"c1_$j", s"s$j"),
+        meanCte(s"a2_$j", s"m2_$j", s"c1_$j", s"c2_$j"),
+        assignCte(s"af_$j", s"c2_$j", s"s$j"),
+        lutCte(j)).mkString(",\n")
+    }.mkString(",\n")
+    val joins = (1 until m).map(j => s"JOIN af_$j x$j USING (vec_id)")
+      .mkString("\n  ")
+    val ljoins = (0 until m).map(j => s"JOIN ld$j l$j ON l$j.cell = x$j.cell")
+      .mkString("\n  ")
+    val estExpr = (0 until m).map(j => s"l$j.d2").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$perSub,
+       |est AS (
+       |  SELECT x0.vec_id, $estExpr AS est
+       |  FROM af_0 x0
+       |  $joins
+       |  $ljoins
+       |  WHERE x0.vec_id <> 0)
+       |SELECT vec_id, round(est, 6) AS est_d2
+       |FROM est ORDER BY est, vec_id LIMIT 20""".stripMargin
+  }
+
   private val ivfOracleSql: String = {
     s"""WITH $ivfTrainCtes,
        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
@@ -1071,6 +1158,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
+    "q_x_ann_pq" -> pqOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,

@@ -29,7 +29,7 @@ object Ivf {
         .sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
   }
 
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+  private[ops] def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

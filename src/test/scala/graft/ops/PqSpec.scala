@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters in each half of the vector so subspace codebooks
+  // have structure to find
+  private def vecs = (0 until 40).map { i =>
+    val base = if (i % 2 == 0) 1.0f else -1.0f
+    (i.toLong, Array.tabulate(8)(d =>
+      base * (1.0f + 0.01f * i) * (if (d < 4) 1f else 0.5f)))
+  }.toDF("vec_id", "embedding")
+
+  test("encode: codes in range, duplicates share codes, deterministic") {
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    assert(cb.m == 2 && cb.k == 4)
+    val enc = Pq.encode(vecs, "embedding", cb)
+      .select("vec_id", "__code0", "__code1")
+      .as[(Long, Int, Int)].collect()
+    assert(enc.forall { case (_, c0, c1) =>
+      c0 >= 0 && c0 < 4 && c1 >= 0 && c1 < 4 })
+    // the two sign-clusters must land in different codes
+    val byCluster = enc.groupBy(_._1 % 2).view.mapValues(_.map(_._2).toSet)
+    assert(byCluster(0L).intersect(byCluster(1L)).isEmpty)
+    val again = Pq.encode(vecs, "embedding", cb)
+      .select("vec_id", "__code0", "__code1")
+      .as[(Long, Int, Int)].collect()
+    assert(enc.toSet == again.toSet)
+  }
+
+  test("adcTopK ranks the query's own cluster first") {
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5) // +1 cluster
+    val top = Pq.adcTopK(vecs, "vec_id", "embedding", cb, q, topK = 10)
+      .select("vec_id").as[Long].collect()
+    assert(top.length == 10)
+    assert(top.forall(_ % 2 == 0), s"negative-cluster id in $top")
+    // estimated distances are monotone non-decreasing down the ranking
+    val ds = Pq.adcTopK(vecs, "vec_id", "embedding", cb, q, topK = 10)
+      .select("est_d2").as[Double].collect()
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("encode plan is a pure projection (no exchange, no join)") {
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val plan = Pq.encode(vecs, "embedding", cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+}
