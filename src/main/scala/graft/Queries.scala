@@ -706,6 +706,21 @@ object Queries {
         cb, q, topK = 20)
     }),
 
+    "q_x_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ composition: coarse-cell routing (nprobe=2 of 8) + ADC
+      // re-rank on 4-byte codes — partition pruning times 32x compression
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 4, dsub = 16,
+        k = 8, iters = 2)
+      Pq.ivfPqTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        coarse, cb, q, topK = 20, nprobe = 2)
+    }),
+
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
       // fraction of a doc's shingles shared with other documents
@@ -1001,7 +1016,7 @@ object Queries {
     * assignments as the codes, and the ADC estimate as a left-to-right
     * sum of per-subspace lookup distances — a full value oracle for the
     * compressed-search operator. */
-  private val pqOracleSql: String = {
+  private val pqOracleParts: (String, String => String) = {
     val m = 4; val dsub = 16; val k = 8
     def subCte(j: Int) =
       s"s$j AS (SELECT vec_id, e[${j * dsub + 1}:${(j + 1) * dsub}] AS e FROM emb)"
@@ -1053,14 +1068,46 @@ object Queries {
     val ljoins = (0 until m).map(j => s"JOIN ld$j l$j ON l$j.cell = x$j.cell")
       .mkString("\n  ")
     val estExpr = (0 until m).map(j => s"l$j.d2").mkString(" + ")
+    val subCtes = perSub
+    def estCte(extraWhere: String) =
+      s"""est AS (
+         |  SELECT x0.vec_id, $estExpr AS est
+         |  FROM af_0 x0
+         |  $joins
+         |  $ljoins
+         |  WHERE x0.vec_id <> 0$extraWhere)""".stripMargin
+    (subCtes, estCte _)
+  }
+
+  private val pqOracleSql: String = {
+    val (subCtes, estCte) = pqOracleParts
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |$perSub,
-       |est AS (
-       |  SELECT x0.vec_id, $estExpr AS est
-       |  FROM af_0 x0
-       |  $joins
-       |  $ljoins
-       |  WHERE x0.vec_id <> 0)
+       |$subCtes,
+       |${estCte("")}
+       |SELECT vec_id, round(est, 6) AS est_d2
+       |FROM est ORDER BY est, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** IVF-PQ oracle: coarse training + query-probe selection from the IVF
+    * replay, candidate routing by the final coarse assignment, then the
+    * PQ blocks' ADC estimate restricted to the probed cells. */
+  private val ivfPqOracleSql: String = {
+    val (subCtes, estCte) = pqOracleParts
+    s"""WITH $ivfTrainCtes,
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |pd AS (
+       |  SELECT c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)])
+       |             * (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM c2 c, q),
+       |probes AS (SELECT cell FROM pd ORDER BY d2, cell LIMIT 2),
+       |${ivfAssignBlock("afv", "c2", " WHERE v.vec_id <> 0")},
+       |$subCtes,
+       |${estCte(
+        "\n    AND x0.vec_id IN (SELECT vec_id FROM afv WHERE cell IN (SELECT cell FROM probes))")}
        |SELECT vec_id, round(est, 6) AS est_d2
        |FROM est ORDER BY est, vec_id LIMIT 20""".stripMargin
   }
@@ -1159,6 +1206,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
     "q_x_ann_pq" -> pqOracleSql,
+    "q_x_ann_ivfpq" -> ivfPqOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,

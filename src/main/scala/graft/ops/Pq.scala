@@ -78,4 +78,20 @@ object Pq {
       .orderBy(col("__est"), col(idCol)).limit(topK)
       .select(col(idCol), round(col("__est"), 6).as("est_d2"))
   }
+
+  /** IVF-PQ: route by coarse cell ([[Ivf]]), ADC-rank inside the probed
+    * cells only — the canonical production ANN shape (a query touches
+    * nprobe/k of the corpus AND each touched vector costs m lookups
+    * instead of a d-dim product). At 100 TB the cell id is a partition
+    * column, so the probe is partition pruning; the ADC scan stays a
+    * pure projection. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, cb: Codebooks, query: Array[Double], topK: Int,
+      nprobe: Int = 2): DataFrame = {
+    val probes = coarse.nearest(query, nprobe)
+    val routed = Ivf.assign(df, vecCol, coarse)
+      .filter(col("__cluster").isin(probes: _*))
+      .drop("__cluster")
+    adcTopK(routed, idCol, vecCol, cb, query, topK)
+  }
 }

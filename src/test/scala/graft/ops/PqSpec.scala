@@ -44,6 +44,25 @@ class PqSpec extends SparkSpec {
     assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
   }
 
+  test("ivfPqTopK only ranks candidates from probed coarse cells") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    // nprobe=1: every result must come from the query's own coarse cell
+    val qCell = coarse.nearest(q, 1).head
+    val cells = Ivf.assign(vecs, "embedding", coarse)
+      .select("vec_id", "__cluster").as[(Long, Int)].collect().toMap
+    val top = Pq.ivfPqTopK(vecs, "vec_id", "embedding", coarse, cb, q,
+      topK = 10, nprobe = 1).select("vec_id").as[Long].collect()
+    assert(top.nonEmpty && top.forall(cells(_) == qCell))
+    // nprobe = k degenerates to plain ADC over everything
+    val all = Pq.ivfPqTopK(vecs, "vec_id", "embedding", coarse, cb, q,
+      topK = 10, nprobe = 2).select("vec_id").as[Long].collect()
+    val adc = Pq.adcTopK(vecs, "vec_id", "embedding", cb, q, topK = 10)
+      .select("vec_id").as[Long].collect()
+    assert(all.toSeq == adc.toSeq)
+  }
+
   test("encode plan is a pure projection (no exchange, no join)") {
     val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
     val plan = Pq.encode(vecs, "embedding", cb)
