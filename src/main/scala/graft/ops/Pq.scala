@@ -36,16 +36,67 @@ object Pq {
 
   /** Train m independent subspace codebooks. `m * dsub` must cover the
     * vector length; every subspace sees the SAME md5-ordered seed rows
-    * (sliced), so an external engine replays each codebook. */
+    * (sliced), so an external engine replays each codebook.
+    *
+    * All m subspaces train TOGETHER: one seed collect, then per Lloyd
+    * iteration a single aggregation job computes every (subspace, code,
+    * position) mean — the equivalent of m independent [[Ivf.train]] runs
+    * costs ~3·m serialized driver jobs; this costs iters+1. The math is
+    * identical (same assignments, same DECIMAL-exact means), so the
+    * oracle replay is unchanged. */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dsub: Int, k: Int, iters: Int = 2): Codebooks = {
     require(m >= 1 && dsub >= 1 && k >= 1, s"bad m=$m dsub=$dsub k=$k")
-    Codebooks(dsub, (0 until m).map { j =>
-      Ivf.train(
-        df.select(col(idCol).as("__pqid"),
-          sub(vecCol, j, dsub).as("__sub")),
-        "__pqid", "__sub", k, iters)
-    }.toArray)
+    // one collect: the k md5-smallest rows' full vectors, sliced on the
+    // driver — identical to per-subspace seed selection (slicing doesn't
+    // change the md5(id) order)
+    val seedRows = df
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    var books = (0 until m).map(j =>
+      Ivf.Model(seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))).toArray
+    for (_ <- 1 to iters) {
+      val encoded = (0 until m).foldLeft(df.select(col(vecCol).as("__v"))) {
+        (cur, j) =>
+          Ivf.assign(cur.withColumn("__sub", sub("__v", j, dsub)),
+              "__sub", books(j))
+            .withColumnRenamed("__cluster", s"__c$j").drop("__sub")
+      }
+      val codes = array((0 until m).map(j => col(s"__c$j")): _*)
+      val rows = encoded
+        .select(codes.as("__codes"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .filter(col("__pos") < m * dsub) // extra dims train no codebook
+        .select(expr(s"__pos div $dsub").cast("int").as("__j"),
+          pmod(col("__pos"), lit(dsub)).as("__p"), col("__codes"), col("__x"))
+        .select(col("__j"),
+          element_at(col("__codes"), col("__j") + 1).as("__code"),
+          col("__p"), col("__x"))
+        .groupBy("__j", "__code", "__p")
+        .agg((sum(col("__x").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("__m"))
+        .collect()
+      val byJ = rows.groupBy(_.getInt(0))
+      books = books.zipWithIndex.map { case (b, j) =>
+        val means = byJ.getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+          .map { case (c, rs) =>
+            c -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          }
+        // empty codes keep their previous centroid (Ivf.train rule)
+        Ivf.Model(b.centroids.zipWithIndex.map { case (c, i) =>
+          means.getOrElse(i, c)
+        })
+      }
+    }
+    Codebooks(dsub, books)
   }
 
   /** Adds `__code0..__code{m-1}` (int in [0,k)) — the compressed form.
