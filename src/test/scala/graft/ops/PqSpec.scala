@@ -63,6 +63,20 @@ class PqSpec extends SparkSpec {
     assert(all.toSeq == adc.toSeq)
   }
 
+  test("fused training equals m independent per-subspace Ivf.train runs") {
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 3)
+    val independent = (0 until 2).map { j =>
+      Ivf.train(
+        vecs.select(col("vec_id"),
+          slice(col("embedding"), j * 4 + 1, 4).as("__sub")),
+        "vec_id", "__sub", k = 3, iters = 2)
+    }
+    for (j <- 0 until 2) {
+      assert(cb.books(j).centroids.map(_.toSeq).toSeq ==
+        independent(j).centroids.map(_.toSeq).toSeq, s"subspace $j")
+    }
+  }
+
   test("encode plan is a pure projection (no exchange, no join)") {
     val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
     val plan = Pq.encode(vecs, "embedding", cb)
