@@ -814,6 +814,17 @@ object Queries {
         .groupBy("status").agg(count(lit(1)).as("n"))
     }),
 
+    "q_x_length_hist" -> ((s, dir) =>
+      // corpus-card length histogram: power-of-two buckets over n_chars —
+      // one hash-agg on ~30 keys. Bucket = floor(log2(x)) computed as
+      // len(bin(x))-1: exact integer bit math, immune to the
+      // floor(log2(double)) last-ulp hazard at exact powers of two.
+      docs(s, dir)
+        .select(when(coalesce(col("n_chars"), lit(0L)) <= 0, lit(0L))
+          .otherwise(length(expr("bin(n_chars)")).cast(LongType) - 1)
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
     "q_x_rollup" -> ((s, dir) =>
       // hierarchical corpus report: (source, lang) cells + per-source
       // subtotals + grand total in ONE pass — Spark expands the grouping
@@ -2063,6 +2074,12 @@ object Queries {
         |  count(*) AS n
         |FROM o FULL OUTER JOIN n USING (doc_id)
         |GROUP BY 1""".stripMargin,
+
+    "q_x_length_hist" ->
+      """SELECT CASE WHEN coalesce(n_chars, 0) <= 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(length(bin(n_chars)) - 1 AS BIGINT) END AS bucket,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_x_pivot" -> {
       val cols = (0 until 5).map(i =>
