@@ -1891,8 +1891,10 @@ object Queries {
     "q_x_split" -> {
       import graft.functions.Portable
       val h = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
-      val t1 = graft.ops.Sampling.fracThreshold(0.9)
-      val t2 = graft.ops.Sampling.fracThreshold(0.95)
+      // the SAME threshold computation the Spark side uses — not an
+      // independently-derived literal that could differ in the last ulp
+      val Seq(t1, t2) = graft.ops.Sampling.splitThresholds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       s"""SELECT doc_id,
          |  CASE WHEN h < $t1 THEN 'train'
          |       WHEN h < $t2 THEN 'val'

@@ -63,17 +63,33 @@ object Dedup {
     * shuffle of the batch at any scale. */
   def bloomGate(batch: DataFrame, corpusKeys: DataFrame,
       keyCols: Seq[String], expectedItems: Long = 1L << 20,
-      numBits: Long = 1L << 23): DataFrame = {
+      numBits: Long = 1L << 23): DataFrame =
+    bloomGateWith(batch,
+      bloomSketch(corpusKeys, keyCols, expectedItems, numBits), keyCols)
+
+  /** Build the corpus-key sketch once; returns null for an empty corpus.
+    * Long-running ingest should build this ONCE and reuse it across
+    * micro-batches ([[bloomGateWith]]) — rebuilding per batch would scan
+    * the full key history every trigger, costing more than the exact
+    * lookup the gate exists to avoid. */
+  def bloomSketch(corpusKeys: DataFrame, keyCols: Seq[String],
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): Array[Byte] = {
     import graft.functions.Bloom
-    def keyHash(d: DataFrame) = xxhash64(keyCols.map(d(_)): _*)
-    val sketch = corpusKeys
-      .agg(Bloom.bloomAgg(keyHash(corpusKeys), expectedItems, numBits)
-        .as("__bloom"))
+    corpusKeys
+      .agg(Bloom.bloomAgg(xxhash64(keyCols.map(corpusKeys(_)): _*),
+        expectedItems, numBits).as("__bloom"))
       .head().getAs[Array[Byte]](0)
+  }
+
+  /** Probe a pre-built sketch: pure batch-side projection. */
+  def bloomGateWith(batch: DataFrame, sketch: Array[Byte],
+      keyCols: Seq[String]): DataFrame = {
+    import graft.functions.Bloom
     // empty corpus -> null sketch: nothing was ever seen
     if (sketch == null) batch.withColumn("maybe_seen", lit(false))
     else batch.withColumn("maybe_seen",
-      coalesce(Bloom.mightContain(lit(sketch), keyHash(batch)), lit(false)))
+      coalesce(Bloom.mightContain(lit(sketch),
+        xxhash64(keyCols.map(batch(_)): _*)), lit(false)))
   }
 
   /** Cross-document repetition: the fraction of a document's distinct

@@ -81,19 +81,25 @@ object Ivf {
     * is bit-reproducible across runs, partitionings, cluster sizes AND
     * external engines (a double `avg` would depend on reduction order).
     * This is what lets q_x_ann_ivf carry a full DuckDB value oracle. */
+  /** The k md5-smallest rows' vectors as doubles — the deterministic seed
+    * selection BOTH [[train]] and [[Pq.train]] replay (one shared
+    * definition: a tweak here desynchronizing the two oracles is the
+    * failure mode this helper exists to prevent). */
+  private[ops] def seedRows(df: DataFrame, idCol: String,
+      vecCol: String, k: Int): Array[Array[Double]] = df
+    .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    .limit(k)
+    .select(col(vecCol))
+    .collect()
+    .map(_.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray)
+
   def train(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): Model = {
-    val seeds = df
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toArray)
-    var model = Model(seeds)
+    var model = Model(seedRows(df, idCol, vecCol, k))
     for (_ <- 1 to iters) {
       val means = assign(df, vecCol, model)
         .select(col("__cluster"),

@@ -47,21 +47,12 @@ object Pq {
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dsub: Int, k: Int, iters: Int = 2): Codebooks = {
     require(m >= 1 && dsub >= 1 && k >= 1, s"bad m=$m dsub=$dsub k=$k")
-    // one collect: the k md5-smallest rows' full vectors, sliced on the
-    // driver — identical to per-subspace seed selection (slicing doesn't
-    // change the md5(id) order)
-    val seedRows = df
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toArray)
+    // one collect: the k md5-smallest rows' full vectors (the SAME shared
+    // seed rule Ivf.train uses), sliced on the driver — identical to
+    // per-subspace selection (slicing doesn't change the md5(id) order)
+    val seeds = Ivf.seedRows(df, idCol, vecCol, k)
     var books = (0 until m).map(j =>
-      Ivf.Model(seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))).toArray
+      Ivf.Model(seeds.map(_.slice(j * dsub, (j + 1) * dsub)))).toArray
     for (_ <- 1 to iters) {
       val encoded = (0 until m).foldLeft(df.select(col(vecCol).as("__v"))) {
         (cur, j) =>

@@ -48,17 +48,27 @@ object Sampling {
     * growth and re-partitioning), assignment is a pure projection — no
     * shuffle, no RNG, replayable by any engine. `salt` decorrelates this
     * split from other hash-keyed decisions on the same ids. */
-  def splitBy(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
-      salt: String = "split"): DataFrame = {
+  /** Cumulative integer boundaries for `splits` (all but the last, whose
+    * boundary is P itself). Shared with the q_x_split oracle so both
+    * engines compare the hash against the EXACT same integers — deriving
+    * them independently (accumulated double here, literal sum there)
+    * could differ in the last ulp and flip an id near a boundary. */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[Long] = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got $splits")
+    require(splits.forall { case (_, f) => f > 0 && f <= 1 },
+      s"each split fraction must be in (0,1], got $splits")
+    splits.scanLeft(0.0)(_ + _._2).tail.init.map(fracThreshold)
+  }
+
+  def splitBy(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
     val h = Portable.h31(concat(lit(salt + ":"), col(idCol).cast("string")))
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail
     // last arm is `otherwise`: the final boundary is P itself, and a <
     // compare against floor(1.0·P) would misroute the (rare) max hash
-    val assigned = splits.init.zip(cum.init)
-      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
-        val cond = h < fracThreshold(c)
+    val assigned = splits.init.zip(splitThresholds(splits))
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>
+        val cond = h < t
         Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
       }
       .fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))

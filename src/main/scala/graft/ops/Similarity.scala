@@ -214,7 +214,6 @@ object Similarity {
     val pairs = a.as("a").join(a.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("nbr"),
-        col("a.cell").cast(LongType).as("cell"),
         when(col("a.nrm") * col("b.nrm") > 0,
           dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
           .otherwise(lit(0.0)).as("cos"))

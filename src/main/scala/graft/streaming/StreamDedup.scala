@@ -42,11 +42,21 @@ object StreamDedup {
     * instead of the whole micro-batch. */
   def bloomGatedBatch(batch: DataFrame, corpusKeys: DataFrame,
       keyCols: Seq[String], idCol: String,
-      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
+    bloomGatedBatch(batch, corpusKeys, keyCols, idCol,
+      graft.ops.Dedup.bloomSketch(corpusKeys, keyCols, expectedItems,
+        numBits))
+
+  /** Long-running form: the sketch is built ONCE outside the stream (and
+    * OR-updated with survivors out of band) — rebuilding it per
+    * micro-batch would re-aggregate the full key history every trigger,
+    * costing more than the exact lookup the gate avoids. */
+  def bloomGatedBatch(batch: DataFrame, corpusKeys: DataFrame,
+      keyCols: Seq[String], idCol: String,
+      sketch: Array[Byte]): DataFrame = {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions.col
-    val gated = Dedup.bloomGate(batch, corpusKeys, keyCols,
-      expectedItems, numBits)
+    val gated = Dedup.bloomGateWith(batch, sketch, keyCols)
     val fast = gated.filter(!col("maybe_seen")).drop("maybe_seen")
     val slow = gated.filter(col("maybe_seen")).drop("maybe_seen")
     // keep-min-per-key commutes with key-membership filtering, so

@@ -56,6 +56,9 @@ object Compaction {
     val n = targetPartitions(bytes, targetFileBytes)
     catalog.migrate(schema, table) { df =>
       if (zorderCols.nonEmpty) Layout.zorder(df, zorderCols.map(col), n, bits)
+      // coalesce only REDUCES partition counts — splitting few oversized
+      // files into more needs the shuffle; merging many small ones doesn't
+      else if (n > df.rdd.getNumPartitions) df.repartition(n)
       else df.coalesce(n)
     }
     n

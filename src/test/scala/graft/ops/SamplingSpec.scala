@@ -60,6 +60,10 @@ class SamplingSpec extends SparkSpec {
     assert(salted.exists { case (id, s) => got(id) != s })
     assertThrows[IllegalArgumentException](
       Sampling.splitBy(corpus, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+    // fractions summing to 1 but individually out of (0,1] must throw:
+    // 1.2/-0.2 would silently make the second split unreachable
+    assertThrows[IllegalArgumentException](
+      Sampling.splitBy(corpus, "id", Seq("a" -> 1.2, "b" -> -0.2)))
   }
 
   test("weightedKeep: weight 1 keeps all, 0 drops all, default applies") {

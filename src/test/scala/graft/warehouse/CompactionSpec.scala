@@ -43,6 +43,20 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.targetPartitions(101L, 100L) == 2)
   }
 
+  test("splits oversized files too: target smaller than the scan splits") {
+    val root = Files.createTempDirectory("compact4").toString
+    val cat = new ParquetCatalog(spark, root)
+    // ONE file; a coalesce-only implementation could never split it
+    cat.save("s", "big", (1 to 4000).map(i => (i.toLong, s"v$i" * 10))
+      .toDF("id", "v").coalesce(1))
+    assert(dataFiles(cat.tablePath("s", "big")).size == 1)
+    val bytes = Compaction.dataBytes(spark, cat.tablePath("s", "big"))
+    val n = Compaction.compact(cat, spark, "s", "big", bytes / 4)
+    assert(n >= 4)
+    assert(dataFiles(cat.tablePath("s", "big")).size >= 4)
+    assert(cat.load("s", "big").count() == 4000)
+  }
+
   test("z-order compaction clusters both dimensions into few files") {
     val root = Files.createTempDirectory("compact3").toString
     val cat = new ParquetCatalog(spark, root)
