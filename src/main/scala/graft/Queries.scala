@@ -28,6 +28,14 @@ object Queries {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     Tables.read(s, dir, t)
 
+  /** Scratch location for the persisted-index queries (q_x_ann_*_pruned):
+    * keyed by sf dir so concurrent runs against different scales never
+    * collide; rebuilt (overwrite) on every invocation — the catalog entry
+    * demonstrates index-then-probe end to end. */
+  private def tmpIndexPath(kind: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_index/" +
+      s"${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
   /** The documents table spread across the cluster: the test file is one
     * parquet row group (one split), which would run the expression-heavy
     * text analytics single-threaded ahead of any shuffle. Dedup.spread is
@@ -494,13 +502,10 @@ object Queries {
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
-    "q_x_embed_dup" -> ((s, dir) =>
-      // exact all-pairs variant: the verification baseline (oracle-checked);
-      // the LSH-banded scale path is q_x_embed_dup_lsh.
-      Similarity.bruteForcePairs(rd(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.30)
-        .select("id_a", "id_b")),
-
+    // NOTE: the exact all-pairs baseline (Similarity.bruteForcePairs) is
+    // deliberately NOT a catalog entry — the shipped catalog contains zero
+    // cartesian plans. It is size-gated and exercised spec-side
+    // (SimilaritySpec verifies the LSH path against it on a fixture).
     "q_x_embed_dup_lsh" -> ((s, dir) =>
       Similarity.cosineDupPairsPortable(rd(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.30, numPlanes = 16, bands = 8, dim = 64)
@@ -719,6 +724,43 @@ object Queries {
         k = 8, iters = 2)
       Pq.ivfPqTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         coarse, cb, q, topK = 20, nprobe = 2)
+    }),
+
+    "q_x_ann_ivf_pruned" -> ((s, dir) => {
+      // the SERVED-corpus shape: index once (cell-partitioned parquet +
+      // centroid sidecar), then every probe is partition pruning — the
+      // scan opens nprobe of k cell directories and never re-assigns or
+      // even reads the rest (PartitionFilters column in PLANS.md).
+      // Result set is identical to q_x_ann_ivf (same oracle).
+      import graft.ops.Ivf
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val path = tmpIndexPath("ivf", dir)
+      Ivf.index(emb.filter(col("vec_id") =!= 0), "embedding", model, path)
+      Ivf.probe(s, path, "vec_id", "embedding", q, k = 20, nprobe = 2)
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
+    "q_x_ann_ivfpq_pruned" -> ((s, dir) => {
+      // IVF-PQ over a persisted index: cells are partition directories,
+      // rows carry ONLY the m code ints (no vectors on disk — the 32x
+      // compression is real, not just logical). Probe = partition pruning
+      // + pure ADC projection over stored codes; same oracle as ivfpq.
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 4, dsub = 16,
+        k = 8, iters = 2)
+      val path = tmpIndexPath("ivfpq", dir)
+      Pq.index(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        coarse, cb, path)
+      Pq.probeIndexed(s, path, "vec_id", q, topK = 20, nprobe = 2)
     }),
 
     "q_x_dup_spans" -> ((s, dir) =>
@@ -1218,6 +1260,12 @@ object Queries {
     "q_x_ann_ivf" -> ivfOracleSql,
     "q_x_ann_pq" -> pqOracleSql,
     "q_x_ann_ivfpq" -> ivfPqOracleSql,
+    // the pruned twins produce IDENTICAL results to their unpruned
+    // counterparts (same cells, same re-rank; only the I/O path differs),
+    // so they share the oracle — the value check then PROVES the
+    // partition-pruned probe loses nothing.
+    "q_x_ann_ivf_pruned" -> ivfOracleSql,
+    "q_x_ann_ivfpq_pruned" -> ivfPqOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,
@@ -1696,13 +1744,6 @@ object Queries {
         |              list_transform(string_split(norm, ''), c -> CAST(unicode(c) AS BIGINT))),
         |            (acc, x) -> (acc * 1000003 + x) % 2147483647) END AS BIGINT) AS rh
         |FROM n""".stripMargin,
-
-    "q_x_embed_dup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.30""".stripMargin,
 
     // as-of: latest order per (customer, event time); ties -> max orderkey.
     // The window formulation is the oracle's independent expression of the

@@ -93,10 +93,12 @@ object Dedup {
   }
 
   /** Cross-document repetition: the fraction of a document's distinct
-    * n-gram shingles that occur in at least `minDf` OTHER documents — the
-    * signal behind exact-substring dedup (Lee et al. 2022, "Deduplicating
-    * Training Data Makes Language Models Better"): high dup_frac = the
-    * document is mostly boilerplate shared across the corpus.
+    * n-gram shingles that occur in at least `minDf` documents INCLUDING
+    * this one (i.e. `minDf - 1` others; the window count below is
+    * self-inclusive, and the oracle replays that) — the signal behind
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): high dup_frac = the document is
+    * mostly boilerplate shared across the corpus.
     *
     * Scale: explode distinct shingles ONCE, take the document frequency
     * as a count over the shingle window (one exchange on the shingle
@@ -152,10 +154,21 @@ object Dedup {
     * expression-heavy stage: a small parquet file arrives as ONE split, so
     * tokenize/shingle/hash would run single-threaded ahead of the first
     * shuffle. No-op when the scan already has enough splits (the 100 TB
-    * case) — then an extra corpus shuffle would be pure harm. */
+    * case) — then an extra corpus shuffle would be pure harm.
+    *
+    * Split count is ESTIMATED from optimizer statistics (input bytes /
+    * `files.maxPartitionBytes`) — `df.rdd.getNumPartitions` would be
+    * exact but instantiates the full RDD lineage on every planning pass
+    * of every catalog query that touches the corpus. The estimate errs
+    * small for tiny inputs (exactly the case that needs spreading) and
+    * large for 100 TB scans (exactly the case that must not shuffle). */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val estSplits = (bytes / maxSplit).toLong + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** (id, shingle) rows with the token array materialized in a separate

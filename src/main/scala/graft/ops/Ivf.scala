@@ -1,14 +1,16 @@
 package graft.ops
 
 import graft.functions.VectorExprs
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbour: k-means-partition
   * the vectors into `k` cells; a query probes only the `nprobe` nearest
   * cells and re-ranks exactly inside them. The at-scale companion to
   * [[Similarity.lshTopK]] — at 100 TB the cell id is a partition column
-  * and a probe touches k/nprobe-th of the data.
+  * ([[index]] writes exactly that layout) and a probe ([[probe]]) is
+  * partition pruning: only nprobe of k cell directories are ever opened.
   *
   * Deterministic throughout: centroid seeds are the k rows with the
   * smallest md5-derived [[graft.functions.Portable.h60]] of the id (no
@@ -123,8 +125,12 @@ object Ivf {
     model
   }
 
-  /** ANN top-k: probe the query's `nprobe` nearest cells, exact cosine
-    * re-rank inside them only. */
+  /** ANN top-k over an UNINDEXED frame: probe the query's `nprobe`
+    * nearest cells, exact cosine re-rank inside them only. Correct and
+    * codegen'd, but the assignment recomputes k distance expressions over
+    * every row — a one-shot / ad-hoc shape. A served corpus should be
+    * [[index]]ed once so each probe is partition pruning instead of a
+    * full scan. */
   def topK(df: DataFrame, idCol: String, vecCol: String, model: Model,
       query: Array[Double], k: Int, nprobe: Int = 2): DataFrame = {
     val probes = model.nearest(query, nprobe)
@@ -132,5 +138,67 @@ object Ivf {
       .filter(col("__cluster").isin(probes: _*))
       .drop("__cluster")
     Similarity.bruteForceTopK(candidates, idCol, vecCol, query, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted index: cell-partitioned layout + model sidecar
+  // ------------------------------------------------------------------
+
+  /** Partition-column name of the persisted index layout. */
+  val CellCol = "cell"
+  private val ModelSidecar = "_graft_ivf_model.txt"
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Centroids → sidecar text (one comma-joined line per centroid).
+    * `Double.toString`/`parseDouble` round-trips exactly, so the loaded
+    * model reproduces assignments bit-for-bit. Prefixed `_` so parquet
+    * readers treat it as metadata, exactly like the BucketedCatalog
+    * schema sidecar. */
+  private[ops] def writeModel(spark: SparkSession, path: String,
+      model: Model): Unit = {
+    val out = fsFor(spark, path).create(new Path(path, ModelSidecar), true)
+    try out.write(model.centroids.map(_.mkString(","))
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the centroid sidecar of an [[index]]ed corpus. */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val in = fsFor(spark, path).open(new Path(path, ModelSidecar))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Model(text.split("\n").filter(_.nonEmpty)
+      .map(_.split(",").map(java.lang.Double.parseDouble)))
+  }
+
+  /** Materialize the 100 TB ANN layout: the corpus written
+    * `path/cell=<i>/…parquet` with the centroid model as a sidecar. The
+    * cell assignment is computed ONCE at index time; every subsequent
+    * [[probe]] is partition pruning (`PartitionFilters: cell IN (…)`) —
+    * it opens nprobe of k directories and never touches, reads, or
+    * re-assigns the rest of the corpus. Index once, probe many: the
+    * assignment scan amortizes across every query served. */
+  def index(df: DataFrame, vecCol: String, model: Model,
+      path: String): Unit = {
+    assign(df, vecCol, model)
+      .withColumnRenamed("__cluster", CellCol)
+      .write.mode(SaveMode.Overwrite).partitionBy(CellCol).parquet(path)
+    writeModel(df.sparkSession, path, model)
+  }
+
+  /** Partition-pruned ANN top-k over an [[index]]ed corpus: results are
+    * IDENTICAL to [[topK]] with the same model/query/nprobe (same cells,
+    * same exact re-rank) — only the I/O differs: the scan reads the
+    * probed cell directories and nothing else. */
+  def probe(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Array[Double], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val model = loadModel(spark, path)
+    val probes = model.nearest(query, nprobe)
+    val pruned = spark.read.parquet(path)
+      .filter(col(CellCol).isin(probes: _*))
+    Similarity.bruteForceTopK(pruned, idCol, vecCol, query, k)
   }
 }

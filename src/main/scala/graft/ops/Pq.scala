@@ -107,19 +107,28 @@ object Pq {
     * ties on the id; `est_d2` is rounded for output, ordering uses the
     * full double. */
   def adcTopK(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks,
-      query: Array[Double], topK: Int): DataFrame = {
+      query: Array[Double], topK: Int): DataFrame =
+    adcRank(encode(df, vecCol, cb), idCol, cb, query, topK)
+
+  /** The ADC estimate as a column over existing `__code0..m-1` columns —
+    * shared by the encode-at-query-time path ([[adcTopK]]) and the
+    * stored-codes path ([[probeIndexed]]), so both rank by the exact same
+    * left-to-right lookup sum. */
+  private def adcEst(cb: Codebooks, query: Array[Double]): org.apache.spark.sql.Column = {
     val luts = (0 until cb.m).map { j =>
       val qj = query.slice(j * cb.dsub, (j + 1) * cb.dsub)
       cb.books(j).centroids.map(c => Ivf.dist2(qj, c)).toSeq
     }
-    val est = (0 until cb.m)
+    (0 until cb.m)
       .map(j => element_at(typedlit(luts(j)), col(s"__code$j") + 1))
       .reduce(_ + _) // left-assoc — the oracle adds in the same order
-    encode(df, vecCol, cb)
-      .select(col(idCol), est.as("__est"))
+  }
+
+  private def adcRank(coded: DataFrame, idCol: String, cb: Codebooks,
+      query: Array[Double], topK: Int): DataFrame =
+    coded.select(col(idCol), adcEst(cb, query).as("__est"))
       .orderBy(col("__est"), col(idCol)).limit(topK)
       .select(col(idCol), round(col("__est"), 6).as("est_d2"))
-  }
 
   /** IVF-PQ: route by coarse cell ([[Ivf]]), ADC-rank inside the probed
     * cells only — the canonical production ANN shape (a query touches
@@ -135,5 +144,71 @@ object Pq {
       .filter(col("__cluster").isin(probes: _*))
       .drop("__cluster")
     adcTopK(routed, idCol, vecCol, cb, query, topK)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted IVF-PQ index: cell-partitioned codes, no raw vectors
+  // ------------------------------------------------------------------
+
+  private val PqSidecar = "_graft_pq_codebooks.txt"
+
+  private[ops] def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: Codebooks): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, PqSidecar), true)
+    val body = (s"${cb.m} ${cb.dsub} ${cb.k}" +:
+      cb.books.flatMap(_.centroids.map(_.mkString(","))).toSeq)
+      .mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Codebooks = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, PqSidecar))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toArray finally in.close()
+    val Array(m, dsub, k) = lines.head.split(" ").map(_.toInt)
+    val cents = lines.tail.map(_.split(",").map(java.lang.Double.parseDouble))
+    Codebooks(dsub, Array.tabulate(m)(j =>
+      Ivf.Model(cents.slice(j * k, (j + 1) * k))))
+  }
+
+  /** Materialize the production IVF-PQ layout: rows routed to coarse
+    * cells ([[Ivf.CellCol]] partition directories) carrying ONLY id +
+    * the m code columns — the raw vector column is dropped, which IS the
+    * compression (a 64-dim float vector persists as m ints; at 100 TB
+    * the index is ~1/64th of the corpus bytes). Both models ride as
+    * sidecars, so a probe needs no training state. */
+  def index(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, cb: Codebooks, path: String): Unit = {
+    val routed = Ivf.assign(df, vecCol, coarse)
+      .withColumnRenamed("__cluster", Ivf.CellCol)
+    encode(routed, vecCol, cb)
+      .select((idCol +: Ivf.CellCol +:
+        (0 until cb.m).map(j => s"__code$j")).map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(Ivf.CellCol).parquet(path)
+    Ivf.writeModel(df.sparkSession, path, coarse)
+    writeCodebooks(df.sparkSession, path, cb)
+  }
+
+  /** Partition-pruned ADC top-k over an [[index]]ed corpus. Results are
+    * IDENTICAL to [[ivfPqTopK]] with the same models/query/nprobe (stored
+    * codes = re-encoded codes; encoding is deterministic) — but the scan
+    * opens only the probed cell directories and reads m code ints per
+    * row, never a vector. */
+  def probeIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: Array[Double], topK: Int,
+      nprobe: Int = 2): DataFrame = {
+    val coarse = Ivf.loadModel(spark, path)
+    val cb = loadCodebooks(spark, path)
+    val probes = coarse.nearest(query, nprobe)
+    val pruned = spark.read.parquet(path)
+      .filter(col(Ivf.CellCol).isin(probes: _*))
+    adcRank(pruned, idCol, cb, query, topK)
   }
 }

@@ -64,8 +64,9 @@ object Sampling {
   def splitBy(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
       salt: String = "split"): DataFrame = {
     val h = Portable.h31(concat(lit(salt + ":"), col(idCol).cast("string")))
-    // last arm is `otherwise`: the final boundary is P itself, and a <
-    // compare against floor(1.0·P) would misroute the (rare) max hash
+    // last arm is `otherwise`: h is always in [0, P), so comparing against
+    // the final boundary (P itself) would be vacuously true — the
+    // otherwise-arm just skips that redundant final comparison
     val assigned = splits.init.zip(splitThresholds(splits))
       .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>
         val cond = h < t
@@ -87,14 +88,14 @@ object Sampling {
     require((defaultWeight +: weights.values.toSeq).forall(w =>
       w >= 0 && w <= 1), s"weights must be in [0,1]")
     val h = Portable.h31(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val default = lit(fracThreshold(defaultWeight))
     val thresh = weights.toSeq.sortBy(_._1)
       .foldLeft(Option.empty[Column]) { case (acc, (d, w)) =>
         val arm = col(domainCol) === d
         val t = lit(fracThreshold(w))
         Some(acc.fold(when(arm, t))(_.when(arm, t)))
       }
-      .fold(lit(fracThreshold(defaultWeight)))(
-        _.otherwise(lit(fracThreshold(defaultWeight))))
+      .fold(default)(_.otherwise(default))
     df.filter(h < thresh)
   }
 }

@@ -91,14 +91,21 @@ object Similarity {
     bruteForceTopK(candidates, idCol, vecCol, query, k)
   }
 
-  /** Exact cosine near-duplicate pairs — the all-pairs verification
-    * baseline (O(n²); use [[cosineDupPairs]] at scale). Norms are computed
-    * once per vector before the join, so each pair costs a single
-    * codegen'd dot product. Deterministic: double accumulation
+  /** Exact cosine near-duplicate pairs — the all-pairs VERIFICATION
+    * baseline (O(n²); use [[cosineDupPairs]] at scale). Deliberately not
+    * in the shipped query catalog: it exists to validate the banded-LSH
+    * and SemDeDup paths on small fixtures, and it fails fast above
+    * `maxRows` (the one extra `limit(n+1).count()` job is the price of a
+    * cartesian that can never silently run over a corpus). Norms are
+    * computed once per vector before the join, so each pair costs a
+    * single codegen'd dot product. Deterministic: double accumulation
     * left-to-right, `dot/(sqrt(na)*sqrt(nb))`. */
   def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 100000): DataFrame = {
+    require(df.limit((maxRows + 1).toInt).count() <= maxRows,
+      s"bruteForcePairs is the O(n²) verification baseline and refuses " +
+        s"inputs over $maxRows rows — use cosineDupPairs/SemDedup at scale")
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))

@@ -39,4 +39,29 @@ class IvfSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(ivf == brute)
   }
+
+  test("indexed probe equals unindexed topK and partition-prunes the scan") {
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString + "/idx"
+    Ivf.index(vecs, "embedding", m, path)
+    // model sidecar round-trips exactly
+    val loaded = Ivf.loadModel(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      m.centroids.map(_.toSeq).toSeq)
+    val q = Array(10.0, 0.0)
+    val probed = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1)
+    val direct = Ivf.topK(vecs, "vec_id", "embedding", m, q,
+      k = 5, nprobe = 1)
+    assert(probed.select("vec_id").as[Long].collect().toSeq ==
+      direct.select("vec_id").as[Long].collect().toSeq)
+    // the probe must be PARTITION PRUNING, not a filter over a full scan:
+    // the scan's PartitionFilters carries the cell predicate
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+    // only the probed cell directory is read: one of the two cells
+    val scanned = "PartitionCount: (\\d+)".r.findFirstMatchIn(plan)
+    scanned.foreach(sc => assert(sc.group(1).toInt == 1, plan))
+  }
 }

@@ -274,4 +274,18 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 4L)))
   }
+
+  test("bruteForcePairs: baseline contains LSH pairs, refuses big inputs") {
+    val brute = Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.contains((0L, 4L)))
+    // every LSH-verified pair must be an exact pair at the same threshold
+    val lsh = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // the O(n²) gate: fail fast instead of silently going cartesian
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.99, maxRows = 3)
+    }
+  }
 }

@@ -77,6 +77,34 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("indexed probe equals ivfPqTopK; disk carries codes, not vectors") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx").toString + "/idx"
+    Pq.index(vecs, "vec_id", "embedding", coarse, cb, path)
+    // codebook sidecar round-trips exactly
+    val loaded = Pq.loadCodebooks(spark, path)
+    assert(loaded.dsub == cb.dsub && loaded.m == cb.m)
+    for (j <- 0 until cb.m)
+      assert(loaded.books(j).centroids.map(_.toSeq).toSeq ==
+        cb.books(j).centroids.map(_.toSeq).toSeq, s"book $j")
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    val probed = Pq.probeIndexed(spark, path, "vec_id", q,
+      topK = 10, nprobe = 1)
+    val direct = Pq.ivfPqTopK(vecs, "vec_id", "embedding", coarse, cb, q,
+      topK = 10, nprobe = 1)
+    assert(probed.collect().toSeq == direct.collect().toSeq)
+    // compression is real: the persisted schema has NO vector column
+    val stored = spark.read.parquet(path)
+    assert(!stored.columns.contains("embedding"), stored.columns.mkString(","))
+    assert(stored.columns.toSet ==
+      Set("vec_id", "cell", "__code0", "__code1"))
+    // and the probe partition-prunes on the cell directory
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("encode plan is a pure projection (no exchange, no join)") {
     val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
     val plan = Pq.encode(vecs, "embedding", cb)
