@@ -1,0 +1,109 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** In-process metrics registry — the Spark re-expression of the
+  * reference's Prometheus surface (REDSHIFTSINK.md:115–181,
+  * pkg/prometheus): per-(table, metric) observation streams with the
+  * histogram essentials (sum / count / max), plus monotone counters and
+  * gauges, all under the reference's metric names:
+  *
+  *  - `batcher_bytes_processed` / `batcher_messages_processed` — ingest
+  *    throughput, fed by [[graft.streaming.CdcStream.processBatch]];
+  *  - `loader_seconds` and the per-phase
+  *    `loader_{copystage,dedupe,deletecommon,deleteop,copytarget}_seconds`
+  *    — merge latencies (REDSHIFTSINK.md's 10–900 s histogram family);
+  *  - `loader_messages_loaded` / `loader_bytes_loaded`;
+  *  - `loader_running` gauge / `loader_throttled_total` counter
+  *    (fed by [[graft.streaming.MetricsListener]] / ControlPlane callers).
+  *
+  * The registry is a bounded driver artifact (tables × metric names);
+  * observations are lock-free CHM merges, safe from concurrent
+  * foreachBatch threads. A Prometheus/StatsD bridge is a `snapshot()`
+  * consumer — exporting is deployment tooling, out of engine scope the
+  * same way the reference's HTTP listener is (SURVEY §2.7).
+  *
+  * Phase breakdown is OPT-IN: the merge plan is normally one fused Spark
+  * job (strictly better than the reference's five serialized statements),
+  * so per-phase walls don't exist unless the merge materializes phase
+  * boundaries. `enablePhaseBreakdown(true)` makes
+  * [[graft.merge.CdcMerge.merge]] localCheckpoint each phase — the same
+  * fragments the reference times — at the cost of writing intermediates;
+  * leave it off for peak throughput (the fused total still lands in
+  * `loader_copytarget_seconds`/`loader_seconds`).
+  */
+object Metrics {
+
+  /** Histogram essentials of one (table, metric) stream. */
+  final case class Stat(sum: Double, count: Long, max: Double) {
+    def mean: Double = if (count == 0) 0.0 else sum / count
+  }
+
+  private val stats = new ConcurrentHashMap[(String, String), Stat]()
+  @volatile private var breakdown = false
+
+  /** Opt into per-phase merge materialization (see class doc). */
+  def enablePhaseBreakdown(on: Boolean): Unit = breakdown = on
+
+  /** Record one observation (seconds, rows, bytes — unit is the
+    * metric's). */
+  def observe(table: String, metric: String, value: Double): Unit =
+    stats.merge((table, metric), Stat(value, 1, value),
+      (a, b) => Stat(a.sum + b.sum, a.count + b.count, math.max(a.max, b.max)))
+
+  /** Monotone counter convenience. */
+  def add(table: String, metric: String, n: Long): Unit =
+    observe(table, metric, n.toDouble)
+
+  /** Gauge semantics: last value wins (count tracks updates). */
+  def gauge(table: String, metric: String, value: Double): Unit =
+    stats.merge((table, metric), Stat(value, 1, value),
+      (a, _) => Stat(value, a.count + 1, value))
+
+  /** Time `f`, record seconds under (table, metric). */
+  def time[T](table: String, metric: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally observe(table, metric, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def snapshot(): Map[(String, String), Stat] = {
+    import scala.jdk.CollectionConverters._
+    stats.asScala.toMap
+  }
+
+  def get(table: String, metric: String): Option[Stat] =
+    Option(stats.get((table, metric)))
+
+  def reset(): Unit = stats.clear()
+
+  // ---- merge-phase plumbing -----------------------------------------
+
+  // foreachBatch bodies run whole on one driver thread, so the table tag
+  // rides a ThreadLocal from processBatch down into CdcMerge.merge
+  // without threading a parameter through the TableStore interface.
+  private val currentTable = new ThreadLocal[String] {
+    override def initialValue(): String = ""
+  }
+
+  /** Tag driver-side work on this thread as belonging to `table`. */
+  def withTable[T](table: String)(f: => T): T = {
+    val prev = currentTable.get()
+    currentTable.set(table)
+    try f finally currentTable.set(prev)
+  }
+
+  private[graft] def tableTag: String = {
+    val t = currentTable.get()
+    if (t.isEmpty) "(untagged)" else t
+  }
+
+  /** Consulted by CdcMerge.merge: Some(recorder) only while phase
+    * breakdown is enabled. */
+  private[graft] def mergeRecorder(): Option[PhaseRecorder] =
+    if (breakdown) Some(new PhaseRecorder(tableTag)) else None
+
+  final class PhaseRecorder private[core] (table: String) {
+    def time[T](phase: String)(f: => T): T =
+      Metrics.time(table, s"loader_${phase}_seconds")(f)
+  }
+}

@@ -67,15 +67,38 @@ object CdcMerge {
 
   /** The full merge: target' = (target ⟕anti stageKeys) ∪ surviving stage
     * rows. `stage` must carry `kafkaoffset` + `debeziumop` plus exactly the
-    * target's columns. */
+    * target's columns.
+    *
+    * Normally ONE fused Spark plan — Catalyst pipelines all four phases
+    * into a single job, which is strictly better than the reference's
+    * serialized SQL statements. When
+    * [[graft.core.Metrics.enablePhaseBreakdown]] is on, each phase is
+    * localCheckpoint'ed so its wall time is observable under the
+    * reference's histogram names (dedupe / deletecommon / deleteop;
+    * copystage and copytarget are timed by the caller around batch
+    * materialization and the target write) — the observability/throughput
+    * trade is the operator's, per table, at runtime. Values are identical
+    * either way. */
   def merge(
       target: DataFrame, stage: DataFrame, pks: Seq[String],
-      broadcastStage: Boolean = true): DataFrame = {
-    val deduped = dedupe(stage, pks)
-    val kept = deleteCommon(target, deduped, pks, broadcastStage)
-    val inserted = insertable(dropDeleteOps(deduped))
-    // allowMissingColumns = add-column schema evolution (D4's transact-able
-    // class) for free: old target rows read NULL for newly-added columns.
-    kept.unionByName(inserted, allowMissingColumns = true)
-  }
+      broadcastStage: Boolean = true): DataFrame =
+    graft.core.Metrics.mergeRecorder() match {
+      case None =>
+        val deduped = dedupe(stage, pks)
+        val kept = deleteCommon(target, deduped, pks, broadcastStage)
+        val inserted = insertable(dropDeleteOps(deduped))
+        // allowMissingColumns = add-column schema evolution (D4's
+        // transact-able class) for free: old target rows read NULL for
+        // newly-added columns.
+        kept.unionByName(inserted, allowMissingColumns = true)
+      case Some(rec) =>
+        val deduped = rec.time("dedupe")(
+          dedupe(stage, pks).localCheckpoint())
+        val kept = rec.time("deletecommon")(
+          deleteCommon(target, deduped, pks, broadcastStage)
+            .localCheckpoint())
+        val inserted = rec.time("deleteop")(
+          insertable(dropDeleteOps(deduped)).localCheckpoint())
+        kept.unionByName(inserted, allowMissingColumns = true)
+    }
 }

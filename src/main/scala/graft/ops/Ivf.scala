@@ -140,6 +140,60 @@ object Ivf {
     Similarity.bruteForceTopK(candidates, idCol, vecCol, query, k)
   }
 
+  /** [[assign]] with a cell-size BUDGET: any cell holding more than
+    * `maxCellSize` rows is recursively re-clustered — a sub-model is
+    * trained on just that cell's rows (k = ceil(size/budget), min 2) and
+    * its members get fresh cell ids appended after all existing ones —
+    * until every cell fits or `maxLevels` splits have run.
+    *
+    * This is the implemented form of the "skewed cell" answer the
+    * SemDeDup docs give: the within-cell self-joins ([[SemDedup.pairs]],
+    * [[Similarity.knnGraph]]) are quadratic in the LARGEST cell, so one
+    * pathological dense region (near-identical boilerplate crawls do
+    * this) would dominate the whole job. Splitting restores the bound at
+    * the cost of missing pairs that straddle a split boundary — the same
+    * geometric-recall trade as raising k, but applied only where needed.
+    *
+    * Cost: one k-row size aggregation per level, plus train+assign over
+    * ONLY the offending cells' rows. Per-level results are
+    * localCheckpoint'ed so the plan stays flat. Deterministic end to end
+    * (md5-seeded sub-training, cells processed in ascending id order). */
+  def assignBounded(df: DataFrame, idCol: String, vecCol: String,
+      model: Model, maxCellSize: Long, maxLevels: Int = 2,
+      subIters: Int = 1): DataFrame = {
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    var assigned = assign(df, vecCol, model).localCheckpoint()
+    var nextId = model.k
+    var level = 0
+    var anyOver = true
+    while (anyOver && level < maxLevels) {
+      // one row per cell — a bounded driver artifact like the centroids
+      val sizes = assigned.groupBy("__cluster").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+      val over = sizes.filter(_._2 > maxCellSize).sortBy(_._1)
+      anyOver = over.nonEmpty
+      if (anyOver) {
+        var out = assigned.filter(
+          !col("__cluster").isin(over.map(_._1): _*))
+        for ((cell, size) <- over) {
+          val subK = math.max(2,
+            math.min(((size + maxCellSize - 1) / maxCellSize).toInt, 256))
+          val members = assigned.filter(col("__cluster") === cell)
+            .drop("__cluster")
+          val subModel = train(members, idCol, vecCol, subK, subIters)
+          out = out.unionByName(assign(members, vecCol, subModel)
+            .withColumn("__cluster", col("__cluster") + lit(nextId)))
+          nextId += subK
+        }
+        val next = out.localCheckpoint()
+        assigned.unpersist()
+        assigned = next
+        level += 1
+      }
+    }
+    assigned
+  }
+
   // ------------------------------------------------------------------
   // Persisted index: cell-partitioned layout + model sidecar
   // ------------------------------------------------------------------

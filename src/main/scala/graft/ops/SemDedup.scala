@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * all-pairs blowup is confined to within-cell candidate sets. At corpus
   * scale `k` grows with the corpus (k ≈ n / targetCellSize, the paper runs
   * 50k cells for LAION) keeping per-cell work bounded; a skewed (giant)
-  * cell is handled the same way any skewed join key is — raise `k` or
-  * recursively re-cluster the offending cell. Centroids are a k×dim
-  * driver-side artifact embedded as literals ([[Ivf.Model]]) — assignment
-  * is a narrow codegen'd projection, not a join.
+  * cell is recursively re-clustered by [[Ivf.assignBounded]] — pass
+  * `maxCellSize` to [[pairs]]/[[keep]] to enforce the budget. Centroids
+  * are a k×dim driver-side artifact embedded as literals ([[Ivf.Model]])
+  * — assignment is a narrow codegen'd projection, not a join.
   *
   * Determinism: training ([[Ivf.train]]) is md5-seeded with exact-DECIMAL
   * means, and the verify cosine accumulates left-to-right in double — so
@@ -30,10 +30,17 @@ object SemDedup {
 
   /** Near-duplicate pairs (id_a < id_b) with their cell id: exact cosine
     * within k-means cells. Norms are computed once per row before the
-    * join, so each candidate pair costs one codegen'd dot product. */
+    * join, so each candidate pair costs one codegen'd dot product.
+    *
+    * `maxCellSize`: the within-cell join is quadratic in the largest
+    * cell; a budget routes assignment through [[Ivf.assignBounded]] so a
+    * pathological dense cell is recursively split before the join (the
+    * standard skewed-key defense, applied geometrically). */
   def pairs(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
-      threshold: Double): DataFrame = {
-    val a = Ivf.assign(df, vecCol, model)
+      threshold: Double, maxCellSize: Option[Long] = None): DataFrame = {
+    val a = maxCellSize
+      .map(b => Ivf.assignBounded(df, idCol, vecCol, model, b))
+      .getOrElse(Ivf.assign(df, vecCol, model))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"),
         col("__cluster").as("cell"))
@@ -51,14 +58,25 @@ object SemDedup {
   /** Keep-one projection: drops every row that near-duplicates a
     * smaller-id row in its cell (the greedy min-id keep rule — one
     * deterministic representative per duplicate chain; the paper keeps a
-    * random member, which is not replayable). Broadcast of the drop-ids
-    * is appropriate: duplicates are a small fraction of the corpus, and
-    * the anti-join then never shuffles the corpus side. */
+    * random member, which is not replayable).
+    *
+    * The drop set is usually a small fraction of the corpus, so the
+    * anti-join broadcasts it and the corpus side never shuffles — but a
+    * high-dup crawl (30–60% dups is realistic for web text) would make an
+    * UNCONDITIONAL broadcast a driver/executor OOM, so the set is counted
+    * first (it is localCheckpoint'ed: the count costs one cheap job over
+    * materialized ids, not a second run of the pair pipeline) and only
+    * broadcast under `broadcastMaxRows`; above it the anti-join runs as a
+    * plain shuffled join, which AQE may still re-plan by actual size. */
   def keep(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
-      threshold: Double): DataFrame = {
-    val drop = pairs(df, idCol, vecCol, model, threshold)
+      threshold: Double, maxCellSize: Option[Long] = None,
+      broadcastMaxRows: Long = 5000000): DataFrame = {
+    val drop = pairs(df, idCol, vecCol, model, threshold, maxCellSize)
       .select(col("id_b").as("__drop")).distinct()
-    df.join(broadcast(drop), col(idCol) === col("__drop"), "left_anti")
+      .localCheckpoint()
+    val right =
+      if (drop.count() <= broadcastMaxRows) broadcast(drop) else drop
+    df.join(right, col(idCol) === col("__drop"), "left_anti")
   }
 
   /** Cell-balanced deterministic sample: at most `perCell` rows per

@@ -210,11 +210,16 @@ object Similarity {
     * candidate list only — never a global sort. Norms are precomputed
     * per row, so each candidate pair costs one codegen'd dot product.
     * Cross-cell edges are intentionally absent (cell-approximate kNN);
-    * raise nprobe-style recall by enlarging cells, same as SemDeDup. */
+    * raise nprobe-style recall by enlarging cells, same as SemDeDup.
+    * `maxCellSize` bounds the quadratic within-cell candidate sets by
+    * recursively splitting over-budget cells ([[graft.ops.Ivf.assignBounded]]). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
-      model: graft.ops.Ivf.Model, k: Int): DataFrame = {
+      model: graft.ops.Ivf.Model, k: Int,
+      maxCellSize: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = graft.ops.Ivf.assign(df, vecCol, model)
+    val a = maxCellSize
+      .map(b => graft.ops.Ivf.assignBounded(df, idCol, vecCol, model, b))
+      .getOrElse(graft.ops.Ivf.assign(df, vecCol, model))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
         col("__cluster").as("cell"))

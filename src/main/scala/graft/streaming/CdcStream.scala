@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.cdc.DebeziumTransform
-import graft.core.{Cdc, Job, TableSpec}
+import graft.core.{Cdc, Job, Metrics, TableSpec}
 import graft.mask.{MaskConfig, Masker}
 import graft.merge.CdcMerge
 import graft.schema.DebeziumSchema
@@ -138,6 +138,17 @@ object CdcStream {
       fetcher: SchemaFetcher,
       catalog: TableStore,
       cfg: TopicConfig): Seq[Job] = {
+    val tag = s"${cfg.targetSchema}.${cfg.targetTable}"
+    Metrics.withTable(tag)(Metrics.time(tag, "loader_seconds")(
+      processBatchTagged(batch, fetcher, catalog, cfg, tag)))
+  }
+
+  private def processBatchTagged(
+      batch: DataFrame,
+      fetcher: SchemaFetcher,
+      catalog: TableStore,
+      cfg: TopicConfig,
+      tag: String): Seq[Job] = {
     // Tombstones out (P11), then corrupt frames: anything without the
     // Confluent magic byte cannot be decoded — drop rather than kill the
     // stream (the reference's deserializer rejects them per message,
@@ -147,7 +158,13 @@ object CdcStream {
       .withColumn("__sid", ConfluentAvro.schemaId(col("value")))
     // Schema ids in this batch: tiny driver-side set (one per concurrent
     // schema version — almost always 1, briefly 2 during a migration).
-    val sids = frames.select("__sid").distinct().collect().map(_.getInt(0))
+    // The batcher byte counter rides the SAME aggregation job — no extra
+    // scan of the batch for observability.
+    val hdr = frames.agg(collect_set(col("__sid")).as("__sids"),
+      sum(octet_length(col("value"))).as("__bytes")).head()
+    val sids = hdr.getSeq[Int](0).toArray
+    Metrics.add(tag, "batcher_bytes_processed",
+      if (hdr.isNullAt(1)) 0L else hdr.getLong(1))
 
     // Primary keys come from the Kafka key schema (the reference's
     // schemaIdKey, serializer/message.go:25-37): sample one key frame,
@@ -170,7 +187,11 @@ object CdcStream {
         decodeGroup(group, fetcher.schemaById(sid), cfg, keySchemaJson)
       val cached = masked.cache()
       try {
-        val counts = CdcMerge.eventCounts(cached).collect()
+        // copystage analog: the first action populates the cached
+        // decode→transform→mask result — the reference's staging-table
+        // COPY (load_processor.go:386-444 stage population)
+        val counts = Metrics.time(tag, "loader_copystage_seconds")(
+          CdcMerge.eventCounts(cached).collect())
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val (creates, updates, deletes) = (
           counts.getOrElse(Cdc.OpCreate, 0L),
@@ -192,11 +213,18 @@ object CdcStream {
           if (cfg.primaryKeys.nonEmpty) cfg.primaryKeys
           else if (spec.primaryKeys.nonEmpty) spec.primaryKeys
           else Seq(spec.columns.head.lowerName)
-        if (skip)
-          catalog.append(cfg.targetSchema, cfg.targetTable,
-            CdcMerge.insertable(cached), pks)
-        else
-          catalog.merge(cfg.targetSchema, cfg.targetTable, cached, pks)
+        // copytarget: the write into the live table (with phase breakdown
+        // on, the merge phases checkpoint themselves first, so this is
+        // the write proper; off, it's the whole fused merge job)
+        Metrics.time(tag, "loader_copytarget_seconds") {
+          if (skip)
+            catalog.append(cfg.targetSchema, cfg.targetTable,
+              CdcMerge.insertable(cached), pks)
+          else
+            catalog.merge(cfg.targetSchema, cfg.targetTable, cached, pks)
+        }
+        Metrics.add(tag, "loader_messages_loaded",
+          creates + updates + deletes)
 
         Job(
           upstreamTopic = cfg.topic,

@@ -82,14 +82,20 @@ object ControlPlane {
       budget: ThrottleBudget,
       runningLoaders: () => Int,
       isReload: Boolean = false,
-      sleep: Int => Unit = s => Thread.sleep(s * 1000L)): Boolean = {
+      sleep: Int => Unit = s => Thread.sleep(s * 1000L),
+      table: String = "(untagged)"): Boolean = {
     if (isReload) return true
     var cnt = 0
     while (cnt < budget.maxChecks) {
-      if (runningLoaders() <= MaxRunningLoaders) return true
+      if (runningLoaders() <= MaxRunningLoaders) {
+        // waited at least once → one throttle event (rsk_loader_throttled_total)
+        if (cnt > 0) graft.core.Metrics.add(table, "loader_throttled_total", 1)
+        return true
+      }
       sleep(budget.intervalSeconds)
       cnt += 1
     }
+    graft.core.Metrics.add(table, "loader_throttled_total", 1)
     false // budget exhausted: caller loads anyway
   }
 

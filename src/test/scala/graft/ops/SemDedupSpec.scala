@@ -64,6 +64,60 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.size == 38)
   }
 
+  test("keep: broadcast gate falls back to a shuffled anti-join unchanged") {
+    // high-dup regime: force the gate shut (broadcastMaxRows = 0) — the
+    // result must be identical to the broadcast path; only the join
+    // strategy is allowed to differ
+    val viaBroadcast = SemDedup.keep(vecs, "vec_id", "embedding", model,
+      0.999).select("vec_id").as[Long].collect().toSet
+    val viaShuffle = SemDedup.keep(vecs, "vec_id", "embedding", model,
+      0.999, broadcastMaxRows = 0)
+    assert(viaShuffle.select("vec_id").as[Long].collect().toSet ==
+      viaBroadcast)
+    // the gate really removed the forced-broadcast hint from the plan
+    val hinted = viaShuffle.queryExecution.logical.toString
+    assert(!hinted.contains("UnresolvedHint"), hinted)
+  }
+
+  test("assignBounded splits a giant cell under the budget") {
+    // skewed fixture: 30 points crowd one region, 5 sit far away; k=2
+    // training makes the crowd one giant cell
+    val skewed = ((0 until 30).map(i =>
+      (i.toLong, Array(10f + (i % 6) * 0.5f, (i % 5) * 0.5f))) ++
+      (30 until 35).map(i =>
+        (i.toLong, Array((i % 3) * 0.1f, 10f + (i % 2) * 0.1f))))
+      .toDF("vec_id", "embedding")
+    val m = Ivf.train(skewed, "vec_id", "embedding", k = 2, iters = 2)
+    val unbounded = Ivf.assign(skewed, "embedding", m)
+      .groupBy("__cluster").count().as[(Int, Long)].collect().toMap
+    assert(unbounded.values.max == 30L) // the giant cell exists
+    val bounded = Ivf.assignBounded(skewed, "vec_id", "embedding", m,
+      maxCellSize = 12, maxLevels = 3)
+    val sizes = bounded.groupBy("__cluster").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.max <= 12, sizes.toString)     // budget enforced
+    assert(sizes.values.sum == 35L)                    // no row lost
+    assert(sizes.keys.exists(_ >= m.k), sizes.toString) // fresh sub-cell ids
+    // determinism: same input -> same cells
+    val again = Ivf.assignBounded(skewed, "vec_id", "embedding", m,
+      maxCellSize = 12, maxLevels = 3)
+      .select("vec_id", "__cluster").as[(Long, Int)].collect().toSet
+    assert(again == bounded.select("vec_id", "__cluster")
+      .as[(Long, Int)].collect().toSet)
+  }
+
+  test("pairs with a cell budget still finds true dups, never loses rows") {
+    // duplicates sit at distance ~0 so no split can separate them ...
+    val p = SemDedup.pairs(vecs, "vec_id", "embedding", model,
+      threshold = 0.999, maxCellSize = Some(12L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p.contains((0L, 1L)) && p.contains((20L, 21L)))
+    // ... and keep under a budget drops them exactly as before
+    val kept = SemDedup.keep(vecs, "vec_id", "embedding", model, 0.999,
+      maxCellSize = Some(12L)).select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(21L) && kept.size == 38)
+  }
+
   test("cellSample caps per cell, is deterministic, keeps both cells") {
     val s1 = SemDedup.cellSample(vecs, "vec_id", "embedding", model, 5)
     val s2 = SemDedup.cellSample(vecs, "vec_id", "embedding", model, 5)
