@@ -468,13 +468,18 @@ object Dedup {
     * A,C were never compared). Returns (id, cluster) where cluster = the
     * smallest id reachable from `id` — the canonical representative.
     *
-    * Algorithm: min-label propagation to the fixpoint. Each round is one
-    * shuffle (neighbor-min join + groupBy); rounds needed = graph
-    * diameter, and near-dup components are tiny/star-shaped in practice,
-    * so 2–4 rounds close real corpora. Labels are localCheckpoint'ed per
+    * Algorithm: min-label propagation to the fixpoint, with DELTA
+    * (frontier) iteration: only labels that changed in the previous
+    * round can lower anyone's min, so each round joins the edge list
+    * against the changed set instead of all labels — after round 1 the
+    * frontier collapses to the few still-converging components and every
+    * join has a tiny (AQE-broadcastable) side; the O(members) shuffles
+    * happen once, not once per round. Labels are localCheckpoint'ed per
     * round to keep lineage flat (an iterative plan otherwise doubles per
     * round). Every step is a deterministic min — the result is exactly
-    * the reachability fixpoint a recursive-CTE oracle computes.
+    * the reachability fixpoint a recursive-CTE oracle computes
+    * (ClustersDeltaSpec proves equality with the plain fixpoint on
+    * chains, stars and cliques).
     *
     * `ids`: one row per member (e.g. the documents table keyed by doc_id);
     * isolated ids come out as their own cluster. */
@@ -501,38 +506,71 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .localCheckpoint()
+    // the delta frontier: ids whose label changed last round (everything
+    // is "new" before round 1). Only these can lower anyone's min.
+    var frontier = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over own label and all neighbors' labels; carry the incoming
-      // label as `prev` so convergence is a scan over the checkpointed
-      // result, not another join+shuffle per round
+      // min over neighbors' labels, FRONTIER-RESTRICTED: a neighbor whose
+      // label did not change last round already contributed it. Carry the
+      // incoming label as `prev` so convergence is a scan over the
+      // checkpointed result, not another join+shuffle per round.
       val viaNeighbors = edges
-        .join(labels.withColumnsRenamed(Map("id" -> "src", "cluster" -> "c")),
+        .join(frontier
+            .withColumnsRenamed(Map("id" -> "src", "cluster" -> "c")),
           "src")
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
+      // checkpoint: `stepped` feeds the freshness flag, both jump joins
+      // and `next` — four consumers of one materialization
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-      // pointer jumping: also adopt the label OF the current label (labels
-      // are ids, so a self-join resolves it). Neighbor-min alone needs
+        .localCheckpoint()
+      // Pointer jumping: also adopt the label OF the current label (labels
+      // are ids, so a join resolves it). Neighbor-min alone needs
       // O(diameter) rounds — a chain component converges link by link;
-      // the shortcut doubles the effective hop each round → O(log n),
-      // which is what makes the fixpoint reachable within maxIter on
-      // adversarial long chains at scale.
-      val next = stepped.as("x")
-        .join(stepped.select(col("id").as("pid"), col("cluster").as("pc")),
-          col("cluster") === col("pid"))
-        .select(col("id"), least(col("cluster"), col("pc")).as("cluster"),
+      // the shortcut doubles the effective hop each round → O(log n).
+      // Delta form — a jump can only produce news when
+      //  (a) the jumping row's label is FRESH (new pointee, or its pointee
+      //      moved during last round's jump after the row adopted it), or
+      //  (b) the POINTEE's label is fresh;
+      // fresh = changed this round's neighbor phase ∪ last round's
+      // frontier (a safe over-approximation of "newer than any reader").
+      // Both jump joins then have a frontier-sized side that AQE
+      // broadcasts once components start converging.
+      val marked = stepped
+        .join(frontier.select(col("id"), lit(true).as("__lf")), Seq("id"),
+          "left")
+        .withColumn("__fresh",
+          col("cluster") =!= col("prev") ||
+            coalesce(col("__lf"), lit(false)))
+      val freshRows = marked.filter(col("__fresh")).select("id", "cluster")
+      val allP = stepped.select(col("id").as("pid"), col("cluster").as("pc"))
+      val freshP = freshRows
+        .select(col("id").as("pid"), col("cluster").as("pc"))
+      val jumped = freshRows
+        .join(allP, col("cluster") === col("pid")).select(col("id"), col("pc"))
+        .union(stepped.select("id", "cluster")
+          .join(freshP, col("cluster") === col("pid"))
+          .select(col("id"), col("pc")))
+        .groupBy("id").agg(min(col("pc")).as("jc"))
+      val next = stepped.join(jumped, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("jc"), col("cluster")))
+            .as("cluster"),
           col("prev"))
         .localCheckpoint()
       val changed = next.filter(col("cluster") =!= col("prev"))
         .limit(1).count()
-      // the superseded checkpoint's blocks are dead once `next` is
+      // the superseded checkpoints' blocks are dead once `next` is
       // materialized — free them, or a long component chain retains one
       // full label set per round in executor storage
+      stepped.unpersist()
       labels.unpersist()
+      frontier = next.filter(col("cluster") =!= col("prev"))
+        .select("id", "cluster")
       labels = next.drop("prev")
       converged = changed == 0
       iter += 1
