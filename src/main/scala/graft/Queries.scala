@@ -414,6 +414,25 @@ object Queries {
       Dedup.minHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, estThreshold = 0.3)),
 
+    "q_x_minhash_incr" -> ((s, dir) => {
+      // ingest-time NEAR-dup: corpus (id <= 400) signatures persisted to
+      // the warehouse once; the new batch (id > 400) dedups against the
+      // STORED signatures — the corpus text is never re-shingled, its
+      // signature side never shuffles (batch band keys broadcast).
+      // Value-checked equal to batch-mode candidates restricted to pairs
+      // touching a new doc.
+      val d = docs(s, dir)
+      val path = tmpIndexPath("minhash_sigs", dir)
+      Dedup.minHashSignaturesPortable(
+          d.filter(col("doc_id") <= 400), "doc_id", "text",
+          n = 3, numHashes = 64)
+        .write.mode("overwrite").parquet(path)
+      Dedup.minHashIncrementalPortable(
+        d.filter(col("doc_id") > 400), "doc_id", "text",
+        s.read.parquet(path),
+        n = 3, numHashes = 64, bands = 16, estThreshold = 0.3)
+    }),
+
     "q_x_simhash" -> ((s, dir) =>
       Dedup.simHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
         chunks = 4, maxHamming = 10)),
@@ -1648,6 +1667,11 @@ object Queries {
         |FROM documents""".stripMargin,
 
     "q_x_minhash_lsh" -> minhashOracleSql,
+    // incremental = batch-mode restricted to pairs touching a new doc
+    // (id_a < id_b and old ids are <= 400, so id_b > 400 ⇔ "has a new
+    // side") — per-document signatures make stored and recomputed
+    // signatures identical, which is what this value check proves
+    "q_x_minhash_incr" -> (minhashOracleSql + " AND id_b > 400"),
     "q_x_ann_lsh" -> annLshOracleSql,
 
     // connected components of the near-dup pair graph: min reachable id

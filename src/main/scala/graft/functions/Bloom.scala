@@ -25,4 +25,37 @@ object Bloom {
   def mightContain(bloom: Column, hashed: Column): Column =
     Shims.column(BloomFilterMightContain(
       Shims.expression(bloom), Shims.expression(hashed)))
+
+  /** OR new keys into a serialized sketch: deserialize, put each hash,
+    * re-serialize. This is how a long-running ingest keeps ONE sketch
+    * current across micro-batches — build once over history, then fold
+    * in each batch's survivor hashes (a bounded driver-side array)
+    * instead of re-aggregating the full key history every trigger
+    * ([[graft.streaming.StreamDedup]]). The aggregate
+    * ([[bloomAgg]]/`putLong`) and probe ([[mightContain]]) use the same
+    * long-hash path, so updated sketches keep the no-false-negative
+    * contract. */
+  def update(sketch: Array[Byte], hashedKeys: Iterable[Long]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch))
+    hashedKeys.foreach(bf.putLong)
+    serialize(bf)
+  }
+
+  /** OR two serialized sketches together (they must share the same
+    * numBits/expectedItems family — both built by [[bloomAgg]] with the
+    * same parameters, e.g. per-partition or per-day sketches). */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    serialize(fa.mergeInPlace(fb))
+  }
+
+  private def serialize(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
 }

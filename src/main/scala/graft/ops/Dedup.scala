@@ -312,23 +312,86 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5): DataFrame = {
-    import graft.functions.Portable
     require(bands > 0 && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes")
-    val rows = numHashes / bands
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, n, numHashes)
+    minHashBandJoin(sigs, bands, numHashes, estThreshold,
+      sig => explode(portableBandKeys(sig, bands, numHashes / bands)))
+  }
+
+  /** The md5-family signatures of [[minHashCandidatesPortable]] as a
+    * standalone (id, sig) frame — the unit a warehouse PERSISTS so later
+    * batches dedup against stored signatures instead of recomputing the
+    * corpus ([[minHashIncrementalPortable]]). Same aggregate plan as
+    * [[minHashSignatures]]; docs with no shingles are absent. */
+  def minHashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64): DataFrame = {
+    import graft.functions.Portable
     val hashed = explodedShingles(df, idCol, textCol, n)
       .select(col("id"), Portable.h31(col("shingle")).as("h"))
     val mins = (0 until numHashes).map(i =>
       min((col("h") * Portable.hashA(i) + Portable.hashB(i)) % Portable.P)
         .as(s"__m$i"))
-    val sigs = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-    minHashBandJoin(sigs, bands, numHashes, estThreshold,
-      sig => explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          array_join(slice(sig, b * rows + 1, rows), ",").as("bucket"))
-      ): _*)))
+  }
+
+  /** Band keys of a portable signature: (band, joined-slice) structs. */
+  private def portableBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        array_join(slice(sig, b * rows + 1, rows), ",").as("bucket"))): _*)
+
+  /** Incremental near-dup ingest — the MinHash twin of [[incremental]]:
+    * candidates of a NEW batch against the accumulated corpus WITHOUT
+    * recomputing corpus signatures. `storedSigs` is the persisted
+    * [[minHashSignaturesPortable]] output (id, sig) — signatures are
+    * per-document, so stored and freshly-computed signatures are
+    * identical, and the result EQUALS batch-mode candidates over
+    * (corpus ∪ batch) restricted to pairs touching a batch doc
+    * (q_x_minhash_incr value-checks exactly that).
+    *
+    * Scale shape: a micro-batch is small — its banded keys broadcast, so
+    * the stored-signature side computes band keys in a projection and
+    * NEVER shuffles (the [[contamination]] probe shape); within-batch
+    * pairs are a self-join of the tiny batch. Appending the batch's
+    * signatures to the store afterwards advances the corpus, exactly as
+    * [[incremental]]'s key append does. */
+  def minHashIncrementalPortable(
+      batch: DataFrame, idCol: String, textCol: String,
+      storedSigs: DataFrame,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    val batchSigs =
+      minHashSignaturesPortable(batch, idCol, textCol, n, numHashes)
+        // consumed by the within-batch self-join AND the cross join — one
+        // signature computation, not three
+        .localCheckpoint()
+    val withinBatch = minHashBandJoin(batchSigs, bands, numHashes,
+      estThreshold, sig => explode(portableBandKeys(sig, bands, rows)))
+    val bKeys = batchSigs.select(col("id").as("__nid"),
+      col("sig").as("__nsig"),
+      explode(portableBandKeys(col("sig"), bands, rows)).as("bk"))
+    val sKeys = storedSigs.select(col("id").as("__oid"),
+      col("sig").as("__osig"),
+      explode(portableBandKeys(col("sig"), bands, rows)).as("bk"))
+    val cross = sKeys.join(broadcast(bKeys), "bk")
+      .filter(col("__oid") =!= col("__nid"))
+      .select(
+        when(col("__oid") < col("__nid"), col("__oid"))
+          .otherwise(col("__nid")).as("id_a"),
+        when(col("__oid") < col("__nid"), col("__nid"))
+          .otherwise(col("__oid")).as("id_b"),
+        (graft.functions.VectorExprs
+          .equalPositions(col("__osig"), col("__nsig"))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+      .distinct()
+    withinBatch.unionByName(cross).distinct()
   }
 
   /** SimHash: 64-bit sketch; near-dups differ in few bits. Computed per-row

@@ -47,8 +47,10 @@ object StreamDedup {
       graft.ops.Dedup.bloomSketch(corpusKeys, keyCols, expectedItems,
         numBits))
 
-  /** Long-running form: the sketch is built ONCE outside the stream (and
-    * OR-updated with survivors out of band) — rebuilding it per
+  /** Long-running form: the sketch is built ONCE outside the stream and
+    * OR-updated with each batch's survivor hashes via
+    * [[graft.functions.Bloom.update]] (or merged from per-batch sketches
+    * with [[graft.functions.Bloom.merge]]) — rebuilding it per
     * micro-batch would re-aggregate the full key history every trigger,
     * costing more than the exact lookup the gate avoids. */
   def bloomGatedBatch(batch: DataFrame, corpusKeys: DataFrame,

@@ -171,6 +171,28 @@ class DedupSpec extends SparkSpec {
     assert(near.isDefined && near.get._3 > 0.4)
   }
 
+  test("minhash incremental vs stored signatures == batch-mode restricted") {
+    // corpus = ids 1-3, batch = ids 4-6 (6 near-dups 1; 5 dups 4 exactly)
+    val all = docs.filter(length(col("text")) > 0).union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dogs"),
+      (5L, "completely different text about spark engines here"))
+      .toDF("doc_id", "text"))
+    val corpus = all.filter(col("doc_id") <= 3)
+    val batch = all.filter(col("doc_id") > 3)
+    val stored = Dedup.minHashSignaturesPortable(corpus, "doc_id", "text",
+      n = 3, numHashes = 32)
+    val incr = Dedup.minHashIncrementalPortable(batch, "doc_id", "text",
+      stored, n = 3, numHashes = 32, bands = 8, estThreshold = 0.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchMode = Dedup.minHashCandidatesPortable(all, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, estThreshold = 0.0)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(_._2 > 3) // pairs touching a new doc (id_b = max)
+    assert(incr == batchMode, s"incr=$incr batch=$batchMode")
+    // the exact-duplicate cross pair is present with estimate 1.0
+    assert(incr.exists(p => p._1 == 4L && p._2 == 5L && p._3 == 1.0))
+  }
+
   test("simhash: identical docs hamming 0; unrelated docs far") {
     val sigs = docs.filter(length(col("text")) > 0)
       .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))

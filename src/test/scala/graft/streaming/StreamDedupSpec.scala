@@ -51,4 +51,34 @@ class StreamDedupSpec extends SparkSpec {
     assert(!viaBloom.contains(100L) && viaBloom.contains(310L))
     assert(viaBloom.contains(449L) && !viaBloom.contains(901L))
   }
+
+  test("sketch update/merge: advanced sketch keeps no-false-negatives") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    import graft.functions.Bloom
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val corpus = (1 to 200).map(i => s"k$i").toDF("k")
+    val sketch0 = Dedup.bloomSketch(corpus, Seq("k"))
+    // batch 1 survivors advance the sketch OUT OF BAND (no corpus re-agg)
+    val survivors = (201 to 260).map(i => s"k$i").toDF("k")
+    val survivorHashes = survivors.select(xxhash64(col("k")))
+      .as[Long].collect()
+    val sketch1 = Bloom.update(sketch0, survivorHashes)
+    // every old AND new key now probes maybe_seen=true — a true duplicate
+    // can never take the definitely-new fast path
+    val probeAll = corpus.union(survivors)
+    val flagged = Dedup.bloomGateWith(probeAll, sketch1, Seq("k"))
+      .filter(col("maybe_seen")).count()
+    assert(flagged == 260L)
+    // merge of two independently-built same-family sketches == union
+    val sketchB = Dedup.bloomSketch(survivors, Seq("k"))
+    val merged = Bloom.merge(sketch0, sketchB)
+    val flaggedM = Dedup.bloomGateWith(probeAll, merged, Seq("k"))
+      .filter(col("maybe_seen")).count()
+    assert(flaggedM == 260L)
+    // and the untouched original still misses the new keys (sane FPR)
+    val missed = Dedup.bloomGateWith(survivors, sketch0, Seq("k"))
+      .filter(!col("maybe_seen")).count()
+    assert(missed > 0L)
+  }
 }
