@@ -236,11 +236,31 @@ object Ivf {
     * assignment scan amortizes across every query served. */
   def index(df: DataFrame, vecCol: String, model: Model,
       path: String): Unit = {
-    assign(df, vecCol, model)
-      .withColumnRenamed("__cluster", CellCol)
+    clustered(df, vecCol, model)
       .write.mode(SaveMode.Overwrite).partitionBy(CellCol).parquet(path)
     writeModel(df.sparkSession, path, model)
   }
+
+  /** Route a NEW batch into an existing index — the incremental-ingest
+    * story for served ANN: assign against the STORED model (probes must
+    * keep seeing one consistent cell geometry) and append into the cell
+    * directories. Re-train + re-[[index]] when drift accumulates — the
+    * model is versioned by the sidecar, so a rebuild is a swap. */
+  def indexAppend(spark: SparkSession, path: String, df: DataFrame,
+      vecCol: String): Unit =
+    clustered(df, vecCol, loadModel(spark, path))
+      .write.mode(SaveMode.Append).partitionBy(CellCol).parquet(path)
+
+  /** Assign + cluster rows BY cell before the partitioned write: without
+    * the repartition every write task emits one file per cell it happens
+    * to see — at 1000 executors × 50k cells that is a small-files
+    * disaster and a slow listing for every probe. One shuffle at index
+    * time buys one-writer-per-cell layout forever after. */
+  private def clustered(df: DataFrame, vecCol: String,
+      model: Model): DataFrame =
+    assign(df, vecCol, model)
+      .withColumnRenamed("__cluster", CellCol)
+      .repartition(col(CellCol))
 
   /** Partition-pruned ANN top-k over an [[index]]ed corpus: results are
     * IDENTICAL to [[topK]] with the same model/query/nprobe (same cells,

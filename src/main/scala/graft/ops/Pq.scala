@@ -185,15 +185,33 @@ object Pq {
     * sidecars, so a probe needs no training state. */
   def index(df: DataFrame, idCol: String, vecCol: String,
       coarse: Ivf.Model, cb: Codebooks, path: String): Unit = {
+    codesByCell(df, idCol, vecCol, coarse, cb)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(Ivf.CellCol).parquet(path)
+    Ivf.writeModel(df.sparkSession, path, coarse)
+    writeCodebooks(df.sparkSession, path, cb)
+  }
+
+  /** Incremental ingest into an existing IVF-PQ index: encode the new
+    * batch with the STORED models and append into the cell directories
+    * (the [[Ivf.indexAppend]] story, compressed form). */
+  def indexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String): Unit =
+    codesByCell(df, idCol, vecCol,
+      Ivf.loadModel(spark, path), loadCodebooks(spark, path))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(Ivf.CellCol).parquet(path)
+
+  // id + codes only, clustered by cell pre-write (one writer per cell —
+  // see Ivf.clustered for the small-files rationale)
+  private def codesByCell(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, cb: Codebooks): DataFrame = {
     val routed = Ivf.assign(df, vecCol, coarse)
       .withColumnRenamed("__cluster", Ivf.CellCol)
     encode(routed, vecCol, cb)
       .select((idCol +: Ivf.CellCol +:
         (0 until cb.m).map(j => s"__code$j")).map(col): _*)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy(Ivf.CellCol).parquet(path)
-    Ivf.writeModel(df.sparkSession, path, coarse)
-    writeCodebooks(df.sparkSession, path, cb)
+      .repartition(col(Ivf.CellCol))
   }
 
   /** Partition-pruned ADC top-k over an [[index]]ed corpus. Results are

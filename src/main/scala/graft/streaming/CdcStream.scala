@@ -66,13 +66,24 @@ object CdcStream {
       spark: SparkSession,
       brokers: String,
       topicRegex: String,
-      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+      maxOffsetsPerTrigger: Option[Long] = None,
+      startingOffsets: String = "earliest",
+      failOnDataLoss: Boolean = false,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
     val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribePattern", topicRegex)
-      .option("startingOffsets", "earliest")
-      .option("failOnDataLoss", "false")
+      // earliest by default: the reference consumes from the beginning on
+      // a fresh group; a checkpointed query ignores this after batch 0
+      .option("startingOffsets", startingOffsets)
+      // false: a compacted/expired offset (common on long-retention CDC
+      // topics) logs and continues instead of killing the pipeline —
+      // the loader is idempotent, replays converge
+      .option("failOnDataLoss", failOnDataLoss.toString)
     maxOffsetsPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n))
+    // kafka.* security/client tuning (SASL, SSL, fetch sizes …) passes
+    // straight through to the consumer, as the reference's sarama config
+    extraOptions.foreach { case (k, v) => r.option(k, v) }
     r.load()
   }
 

@@ -27,6 +27,10 @@ final class RealtimeTracker(maxLagRows: Long = 100) extends StreamingQueryListen
     val p = event.progress
     progress.put(p.name,
       Progress(p.batchId, p.numInputRows, p.processedRowsPerSecond, p.timestamp))
+    // exported alongside the loader metrics (the reference's per-topic
+    // lag gauge feeding its realtime calculation) — last value wins
+    graft.core.Metrics.gauge(p.name, "loader_lag_rows",
+      p.numInputRows.toDouble)
   }
 
   def lag(queryName: String): Option[Long] =

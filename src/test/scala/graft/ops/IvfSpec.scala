@@ -63,5 +63,36 @@ class IvfSpec extends SparkSpec {
     // only the probed cell directory is read: one of the two cells
     val scanned = "PartitionCount: (\\d+)".r.findFirstMatchIn(plan)
     scanned.foreach(sc => assert(sc.group(1).toInt == 1, plan))
+    // cell-clustered write: exactly one data file per cell directory
+    val root = new java.io.File(path)
+    val cellDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == 2, cellDirs.mkString(","))
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+  }
+
+  test("indexAppend routes a new batch into the stored cell geometry") {
+    import org.apache.spark.sql.functions.col
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val first = vecs.filter(col("vec_id") < 30)
+    val rest = vecs.filter(col("vec_id") >= 30)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString + "/idx"
+    Ivf.index(first, "embedding", m, path)
+    Ivf.indexAppend(spark, path, rest, "embedding")
+    // appended index answers exactly like an index built all at once
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_ivf_full").toString + "/idx"
+    Ivf.index(vecs, "embedding", m, full)
+    val q = Array(0.0, 10.0) // the >=30 cluster's region
+    val viaAppend = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    val viaFull = Ivf.probe(spark, full, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    assert(viaAppend == viaFull)
+    assert(viaAppend.map(_.getLong(0)).forall(_ >= 20L)) // right cluster
   }
 }

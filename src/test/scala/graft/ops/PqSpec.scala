@@ -105,6 +105,25 @@ class PqSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("pq indexAppend == all-at-once index for probes") {
+    import org.apache.spark.sql.functions.col
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft_pq_app").toString + "/idx"
+    Pq.index(vecs.filter(col("vec_id") < 20), "vec_id", "embedding",
+      coarse, cb, p1)
+    Pq.indexAppend(spark, p1, vecs.filter(col("vec_id") >= 20),
+      "vec_id", "embedding")
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_pq_full").toString + "/idx"
+    Pq.index(vecs, "vec_id", "embedding", coarse, cb, p2)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    assert(
+      Pq.probeIndexed(spark, p1, "vec_id", q, topK = 10).collect().toSeq ==
+        Pq.probeIndexed(spark, p2, "vec_id", q, topK = 10).collect().toSeq)
+  }
+
   test("encode plan is a pure projection (no exchange, no join)") {
     val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
     val plan = Pq.encode(vecs, "embedding", cb)
