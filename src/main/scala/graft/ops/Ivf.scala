@@ -275,4 +275,35 @@ object Ivf {
       .filter(col(CellCol).isin(probes: _*))
     Similarity.bruteForceTopK(pruned, idCol, vecCol, query, k)
   }
+
+  /** Batched serving probe: top-k for EVERY query in one pruned scan.
+    * Each query routes to its nprobe cells driver-side; the scan opens
+    * the union of probed cell directories once; a row is scored only
+    * against the queries that probed its cell (the routing table is a
+    * query-batch-sized broadcast), and a per-query window keeps k.
+    * Per query, results equal [[probe]] exactly — same cells, same
+    * cosine, same (score desc, id) order (`IvfSpec`). This is the shape
+    * a 1000-QPS serving job wants: scan cost amortizes across the query
+    * batch instead of multiplying by it. */
+  def probeMany(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, queries: Seq[(Long, Array[Double])], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val model = loadModel(spark, path)
+    val routes = queries.flatMap { case (qid, q) =>
+      model.nearest(q, nprobe).map(c => (qid, c, q.toSeq))
+    }.toDF("query_id", "__qcell", "__qvec")
+    val cells = routes.select("__qcell").as[Int].collect().distinct.toSeq
+    val pruned = spark.read.parquet(path)
+      .filter(col(CellCol).isin(cells: _*))
+    val scored = pruned.join(broadcast(routes),
+        col(CellCol) === col("__qcell"))
+      .select(col("query_id"), col(idCol),
+        Similarity.cosine(col(vecCol), col("__qvec")).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -82,6 +82,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1).getAs[Double]("dup_rate") == 0.5)
   }
 
+  test("approx domain stats track exact within the HLL error bound") {
+    val docs = (1 to 400).map(i =>
+      ("web", s"document number ${i % 120} content words here"))
+      .toDF("source", "text") // 120 distinct fingerprints, 400 docs
+    val exact = CorpusStats.domainStats(docs, "source", "text").head()
+    val approx = CorpusStats
+      .domainStatsApprox(docs, "source", "text", rsd = 0.05).head()
+    assert(approx.getAs[Long]("n_docs") == exact.getAs[Long]("n_docs"))
+    assert(approx.getAs[Long]("total_tokens") ==
+      exact.getAs[Long]("total_tokens"))
+    val e = exact.getAs[Long]("n_unique").toDouble
+    val a = approx.getAs[Long]("n_unique").toDouble
+    assert(math.abs(a - e) / e <= 0.15, s"approx=$a exact=$e") // 3x rsd
+    assert(approx.getAs[Double]("dup_rate") >= 0.0)
+    // the shuffle carries HLL sketch partials, not fingerprint sets: the
+    // plan must contain NO Expand/second aggregate for distinct
+    val plan = CorpusStats.domainStatsApprox(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
   test("null text counts as zero tokens and one fingerprint class") {
     val df = Seq(("d", null: String), ("d", ""), ("d", "w")).toDF("source", "text")
     val got = CorpusStats.domainStats(df, "source", "text").head()

@@ -74,6 +74,57 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("probeMany == per-query probe, one scan for the whole batch") {
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_many").toString + "/idx"
+    Ivf.index(vecs, "embedding", m, path)
+    val queries = Seq(1L -> Array(10.0, 0.0), 2L -> Array(0.0, 10.0),
+      3L -> Array(7.0, 7.0))
+    val batched = Ivf.probeMany(spark, path, "vec_id", "embedding",
+      queries, k = 4, nprobe = 1)
+    for ((qid, q) <- queries) {
+      val single = Ivf.probe(spark, path, "vec_id", "embedding", q,
+        k = 4, nprobe = 1)
+        .as[(Long, Double)].collect().toSeq
+      val slice = batched.filter(col("query_id") === qid)
+        .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toSeq
+      assert(slice == single, s"query $qid")
+    }
+    // one scan: the plan reads the index exactly once
+    val scans = "Scan parquet".r
+      .findAllMatchIn(batched.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected one index scan, got $scans")
+  }
+
+  test("streaming ANN ingest: foreachBatch indexAppend, probe sees batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString + "/idx"
+    Ivf.index(vecs.filter(col("vec_id") < 20), "embedding", m, path)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_ivf_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ivf.indexAppend(spark, path, batch, "embedding")
+      }.start()
+    try {
+      mem.addData((100L, Array(0.2f, 10.3f)), (101L, Array(10.1f, 0.3f)))
+      q.processAllAvailable()
+      mem.addData((102L, Array(0.1f, 10.4f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = Ivf.probe(spark, path, "vec_id", "embedding",
+      Array(0.0, 10.0), k = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // streamed vectors are live in the probed cell
+    assert(top.intersect(Set(100L, 102L)).nonEmpty, top.toString)
+  }
+
   test("indexAppend routes a new batch into the stored cell geometry") {
     import org.apache.spark.sql.functions.col
     val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
