@@ -695,6 +695,20 @@ object Queries {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
 
+    "q_x_split_leakage" -> ((s, dir) =>
+      // split-integrity audit: shared content identities straddling
+      // splits = eval leakage that survives row-level splitting (the
+      // reason dedup runs BEFORE splitBy). Identity here is the
+      // first-5-token prefix fingerprint — shared boilerplate openings,
+      // the template-leak class exact-dup fingerprints miss.
+      Sampling.splitLeakage(
+        Sampling.splitBy(
+          docs(s, dir).withColumn("fp",
+            md5(concat_ws(" ", slice(
+              TextOps.tokens(TextOps.normalized(col("text"))), 1, 5)))),
+          "doc_id", Seq("train" -> 0.6, "test" -> 0.4)),
+        "split", "fp")),
+
     "q_x_mix" -> ((s, dir) =>
       // source-weighted mixing: up/down-sample whole domains by static
       // weight — a pure scan-stage filter, no shuffle at any scale
@@ -1965,6 +1979,25 @@ object Queries {
          |       WHEN h < $t2 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, $h % ${Portable.P} AS h FROM documents)""".stripMargin
+    },
+
+    "q_x_split_leakage" -> {
+      import graft.functions.Portable
+      val h = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+      val Seq(t1) = graft.ops.Sampling.splitThresholds(
+        Seq("train" -> 0.6, "test" -> 0.4))
+      s"""WITH n AS (
+         |  SELECT doc_id, ${normSql("text")} AS t FROM documents),
+         |s AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN $h % ${Portable.P} < $t1 THEN 'train'
+         |         ELSE 'test' END AS split,
+         |    md5(array_to_string((string_split_regex(t, '\\s+'))[1:5], ' ')) AS fp
+         |  FROM n)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  count(*) AS n_shared
+         |FROM s a JOIN s b ON a.fp = b.fp AND a.split < b.split
+         |GROUP BY 1, 2""".stripMargin
     },
 
     "q_x_mix" -> {

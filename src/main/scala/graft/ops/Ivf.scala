@@ -276,6 +276,53 @@ object Ivf {
     Similarity.bruteForceTopK(pruned, idCol, vecCol, query, k)
   }
 
+  /** Layout maintenance after many [[indexAppend]]s: each append adds one
+    * file per touched cell, so a long-running ingest accumulates small
+    * files exactly like any streaming sink. Rewrite one-file-per-cell via
+    * shadow + rename (readers see the old layout until the swap; sidecars
+    * are preserved — this is maintenance, NOT retraining: cell geometry
+    * and codes are unchanged, so probes return identical results
+    * before/after). Works for [[index]] and [[Pq.index]] layouts alike
+    * (schema-agnostic; every `_`-prefixed sidecar is carried over). */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val shadow = new Path(path + "__compacting")
+    if (fs.exists(shadow)) fs.delete(shadow, true)
+    spark.read.parquet(path)
+      .repartition(col(CellCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(CellCol)
+      .parquet(shadow.toString)
+    fs.listStatus(new Path(path))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(shadow, st.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    // rename-aside swap (the BucketedCatalog discipline): the index path
+    // exists at every instant; a crash leaves either old or new complete
+    val tgt = new Path(path)
+    val trash = new Path(path + "__old")
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (!fs.rename(tgt, trash))
+      throw new IllegalStateException(s"compact swap failed renaming $tgt aside")
+    if (!fs.rename(shadow, tgt))
+      throw new IllegalStateException(s"compact swap failed renaming $shadow in")
+    fs.delete(trash, true)
+  }
+
+  /** At corpus scale Lloyd passes over every row are wasted I/O — k-means
+    * quality saturates around ~10³·k training points — so train on a
+    * DETERMINISTIC sample: [[Sampling.hashMod]] keeps the chosen rows
+    * stable under corpus growth and re-partitioning (a seeded `sample()`
+    * is neither), so retraining tomorrow on a bigger corpus sees the same
+    * seed rows plus new ones, not a reshuffled universe. Assignment /
+    * indexing still cover the FULL corpus with the resulting model. */
+  def trainSampled(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3, buckets: Int = 100, keep: Int = 1): Model =
+    train(Sampling.hashMod(df, idCol, buckets, keep), idCol, vecCol, k,
+      iters)
+
   /** Batched serving probe: top-k for EVERY query in one pruned scan.
     * Each query routes to its nprobe cells driver-side; the scan opens
     * the union of probed cell directories once; a row is scored only

@@ -76,6 +76,27 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Split-integrity audit: exact-duplicate LEAKAGE across train/val/test
+    * splits — a fingerprint (content identity) that appears in more than
+    * one split means an eval answer is sitting in the training set even
+    * though the *rows* were split correctly. Returns one row per ordered
+    * split pair with the count of shared fingerprints. Run it after
+    * [[splitBy]]; a dedup ([[Dedup.exactKeep]]) BEFORE splitting is the
+    * fix when it fires.
+    *
+    * Scale: one (split, fp) distinct shuffle, then a self-join on fp
+    * whose groups are bounded by the split count — never quadratic in
+    * documents. Counts are exact integers (no float drift in the
+    * oracle). */
+  def splitLeakage(df: DataFrame, splitCol: String, fpCol: String): DataFrame = {
+    val s = df.select(col(splitCol).cast("string").as("split"),
+      col(fpCol).as("fp")).distinct()
+    s.as("a").join(s.as("b"),
+        col("a.fp") === col("b.fp") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Source-weighted deterministic mixing: keep a row iff its id hashes
     * under its domain's weight threshold — static corpus reweighting
     * (up/down-sampling whole sources, the DoReMi-style mixture applied at

@@ -125,6 +125,47 @@ class IvfSpec extends SparkSpec {
     assert(top.intersect(Set(100L, 102L)).nonEmpty, top.toString)
   }
 
+  test("compactIndex: appends pile up files, compaction restores 1/cell") {
+    import org.apache.spark.sql.functions.col
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_comp").toString + "/idx"
+    Ivf.index(vecs.filter(col("vec_id") < 20), "embedding", m, path)
+    Ivf.indexAppend(spark, path,
+      vecs.filter(col("vec_id") >= 20 && col("vec_id") < 30), "embedding")
+    Ivf.indexAppend(spark, path,
+      vecs.filter(col("vec_id") >= 30), "embedding")
+    def files(cell: String) = new java.io.File(path, cell).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val q = Array(0.0, 10.0)
+    val before = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    val grew = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .exists(d => d.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(grew, "appends should have accumulated files")
+    Ivf.compactIndex(spark, path)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .foreach(d => assert(files(d.getName) == 1, d.getName))
+    // probes identical before/after; model sidecar survived
+    val after = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    assert(after == before)
+    assert(Ivf.loadModel(spark, path).centroids.map(_.toSeq).toSeq ==
+      m.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("trainSampled: deterministic subset, assignments still total") {
+    val m1 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 2,
+      iters = 2, buckets = 2, keep = 1)
+    val m2 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 2,
+      iters = 2, buckets = 2, keep = 1)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    // every corpus row (sampled for training or not) gets a cell
+    assert(Ivf.assign(vecs, "embedding", m1).count() == 40)
+  }
+
   test("indexAppend routes a new batch into the stored cell geometry") {
     import org.apache.spark.sql.functions.col
     val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)

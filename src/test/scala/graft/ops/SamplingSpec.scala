@@ -66,6 +66,22 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitBy(corpus, "id", Seq("a" -> 1.2, "b" -> -0.2)))
   }
 
+  test("splitLeakage: counts fingerprints straddling splits, exact") {
+    // fp "x" lands in both splits, "y" only in a, "z" only in b
+    val df = Seq(
+      (1L, "a", "x"), (2L, "b", "x"),   // leak
+      (3L, "a", "y"), (4L, "a", "y"),   // dup but same split: no leak
+      (5L, "b", "z"),
+      (6L, "a", "w"), (7L, "b", "w"))   // second leak
+      .toDF("id", "split", "fp")
+    val got = Sampling.splitLeakage(df, "split", "fp")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L)))
+    // clean splits -> empty report
+    val clean = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "split", "fp")
+    assert(Sampling.splitLeakage(clean, "split", "fp").count() == 0)
+  }
+
   test("weightedKeep: weight 1 keeps all, 0 drops all, default applies") {
     val df = corpus.withColumn("src", col("lang"))
     val kept = Sampling.weightedKeep(df, "src", "id",
