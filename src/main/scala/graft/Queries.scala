@@ -802,6 +802,15 @@ object Queries {
       Dedup.crossDocShingleFrac(docs(s, dir), "doc_id", "text", n = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    "q_x_span_scrub" -> ((s, dir) =>
+      // exact-substring span removal (Lee et al. 2022): every word
+      // position covered by a 5-gram shared across >=2 docs is dropped,
+      // the doc reassembled — the boilerplate scrub keep-one dedup
+      // can't do (the documents differ; the spans repeat)
+      Dedup.removeRepeatedSpans(docs(s, dir), "doc_id", "text",
+          n = 5, minDf = 2)
+        .withColumnRenamed("id", "doc_id")),
+
     "q_x_bloom_gate" -> ((s, dir) => {
       // bloom-gate ingest dedup: corpus fingerprints fold into a sketch,
       // the batch probes it broadcast-side. Oracle checks the exact batch
@@ -1979,6 +1988,36 @@ object Queries {
          |       WHEN h < $t2 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, $h % ${Portable.P} AS h FROM documents)""".stripMargin
+    },
+
+    "q_x_span_scrub" -> {
+      val n = 5
+      s"""WITH nrm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+         |w AS (SELECT doc_id, CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+         |        ELSE string_split_regex(t, '\\s+') END AS w FROM nrm),
+         |pos AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(w)),
+         |    i -> {'p': i, 'wd': w[i+1]}), recursive := true)
+         |  FROM w),
+         |starts AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(w) - $n + 1),
+         |    i -> {'st': i, 'sh': array_to_string(w[i+1:i+$n], ' ')}), recursive := true)
+         |  FROM w WHERE len(w) >= $n),
+         |freq AS (
+         |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM starts)
+         |  GROUP BY sh HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.st + j.range AS p
+         |  FROM starts s JOIN freq USING (sh), range($n) j),
+         |kept AS (
+         |  SELECT p.doc_id,
+         |    array_to_string(list(p.wd ORDER BY p.p), ' ') AS text_clean,
+         |    count(*) AS kept
+         |  FROM pos p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.p
+         |  GROUP BY p.doc_id)
+         |SELECT w.doc_id, coalesce(k.text_clean, '') AS text_clean,
+         |  len(w.w) AS n_words, len(w.w) - coalesce(k.kept, 0) AS n_dropped
+         |FROM w LEFT JOIN kept k USING (doc_id)""".stripMargin
     },
 
     "q_x_split_leakage" -> {

@@ -129,6 +129,76 @@ object Dedup {
             col("n_shingles"), 6)).otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Every shingle occurrence with its 0-based start position — NOT
+    * distinct ([[shinglesFromWords]] is): span coverage needs all starts
+    * of a repeated gram, not its identity. */
+  private def shingleStarts(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(
+        sequence(lit(0), size(words) - n),
+        i => struct(i.as("start"),
+          concat_ws(" ",
+            (1 to n).map(j => element_at(words, i + j)): _*).as("sh"))))
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("start", IntegerType), StructField("sh", StringType))))))
+
+  /** Exact-substring span REMOVAL (Lee et al. 2022 §4 — the rewrite half
+    * of [[crossDocShingleFrac]]'s signal): every word position covered by
+    * an n-gram occurring in at least `minDf` documents is dropped, and
+    * the document is reassembled from the surviving words. The canonical
+    * boilerplate scrub: navigation bars, license headers and templated
+    * openings disappear from every copy at once (keep-one-doc dedup can't
+    * touch them because the *documents* differ).
+    *
+    * Returns (id, text_clean, n_words, n_dropped) — one row per input
+    * document; zero-token docs come back with empty text.
+    *
+    * Scale shape: one explode of shingle occurrences (positions), one
+    * distinct (id, shingle) projection feeding a per-shingle
+    * document-frequency aggregation, an equi-join on the shingle to pull
+    * the df back to the occurrences (occurrence positions and
+    * distinct-doc counts are different granularities, so the
+    * window-count fusion used by crossDocShingleFrac cannot apply), a
+    * positions anti-join keyed (id, pos), and one per-doc reassembly
+    * aggregation. Hot-shingle skew is capped the standard way: grams
+    * above `minDf` are ALL equivalent (covered is covered), so the df
+    * aggregation output is bounded by distinct shingles, never
+    * occurrences. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int = 2): DataFrame = {
+    val words = spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        TextOps.tokens(TextOps.normalized(col("__t"))).as("__w"))
+    val pos = words.select(col("id"),
+      posexplode(col("__w")).as(Seq("pos", "word")))
+    val starts = words.select(col("id"),
+      explode(shingleStarts(col("__w"), n)).as("s"))
+      .select(col("id"), col("s.start").as("start"), col("s.sh").as("sh"))
+    // document frequency per shingle: distinct docs, then one hash agg
+    val freq = starts.select("id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("sh")
+    // positions covered by any frequent gram occurrence
+    val covered = starts.join(freq, Seq("sh"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = pos.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word"))).as("text_clean"),
+        count(lit(1)).as("__kept"))
+    val counts = words.select(col("id"),
+      size(col("__w")).cast(LongType).as("n_words"))
+    counts.join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Word n-gram shingles from a *materialized* token-array column.
     * IMPORTANT: `words` should be a plain column reference, not an
     * expression — every shingle position references it, and Catalyst

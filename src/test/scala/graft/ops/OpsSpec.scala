@@ -171,6 +171,23 @@ class DedupSpec extends SparkSpec {
     assert(near.isDefined && near.get._3 > 0.4)
   }
 
+  test("removeRepeatedSpans scrubs shared spans, keeps the unique tail") {
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+      n = 3, minDf = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1 and 3 normalize identically: every trigram df>=2, all gone
+    assert(out(1L) == (("", 9L, 9L)))
+    assert(out(3L) == (("", 9L, 9L)))
+    // doc 2 shares trigrams covering positions 0..7; "cat" survives
+    assert(out(2L) == (("cat", 9L, 8L)))
+    // unique doc untouched; empty doc comes back empty
+    assert(out(4L)._1.nonEmpty &&
+      out(4L)._2 == out(4L)._1.split(" ").length.toLong &&
+      out(4L)._3 == 0L)
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
   test("minhash incremental vs stored signatures == batch-mode restricted") {
     // corpus = ids 1-3, batch = ids 4-6 (6 near-dups 1; 5 dups 4 exactly)
     val all = docs.filter(length(col("text")) > 0).union(Seq(
