@@ -126,6 +126,39 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual ivfpq: k=1 coarse degenerates to ADC on centered vectors") {
+    val coarse = Ivf.Model(Array(Array.fill(8)(0.25)))
+    val cb = Pq.trainResidual(vecs, "vec_id", "embedding", coarse,
+      m = 2, dsub = 4, k = 4)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    val viaResidual = Pq.ivfPqResidualTopK(vecs, "vec_id", "embedding",
+      coarse, cb, q, topK = 10, nprobe = 1).collect().toSeq
+    // single cell -> residual = vec - c for every row: identical to plain
+    // ADC over explicitly centered vectors with the centered query
+    val centered = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) - 0.25D)")
+        .as("embedding"))
+    val viaCentered = Pq.adcTopK(centered, "vec_id", "embedding", cb,
+      q.map(_ - 0.25), topK = 10).collect().toSeq
+    assert(viaResidual == viaCentered)
+  }
+
+  test("residual ivfpq: candidates only from probed cells; deterministic") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.trainResidual(vecs, "vec_id", "embedding", coarse,
+      m = 2, dsub = 4, k = 4)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    val qCell = coarse.nearest(q, 1).head
+    val cells = Ivf.assign(vecs, "embedding", coarse)
+      .select("vec_id", "__cluster").as[(Long, Int)].collect().toMap
+    val top = Pq.ivfPqResidualTopK(vecs, "vec_id", "embedding", coarse,
+      cb, q, topK = 10, nprobe = 1).select("vec_id").as[Long].collect()
+    assert(top.nonEmpty && top.forall(cells(_) == qCell))
+    val again = Pq.ivfPqResidualTopK(vecs, "vec_id", "embedding", coarse,
+      cb, q, topK = 10, nprobe = 1).select("vec_id").as[Long].collect()
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("pq indexAppend == all-at-once index for probes") {
     import org.apache.spark.sql.functions.col
     val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
