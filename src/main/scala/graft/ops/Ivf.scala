@@ -218,8 +218,22 @@ object Ivf {
     finally out.close()
   }
 
+  /** Crash recovery for the [[compactIndex]] swap (the BucketedCatalog
+    * discipline): a crash between renaming the index aside and renaming
+    * the compacted copy in leaves a complete index in `<path>__old` and
+    * nothing live — restore it. Called by every read path. */
+  private def recoverIndex(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val tgt = new Path(path)
+    val old = new Path(path + "__old")
+    if (!fs.exists(tgt) && fs.exists(old) && !fs.rename(old, tgt))
+      throw new IllegalStateException(
+        s"index recovery failed renaming $old back")
+  }
+
   /** Read the centroid sidecar of an [[index]]ed corpus. */
   def loadModel(spark: SparkSession, path: String): Model = {
+    recoverIndex(spark, path)
     val in = fsFor(spark, path).open(new Path(path, ModelSidecar))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -285,6 +299,7 @@ object Ivf {
     * before/after). Works for [[index]] and [[Pq.index]] layouts alike
     * (schema-agnostic; every `_`-prefixed sidecar is carried over). */
   def compactIndex(spark: SparkSession, path: String): Unit = {
+    recoverIndex(spark, path)
     val fs = fsFor(spark, path)
     val shadow = new Path(path + "__compacting")
     if (fs.exists(shadow)) fs.delete(shadow, true)

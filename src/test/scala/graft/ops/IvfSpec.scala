@@ -156,6 +156,23 @@ class IvfSpec extends SparkSpec {
       m.centroids.map(_.toSeq).toSeq)
   }
 
+  test("index recovery: a crash-stranded __old copy is restored on read") {
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rec").toString + "/idx"
+    Ivf.index(vecs, "embedding", m, path)
+    val q = Array(10.0, 0.0)
+    val before = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    // simulate a compaction crash between the two renames
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__old")))
+    val after = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    assert(after == before)
+    assert(new java.io.File(path).exists &&
+      !new java.io.File(path + "__old").exists)
+  }
+
   test("trainSampled: deterministic subset, assignments still total") {
     val m1 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 2,
       iters = 2, buckets = 2, keep = 1)
