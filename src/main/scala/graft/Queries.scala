@@ -33,8 +33,12 @@ object Queries {
     * collide; rebuilt (overwrite) on every invocation — the catalog entry
     * demonstrates index-then-probe end to end. */
   private def tmpIndexPath(kind: String, dir: String): String =
+    // readable sanitized name PLUS a hash of the raw dir: sanitization
+    // alone maps distinct dirs ("…/sf_1" vs "…/sf/1") to one path, and
+    // two concurrent runs sharing a scratch index would race
     s"${sys.props("java.io.tmpdir")}/graft_index/" +
-      s"${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      s"${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
 
   /** The documents table spread across the cluster: the test file is one
     * parquet row group (one split), which would run the expression-heavy

@@ -106,4 +106,30 @@ object Metrics {
     def time[T](phase: String)(f: => T): T =
       Metrics.time(table, s"loader_${phase}_seconds")(f)
   }
+
+  // Phase breakdown localCheckpoints intermediates whose blocks are only
+  // dead AFTER the caller's final write action — the merge can't
+  // unpersist them itself. They queue here (per driver thread, like the
+  // table tag) and the batch driver frees them once the write returns;
+  // without the drain, a long-running stream retains one batch's worth
+  // of checkpoint blocks per trigger until the driver happens to GC the
+  // references (the same leak Dedup.clusters avoids by explicit
+  // unpersist).
+  private val pendingUnpersist =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.DataFrame]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    }
+
+  private[graft] def deferUnpersist(df: org.apache.spark.sql.DataFrame): Unit =
+    pendingUnpersist.get() += df
+
+  /** Free all checkpoints deferred on this thread (call after the batch's
+    * terminal action). */
+  def drainUnpersist(): Unit = {
+    val buf = pendingUnpersist.get()
+    buf.foreach(_.unpersist())
+    buf.clear()
+  }
 }

@@ -47,15 +47,22 @@ object GitMaskStore {
 
   private def git(repoDir: String, args: String*): String = {
     val cmd = (Seq("git", "-C", repoDir) ++ args)
-    val p = new ProcessBuilder(cmd: _*).start()
-    val out = new ByteArrayOutputStream()
-    val err = new ByteArrayOutputStream()
-    p.getInputStream.transferTo(out)
-    p.getErrorStream.transferTo(err)
-    val code = p.waitFor()
-    if (code != 0)
-      throw new IllegalArgumentException(
-        s"git ${args.mkString(" ")} failed ($code): ${err.toString("UTF-8").trim}")
-    out.toString("UTF-8")
+    // stderr goes to a temp file, NOT a pipe read after stdout: a child
+    // filling the stderr pipe buffer while we block draining stdout
+    // would deadlock both processes
+    val errFile = java.io.File.createTempFile("graft-git-err", ".txt")
+    try {
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectError(errFile)
+        .start()
+      val out = new ByteArrayOutputStream()
+      p.getInputStream.transferTo(out)
+      val code = p.waitFor()
+      if (code != 0)
+        throw new IllegalArgumentException(
+          s"git ${args.mkString(" ")} failed ($code): " +
+            java.nio.file.Files.readString(errFile.toPath).trim)
+      out.toString("UTF-8")
+    } finally errFile.delete()
   }
 }

@@ -99,6 +99,9 @@ object CdcMerge {
             .localCheckpoint())
         val inserted = rec.time("deleteop")(
           insertable(dropDeleteOps(deduped)).localCheckpoint())
+        // blocks are dead only after the caller's write action —
+        // processBatch drains these once the batch completes
+        Seq(deduped, kept, inserted).foreach(graft.core.Metrics.deferUnpersist)
         kept.unionByName(inserted, allowMissingColumns = true)
     }
 }

@@ -226,19 +226,32 @@ object Dedup {
     * shuffle. No-op when the scan already has enough splits (the 100 TB
     * case) — then an extra corpus shuffle would be pure harm.
     *
-    * Split count is ESTIMATED from optimizer statistics (input bytes /
-    * `files.maxPartitionBytes`) — `df.rdd.getNumPartitions` would be
-    * exact but instantiates the full RDD lineage on every planning pass
-    * of every catalog query that touches the corpus. The estimate errs
-    * small for tiny inputs (exactly the case that needs spreading) and
-    * large for 100 TB scans (exactly the case that must not shuffle). */
+    * Three tiers, cheapest first:
+    *  1. the plan already contains a repartition (e.g. spread applied
+    *     upstream) → no-op, never stack a second exchange;
+    *  2. trustworthy size stats → estimate splits as bytes /
+    *     `files.maxPartitionBytes` (no RDD lineage instantiated on the
+    *     planning pass — the common catalog-query path);
+    *  3. stats are the default sentinel (LogicalRDD / streaming batch
+    *     frames report defaultSizeInBytes) → fall back to the exact
+    *     `rdd.getNumPartitions`; paying one lineage instantiation beats
+    *     silently never spreading the tiny micro-batch case. */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits = (bytes / maxSplit).toLong + 1
-    if (estSplits < target) df.repartition(target) else df
+    val plan = df.queryExecution.optimizedPlan
+    if (plan.exists { case _: RepartitionOperation => true; case _ => false })
+      df
+    else {
+      val bytes = plan.stats.sizeInBytes
+      val reliable = bytes < spark.sessionState.conf.defaultSizeInBytes
+      val narrow =
+        if (reliable)
+          (bytes / spark.sessionState.conf.filesMaxPartitionBytes) + 1 < target
+        else df.rdd.getNumPartitions < target
+      if (narrow) df.repartition(target) else df
+    }
   }
 
   /** (id, shingle) rows with the token array materialized in a separate

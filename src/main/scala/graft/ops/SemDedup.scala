@@ -60,23 +60,19 @@ object SemDedup {
     * deterministic representative per duplicate chain; the paper keeps a
     * random member, which is not replayable).
     *
-    * The drop set is usually a small fraction of the corpus, so the
-    * anti-join broadcasts it and the corpus side never shuffles — but a
-    * high-dup crawl (30–60% dups is realistic for web text) would make an
-    * UNCONDITIONAL broadcast a driver/executor OOM, so the set is counted
-    * first (it is localCheckpoint'ed: the count costs one cheap job over
-    * materialized ids, not a second run of the pair pipeline) and only
-    * broadcast under `broadcastMaxRows`; above it the anti-join runs as a
-    * plain shuffled join, which AQE may still re-plan by actual size. */
+    * The anti-join is deliberately NOT hint-forced: the drop set is
+    * usually a small fraction of the corpus (broadcast is right), but a
+    * high-dup crawl (30–60% dups is realistic for web text) would make a
+    * FORCED broadcast a driver/executor OOM. The size gate is AQE's
+    * runtime re-plan — it sees the drop set's EXACT post-shuffle size and
+    * converts to a broadcast join only under the byte threshold, which
+    * beats any driver-side row count: no extra job, no eager execution at
+    * plan-construction time, and bytes (what OOMs) rather than rows. */
   def keep(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
-      threshold: Double, maxCellSize: Option[Long] = None,
-      broadcastMaxRows: Long = 5000000): DataFrame = {
+      threshold: Double, maxCellSize: Option[Long] = None): DataFrame = {
     val drop = pairs(df, idCol, vecCol, model, threshold, maxCellSize)
       .select(col("id_b").as("__drop")).distinct()
-      .localCheckpoint()
-    val right =
-      if (drop.count() <= broadcastMaxRows) broadcast(drop) else drop
-    df.join(right, col(idCol) === col("__drop"), "left_anti")
+    df.join(drop, col(idCol) === col("__drop"), "left_anti")
   }
 
   /** Cell-balanced deterministic sample: at most `perCell` rows per

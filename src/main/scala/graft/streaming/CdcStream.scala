@@ -150,8 +150,9 @@ object CdcStream {
       catalog: TableStore,
       cfg: TopicConfig): Seq[Job] = {
     val tag = s"${cfg.targetSchema}.${cfg.targetTable}"
-    Metrics.withTable(tag)(Metrics.time(tag, "loader_seconds")(
+    try Metrics.withTable(tag)(Metrics.time(tag, "loader_seconds")(
       processBatchTagged(batch, fetcher, catalog, cfg, tag)))
+    finally Metrics.drainUnpersist() // free phase-breakdown checkpoints
   }
 
   private def processBatchTagged(
@@ -172,10 +173,12 @@ object CdcStream {
     // The batcher byte counter rides the SAME aggregation job — no extra
     // scan of the batch for observability.
     val hdr = frames.agg(collect_set(col("__sid")).as("__sids"),
-      sum(octet_length(col("value"))).as("__bytes")).head()
+      sum(octet_length(col("value"))).as("__bytes"),
+      count(lit(1)).as("__n")).head()
     val sids = hdr.getSeq[Int](0).toArray
     Metrics.add(tag, "batcher_bytes_processed",
       if (hdr.isNullAt(1)) 0L else hdr.getLong(1))
+    Metrics.add(tag, "batcher_messages_processed", hdr.getLong(2))
 
     // Primary keys come from the Kafka key schema (the reference's
     // schemaIdKey, serializer/message.go:25-37): sample one key frame,

@@ -64,19 +64,23 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.size == 38)
   }
 
-  test("keep: broadcast gate falls back to a shuffled anti-join unchanged") {
-    // high-dup regime: force the gate shut (broadcastMaxRows = 0) — the
-    // result must be identical to the broadcast path; only the join
-    // strategy is allowed to differ
-    val viaBroadcast = SemDedup.keep(vecs, "vec_id", "embedding", model,
-      0.999).select("vec_id").as[Long].collect().toSet
-    val viaShuffle = SemDedup.keep(vecs, "vec_id", "embedding", model,
-      0.999, broadcastMaxRows = 0)
-    assert(viaShuffle.select("vec_id").as[Long].collect().toSet ==
-      viaBroadcast)
-    // the gate really removed the forced-broadcast hint from the plan
-    val hinted = viaShuffle.queryExecution.logical.toString
-    assert(!hinted.contains("UnresolvedHint"), hinted)
+  test("keep: no forced broadcast; AQE-planned join equals hinted result") {
+    // high-dup safety: keep() must not hint-force a broadcast (a huge
+    // drop set would OOM) — AQE decides from exact runtime sizes
+    val plan = SemDedup.keep(vecs, "vec_id", "embedding", model, 0.999)
+    assert(!plan.queryExecution.logical.toString.contains("UnresolvedHint"),
+      plan.queryExecution.logical.toString)
+    // ... and the un-forced join returns exactly what a forced-broadcast
+    // formulation would (only the strategy is allowed to differ)
+    val drop = SemDedup.pairs(vecs, "vec_id", "embedding", model, 0.999)
+      .select(col("id_b").as("__drop")).distinct()
+    val forced = vecs.join(broadcast(drop),
+        col("vec_id") === col("__drop"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    assert(plan.select("vec_id").as[Long].collect().toSet == forced)
+    // lazy construction: building keep()'s frame runs NO Spark job
+    // (the old counted gate executed the whole pair pipeline eagerly,
+    // which PlanAudit then mis-audited as a checkpoint scan)
   }
 
   test("assignBounded splits a giant cell under the budget") {

@@ -56,6 +56,8 @@ class MetricsSpec extends SparkSpec {
         .exists(_.sum == 4.0))
       assert(Metrics.get(tag, "batcher_bytes_processed")
         .exists(_.sum > 0.0))
+      assert(Metrics.get(tag, "batcher_messages_processed")
+        .exists(_.sum == 4.0))
     } finally {
       Metrics.enablePhaseBreakdown(false)
       Metrics.reset()
