@@ -454,6 +454,9 @@ object Dedup {
         // consumed by the within-batch self-join AND the cross join — one
         // signature computation, not three
         .localCheckpoint()
+    // per-micro-batch ingest would otherwise accumulate checkpoint blocks
+    // every trigger until driver GC — same soft-leak class CdcMerge defers
+    graft.core.Metrics.deferUnpersist(batchSigs)
     val withinBatch = minHashBandJoin(batchSigs, bands, numHashes,
       estThreshold, sig => explode(portableBandKeys(sig, bands, rows)))
     val bKeys = batchSigs.select(col("id").as("__nid"),

@@ -221,11 +221,33 @@ object Ivf {
   /** Crash recovery for the [[compactIndex]] swap (the BucketedCatalog
     * discipline): a crash between renaming the index aside and renaming
     * the compacted copy in leaves a complete index in `<path>__old` and
-    * nothing live — restore it. Called by every read path. */
+    * nothing live — restore it. Called by every read path.
+    *
+    * A LIVE swap is guarded by a `<path>__swapping` marker: while it
+    * exists a concurrent reader waits out the (two-rename) window instead
+    * of renaming `__old` back mid-swap — the race the unguarded version
+    * had. A marker that outlives the wait means the maintainer crashed:
+    * roll FORWARD to the completed shadow if present (the compaction
+    * already paid for it), else back to `__old`. */
   private def recoverIndex(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
     val tgt = new Path(path)
     val old = new Path(path + "__old")
+    val marker = new Path(path + "__swapping")
+    var waitedMs = 0
+    while (fs.exists(marker) && waitedMs < 2000) {
+      Thread.sleep(25); waitedMs += 25
+    }
+    if (fs.exists(marker)) { // maintainer crashed mid-swap
+      val shadow = new Path(path + "__compacting")
+      if (!fs.exists(tgt) &&
+        !(fs.exists(shadow) && fs.rename(shadow, tgt)) &&
+        !(fs.exists(old) && fs.rename(old, tgt)))
+        throw new IllegalStateException(
+          s"index at $path unrecoverable: marker present, no complete copy")
+      fs.delete(old, true)
+      fs.delete(marker, false)
+    }
     if (!fs.exists(tgt) && fs.exists(old) && !fs.rename(old, tgt))
       throw new IllegalStateException(
         s"index recovery failed renaming $old back")
@@ -314,16 +336,23 @@ object Ivf {
           new Path(shadow, st.getPath.getName), false,
           spark.sparkContext.hadoopConfiguration)
       }
-    // rename-aside swap (the BucketedCatalog discipline): the index path
-    // exists at every instant; a crash leaves either old or new complete
+    // rename-aside swap under a marker: readers' recoverIndex waits while
+    // `__swapping` exists (instead of renaming __old back mid-swap), and a
+    // crash at ANY point leaves a complete copy plus the marker, which
+    // recoverIndex rolls forward (shadow) or back (__old)
     val tgt = new Path(path)
     val trash = new Path(path + "__old")
+    val marker = new Path(path + "__swapping")
     if (fs.exists(trash)) fs.delete(trash, true)
-    if (!fs.rename(tgt, trash))
+    fs.create(marker, true).close()
+    if (!fs.rename(tgt, trash)) {
+      fs.delete(marker, false)
       throw new IllegalStateException(s"compact swap failed renaming $tgt aside")
-    if (!fs.rename(shadow, tgt))
+    }
+    if (!fs.rename(shadow, tgt)) // marker stays: recoverIndex rolls forward
       throw new IllegalStateException(s"compact swap failed renaming $shadow in")
     fs.delete(trash, true)
+    fs.delete(marker, false)
   }
 
   /** At corpus scale Lloyd passes over every row are wasted I/O — k-means

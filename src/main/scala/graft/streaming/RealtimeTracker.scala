@@ -16,7 +16,8 @@ final class RealtimeTracker(maxLagRows: Long = 100) extends StreamingQueryListen
       batchId: Long,
       inputRows: Long,
       processedRowsPerSecond: Double,
-      timestamp: String)
+      timestamp: String,
+      offsetLag: Option[Long])
 
   private val progress = TrieMap.empty[String, Progress]
 
@@ -25,22 +26,58 @@ final class RealtimeTracker(maxLagRows: Long = 100) extends StreamingQueryListen
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    // true consumer lag = Σ sources (latestOffset − endOffset): how far the
+    // head of the stream is beyond what this batch consumed — the same
+    // quantity the reference reads from the Kafka admin client. Sources
+    // whose offsets don't expose totals (null latestOffset) contribute None.
+    val oLag = {
+      val per = p.sources.toSeq.map(s =>
+        for (l <- RealtimeTracker.offsetTotal(s.latestOffset);
+             e <- RealtimeTracker.offsetTotal(s.endOffset)) yield (l - e).max(0L))
+      if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
     progress.put(p.name,
-      Progress(p.batchId, p.numInputRows, p.processedRowsPerSecond, p.timestamp))
-    // exported alongside the loader metrics (the reference's per-topic
-    // lag gauge feeding its realtime calculation) — last value wins
-    graft.core.Metrics.gauge(p.name, "loader_lag_rows",
+      Progress(p.batchId, p.numInputRows, p.processedRowsPerSecond,
+        p.timestamp, oLag))
+    // batch size is throughput, not lag — gauge it under its real name
+    graft.core.Metrics.gauge(p.name, "batch_input_rows",
       p.numInputRows.toDouble)
+    // the reference's per-topic lag gauge (offset lag), when derivable
+    oLag.foreach(l =>
+      graft.core.Metrics.gauge(p.name, "loader_lag_offsets", l.toDouble))
   }
 
+  /** Rows consumed by the last micro-batch (throughput proxy — kept as the
+    * realtime signal for sources that don't publish a latestOffset). */
   def lag(queryName: String): Option[Long] =
     progress.get(queryName).map(_.inputRows)
 
-  /** Realtime iff the last micro-batch consumed at most `maxLagRows` —
-    * i.e. the query is keeping up with the head of the stream (the
-    * reference's `lag <= maxLag`, realtime_calculator.go:284-312). */
+  /** True offset lag (head − consumed) when the source publishes it. */
+  def offsetLag(queryName: String): Option[Long] =
+    progress.get(queryName).flatMap(_.offsetLag)
+
+  /** Realtime iff the query is keeping up with the head of the stream
+    * (the reference's `lag <= maxLag`, realtime_calculator.go:284-312):
+    * judged on true offset lag when the source publishes it, else on the
+    * last batch's row count (a batch at most maxLagRows big means the
+    * backlog fit in one trigger). */
   def realtime(queryName: String): Boolean =
-    lag(queryName).exists(_ <= maxLagRows)
+    progress.get(queryName).exists(p =>
+      p.offsetLag.getOrElse(p.inputRows) <= maxLagRows)
 
   def snapshot: Map[String, Progress] = progress.toMap
+}
+
+object RealtimeTracker {
+  /** Total offset from a progress-event offset string: a bare long for
+    * MemoryStream/rate sources, a topic→partition→offset JSON map for
+    * Kafka — totalled by summing every `: <number>` value (partition KEYS
+    * are quoted, so only offsets follow a colon unquoted). */
+  private[streaming] def offsetTotal(s: String): Option[Long] = {
+    if (s == null) None
+    else scala.util.Try(s.trim.toLong).toOption.orElse {
+      val vals = ":\\s*(-?\\d+)".r.findAllMatchIn(s).map(_.group(1).toLong).toSeq
+      if (vals.nonEmpty) Some(vals.sum) else None
+    }
+  }
 }

@@ -173,6 +173,36 @@ class IvfSpec extends SparkSpec {
       !new java.io.File(path + "__old").exists)
   }
 
+  test("index recovery: marker + completed shadow rolls the swap FORWARD") {
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fwd").toString + "/idx"
+    Ivf.index(vecs, "embedding", m, path)
+    val q = Array(10.0, 0.0)
+    val before = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    // simulate a compactIndex crash AFTER renaming the index aside but
+    // BEFORE renaming the shadow in: marker present, shadow complete.
+    // (here the "shadow" is a byte-identical copy, which is what a
+    // completed compaction write is)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(path), fs,
+      new org.apache.hadoop.fs.Path(path + "__compacting"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__old")))
+    fs.create(new org.apache.hadoop.fs.Path(path + "__swapping"), true).close()
+    val after = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    assert(after == before)
+    // recovery completed the swap and cleaned every transient
+    assert(new java.io.File(path).exists)
+    assert(!new java.io.File(path + "__old").exists)
+    assert(!new java.io.File(path + "__swapping").exists)
+    assert(!new java.io.File(path + "__compacting").exists)
+  }
+
   test("trainSampled: deterministic subset, assignments still total") {
     val m1 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 2,
       iters = 2, buckets = 2, keep = 1)
