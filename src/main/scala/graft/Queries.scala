@@ -794,6 +794,23 @@ object Queries {
       Pq.probeIndexed(s, idx.path, "vec_id", q, topK = 20, nprobe = 2)
     }),
 
+    "q_x_ann_ivfpq_refined" -> ((s, dir) => {
+      // the FULL served-index pipeline (Jégou et al. IVFADC with
+      // re-ranking): pruned stored-code scan → ADC shortlist (100) →
+      // exact cosine over just those ids fetched from the vector table.
+      // Exact work is O(shortlist); recall climbs to the pq+refine level
+      // (RECALL.md) instead of the raw coarse-code 0.235.
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val idx = IndexStore.annIvfPq(s, dir)
+      Pq.probeIndexedRefined(s, idx.path, emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, topK = 20, nprobe = 2, shortlist = 100)
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
       // fraction of a doc's shingles shared with other documents
@@ -1225,6 +1242,38 @@ object Queries {
        |FROM est ORDER BY est, vec_id LIMIT 20""".stripMargin
   }
 
+  /** IVF-PQ + exact-refine oracle: the IVF-PQ replay (coarse probes +
+    * ADC estimate restricted to probed cells) picks the 100-candidate
+    * shortlist; exact cosine over just those rows ranks the final 20 —
+    * the same two-stage composition `Pq.probeIndexedRefined` runs. */
+  private val ivfPqRefinedOracleSql: String = {
+    val (subCtes, estCte) = pqOracleParts
+    s"""WITH $ivfTrainCtes,
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |pd AS (
+       |  SELECT c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)])
+       |             * (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM c2 c, q),
+       |probes AS (SELECT cell FROM pd ORDER BY d2, cell LIMIT 2),
+       |${ivfAssignBlock("afv", "c2", " WHERE v.vec_id <> 0")},
+       |$subCtes,
+       |${estCte(
+        "\n    AND x0.vec_id IN (SELECT vec_id FROM afv WHERE cell IN (SELECT cell FROM probes))")},
+       |short AS (SELECT vec_id FROM est ORDER BY est, vec_id LIMIT 100),
+       |scored AS (
+       |  SELECT s.vec_id,
+       |    CASE WHEN sqrt(list_inner_product(e.e, e.e)) * sqrt(list_inner_product(q.qe, q.qe)) > 0
+       |         THEN list_inner_product(e.e, q.qe) / (sqrt(list_inner_product(e.e, e.e)) * sqrt(list_inner_product(q.qe, q.qe)))
+       |         ELSE 0.0 END AS cosine_sim
+       |  FROM short s JOIN emb e USING (vec_id), q)
+       |SELECT vec_id, cosine_sim FROM scored
+       |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   private val ivfOracleSql: String = {
     s"""WITH $ivfTrainCtes,
        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
@@ -1327,6 +1376,7 @@ object Queries {
     // partition-pruned probe loses nothing.
     "q_x_ann_ivf_pruned" -> ivfOracleSql,
     "q_x_ann_ivfpq_pruned" -> ivfPqOracleSql,
+    "q_x_ann_ivfpq_refined" -> ivfPqRefinedOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,

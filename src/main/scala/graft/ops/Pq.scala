@@ -169,6 +169,24 @@ object Pq {
     adcTopK(routed, idCol, vecCol, cb, query, topK)
   }
 
+  /** IVF-PQ with exact re-rank (Jégou et al. §V "IVFADC with
+    * re-ranking" applied to the routed path): coarse cells bound WHERE
+    * we look, the ADC shortlist bounds WHAT we fetch, and the exact
+    * stage touches only `shortlist` full vectors — the recall fix
+    * [[adcRefineTopK]] proves (RECALL.md 0.205→0.650) composed onto the
+    * nprobe/k-of-the-corpus scan. */
+  def ivfPqRefineTopK(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, cb: Codebooks, query: Array[Double], topK: Int,
+      nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    val cand = ivfPqTopK(df, idCol, vecCol, coarse, cb, query, shortlist,
+      nprobe).select(col(idCol))
+    Similarity.bruteForceTopK(
+      df.join(org.apache.spark.sql.functions.broadcast(cand), Seq(idCol),
+        "left_semi"),
+      idCol, vecCol, query, topK)
+  }
+
   // ------------------------------------------------------------------
   // Residual IVF-PQ (IVFADC proper)
   // ------------------------------------------------------------------
@@ -228,6 +246,21 @@ object Pq {
     coded.select(col(idCol), est.as("__est"))
       .orderBy(col("__est"), col(idCol)).limit(topK)
       .select(col(idCol), round(col("__est"), 6).as("est_d2"))
+  }
+
+  /** Residual IVFADC with exact re-rank — the paper's full two-stage
+    * pipeline (coarse route → residual-ADC shortlist → exact distance on
+    * the shortlist only). */
+  def ivfPqResidualRefineTopK(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Ivf.Model, cb: Codebooks, query: Array[Double], topK: Int,
+      nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    val cand = ivfPqResidualTopK(df, idCol, vecCol, coarse, cb, query,
+      shortlist, nprobe).select(col(idCol))
+    Similarity.bruteForceTopK(
+      df.join(org.apache.spark.sql.functions.broadcast(cand), Seq(idCol),
+        "left_semi"),
+      idCol, vecCol, query, topK)
   }
 
   // ------------------------------------------------------------------
@@ -312,5 +345,25 @@ object Pq {
     val pruned = spark.read.parquet(path)
       .filter(col(Ivf.CellCol).isin(probes: _*))
     adcRank(pruned, idCol, cb, query, topK)
+  }
+
+  /** Served-index two-stage search: the stored-codes shortlist (a pruned
+    * scan reading m ints per row) followed by an exact re-rank that
+    * fetches full vectors for ONLY the shortlist ids from `vectors` —
+    * the id→vector store the codes-only index deliberately doesn't
+    * carry. At corpus scale that fetch is a broadcast semi-join against
+    * a bucketed vector table (point lookups), so the exact stage stays
+    * O(shortlist) while the index keeps its 32× compression. */
+  def probeIndexedRefined(spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], topK: Int, nprobe: Int = 2,
+      shortlist: Int = 100): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    val cand = probeIndexed(spark, path, idCol, query, shortlist, nprobe)
+      .select(col(idCol))
+    Similarity.bruteForceTopK(
+      vectors.join(org.apache.spark.sql.functions.broadcast(cand),
+        Seq(idCol), "left_semi"),
+      idCol, vecCol, query, topK)
   }
 }

@@ -126,6 +126,45 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRefineTopK: wide shortlist = exact ranking within probed cells") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    // shortlist covers every routed candidate -> stage 2 IS exact cosine
+    // restricted to the probed cells
+    val refined = Pq.ivfPqRefineTopK(vecs, "vec_id", "embedding", coarse,
+      cb, q, topK = 5, nprobe = 1, shortlist = 40)
+      .select("vec_id").as[Long].collect().toSeq
+    val qCell = coarse.nearest(q, 1).head
+    val inCell = Ivf.assign(vecs, "embedding", coarse)
+      .filter(col("__cluster") === qCell).drop("__cluster")
+    val exact = Similarity.bruteForceTopK(inCell, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(refined == exact)
+    // residual variant under the same degenerate-shortlist condition
+    val cbRes = Pq.trainResidual(vecs, "vec_id", "embedding", coarse,
+      m = 2, dsub = 4, k = 4)
+    val refinedRes = Pq.ivfPqResidualRefineTopK(vecs, "vec_id", "embedding",
+      coarse, cbRes, q, topK = 5, nprobe = 1, shortlist = 40)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(refinedRes == exact)
+  }
+
+  test("probeIndexedRefined == ivfPqRefineTopK over the served index") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_ref").toString + "/idx"
+    Pq.index(vecs, "vec_id", "embedding", coarse, cb, path)
+    val q = Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)
+    val served = Pq.probeIndexedRefined(spark, path, vecs, "vec_id",
+      "embedding", q, topK = 5, nprobe = 1, shortlist = 10)
+      .collect().toSeq
+    val direct = Pq.ivfPqRefineTopK(vecs, "vec_id", "embedding", coarse,
+      cb, q, topK = 5, nprobe = 1, shortlist = 10).collect().toSeq
+    assert(served == direct)
+  }
+
   test("residual ivfpq: k=1 coarse degenerates to ADC on centered vectors") {
     val coarse = Ivf.Model(Array(Array.fill(8)(0.25)))
     val cb = Pq.trainResidual(vecs, "vec_id", "embedding", coarse,
