@@ -960,6 +960,25 @@ object Queries {
         .select(col("doc_id"), col("norm_text"),
           (octet_length(col("__s")) - octet_length(col("norm_text")))
             .cast(LongType).as("bytes_folded"))
+    }),
+
+    "q_x_copy_clamp" -> ((s, dir) => {
+      // COPY TRUNCATECOLUMNS parity (redshift.go:875-887): varchar(n) is
+      // n BYTES, truncation keeps whole characters. Spaces swapped for a
+      // 2-byte char so the 64-byte clamp usually lands mid-character and
+      // must back off to a char boundary (clamped_bytes 63 on those
+      // rows). ACCEPTINVCHARS composes in the same projection — a no-op
+      // on the valid fixture; the invalid-byte policy is golden-tested
+      // byte-for-byte in CopyOptionsSpec.
+      import graft.warehouse.CopyOptions
+      val wide = translate(coalesce(col("text"), lit("")), " ", "é")
+      docs(s, dir)
+        .select(col("doc_id"),
+          CopyOptions.truncateColumns(CopyOptions.acceptInvChars(wide), 64)
+            .as("clamped"))
+        .select(col("doc_id"), col("clamped"),
+          octet_length(col("clamped")).cast(LongType).as("clamped_bytes"),
+          length(col("clamped")).cast(LongType).as("clamped_chars"))
     })
   )
 
@@ -2320,6 +2339,22 @@ object Queries {
          |  FROM documents)
          |SELECT doc_id, nfc_normalize(syn) AS norm_text,
          |  CAST(strlen(syn) - strlen(nfc_normalize(syn)) AS BIGINT) AS bytes_folded
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // byte-width clamp on whole-char boundaries: keep = the largest char
+    // prefix whose byte length (strlen) fits the declared 64-byte width
+    "q_x_copy_clamp" ->
+      """WITH src AS (
+        |  SELECT doc_id, replace(coalesce(text, ''), ' ', 'é') AS s
+        |  FROM documents),
+        |cut AS (
+        |  SELECT doc_id, s,
+        |    list_max(list_filter(range(0, length(s) + 1),
+        |      L -> strlen(substring(s, 1, CAST(L AS INT))) <= 64)) AS keep
+        |  FROM src)
+        |SELECT doc_id, substring(s, 1, CAST(keep AS INT)) AS clamped,
+        |  CAST(strlen(substring(s, 1, CAST(keep AS INT))) AS BIGINT) AS clamped_bytes,
+        |  CAST(length(substring(s, 1, CAST(keep AS INT))) AS BIGINT) AS clamped_chars
+        |FROM cut""".stripMargin
   )
 }

@@ -124,7 +124,12 @@ object CdcStream {
       if (cfg.maskEnabled)
         new Masker(cfg.maskConfig, cfg.salt)(transformed, cfg.maskTableName)
       else transformed
-    (masked, spec)
+    // COPY value policies (redshift.go:875-887): every load the reference
+    // runs clamps oversized varchars (TRUNCATECOLUMNS) and replaces
+    // invalid UTF-8 (ACCEPTINVCHARS) server-side; apply the same
+    // projection before any sink sees the rows so the single-job and
+    // batcher/loader paths both load what Redshift would have kept.
+    (graft.warehouse.CopyOptions.clamp(masked, spec), spec)
   }
 
   /** R5 column-set gate, shared by the single-job path and
