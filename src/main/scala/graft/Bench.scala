@@ -84,15 +84,19 @@ object Bench {
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
     // through envelope transform → hash mask → SCD-1 merge.
-    val (cdcSec, nEvents) = {
+    val cdcMasker = new graft.mask.Masker(
+      graft.mask.MaskConfig(nonPiiKeys = Map("events_cdc" -> Seq("user_id"))),
+      "benchsalt")
+    def cdcTarget = {
       import org.apache.spark.sql.functions._
-      val stage0 = SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir)
-      val masker = new graft.mask.Masker(
-        graft.mask.MaskConfig(nonPiiKeys = Map("events_cdc" -> Seq("user_id"))),
-        "benchsalt")
-      val target = Tables.read(spark, sfDir, "customer").select(
+      Tables.read(spark, sfDir, "customer").select(
         col("c_custkey").cast("string").as("user_id"),
         format_string("%.2f", col("c_acctbal")).as("value"))
+    }
+    val (cdcSec, nEvents) = {
+      val stage0 = SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir)
+      val masker = cdcMasker
+      val target = cdcTarget
       val n = Tables.read(spark, sfDir, "events").count()
       // same per-run failure isolation as the query loop: one transient
       // failure must not abort the bench before the JSON line is written
@@ -113,35 +117,49 @@ object Bench {
 
     // Per-phase merge timings — the reference's loader histogram phases
     // (BASELINE.md: dedupe, deletecommon, deleteop, copytarget).
-    val phases = try {
-      import org.apache.spark.sql.functions._
+    // Phase breakdown via the engine's OWN instrumented path
+    // (Metrics.enablePhaseBreakdown — what processBatch exposes for the
+    // REDSHIFTSINK.md:155-171 histogram parity): copystage = masked-stage
+    // materialization, dedupe/deletecommon/deleteop = the recorder's
+    // checkpointed phases, copytarget = the final union + write. Each
+    // bucket is a serialized wall-clock fragment of ONE instrumented run,
+    // so the five buckets sum to cdc_phases_total_sec (minus driver glue)
+    // BY CONSTRUCTION. cdc_merge_sec above stays the throughput headline:
+    // the fused single-job plan, which is faster than the instrumented
+    // run precisely by the phase-materialization cost the breakdown
+    // opts into (see Metrics doc).
+    val (phases, phasesTotal) = try {
+      import graft.core.Metrics
       import graft.merge.CdcMerge
-      val stage = SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir).cache()
-      stage.count()
-      val target = Tables.read(spark, sfDir, "customer").select(
-        col("c_custkey").cast("string").as("user_id"),
-        format_string("%.2f", col("c_acctbal")).as("value"))
-      def noop(df: org.apache.spark.sql.DataFrame): Unit =
-        df.write.format("noop").mode("overwrite").save()
-      def minTime(fn: => Unit): Double = Seq.fill(nRuns)(time(fn)).min
-      // time the dedupe computation UNCACHED (min-of-N over a cached frame
-      // would measure the cache scan, not the op), then cache the result
-      // so the downstream phases measure only their own work
-      val dedupedPlan = CdcMerge.dedupe(stage, Seq("user_id"))
-      val tDedupe = minTime(noop(dedupedPlan))
-      val deduped = dedupedPlan.cache()
-      deduped.count()
-      val tDeleteCommon = minTime(noop(
-        CdcMerge.deleteCommon(target, deduped, Seq("user_id"))))
-      val tDeleteOp = minTime(noop(CdcMerge.dropDeleteOps(deduped)))
-      val tCopy = minTime(noop(CdcMerge.insertable(CdcMerge.dropDeleteOps(deduped))))
-      stage.unpersist(); deduped.unpersist()
-      Seq("dedupe" -> tDedupe, "deletecommon" -> tDeleteCommon,
-        "deleteop" -> tDeleteOp, "copytarget" -> tCopy)
+      val stagePlan = cdcMasker(
+        SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir), "events_cdc")
+      val target = cdcTarget
+      Metrics.reset()
+      Metrics.enablePhaseBreakdown(true)
+      val tInstr = try time {
+        Metrics.withTable("bench") {
+          val stage = stagePlan.cache()
+          try {
+            Metrics.time("bench", "loader_copystage_seconds")(stage.count())
+            val merged = CdcMerge.merge(target, stage, Seq("user_id"))
+            Metrics.time("bench", "loader_copytarget_seconds")(
+              merged.write.format("noop").mode("overwrite").save())
+          } finally stage.unpersist()
+        }
+      } finally {
+        Metrics.enablePhaseBreakdown(false)
+        Metrics.drainUnpersist()
+      }
+      val buckets = Seq("copystage", "dedupe", "deletecommon", "deleteop",
+        "copytarget")
+      (buckets.map(b => b ->
+        Metrics.get("bench", s"loader_${b}_seconds").map(_.sum)
+          .getOrElse(0.0)),
+        tInstr)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] phase timing failed: ${e.getMessage}")
-        Seq.empty[(String, Double)]
+        (Seq.empty[(String, Double)], -1.0)
     }
     val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -153,7 +171,8 @@ object Bench {
         s""""queries_cold":$qsCold,"bench_runs":$nRuns,""" +
         s""""index_build_sec":$buildJson,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
-        s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,"sf":"$sfDir"}"""
+        s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,""" +
+        s""""cdc_phases_total_sec":$phasesTotal,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
     // reading the stream can be poisoned — the file copy is always clean.
     println(json)
