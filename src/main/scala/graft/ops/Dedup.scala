@@ -661,66 +661,52 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // ONE materialization per round: neighbor-min and pointer-jump both
+      // read the checkpointed `labels` and fold into `next` inside a
+      // single fused plan — the round 's wall is one job + the (cheap,
+      // checkpoint-scan) convergence probe, instead of the two-stage
+      // materialize-then-jump shape that paid a second checkpoint per
+      // round for a slightly faster doubling schedule.
+      //
       // min over neighbors' labels, FRONTIER-RESTRICTED: a neighbor whose
-      // label did not change last round already contributed it. Carry the
-      // incoming label as `prev` so convergence is a scan over the
-      // checkpointed result, not another join+shuffle per round.
+      // label did not change last round already contributed its min.
       val viaNeighbors = edges
         .join(frontier
             .withColumnsRenamed(Map("id" -> "src", "cluster" -> "c")),
           "src")
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nmin"))
-      // checkpoint: `stepped` feeds the freshness flag, both jump joins
-      // and `next` — four consumers of one materialization
-      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      // Pointer jumping: also adopt the label OF the current label (labels
-      // are ids, so a join resolves it). Neighbor-min alone needs
-      // O(diameter) rounds — a chain component converges link by link;
-      // the shortcut doubles the effective hop each round → O(log n).
-      // Delta form — a jump can only produce news when
-      //  (a) the jumping row's label is FRESH (new pointee, or its pointee
-      //      moved during last round's jump after the row adopted it), or
-      //  (b) the POINTEE's label is fresh;
-      // fresh = changed this round's neighbor phase ∪ last round's
-      // frontier (a safe over-approximation of "newer than any reader").
-      // Both jump joins then have a frontier-sized side that AQE
-      // broadcasts once components start converging.
-      val marked = stepped
-        .join(frontier.select(col("id"), lit(true).as("__lf")), Seq("id"),
-          "left")
-        .withColumn("__fresh",
-          col("cluster") =!= col("prev") ||
-            coalesce(col("__lf"), lit(false)))
-      val freshRows = marked.filter(col("__fresh")).select("id", "cluster")
-      val allP = stepped.select(col("id").as("pid"), col("cluster").as("pc"))
-      val freshP = freshRows
-        .select(col("id").as("pid"), col("cluster").as("pc"))
-      val jumped = freshRows
-        .join(allP, col("cluster") === col("pid")).select(col("id"), col("pc"))
-        .union(stepped.select("id", "cluster")
-          .join(freshP, col("cluster") === col("pid"))
+      // Pointer jumping off `labels`: adopt the label OF the current
+      // label (labels are ids, so a join resolves it). Neighbor-min alone
+      // needs O(diameter) rounds; the shortcut doubles the effective hop
+      // each round → O(log n). Delta form: a jump can only produce news
+      // when the POINTEE's label changed last round (join 1) or the
+      // jumping row itself re-pointed last round (join 2) — both joins
+      // have a frontier-sized side AQE broadcasts once components start
+      // converging.
+      val fP = frontier.select(col("id").as("pid"), col("cluster").as("pc"))
+      val allP = labels.select(col("id").as("pid"), col("cluster").as("pc"))
+      val jumped = labels.join(fP, col("cluster") === col("pid"))
+        .select(col("id"), col("pc"))
+        .union(frontier.join(allP, col("cluster") === col("pid"))
           .select(col("id"), col("pc")))
         .groupBy("id").agg(min(col("pc")).as("jc"))
-      val next = stepped.join(jumped, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("jc"), col("cluster")))
-            .as("cluster"),
-          col("prev"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(jumped, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("prev"),
+          least(col("cluster"),
+            least(coalesce(col("nmin"), col("cluster")),
+              coalesce(col("jc"), col("cluster")))).as("cluster"))
         .localCheckpoint()
       val changed = next.filter(col("cluster") =!= col("prev"))
         .limit(1).count()
-      // the superseded checkpoints' blocks are dead once `next` is
+      // the superseded checkpoint's blocks are dead once `next` is
       // materialized — free them, or a long component chain retains one
       // full label set per round in executor storage
-      stepped.unpersist()
       labels.unpersist()
       frontier = next.filter(col("cluster") =!= col("prev"))
         .select("id", "cluster")
-      labels = next.drop("prev")
+      labels = next.select("id", "cluster")
       converged = changed == 0
       iter += 1
     }
