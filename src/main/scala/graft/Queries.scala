@@ -501,14 +501,17 @@ object Queries {
 
     "q_x_ann_lsh" -> ((s, dir) => {
       // query-time LSH: probe only signature-near buckets, exact rerank
-      // inside them (portable planes → full value oracle).
+      // inside them (portable planes → full value oracle). Knobs picked
+      // from the measured RECALL.md sweep: planes=24/probeBits=8 gives
+      // the best recall-per-candidate ratio on the fixture (0.295 @ 9%
+      // of the corpus probed, vs 0.125 @ 4% for the old 16/4 default).
       val emb = rd(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
         .map(_.toDouble).toArray
-      // probeBits=4 of 16 → probe ~4% of the signature space
       Similarity.lshTopKPortable(emb.filter(col("vec_id") =!= 0), "vec_id",
-        "embedding", q, k = 20, numPlanes = 16, probeBits = 4, dim = 64)
+        "embedding", q, k = 20, numPlanes = LshPlanes,
+        probeBits = LshProbeBits, dim = 64)
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
@@ -1352,13 +1355,18 @@ object Queries {
 
   /** Query-time LSH ANN: portable signatures for corpus AND query, probe
     * = Hamming ≤ 2 on the 16-bit signature, exact cosine rerank. */
+  /** q_x_ann_lsh knobs — the measured mid-curve point of RECALL.md's
+    * sweep (recall-per-candidate leader on the fixture). */
+  private val LshPlanes = 24
+  private val LshProbeBits = 8
+
   private val annLshOracleSql: String = {
     import graft.functions.Portable
     val P = Portable.P
     s"""WITH pl AS (
        |  SELECT i.range AS i,
        |    list((${Portable.h60Sql("'p_' || i.range || '_' || j.range")} % $P) / $P.0 * 2.0 - 1.0 ORDER BY j.range) AS plane
-       |  FROM range(16) i, range(64) j GROUP BY i.range),
+       |  FROM range($LshPlanes) i, range(64) j GROUP BY i.range),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
        |sb AS (
@@ -1374,7 +1382,7 @@ object Queries {
        |  FROM q, pl),
        |cand AS (
        |  SELECT v.vec_id, v.e FROM v JOIN sig USING (vec_id), qsig
-       |  WHERE v.vec_id <> 0 AND bit_count(xor(sig.sig, qsig.qs)) <= 4),
+       |  WHERE v.vec_id <> 0 AND bit_count(xor(sig.sig, qsig.qs)) <= $LshProbeBits),
        |scored AS (
        |  SELECT vec_id,
        |    CASE WHEN sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe)) > 0

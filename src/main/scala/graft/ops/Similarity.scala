@@ -78,12 +78,7 @@ object Similarity {
       query: Array[Double], k: Int,
       numPlanes: Int = 16, probeBits: Int = 2, dim: Int = 64): DataFrame = {
     val planes = portablePlanes(numPlanes, dim)
-    val querySig = planes.zipWithIndex.map { case (p, i) =>
-      var s = 0.0
-      var j = 0
-      while (j < math.min(p.length, query.length)) { s += query(j) * p(j); j += 1 }
-      if (s >= 0) 1L << i else 0L
-    }.reduce(_ | _)
+    val querySig = portableQuerySignature(query, planes)
     val candidates = df
       .withColumn("__sig", portableSignature(col(vecCol), planes))
       .filter(bit_count(col("__sig").bitwiseXOR(lit(querySig))) <= probeBits)
@@ -128,6 +123,20 @@ object Similarity {
 
   /** Signature from explicit plane literals: bit i = (v · w_i ≥ 0). One
     * codegen'd dot product per plane. */
+  /** Driver-side signature of a query vector under [[portablePlanes]] —
+    * the same left-to-right double dot the column form computes, so a
+    * probe filter built from it matches [[portableSignature]] exactly. */
+  def portableQuerySignature(query: Array[Double],
+      planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      var s = 0.0
+      var j = 0
+      while (j < math.min(p.length, query.length)) {
+        s += query(j) * p(j); j += 1
+      }
+      if (s >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+
   def portableSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, vecLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
