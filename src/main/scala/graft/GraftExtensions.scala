@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_equal_positions(a, b)` — MinHash signature agreement;
   *  - `graft_avro_to_json(payload, schemaJson)` — Avro binary → JSON;
   *  - `graft_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD')` — Unicode
-  *    normalization (codegen'd JDK Normalizer).
+  *    normalization (codegen'd JDK Normalizer);
+  *  - `graft_utf8_truncate(s, maxBytes)` — whole-character byte-width
+  *    clamp (COPY TRUNCATECOLUMNS);
+  *  - `graft_utf8_sanitize(s[, repl])` — invalid-UTF-8 byte replacement
+  *    (COPY ACCEPTINVCHARS).
   *
   * Use via config (`spark.sql.extensions=graft.GraftExtensions`) or
   * imperatively with [[GraftExtensions.register]].
@@ -62,7 +66,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => AvroBinaryToJson(args(0), str(args(1)))),
     ("graft_normalize",
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
-      (args: Seq[Expression]) => UnicodeNormalize(args(0), str(args(1)))))
+      (args: Seq[Expression]) => UnicodeNormalize(args(0), str(args(1)))),
+    ("graft_utf8_truncate",
+      new ExpressionInfo(
+        classOf[graft.warehouse.Utf8Truncate].getName, "graft_utf8_truncate"),
+      (args: Seq[Expression]) =>
+        graft.warehouse.Utf8Truncate(args(0), int(args(1)))),
+    ("graft_utf8_sanitize",
+      new ExpressionInfo(
+        classOf[graft.warehouse.Utf8Sanitize].getName, "graft_utf8_sanitize"),
+      (args: Seq[Expression]) =>
+        graft.warehouse.Utf8Sanitize(args(0),
+          if (args.length > 1) str(args(1)) else "?")))
 
   /** Imperative registration on an existing session. Idempotent also
     * against the `spark.sql.extensions` path: injectOptimizerRule'd rules

@@ -110,5 +110,14 @@ class GraftExtensionsSpec extends SparkSpec {
     // sig is deterministic
     val again = spark.sql("SELECT graft_hyperplane_sig(a, 8) FROM vecs").head()
     assert(r.getLong(1) == again.getLong(0))
+    // COPY value policies reachable from SQL too
+    val c = spark.sql(
+      """SELECT graft_utf8_truncate('héllo', 3) AS t,
+        |       graft_utf8_sanitize(cast(unhex('41C328') AS STRING)) AS s,
+        |       graft_utf8_sanitize(cast(unhex('41C328') AS STRING), '_') AS s2
+        |""".stripMargin).head()
+    assert(c.getString(0) == "hé")
+    assert(c.getString(1) == "A?(")
+    assert(c.getString(2) == "A_(")
   }
 }
