@@ -347,6 +347,53 @@ object Pq {
     adcRank(pruned, idCol, cb, query, topK)
   }
 
+  /** Batched serving over a [[index]]ed corpus — the [[Ivf.probeMany]]
+    * story in compressed form: ONE pruned scan (union of every query's
+    * probed cells) serves the whole query batch. The routing table
+    * broadcasts; each query's m×k ADC lookup table rides in a single
+    * map literal keyed by query id, so the estimate stays a pure
+    * projection (no per-query jobs, no vectors read). Per-query results
+    * are identical to [[probeIndexed]] — same LUT doubles, same
+    * left-to-right add order. */
+  def probeManyIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queries: Seq[(Long, Array[Double])],
+      topK: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val coarse = Ivf.loadModel(spark, path)
+    val cb = loadCodebooks(spark, path)
+    val routePairs = queries.map { case (qid, q) =>
+      qid -> coarse.nearest(q, nprobe)
+    }
+    val cells = routePairs.flatMap(_._2).distinct
+    val routes = routePairs
+      .flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
+      .toDF("query_id", "__qcell")
+    // flattened per-query LUT: slot j*k + code holds lut_j(code)
+    val luts: Map[Long, Seq[Double]] = queries.map { case (qid, q) =>
+      qid -> (0 until cb.m).flatMap { j =>
+        val qj = q.slice(j * cb.dsub, (j + 1) * cb.dsub)
+        cb.books(j).centroids.map(c => Ivf.dist2(qj, c)).toSeq
+      }
+    }.toMap
+    val lutMap = typedlit(luts)
+    val pruned = spark.read.parquet(path)
+      .filter(col(Ivf.CellCol).isin(cells: _*))
+    val est = (0 until cb.m)
+      .map(j => element_at(element_at(lutMap, col("query_id")),
+        lit(j * cb.k) + col(s"__code$j") + 1))
+      .reduce(_ + _) // left-assoc — matches adcEst's add order
+    val scored = pruned
+      .join(broadcast(routes), col(Ivf.CellCol) === col("__qcell"))
+      .select(col("query_id"), col(idCol), est.as("__est"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__est"), col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("query_id"), col(idCol),
+        round(col("__est"), 6).as("est_d2"))
+  }
+
   /** Served-index two-stage search: the stored-codes shortlist (a pruned
     * scan reading m ints per row) followed by an exact re-rank that
     * fetches full vectors for ONLY the shortlist ids from `vectors` —

@@ -150,6 +150,29 @@ class PqSpec extends SparkSpec {
     assert(refinedRes == exact)
   }
 
+  test("probeManyIndexed == per-query probeIndexed, one pruned scan") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_many").toString + "/idx"
+    Pq.index(vecs, "vec_id", "embedding", coarse, cb, path)
+    val qs = Seq(
+      (1L, Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)),
+      (2L, Array.tabulate(8)(d => if (d < 4) -1.0 else -0.5)))
+    val many = Pq.probeManyIndexed(spark, path, "vec_id", qs,
+      topK = 5, nprobe = 1)
+    for ((qid, q) <- qs) {
+      val one = Pq.probeIndexed(spark, path, "vec_id", q,
+        topK = 5, nprobe = 1).collect().toSeq
+      val batch = many.filter(col("query_id") === qid)
+        .select("vec_id", "est_d2").collect().toSeq
+      assert(batch == one, s"query $qid")
+    }
+    // the batch serves off a single pruned scan
+    val plan = many.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("probeIndexedRefined == ivfPqRefineTopK over the served index") {
     val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
     val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
