@@ -814,6 +814,26 @@ object Queries {
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
+    "q_x_ann_ivfadc" -> ((s, dir) => {
+      // residual IVFADC proper (Jégou et al. §III-C): codebooks trained
+      // on vec − centroid[cell] residuals, searched with per-probed-cell
+      // LUTs — still a pure projection. On THIS fixture's uniform
+      // vectors RECALL.md measures parity with raw-vector codes
+      // (expected and recorded); on clustered real embeddings the
+      // residual form is the one that wins. Full DuckDB value oracle:
+      // the training replay runs over the replayed residuals.
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cbRes = Pq.trainResidual(emb, "vec_id", "embedding", coarse,
+        m = 4, dsub = 16, k = 8, iters = 2)
+      Pq.ivfPqResidualTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", coarse, cbRes, q, topK = 20, nprobe = 2)
+    }),
+
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
       // fraction of a doc's shingles shared with other documents
@@ -1148,10 +1168,11 @@ object Queries {
     * assignments as the codes, and the ADC estimate as a left-to-right
     * sum of per-subspace lookup distances — a full value oracle for the
     * compressed-search operator. */
-  private val pqOracleParts: (String, String => String) = {
+  private def pqOracleParts(
+      src: String = "emb"): (String, String => String) = {
     val m = 4; val dsub = 16; val k = 8
     def subCte(j: Int) =
-      s"s$j AS (SELECT vec_id, e[${j * dsub + 1}:${(j + 1) * dsub}] AS e FROM emb)"
+      s"s$j AS (SELECT vec_id, e[${j * dsub + 1}:${(j + 1) * dsub}] AS e FROM $src)"
     def seedCte(j: Int) =
       s"""c0_$j AS (
          |  SELECT cell, c FROM (
@@ -1212,7 +1233,7 @@ object Queries {
   }
 
   private val pqOracleSql: String = {
-    val (subCtes, estCte) = pqOracleParts
+    val (subCtes, estCte) = pqOracleParts()
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |$subCtes,
        |${estCte("")}
@@ -1224,7 +1245,7 @@ object Queries {
     * cosine over just those rows — the same two-stage composition the
     * Spark side runs. */
   private val pqRefinedOracleSql: String = {
-    val (subCtes, estCte) = pqOracleParts
+    val (subCtes, estCte) = pqOracleParts()
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |$subCtes,
        |${estCte("")},
@@ -1244,7 +1265,7 @@ object Queries {
     * replay, candidate routing by the final coarse assignment, then the
     * PQ blocks' ADC estimate restricted to the probed cells. */
   private val ivfPqOracleSql: String = {
-    val (subCtes, estCte) = pqOracleParts
+    val (subCtes, estCte) = pqOracleParts()
     s"""WITH $ivfTrainCtes,
        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
        |pd AS (
@@ -1269,7 +1290,7 @@ object Queries {
     * shortlist; exact cosine over just those rows ranks the final 20 —
     * the same two-stage composition `Pq.probeIndexedRefined` runs. */
   private val ivfPqRefinedOracleSql: String = {
-    val (subCtes, estCte) = pqOracleParts
+    val (subCtes, estCte) = pqOracleParts()
     s"""WITH $ivfTrainCtes,
        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
        |pd AS (
@@ -1294,6 +1315,64 @@ object Queries {
        |  FROM short s JOIN emb e USING (vec_id), q)
        |SELECT vec_id, cosine_sim FROM scored
        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Residual-IVFADC oracle: replay coarse training (c2), derive every
+    * vector's residual against its assigned centroid, run the PQ
+    * training replay OVER THE RESIDUALS, then estimate with
+    * per-probed-cell lookup tables (the query's residual w.r.t. each
+    * probed cell) — exactly `Pq.trainResidual` + `ivfPqResidualTopK`. */
+  private val ivfAdcOracleSql: String = {
+    val m = 4; val dsub = 16
+    val (subCtes, _) = pqOracleParts("embr")
+    def qrCtes(j: Int) =
+      s"""qr$j AS (SELECT pcell, qe[${j * dsub + 1}:${(j + 1) * dsub}] AS qe FROM qr),
+         |ldr$j AS (
+         |  SELECT qr.pcell, c.cell AS code,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${dsub + 1}),
+         |        i -> (c.c[CAST(i AS INT)] - qr.qe[CAST(i AS INT)])
+         |             * (c.c[CAST(i AS INT)] - qr.qe[CAST(i AS INT)]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM c2_$j c, qr$j qr)""".stripMargin
+    val joins = (1 until m).map(j => s"JOIN af_$j x$j USING (vec_id)")
+      .mkString("\n  ")
+    val ljoins = (0 until m)
+      .map(j => s"JOIN ldr$j l$j ON l$j.pcell = av.cell AND l$j.code = x$j.cell")
+      .mkString("\n  ")
+    val estExpr = (0 until m).map(j => s"l$j.d2").mkString(" + ")
+    s"""WITH $ivfTrainCtes,
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |pd AS (
+       |  SELECT c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)])
+       |             * (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM c2 c, q),
+       |probes AS (SELECT cell FROM pd ORDER BY d2, cell LIMIT 2),
+       |${ivfAssignBlock("afv", "c2", "")},
+       |embr AS (
+       |  SELECT a.vec_id, list_transform(range(1, 65),
+       |    i -> a.e[CAST(i AS INT)] - c.c[CAST(i AS INT)]) AS e
+       |  FROM afv a JOIN c2 c USING (cell)),
+       |$subCtes,
+       |qr AS (
+       |  SELECT p.cell AS pcell, list_transform(range(1, 65),
+       |    i -> q.qe[CAST(i AS INT)] - cc.c[CAST(i AS INT)]) AS qe
+       |  FROM probes p JOIN c2 cc ON cc.cell = p.cell, q),
+       |${(0 until m).map(qrCtes).mkString(",\n")},
+       |est AS (
+       |  SELECT x0.vec_id, $estExpr AS est
+       |  FROM af_0 x0
+       |  $joins
+       |  JOIN afv av USING (vec_id)
+       |  $ljoins
+       |  WHERE x0.vec_id <> 0
+       |    AND av.cell IN (SELECT cell FROM probes))
+       |SELECT vec_id, round(est, 6) AS est_d2
+       |FROM est ORDER BY est, vec_id LIMIT 20""".stripMargin
   }
 
   private val ivfOracleSql: String = {
@@ -1404,6 +1483,7 @@ object Queries {
     "q_x_ann_ivf_pruned" -> ivfOracleSql,
     "q_x_ann_ivfpq_pruned" -> ivfPqOracleSql,
     "q_x_ann_ivfpq_refined" -> ivfPqRefinedOracleSql,
+    "q_x_ann_ivfadc" -> ivfAdcOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,
