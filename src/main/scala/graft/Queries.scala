@@ -834,6 +834,24 @@ object Queries {
         "embedding", coarse, cbRes, q, topK = 20, nprobe = 2)
     }),
 
+    "q_x_ann_probe_many" -> ((s, dir) => {
+      // batched serving: ONE pruned scan answers a whole query batch
+      // (Ivf.probeMany) — at corpus scale the per-query probe cost
+      // amortizes across the batch because the scan is the union of all
+      // probed cells and the routing table broadcasts. Per-query results
+      // equal single probes (IvfSpec); value-checked here for 3 queries.
+      import graft.ops.Ivf
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+      val idx = IndexStore.annIvf(s, dir)
+      Ivf.probeMany(s, idx.path, "vec_id", "embedding", qs,
+        k = 10, nprobe = 2)
+    }),
+
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
       // fraction of a doc's shingles shared with other documents
@@ -1375,6 +1393,43 @@ object Queries {
        |FROM est ORDER BY est, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Batched-probe oracle: the [[ivfOracleSql]] replay generalized to a
+    * query SET — per-query probe cells via a windowed rank over the
+    * query×centroid distances, exact cosine within each query's probed
+    * cells, top-k per query. The corpus is the INDEXED set (vec_id <> 0;
+    * queries 1 and 2 are themselves indexed and rank first — the
+    * standard serving shape). */
+  private val ivfProbeManyOracleSql: String = {
+    s"""WITH $ivfTrainCtes,
+       |qs AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id IN (0, 1, 2)),
+       |pd AS (
+       |  SELECT qs.query_id, c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (c.c[CAST(j AS INT)] - qs.qe[CAST(j AS INT)])
+       |             * (c.c[CAST(j AS INT)] - qs.qe[CAST(j AS INT)]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM c2 c, qs),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 2),
+       |${ivfAssignBlock("af", "c2", " WHERE v.vec_id <> 0")},
+       |scored AS (
+       |  SELECT p.query_id, af.vec_id,
+       |    CASE WHEN sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(qs.qe, qs.qe)) > 0
+       |         THEN list_inner_product(af.e, qs.qe) / (sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(qs.qe, qs.qe)))
+       |         ELSE 0.0 END AS cosine_sim
+       |  FROM af JOIN probes p ON af.cell = p.cell JOIN qs USING (query_id)),
+       |top AS (
+       |  SELECT query_id, vec_id, cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine_sim FROM top WHERE rn <= 10""".stripMargin
+  }
+
   private val ivfOracleSql: String = {
     s"""WITH $ivfTrainCtes,
        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
@@ -1484,6 +1539,7 @@ object Queries {
     "q_x_ann_ivfpq_pruned" -> ivfPqOracleSql,
     "q_x_ann_ivfpq_refined" -> ivfPqRefinedOracleSql,
     "q_x_ann_ivfadc" -> ivfAdcOracleSql,
+    "q_x_ann_probe_many" -> ivfProbeManyOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,
