@@ -534,6 +534,19 @@ object Queries {
         .select("id_a", "id_b", "cell")
     }),
 
+    "q_x_semdedup_incr" -> ((s, dir) => {
+      // ingest-time SemDeDup against the SERVED index: the micro-batch
+      // (every 25th vector) assigns with the STORED model (no training)
+      // and the corpus side is a partition-pruned scan of only the
+      // batch's cells; corpus rows each batch row duplicates come back
+      // as (id, dup_of) — drop or route, then indexAppend the survivors.
+      val emb = rd(s, dir, "embeddings")
+      val idx = IndexStore.annIvf(s, dir)
+      SemDedup.incrementalAgainstIndex(s, idx.path,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        threshold = 0.30)
+    }),
+
     "q_x_semdedup_keep" -> ((s, dir) => {
       // the curation projection: corpus minus greedy min-id duplicates
       val emb = rd(s, dir, "embeddings")
@@ -1477,6 +1490,27 @@ object Queries {
        |SELECT vec_id FROM emb
        |WHERE vec_id NOT IN (SELECT id_b FROM sdpairs)""".stripMargin
 
+  /** Incremental-SemDeDup oracle: batch rows (vec_id % 25 = 0) against
+    * the indexed corpus (vec_id <> 0), both assigned by the replayed
+    * model; exact cosine within the batch row's cell only — the same
+    * arithmetic the pruned-scan + broadcast join codegens. */
+  private val semdedupIncrOracleSql: String =
+    s"""WITH $ivfTrainCtes,
+       |${ivfAssignBlock("af", "c2", "")},
+       |b AS (SELECT vec_id, e, cell, sqrt(list_inner_product(e, e)) AS nrm
+       |      FROM af WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id, e, cell, sqrt(list_inner_product(e, e)) AS nrm
+       |      FROM af WHERE vec_id <> 0),
+       |p AS (
+       |  SELECT b.vec_id AS id, c.vec_id AS dup_of,
+       |    CAST(b.cell AS BIGINT) AS cell,
+       |    CASE WHEN b.nrm * c.nrm > 0
+       |         THEN list_inner_product(b.e, c.e) / (b.nrm * c.nrm)
+       |         ELSE 0.0 END AS cosine_sim
+       |  FROM b JOIN c ON b.cell = c.cell AND c.vec_id <> b.vec_id)
+       |SELECT id, dup_of, cell, cosine_sim FROM p
+       |WHERE cosine_sim >= 0.30""".stripMargin
+
   private val cellSampleOracleSql: String =
     s"""WITH $ivfTrainCtes,
        |${ivfAssignBlock("af", "c2", "")}
@@ -1541,6 +1575,7 @@ object Queries {
     "q_x_ann_ivfadc" -> ivfAdcOracleSql,
     "q_x_ann_probe_many" -> ivfProbeManyOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
+    "q_x_semdedup_incr" -> semdedupIncrOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,
 

@@ -75,6 +75,46 @@ object SemDedup {
     df.join(drop, col(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Ingest-time SemDeDup: near-dup pairs between a micro-BATCH and the
+    * INDEXED corpus (the [[Ivf.index]] layout — stored vectors in
+    * `cell=<i>` partition directories, centroid sidecar). The batch
+    * assigns against the STORED model (a pure projection, no training),
+    * and the corpus side is a partition-PRUNED scan of only the batch's
+    * cells — at 100 TB the scan touches |batch cells|/k of the index
+    * while the batch side broadcasts (the [[Ivf.probeMany]] routing
+    * move). Collecting the batch's distinct cells is a bounded driver
+    * artifact (≤ k ints), same class as the centroid literals.
+    *
+    * Returns (id, dup_of, cell, cosine_sim): every corpus row a batch
+    * row semantically duplicates — feed `id`s to a drop/route decision,
+    * then [[graft.ops.Ivf.indexAppend]] the survivors to advance the
+    * corpus. */
+  def incrementalAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val model = Ivf.loadModel(spark, indexPath)
+    val b = Ivf.assign(batch, vecCol, model)
+      .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
+        sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__bnrm"),
+        col("__cluster").as("__bcell"))
+    val cells = b.select("__bcell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col(Ivf.CellCol).isin(cells: _*))
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
+        sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__cnrm"),
+        col(Ivf.CellCol).as("__ccell"))
+    corpus.join(broadcast(b),
+        col("__ccell") === col("__bcell") && col("__cid") =!= col("__bid"))
+      .select(col("__bid").as("id"), col("__cid").as("dup_of"),
+        col("__bcell").cast("long").as("cell"),
+        when(col("__bnrm") * col("__cnrm") > 0,
+          Similarity.dot(col("__bvec"), col("__cvec")) /
+            (col("__bnrm") * col("__cnrm")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   /** Cell-balanced deterministic sample: at most `perCell` rows per
     * k-means cell, chosen by md5-order within the cell (replayable by any
     * SQL engine — no rand()). The diversity-preserving counterpart of

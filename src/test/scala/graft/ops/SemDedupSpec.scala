@@ -129,4 +129,36 @@ class SemDedupSpec extends SparkSpec {
     val perCell = s1.groupBy("cell").count().as[(Long, Long)].collect().toMap
     assert(perCell.values.forall(_ == 5) && perCell.size == 2)
   }
+
+  test("incrementalAgainstIndex == pairs restricted to batch x corpus") {
+    import org.apache.spark.sql.functions.col
+    val m = model
+    // batch = one member of each near-identical pair (1~0, 21~20); the
+    // partners stay in the corpus so the dups CROSS the boundary
+    val corpus = vecs.filter(!col("vec_id").isin(1L, 21L))
+    val batch = vecs.filter(col("vec_id").isin(1L, 21L))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sd_incr").toString + "/idx"
+    Ivf.index(corpus, "embedding", m, path)
+    val incr = SemDedup.incrementalAgainstIndex(spark, path, batch,
+      "vec_id", "embedding", threshold = 0.99)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    // reference: batch-mode pairs over the union, keeping only pairs
+    // that CROSS batch x corpus, oriented batch-first
+    val all = SemDedup.pairs(vecs, "vec_id", "embedding", m,
+      threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val inBatch = Set(1L, 21L)
+    val expected = all.flatMap { case (a, b) =>
+      if (inBatch(a) && !inBatch(b)) Some((a, b))
+      else if (inBatch(b) && !inBatch(a)) Some((b, a))
+      else None
+    }.toSet
+    assert(incr == expected && incr.nonEmpty, s"incr=$incr expected=$expected")
+    // the corpus scan is partition-pruned to the batch's cells
+    val plan = SemDedup.incrementalAgainstIndex(spark, path, batch,
+      "vec_id", "embedding", threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+  }
 }
