@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** IndexStore = the session-scoped build-once contract behind the
+  * indexed catalog entries: same (kind, sf dir) returns the SAME built
+  * artifact without rebuilding, and the artifact is a live, probeable
+  * index. */
+class IndexStoreSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("build-once memoization; artifacts live and probeable") {
+    val first = IndexStore.annIvf(spark, dir)
+    val again = IndexStore.annIvf(spark, dir)
+    assert(first eq again) // memoized: literally the same Built record
+    assert(IndexStore.buildSecs.contains("ann_ivf"))
+    assert(first.buildSec > 0)
+    // the artifact serves: probe returns results and prunes partitions
+    val q = Tables.read(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val hits = graft.ops.Ivf.probe(spark, first.path, "vec_id",
+      "embedding", q, k = 5, nprobe = 2)
+    assert(hits.count() == 5)
+
+    val sigs = IndexStore.minhashSigs(spark, dir)
+    assert(sigs eq IndexStore.minhashSigs(spark, dir))
+    val stored = spark.read.parquet(sigs.path)
+    assert(stored.columns.toSet == Set("id", "sig"))
+    assert(stored.count() > 0)
+  }
+}
