@@ -545,7 +545,12 @@ object Dedup {
         struct(lit(c).as("chunk"),
           col("sig").bitwiseAND(lit(mask)).as("bits"))
       }: _*)).as("bk"))
-    keyed.as("a").join(keyed.as("b"),
+    // merge-join hint — the [[minHashBandJoin]] discipline: both sides are
+    // the SAME keyed frame, so the sorted shuffle is planned once and read
+    // twice (ReusedExchange) = one signature-pipeline pass total. Without
+    // it Spark broadcasts side b and re-runs the whole explode→60-sum
+    // aggregation chain for it (verified in the physical plan).
+    keyed.as("a").hint("merge").join(keyed.as("b").hint("merge"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast(LongType)
