@@ -43,11 +43,11 @@ object Bench {
       IndexStore.annIvf(spark, sfDir)
       IndexStore.annIvfPq(spark, sfDir)
       IndexStore.minhashSigs(spark, sfDir)
-      IndexStore.buildSecs
+      IndexStore.buildSecs(sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] index build failed: ${e.getMessage}")
-        IndexStore.buildSecs
+        IndexStore.buildSecs(sfDir)
     }
 
     // Per-query MIN over nRuns executions: the first execution pays Catalyst

@@ -78,7 +78,9 @@ object IndexStore {
       }
     })
 
-  /** Build seconds per kind for every index built so far in this JVM. */
-  def buildSecs: Map[String, Double] =
-    cache.toMap.map { case ((k, _), b) => k -> b.buildSec }
+  /** Build seconds per kind for the given sf dir — keyed per (kind, dir)
+    * internally, so a JVM that builds the same kind for two scales never
+    * cross-attributes their build times. */
+  def buildSecs(dir: String): Map[String, Double] =
+    cache.toMap.collect { case ((k, d), b) if d == dir => k -> b.buildSec }
 }

@@ -238,13 +238,24 @@ object Ivf {
     while (fs.exists(marker) && waitedMs < 2000) {
       Thread.sleep(25); waitedMs += 25
     }
-    if (fs.exists(marker)) { // maintainer crashed mid-swap
+    if (fs.exists(marker)) { // maintainer crashed mid-swap (or is slow —
+      // see below: every action here is benign if it races the maintainer
+      // or another recoverer, because the only rename SOURCES are the
+      // maintainer's own completed copies)
       val shadow = new Path(path + "__compacting")
-      if (!fs.exists(tgt) &&
-        !(fs.exists(shadow) && fs.rename(shadow, tgt)) &&
-        !(fs.exists(old) && fs.rename(old, tgt)))
-        throw new IllegalStateException(
-          s"index at $path unrecoverable: marker present, no complete copy")
+      if (!fs.exists(tgt)) {
+        // roll FORWARD to the completed shadow, else BACK to __old. A
+        // failed rename is not fatal if tgt exists afterwards — a
+        // concurrent recoverer (or the maintainer itself) won the race
+        // with an identical copy.
+        val recovered =
+          (fs.exists(shadow) && (fs.rename(shadow, tgt) || fs.exists(tgt))) ||
+            (fs.exists(old) && (fs.rename(old, tgt) || fs.exists(tgt))) ||
+            fs.exists(tgt)
+        if (!recovered)
+          throw new IllegalStateException(
+            s"index at $path unrecoverable: marker present, no complete copy")
+      }
       fs.delete(old, true)
       fs.delete(marker, false)
     }
@@ -349,7 +360,12 @@ object Ivf {
       fs.delete(marker, false)
       throw new IllegalStateException(s"compact swap failed renaming $tgt aside")
     }
-    if (!fs.rename(shadow, tgt)) // marker stays: recoverIndex rolls forward
+    // A reader whose recoverIndex timed out on the marker may have rolled
+    // OUR completed shadow forward already — that is this swap succeeding
+    // by another hand (byte-identical source), not a failure; only a
+    // missing target after a failed rename is fatal (marker stays so
+    // recoverIndex can finish the job).
+    if (!fs.rename(shadow, tgt) && !fs.exists(tgt))
       throw new IllegalStateException(s"compact swap failed renaming $shadow in")
     fs.delete(trash, true)
     fs.delete(marker, false)

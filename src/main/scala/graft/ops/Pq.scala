@@ -141,17 +141,27 @@ object Pq {
     * recall@10 0.205 pure ADC → 0.650 with shortlist=10·k; raise the
     * shortlist (exact work stays O(shortlist), not O(corpus)) or m to
     * climb further. */
-  def adcRefineTopK(df: DataFrame, idCol: String, vecCol: String,
-      cb: Codebooks, query: Array[Double], topK: Int,
-      shortlist: Int): DataFrame = {
+  /** The shared exact-refine tail every two-stage search composes onto
+    * its shortlist: fetch full vectors for ONLY the shortlist ids (a
+    * broadcast semi-join — at corpus scale a point-lookup join against
+    * the vector store) and rank them by exact cosine. */
+  private def refineExact(vectors: DataFrame, idCol: String,
+      vecCol: String, cand: DataFrame, query: Array[Double],
+      topK: Int, shortlist: Int): DataFrame = {
     require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
-    val cand = adcTopK(df, idCol, vecCol, cb, query, shortlist)
-      .select(col(idCol))
     Similarity.bruteForceTopK(
-      df.join(org.apache.spark.sql.functions.broadcast(cand), Seq(idCol),
-        "left_semi"),
+      vectors.join(
+        org.apache.spark.sql.functions.broadcast(cand.select(col(idCol))),
+        Seq(idCol), "left_semi"),
       idCol, vecCol, query, topK)
   }
+
+  def adcRefineTopK(df: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks, query: Array[Double], topK: Int,
+      shortlist: Int): DataFrame =
+    refineExact(df, idCol, vecCol,
+      adcTopK(df, idCol, vecCol, cb, query, shortlist), query, topK,
+      shortlist)
 
   /** IVF-PQ: route by coarse cell ([[Ivf]]), ADC-rank inside the probed
     * cells only — the canonical production ANN shape (a query touches
@@ -177,15 +187,10 @@ object Pq {
     * nprobe/k-of-the-corpus scan. */
   def ivfPqRefineTopK(df: DataFrame, idCol: String, vecCol: String,
       coarse: Ivf.Model, cb: Codebooks, query: Array[Double], topK: Int,
-      nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
-    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
-    val cand = ivfPqTopK(df, idCol, vecCol, coarse, cb, query, shortlist,
-      nprobe).select(col(idCol))
-    Similarity.bruteForceTopK(
-      df.join(org.apache.spark.sql.functions.broadcast(cand), Seq(idCol),
-        "left_semi"),
-      idCol, vecCol, query, topK)
-  }
+      nprobe: Int = 2, shortlist: Int = 100): DataFrame =
+    refineExact(df, idCol, vecCol,
+      ivfPqTopK(df, idCol, vecCol, coarse, cb, query, shortlist, nprobe),
+      query, topK, shortlist)
 
   // ------------------------------------------------------------------
   // Residual IVF-PQ (IVFADC proper)
@@ -253,15 +258,11 @@ object Pq {
     * the shortlist only). */
   def ivfPqResidualRefineTopK(df: DataFrame, idCol: String, vecCol: String,
       coarse: Ivf.Model, cb: Codebooks, query: Array[Double], topK: Int,
-      nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
-    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
-    val cand = ivfPqResidualTopK(df, idCol, vecCol, coarse, cb, query,
-      shortlist, nprobe).select(col(idCol))
-    Similarity.bruteForceTopK(
-      df.join(org.apache.spark.sql.functions.broadcast(cand), Seq(idCol),
-        "left_semi"),
-      idCol, vecCol, query, topK)
-  }
+      nprobe: Int = 2, shortlist: Int = 100): DataFrame =
+    refineExact(df, idCol, vecCol,
+      ivfPqResidualTopK(df, idCol, vecCol, coarse, cb, query, shortlist,
+        nprobe),
+      query, topK, shortlist)
 
   // ------------------------------------------------------------------
   // Persisted IVF-PQ index: cell-partitioned codes, no raw vectors
@@ -404,13 +405,8 @@ object Pq {
   def probeIndexedRefined(spark: org.apache.spark.sql.SparkSession,
       path: String, vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], topK: Int, nprobe: Int = 2,
-      shortlist: Int = 100): DataFrame = {
-    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
-    val cand = probeIndexed(spark, path, idCol, query, shortlist, nprobe)
-      .select(col(idCol))
-    Similarity.bruteForceTopK(
-      vectors.join(org.apache.spark.sql.functions.broadcast(cand),
-        Seq(idCol), "left_semi"),
-      idCol, vecCol, query, topK)
-  }
+      shortlist: Int = 100): DataFrame =
+    refineExact(vectors, idCol, vecCol,
+      probeIndexed(spark, path, idCol, query, shortlist, nprobe),
+      query, topK, shortlist)
 }

@@ -70,13 +70,18 @@ final class RealtimeTracker(maxLagRows: Long = 100) extends StreamingQueryListen
 
 object RealtimeTracker {
   /** Total offset from a progress-event offset string: a bare long for
-    * MemoryStream/rate sources, a topic→partition→offset JSON map for
-    * Kafka — totalled by summing every `: <number>` value (partition KEYS
-    * are quoted, so only offsets follow a colon unquoted). */
+    * MemoryStream/rate sources, or Kafka's topic→partition→offset JSON
+    * map — totalled by summing values whose KEY is a quoted partition
+    * number (`"0": 5`). Restricting to quoted-digit keys is what keeps
+    * arbitrary numeric fields (e.g. a `"timestamp":`/`"offset":` pair in
+    * some other source's JSON) from polluting the sum: such sources
+    * return None and [[RealtimeTracker.realtime]] falls back to the
+    * row-count signal. */
   private[streaming] def offsetTotal(s: String): Option[Long] = {
     if (s == null) None
     else scala.util.Try(s.trim.toLong).toOption.orElse {
-      val vals = ":\\s*(-?\\d+)".r.findAllMatchIn(s).map(_.group(1).toLong).toSeq
+      val vals = "\"(\\d+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(s)
+        .map(_.group(2).toLong).toSeq
       if (vals.nonEmpty) Some(vals.sum) else None
     }
   }

@@ -102,16 +102,22 @@ object AnnRecall {
       var frac = 0.0
       val pl = Similarity.portablePlanes(planes, 64)
       for ((qid, q) <- queries) {
-        val corpus = emb.filter(col("vec_id") =!= qid)
-        rec += ids(Similarity.lshTopKPortable(corpus, "vec_id", "embedding",
-          q, k, numPlanes = planes, probeBits = probe, dim = 64))
-          .intersect(exactByQ(qid)).size.toDouble / k
+        // build the Hamming-ball candidate set ONCE per (combo, query):
+        // its count is the probe-cost numerator, and exact top-k over it
+        // IS lshTopKPortable's second stage — one signature pass serves
+        // both measurements (cached for the two small actions)
         val qsig = Similarity.portableQuerySignature(q, pl)
-        frac += corpus
+        val cand = emb.filter(col("vec_id") =!= qid)
           .withColumn("__sig",
             Similarity.portableSignature(col("embedding"), pl))
           .filter(bit_count(col("__sig").bitwiseXOR(lit(qsig))) <= probe)
-          .count() / corpusN
+          .drop("__sig")
+          .cache()
+        try {
+          frac += cand.count() / corpusN
+          rec += ids(Similarity.bruteForceTopK(cand, "vec_id", "embedding",
+            q, k)).intersect(exactByQ(qid)).size.toDouble / k
+        } finally cand.unpersist()
       }
       (planes, probe, rec / queries.length, frac / queries.length)
     }

@@ -14,7 +14,7 @@ class IndexStoreSpec extends SparkSpec {
     val first = IndexStore.annIvf(spark, dir)
     val again = IndexStore.annIvf(spark, dir)
     assert(first eq again) // memoized: literally the same Built record
-    assert(IndexStore.buildSecs.contains("ann_ivf"))
+    assert(IndexStore.buildSecs(dir).contains("ann_ivf"))
     assert(first.buildSec > 0)
     // the artifact serves: probe returns results and prunes partitions
     val q = Tables.read(spark, dir, "embeddings")
