@@ -204,6 +204,20 @@ class CdcStreamSpec extends SparkSpec {
       Map("1" -> "ada2"))
   }
 
+  test("COPY clamp fires inside decodeGroup: oversized name truncated " +
+      "to the declared varchar byte width on a char boundary") {
+    val cat = new ParquetCatalog(spark, tmp())
+    // name declares source length 255 -> x4 CharacterRatio = 1020 BYTES;
+    // 600 x 'é' is 1200 UTF-8 bytes, so the load must keep exactly the
+    // 510 whole chars (1020 bytes) Redshift's TRUNCATECOLUMNS would
+    val big = "é" * 600
+    CdcStream.processBatch(toDf(Seq(1L -> create(1, big, 1))),
+      fetcher, cat, cfg)
+    val loaded = cat.load("inventory", "users")
+      .select("name").as[String].head()
+    assert(loaded == "é" * 510, s"len=${loaded.length}")
+  }
+
   test("R5 skipMerge: insert-only batch into existing table appends") {
     val cat = new ParquetCatalog(spark, tmp())
     CdcStream.processBatch(toDf(Seq(1L -> create(1, "a", 1))), fetcher, cat, cfg)
