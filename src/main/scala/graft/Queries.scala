@@ -865,6 +865,23 @@ object Queries {
         k = 10, nprobe = 2)
     }),
 
+    "q_x_ann_pq_many" -> ((s, dir) => {
+      // batched serving over the COMPRESSED index: one pruned scan of
+      // stored codes answers the whole query batch; each query's m×k ADC
+      // lookup table rides in a single map literal keyed by query id, so
+      // the estimate stays a pure projection (no vectors read, no
+      // per-query jobs).
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+      val idx = IndexStore.annIvfPq(s, dir)
+      Pq.probeManyIndexed(s, idx.path, "vec_id", qs, topK = 10, nprobe = 2)
+    }),
+
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
       // fraction of a doc's shingles shared with other documents
@@ -1443,6 +1460,65 @@ object Queries {
        |SELECT query_id, vec_id, cosine_sim FROM top WHERE rn <= 10""".stripMargin
   }
 
+  /** Batched IVF-PQ serving oracle: the PQ training/encode replay plus a
+    * query SET — per-query probe cells from the coarse replay, per-query
+    * per-subspace lookup distances, estimate joined on (query, code),
+    * top-k per query. Mirrors `Pq.probeManyIndexed` exactly (same LUT
+    * doubles, same left-to-right add order, same tie-break). */
+  private val pqManyOracleSql: String = {
+    val m = 4; val dsub = 16
+    val (subCtes, _) = pqOracleParts()
+    def qsCtes(j: Int) =
+      s"""qs$j AS (SELECT query_id, qe[${j * dsub + 1}:${(j + 1) * dsub}] AS qe FROM qs),
+         |ldm$j AS (
+         |  SELECT q.query_id, c.cell AS code,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${dsub + 1}),
+         |        i -> (c.c[CAST(i AS INT)] - q.qe[CAST(i AS INT)])
+         |             * (c.c[CAST(i AS INT)] - q.qe[CAST(i AS INT)]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM c2_$j c, qs$j q)""".stripMargin
+    val joins = (1 until m).map(j => s"JOIN af_$j x$j USING (vec_id)")
+      .mkString("\n  ")
+    val ljoins = (0 until m)
+      .map(j =>
+        s"JOIN ldm$j l$j ON l$j.query_id = p.query_id AND l$j.code = x$j.cell")
+      .mkString("\n  ")
+    val estExpr = (0 until m).map(j => s"l$j.d2").mkString(" + ")
+    s"""WITH $ivfTrainCtes,
+       |qs AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id IN (0, 1, 2)),
+       |pd AS (
+       |  SELECT qs.query_id, c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (c.c[CAST(j AS INT)] - qs.qe[CAST(j AS INT)])
+       |             * (c.c[CAST(j AS INT)] - qs.qe[CAST(j AS INT)]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM c2 c, qs),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 2),
+       |${ivfAssignBlock("afv", "c2", " WHERE v.vec_id <> 0")},
+       |$subCtes,
+       |${(0 until m).map(qsCtes).mkString(",\n")},
+       |est AS (
+       |  SELECT p.query_id, x0.vec_id, $estExpr AS est
+       |  FROM af_0 x0
+       |  $joins
+       |  JOIN afv av USING (vec_id)
+       |  JOIN probes p ON p.cell = av.cell
+       |  $ljoins
+       |  WHERE x0.vec_id <> 0),
+       |top AS (
+       |  SELECT query_id, vec_id, round(est, 6) AS est_d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY est, vec_id) AS rn
+       |  FROM est)
+       |SELECT query_id, vec_id, est_d2 FROM top WHERE rn <= 10""".stripMargin
+  }
+
   private val ivfOracleSql: String = {
     s"""WITH $ivfTrainCtes,
        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
@@ -1574,6 +1650,7 @@ object Queries {
     "q_x_ann_ivfpq_refined" -> ivfPqRefinedOracleSql,
     "q_x_ann_ivfadc" -> ivfAdcOracleSql,
     "q_x_ann_probe_many" -> ivfProbeManyOracleSql,
+    "q_x_ann_pq_many" -> pqManyOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_incr" -> semdedupIncrOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
