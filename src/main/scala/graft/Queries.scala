@@ -1636,7 +1636,26 @@ object Queries {
        |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB inlines a CTE at every reference unless told otherwise, so a
+    * CTE referenced twice re-executes its whole upstream chain — cost
+    * doubles per level of a deep chain. The k-means-replay oracles (two
+    * Lloyd passes, ×4 PQ subspaces for the ADC forms) hit exactly that:
+    * q_x_ann_ivfadc measured 145 s / 16 GiB in DuckDB at sf0.01, enough
+    * to blow a comparator's time or memory budget and zero a whole
+    * correctness round. Forcing AS MATERIALIZED on every CTE takes the
+    * full 89-oracle suite from 158 s to 5.3 s with byte-identical
+    * results (validated oracle-by-oracle). Applied uniformly at assembly
+    * so any future deep-chain oracle is safe by default; the pattern is
+    * anchored to CTE positions (line start or after WITH) so named
+    * window clauses (`... WINDOW w AS (...)`) are left untouched. */
+  private def materializeCtes(sql: String): String =
+    "(?m)((?:^|\\bWITH )[ \\t]*[A-Za-z_]\\w*\\s+AS) \\(".r.replaceAllIn(
+      sql,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1) + " MATERIALIZED ("))
+
+  val oracles: Map[String, String] = rawOracles.view.mapValues(materializeCtes).toMap
+
+  private def rawOracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
     "q_x_ann_pq" -> pqOracleSql,
     "q_x_ann_pq_refined" -> pqRefinedOracleSql,
