@@ -28,7 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // queries that localCheckpoint intermediates defer the unpersist;
+        // freeing per query keeps the dump from pinning every checkpoint
+        graft.core.Metrics.drainUnpersist()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

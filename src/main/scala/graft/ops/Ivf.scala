@@ -202,6 +202,13 @@ object Ivf {
   val CellCol = "cell"
   private val ModelSidecar = "_graft_ivf_model.txt"
 
+  /** A `__swapping` marker older than this with the target still present
+    * is treated as a crash leftover (maintainer died after completing the
+    * swap but before cleanup) and reclaimed; younger markers are left
+    * alone — the maintainer may be alive and merely slow. Far above any
+    * plausible rename latency by construction. */
+  private[ops] val StaleSwapMarkerMs: Long = 10 * 60 * 1000L
+
   private def fsFor(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -226,9 +233,12 @@ object Ivf {
     * A LIVE swap is guarded by a `<path>__swapping` marker: while it
     * exists a concurrent reader waits out the (two-rename) window instead
     * of renaming `__old` back mid-swap — the race the unguarded version
-    * had. A marker that outlives the wait means the maintainer crashed:
-    * roll FORWARD to the completed shadow if present (the compaction
-    * already paid for it), else back to `__old`. */
+    * had. A marker that outlives the wait WITH the target missing means
+    * the maintainer is provably mid-swap: roll FORWARD to the completed
+    * shadow if present (the compaction already paid for it), else back to
+    * `__old`. A marker that outlives the wait with the target PRESENT is
+    * ambiguous (slow-but-alive maintainer pre-swap vs. crash post-swap),
+    * so it is reclaimed only once older than [[StaleSwapMarkerMs]]. */
   private def recoverIndex(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
     val tgt = new Path(path)
@@ -238,16 +248,16 @@ object Ivf {
     while (fs.exists(marker) && waitedMs < 2000) {
       Thread.sleep(25); waitedMs += 25
     }
-    if (fs.exists(marker)) { // maintainer crashed mid-swap (or is slow —
-      // see below: every action here is benign if it races the maintainer
-      // or another recoverer, because the only rename SOURCES are the
-      // maintainer's own completed copies)
+    if (fs.exists(marker)) {
       val shadow = new Path(path + "__compacting")
       if (!fs.exists(tgt)) {
-        // roll FORWARD to the completed shadow, else BACK to __old. A
-        // failed rename is not fatal if tgt exists afterwards — a
-        // concurrent recoverer (or the maintainer itself) won the race
-        // with an identical copy.
+        // With the target GONE the maintainer is provably mid-swap
+        // (crashed, or alive inside its two-rename window — every action
+        // here is benign either way, because the only rename SOURCES are
+        // the maintainer's own completed copies). Roll FORWARD to the
+        // completed shadow, else BACK to __old. A failed rename is not
+        // fatal if tgt exists afterwards — a concurrent recoverer (or
+        // the maintainer itself) won the race with an identical copy.
         val recovered =
           (fs.exists(shadow) && (fs.rename(shadow, tgt) || fs.exists(tgt))) ||
             (fs.exists(old) && (fs.rename(old, tgt) || fs.exists(tgt))) ||
@@ -255,9 +265,28 @@ object Ivf {
         if (!recovered)
           throw new IllegalStateException(
             s"index at $path unrecoverable: marker present, no complete copy")
+        fs.delete(old, true)
+        fs.delete(marker, false)
+      } else {
+        // Marker AND target both present: either the maintainer is alive
+        // and has not started its renames yet, or it crashed after
+        // completing the swap but before cleanup. Deleting the marker in
+        // the first case unguards a live maintainer's two-rename window
+        // (a reader could then rename __old back over the target
+        // mid-swap), so reclaim ONLY markers far older than any plausible
+        // rename latency — a crash leftover by then — and otherwise leave
+        // the swap strictly alone: the target is live and readable.
+        val ageMs =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(marker).getModificationTime
+          catch { // marker vanished: the maintainer finished its cleanup
+            case _: java.io.FileNotFoundException => Long.MinValue
+          }
+        if (ageMs > StaleSwapMarkerMs) {
+          fs.delete(old, true)
+          fs.delete(marker, false)
+        }
       }
-      fs.delete(old, true)
-      fs.delete(marker, false)
     }
     if (!fs.exists(tgt) && fs.exists(old) && !fs.rename(old, tgt))
       throw new IllegalStateException(

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import graft.sources.ConfluentAvro
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+
+/** Deterministic Confluent-framed Debezium envelope generator for the
+  * streaming bench (`stream_events_per_sec`) and load experiments: the
+  * same byte layout the reference's batcher consumes off Kafka
+  * (serializer.go framing, magic byte + 4-byte schema id + Avro binary),
+  * produced without a broker so the decode → transform → merge path can
+  * be driven through MemoryStream micro-batches at volume.
+  *
+  * Two schema versions are published: [[schemaV2]] adds a column over
+  * [[schemaV1]], so a generated run can include the schema-change flush
+  * (T3/D4: the add-column migration forces the merge rewrite instead of
+  * the skipMerge append).
+  */
+object CdcLoadGen {
+
+  private def envelopeJson(extraField: String): String =
+    s"""{"type": "record", "name": "Envelope",
+       |"namespace": "bench.stream.users",
+       |"fields": [
+       |  {"name": "before", "type": ["null", {
+       |    "type": "record", "name": "Value", "fields": [
+       |      {"name": "id", "type": {"type": "int", "connect.parameters":
+       |        {"__debezium.source.column.type": "INT",
+       |         "__debezium.source.column.length": "11"}}},
+       |      {"name": "name", "type": ["null", {"type": "string",
+       |        "connect.parameters":
+       |        {"__debezium.source.column.type": "VARCHAR",
+       |         "__debezium.source.column.length": "255"}}], "default": null},
+       |      {"name": "v", "type": ["null", {"type": "long",
+       |        "connect.parameters":
+       |        {"__debezium.source.column.type": "BIGINT"}}], "default": null}$extraField
+       |  ]}], "default": null},
+       |  {"name": "after", "type": ["null", "Value"], "default": null},
+       |  {"name": "op", "type": ["null", "string"], "default": null},
+       |  {"name": "ts_ms", "type": ["null", "long"], "default": null}
+       |]}""".stripMargin
+
+  val schemaV1: String = envelopeJson("")
+  val schemaV2: String = envelopeJson(
+    """,
+      |      {"name": "extra", "type": ["null", {"type": "string",
+      |        "connect.parameters":
+      |        {"__debezium.source.column.type": "VARCHAR",
+      |         "__debezium.source.column.length": "64"}}], "default": null}"""
+      .stripMargin)
+
+  private val parsedV1 = new Schema.Parser().parse(schemaV1)
+  private val parsedV2 = new Schema.Parser().parse(schemaV2)
+
+  private def parsed(schemaId: Int): Schema =
+    if (schemaId == 2) parsedV2 else parsedV1
+
+  private def valueRecord(schema: Schema, id: Int, withExtra: Boolean): GenericRecord = {
+    val valueSchema = schema.getField("before").schema().getTypes.get(1)
+    val r = new GenericData.Record(valueSchema)
+    r.put("id", id)
+    r.put("name", s"user_$id")
+    r.put("v", id.toLong * 7L)
+    if (withExtra && valueSchema.getField("extra") != null)
+      r.put("extra", s"x$id")
+    r
+  }
+
+  /** One framed event. `op` is the Debezium op class: "c" (before absent),
+    * "u" (both sides), "d" (after absent). */
+  def frame(schemaId: Int, op: String, id: Int): Array[Byte] = {
+    val sc = parsed(schemaId)
+    val withExtra = schemaId == 2
+    val env = new GenericData.Record(sc)
+    if (op != "c") env.put("before", valueRecord(sc, id, withExtra))
+    if (op != "d") env.put("after", valueRecord(sc, id, withExtra))
+    env.put("op", op)
+    env.put("ts_ms", 1700000000000L + id)
+    val out = new ByteArrayOutputStream()
+    out.write(ConfluentAvro.MagicByte)
+    out.write(Array[Byte](
+      (schemaId >> 24).toByte, (schemaId >> 16).toByte,
+      (schemaId >> 8).toByte, schemaId.toByte))
+    val encoder = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](sc).write(env, encoder)
+    encoder.flush()
+    out.toByteArray
+  }
+
+  /** A deterministic micro-batch: mostly creates of fresh ids, plus
+    * updates and deletes against the PREVIOUS batch's id range — the
+    * C/U/D mix the merge path has to dedupe and reconcile. Offsets are
+    * globally monotone (`batchIdx * perBatch`-based), mirroring a Kafka
+    * partition's sequence. */
+  def batch(batchIdx: Int, perBatch: Int, schemaId: Int): Seq[(Long, Array[Byte])] = {
+    val base = batchIdx * perBatch
+    val prevBase = (batchIdx - 1) * perBatch
+    (0 until perBatch).map { i =>
+      val off = (base + i).toLong
+      val ev =
+        if (batchIdx > 0 && i % 20 == 19) // 5% deletes of previous batch
+          frame(schemaId, "d", prevBase + i)
+        else if (batchIdx > 0 && i % 20 >= 16) // 15% updates of previous
+          frame(schemaId, "u", prevBase + i)
+        else // 80% creates of fresh ids
+          frame(schemaId, "c", base + i)
+      (off, ev)
+    }
+  }
+}

@@ -203,6 +203,46 @@ class IvfSpec extends SparkSpec {
     assert(!new java.io.File(path + "__compacting").exists)
   }
 
+  test("index recovery: marker with target PRESENT — fresh marker left " +
+    "alone (live maintainer), stale marker reclaimed (post-swap crash)") {
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stale").toString + "/idx"
+    Ivf.index(vecs, "embedding", m, path)
+    val q = Array(10.0, 0.0)
+    val before = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a maintainer has just created the marker but not yet renamed the
+    // target aside (slow-but-alive): __old from a previous swap may also
+    // still exist — recovery must touch NEITHER
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(path), fs,
+      new org.apache.hadoop.fs.Path(path + "__old"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path + "__swapping")
+    fs.create(marker, true).close()
+    val during = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    assert(during == before)
+    assert(new java.io.File(path + "__swapping").exists,
+      "fresh marker must survive recovery — deleting it unguards a live " +
+        "maintainer's two-rename window")
+    assert(new java.io.File(path + "__old").exists,
+      "__old must survive while the marker is fresh")
+    // age the marker past the reclaim bound: now it is a provable crash
+    // leftover (swap completed, cleanup never ran) and recovery sweeps it
+    val past = System.currentTimeMillis() - Ivf.StaleSwapMarkerMs - 60000L
+    fs.setTimes(marker, past, -1L)
+    val after = Ivf.probe(spark, path, "vec_id", "embedding", q,
+      k = 5, nprobe = 1).collect().toSeq
+    assert(after == before)
+    assert(!new java.io.File(path + "__swapping").exists,
+      "stale marker must be reclaimed")
+    assert(!new java.io.File(path + "__old").exists)
+  }
+
   test("trainSampled: deterministic subset, assignments still total") {
     val m1 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 2,
       iters = 2, buckets = 2, keep = 1)
