@@ -348,17 +348,29 @@ object Pq {
     adcRank(pruned, idCol, cb, query, topK)
   }
 
+  /** Above this batch size the per-query ADC lookup tables travel as
+    * broadcast-join DATA instead of one `typedlit` map literal: the
+    * literal is faster for a serving-sized batch (one projection, no
+    * second join input), but its plan grows O(|queries|·m·k) doubles and
+    * a 10⁴–10⁵-query offline scoring batch would hit Catalyst
+    * literal/codegen limits. The join form's plan is O(1) in batch size
+    * (a LocalRelation carries the rows; nothing lands in the expression
+    * tree). */
+  val LutLiteralMaxQueries = 32
+
   /** Batched serving over a [[index]]ed corpus — the [[Ivf.probeMany]]
     * story in compressed form: ONE pruned scan (union of every query's
     * probed cells) serves the whole query batch. The routing table
-    * broadcasts; each query's m×k ADC lookup table rides in a single
-    * map literal keyed by query id, so the estimate stays a pure
-    * projection (no per-query jobs, no vectors read). Per-query results
-    * are identical to [[probeIndexed]] — same LUT doubles, same
-    * left-to-right add order. */
+    * broadcasts; each query's m×k ADC lookup table rides either in a
+    * single map literal keyed by query id (small batches — pure
+    * projection, no per-query jobs) or as a column of the broadcast
+    * routing table itself (large batches — plan size stays O(1), see
+    * [[LutLiteralMaxQueries]]). Both forms compute identical estimates —
+    * same LUT doubles, same left-to-right add order as [[probeIndexed]]. */
   def probeManyIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, queries: Seq[(Long, Array[Double])],
-      topK: Int, nprobe: Int = 2): DataFrame = {
+      topK: Int, nprobe: Int = 2,
+      lutLiteralMax: Int = LutLiteralMaxQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val coarse = Ivf.loadModel(spark, path)
@@ -367,9 +379,6 @@ object Pq {
       qid -> coarse.nearest(q, nprobe)
     }
     val cells = routePairs.flatMap(_._2).distinct
-    val routes = routePairs
-      .flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
-      .toDF("query_id", "__qcell")
     // flattened per-query LUT: slot j*k + code holds lut_j(code)
     val luts: Map[Long, Seq[Double]] = queries.map { case (qid, q) =>
       qid -> (0 until cb.m).flatMap { j =>
@@ -377,12 +386,22 @@ object Pq {
         cb.books(j).centroids.map(c => Ivf.dist2(qj, c)).toSeq
       }
     }.toMap
-    val lutMap = typedlit(luts)
+    val useLiteral = queries.size <= lutLiteralMax
+    val routes =
+      if (useLiteral) routePairs
+        .flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
+        .toDF("query_id", "__qcell")
+      else routePairs // LUT as broadcast data: duplicated nprobe× per
+        // query (m·k doubles each), still far smaller than a second join
+        .flatMap { case (qid, cs) => cs.map(c => (qid, c, luts(qid))) }
+        .toDF("query_id", "__qcell", "__lut")
+    val lutRef =
+      if (useLiteral) element_at(typedlit(luts), col("query_id"))
+      else col("__lut")
     val pruned = spark.read.parquet(path)
       .filter(col(Ivf.CellCol).isin(cells: _*))
     val est = (0 until cb.m)
-      .map(j => element_at(element_at(lutMap, col("query_id")),
-        lit(j * cb.k) + col(s"__code$j") + 1))
+      .map(j => element_at(lutRef, lit(j * cb.k) + col(s"__code$j") + 1))
       .reduce(_ + _) // left-assoc — matches adcEst's add order
     val scored = pruned
       .join(broadcast(routes), col(Ivf.CellCol) === col("__qcell"))

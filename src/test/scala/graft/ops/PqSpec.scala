@@ -173,6 +173,43 @@ class PqSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("probeManyIndexed: join-LUT path == literal-LUT path at hundreds " +
+    "of queries; join plan is O(1) in batch size") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_lut").toString + "/idx"
+    Pq.index(vecs, "vec_id", "embedding", coarse, cb, path)
+    // 200 deterministic queries spread across both clusters — well above
+    // LutLiteralMaxQueries, so the default path is the join form
+    val qs = (0 until 200).map { i =>
+      val s = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Array.tabulate(8)(d =>
+        s * (if (d < 4) 1.0 + (i % 7) * 0.01 else 0.5 - (i % 5) * 0.01)))
+    }
+    def run(lutLiteralMax: Int) =
+      Pq.probeManyIndexed(spark, path, "vec_id", qs, topK = 5, nprobe = 1,
+        lutLiteralMax = lutLiteralMax)
+    val lit = run(Int.MaxValue) // forced literal path
+    val join = run(0)           // forced join path
+    assert(qs.size > Pq.LutLiteralMaxQueries)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("query_id", "vec_id", "est_d2")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(key(join) == key(lit))
+    // the point of the join form: the literal plan carries every LUT
+    // double in its expression tree (O(batch·m·k)); the join plan carries
+    // none of them (LocalRelation data, constant-size plan)
+    val litLen = lit.queryExecution.analyzed.toString.length
+    val joinLen = join.queryExecution.analyzed.toString.length
+    assert(joinLen * 5 < litLen,
+      s"join plan ($joinLen chars) should be far smaller than the " +
+        s"literal plan ($litLen chars) at ${qs.size} queries")
+    // and it still serves off a single pruned scan
+    val plan = join.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("probeIndexedRefined == ivfPqRefineTopK over the served index") {
     val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
     val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
