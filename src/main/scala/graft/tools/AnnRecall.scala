@@ -122,6 +122,114 @@ object AnnRecall {
       (planes, probe, rec / queries.length, frac / queries.length)
     }
 
+    // ---- Clustered fixture: where residual PQ and LSH earn their keep --
+    // The driver's embeddings table is uniform random, which by
+    // construction hides the two effects the fancier structures exist
+    // for: residuals carry no structure when every coarse cell looks the
+    // same, and LSH recall tracks candidate fraction linearly when
+    // signatures carry no locality. A deterministic mixture fixture
+    // (md5-seeded centers in [-1,1]^dim, md5-seeded box noise, so every
+    // run and every engine reproduces it bit-for-bit) measures them.
+    val (cn, cdim, kClusters, noiseAmp) = (2000, 64, 16, 0.15)
+    def u01(tag: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8"))
+      (((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)).toDouble / (1L << 32).toDouble
+    }
+    val centers = Array.tabulate(kClusters, cdim)((c, d) =>
+      2.0 * u01(s"center:$c:$d") - 1.0)
+    import spark.implicits._
+    val cemb = (0 until cn).map { i =>
+      val c = (u01(s"assign:$i") * kClusters).toInt.min(kClusters - 1)
+      (i.toLong, Array.tabulate(cdim)(d =>
+        (centers(c)(d) + noiseAmp * (2.0 * u01(s"noise:$i:$d") - 1.0)).toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    cemb.count()
+    val cQueries = cemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nq).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cCoarse = Ivf.train(cemb, "vec_id", "embedding", k = kClusters,
+      iters = 2)
+    val cCb = Pq.train(cemb, "vec_id", "embedding", m = 4, dsub = 16,
+      k = 8, iters = 2)
+    val cCbRes = Pq.trainResidual(cemb, "vec_id", "embedding", cCoarse,
+      m = 4, dsub = 16, k = 8, iters = 2)
+    val cExact: Map[Long, Set[Long]] = cQueries.map { case (qid, q) =>
+      qid -> ids(Similarity.bruteForceTopK(
+        cemb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, k))
+    }.toMap
+    val cMethods: Seq[(String, (Long, Array[Double]) => Set[Long])] = Seq(
+      "ivf nprobe=2" -> ((qid, q) => ids(Ivf.topK(
+        cemb.filter(col("vec_id") =!= qid), "vec_id", "embedding", cCoarse,
+        q, k, nprobe = 2))),
+      "ivfpq raw codes nprobe=2" -> ((qid, q) => ids(Pq.ivfPqTopK(
+        cemb.filter(col("vec_id") =!= qid), "vec_id", "embedding", cCoarse,
+        cCb, q, k, nprobe = 2))),
+      "ivfpq residual nprobe=2" -> ((qid, q) => ids(Pq.ivfPqResidualTopK(
+        cemb.filter(col("vec_id") =!= qid), "vec_id", "embedding", cCoarse,
+        cCbRes, q, k, nprobe = 2))),
+      s"ivfpq raw + refine C=${10 * k}" -> ((qid, q) =>
+        ids(Pq.ivfPqRefineTopK(
+          cemb.filter(col("vec_id") =!= qid), "vec_id", "embedding", cCoarse,
+          cCb, q, k, nprobe = 2, shortlist = 10 * k))),
+      s"ivfpq residual + refine C=${10 * k}" -> ((qid, q) =>
+        ids(Pq.ivfPqResidualRefineTopK(
+          cemb.filter(col("vec_id") =!= qid), "vec_id", "embedding", cCoarse,
+          cCbRes, q, k, nprobe = 2, shortlist = 10 * k))))
+    val cRecalls = cMethods.map { case (name, fn) =>
+      name -> cQueries.map { case (qid, q) =>
+        fn(qid, q).intersect(cExact(qid)).size.toDouble / k
+      }.sum / cQueries.length
+    }
+    // LSH on clustered data: recall should now EXCEED candidate fraction
+    // (signatures carry locality), where the uniform fixture tracked it
+    val cSweep = Seq((16, 4), (24, 6), (24, 8)).map { case (planes, probe) =>
+      var rec = 0.0; var frac = 0.0
+      val pl = Similarity.portablePlanes(planes, cdim)
+      for ((qid, q) <- cQueries) {
+        val qsig = Similarity.portableQuerySignature(q, pl)
+        val cand = cemb.filter(col("vec_id") =!= qid)
+          .withColumn("__sig",
+            Similarity.portableSignature(col("embedding"), pl))
+          .filter(bit_count(col("__sig").bitwiseXOR(lit(qsig))) <= probe)
+          .drop("__sig").cache()
+        try {
+          frac += cand.count() / (cn - 1).toDouble
+          rec += ids(Similarity.bruteForceTopK(cand, "vec_id", "embedding",
+            q, k)).intersect(cExact(qid)).size.toDouble / k
+        } finally cand.unpersist()
+      }
+      (planes, probe, rec / cQueries.length, frac / cQueries.length)
+    }
+    val clusteredSection = {
+      val mRows = cRecalls.map { case (n2, r) => f"| $n2 | $r%.3f |" }
+      val sRows = cSweep.map { case (planes, probe, rec, frac) =>
+        val gain = if (frac > 0) f"${rec / frac}%.1f" else "-"
+        f"| planes=$planes probeBits=$probe | $rec%.3f | $frac%.3f | $gain× |"
+      }
+      s"""
+         |## Clustered fixture — structure the uniform table hides
+         |
+         |Deterministic mixture of $kClusters md5-seeded centers in
+         |[-1,1]^$cdim with ±$noiseAmp box noise, n=$cn, same query
+         |protocol. Here residuals ARE the noise (range ±$noiseAmp vs the
+         |raw vector's ±1), so the residual codebook spends its 8 codes per
+         |subspace on a ~7× tighter range — the separation the residual
+         |form exists for. LSH signatures now carry cluster locality, so
+         |recall runs ABOVE candidate fraction (`gain` = recall/frac;
+         |uniform fixture gain ≈ 1 by construction).
+         |
+         || method | recall@$k |
+         ||---|---|
+         |""".stripMargin + mRows.mkString("\n") + s"""
+         |
+         || knobs | recall@$k | cand frac | gain |
+         ||---|---|---|---|
+         |""".stripMargin + sRows.mkString("\n") + "\n"
+    }
+
     val rows = methods.map { case (name, _) =>
       f"| $name | ${recalls(name) / queries.length}%.3f |"
     }
@@ -162,7 +270,8 @@ object AnnRecall {
          |
          || method | recall@$k |
          ||---|---|
-         |""".stripMargin + rows.mkString("\n") + "\n" + sweepSection
+         |""".stripMargin + rows.mkString("\n") + "\n" + sweepSection +
+        clusteredSection
     java.nio.file.Files.write(java.nio.file.Paths.get("RECALL.md"),
       out.getBytes("UTF-8"))
     println(out)
