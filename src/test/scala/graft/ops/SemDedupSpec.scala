@@ -161,4 +161,38 @@ class SemDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("incrementalAgainstIndex scale probe: thousands of batch rows " +
+    "against the sf0.1 index stay pruned + broadcast + probe-shaped") {
+    import org.apache.spark.sql.functions.col
+    // the real served index over the sf0.1 embeddings corpus (IndexStore
+    // memoizes the build per JVM, exactly as Bench uses it)
+    val built = graft.IndexStore.annIvf(spark, "/root/testdata/sf0.1")
+    // 3000-row ingest batch: perturbed copies of corpus vectors with
+    // shifted ids — realistic near-dup pressure, deterministic
+    val corpus = graft.Tables.read(spark, "/root/testdata/sf0.1",
+      "embeddings")
+    val batch = corpus.limit(1500)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .union(corpus.limit(1500)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), x => x * 1.001f).as("embedding")))
+    val df = SemDedup.incrementalAgainstIndex(spark, built.path, batch,
+      "vec_id", "embedding", threshold = 0.99)
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n > 0, "perturbed copies must register as semantic dups")
+    // probe-shaped: seconds, not a corpus rebuild (generous CI bound —
+    // the measured time is ~2-4 s; a corpus-shuffling plan would be 10x)
+    assert(sec < 60.0, f"scale probe took $sec%.1f s — not probe-shaped")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      "corpus scan must stay partition-pruned at batch scale")
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch side must broadcast — the corpus must never shuffle")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
