@@ -882,6 +882,24 @@ object Queries {
       Pq.probeManyIndexed(s, idx.path, "vec_id", qs, topK = 10, nprobe = 2)
     }),
 
+    "q_x_ann_pq_many_joinlut" -> ((s, dir) => {
+      // the large-batch serving form of q_x_ann_pq_many: per-query ADC
+      // LUTs ride the broadcast routing table as DATA (constant-size
+      // plan) instead of a map literal. Same queries, same oracle — the
+      // value check proves the join form loses nothing, the same
+      // shared-oracle discipline as the pruned/unpruned twins.
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+      val idx = IndexStore.annIvfPq(s, dir)
+      Pq.probeManyIndexed(s, idx.path, "vec_id", qs, topK = 10, nprobe = 2,
+        lutLiteralMax = 0)
+    }),
+
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
       // fraction of a doc's shingles shared with other documents
@@ -1670,6 +1688,10 @@ object Queries {
     "q_x_ann_ivfadc" -> ivfAdcOracleSql,
     "q_x_ann_probe_many" -> ivfProbeManyOracleSql,
     "q_x_ann_pq_many" -> pqManyOracleSql,
+    // join-LUT twin returns IDENTICAL rows (same queries, same LUT
+    // doubles, same add order; only the LUT transport differs) — the
+    // shared oracle PROVES that, as with the pruned/unpruned twins
+    "q_x_ann_pq_many_joinlut" -> pqManyOracleSql,
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_incr" -> semdedupIncrOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
