@@ -208,17 +208,21 @@ object CdcStream {
       try {
         // copystage analog: the first action populates the cached
         // decode→transform→mask result — the reference's staging-table
-        // COPY (load_processor.go:386-444 stage population)
-        val counts = Metrics.time(tag, "loader_copystage_seconds")(
-          CdcMerge.eventCounts(cached).collect())
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val (creates, updates, deletes) = (
-          counts.getOrElse(Cdc.OpCreate, 0L),
-          counts.getOrElse(Cdc.OpUpdate, 0L),
-          counts.getOrElse(Cdc.OpDelete, 0L))
-        val offsets = cached.agg(
-          min(col(Cdc.OffsetColumn).cast(LongType)),
-          max(col(Cdc.OffsetColumn).cast(LongType))).head()
+        // COPY (load_processor.go:386-444 stage population). Per-op
+        // counts (R6) and the offset bounds ride ONE fused aggregate:
+        // every driver-side action here is a full job launch per
+        // trigger, and the audit header doesn't need two of them.
+        def opCount(op: String) =
+          sum(when(col(Cdc.OperationColumn) === op, 1L).otherwise(0L))
+        val hdr2 = Metrics.time(tag, "loader_copystage_seconds")(
+          cached.agg(
+            opCount(Cdc.OpCreate), opCount(Cdc.OpUpdate),
+            opCount(Cdc.OpDelete),
+            min(col(Cdc.OffsetColumn).cast(LongType)),
+            max(col(Cdc.OffsetColumn).cast(LongType))).head())
+        def cnt(i: Int) = if (hdr2.isNullAt(i)) 0L else hdr2.getLong(i)
+        val (creates, updates, deletes) = (cnt(0), cnt(1), cnt(2))
+        val (startOff, endOff) = (cnt(3), cnt(4))
         // R5 applies only when the batch's columns match the live table:
         // parquet append doesn't widen the read schema, so a schema change
         // (D4 add/drop column) must go through the merge rewrite — the
@@ -247,8 +251,8 @@ object CdcStream {
 
         Job(
           upstreamTopic = cfg.topic,
-          startOffset = if (offsets.isNullAt(0)) 0L else offsets.getLong(0),
-          endOffset = if (offsets.isNullAt(1)) 0L else offsets.getLong(1),
+          startOffset = startOff,
+          endOffset = endOff,
           schemaId = sid,
           skipMerge = skip,
           createEvents = creates,
