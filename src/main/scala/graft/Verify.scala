@@ -22,16 +22,47 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-query watchdog: one hanging query must not stall the whole dump
+    // into the driver's timeout (the failure class that can zero a
+    // round's correctness artifact). Each query runs under a job group;
+    // on timeout the group is cancelled and the dump moves on — the
+    // query scores as failed, the other 89 still score.
+    val timeoutS =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "600").toLong
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val run = Future {
+          spark.sparkContext.setJobGroup(s"verify-$name",
+            s"verify dump $name", interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally {
+            spark.sparkContext.clearJobGroup()
+            // deferred checkpoint unpersists are ThreadLocal — drain on
+            // the thread that deferred them, not the watchdog's
+            graft.core.Metrics.drainUnpersist()
+          }
+        }
+        try Await.result(run, timeoutS.seconds)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(s"verify-$name")
+            throw new RuntimeException(s"timed out after $timeoutS s")
+        }
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
-        // queries that localCheckpoint intermediates defer the unpersist;
-        // freeing per query keeps the dump from pinning every checkpoint
-        graft.core.Metrics.drainUnpersist()
+        // a cancelled/failed write can leave PARTIAL parquet behind;
+        // delete it so the comparator reports the query missing instead
+        // of comparing garbage rows
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
