@@ -113,10 +113,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val canaryEnd = canarySec()
-    val canaryDeltaPct =
+    // JSON null when either measurement failed — a -1.0 sentinel would
+    // read as a plausible small negative delta and hide the failure
+    val canaryDeltaPct: String =
       if (canaryStart > 0 && canaryEnd > 0)
-        100.0 * (canaryEnd - canaryStart) / canaryStart
-      else -1.0
+        (100.0 * (canaryEnd - canaryStart) / canaryStart).toString
+      else "null"
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
     // through envelope transform → hash mask → SCD-1 merge.

@@ -40,6 +40,22 @@ object Queries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Dedup.spread(rd(s, dir, "documents"))
 
+  /** Shared body of the batched-PQ-serving twins: the md5-stable 3-query
+    * batch (vec_ids 0–2) probed against the session's served IVF-PQ
+    * index; only the LUT transport differs between the catalog entries. */
+  private def pqServeBatch(s: SparkSession, dir: String,
+      lutLiteralMax: Int): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    val idx = IndexStore.annIvfPq(s, dir)
+    graft.ops.Pq.probeManyIndexed(s, idx.path, "vec_id", qs,
+      topK = 10, nprobe = 2, lutLiteralMax = lutLiteralMax)
+  }
+
   // ---- shared CDC stage derived from the events table -------------------
   // events → Debezium-shaped change stream: event_id is the Kafka offset,
   // signup/error map to CREATE/DELETE, the rest are UPDATEs (FIXTURES.md §9).
@@ -865,40 +881,15 @@ object Queries {
         k = 10, nprobe = 2)
     }),
 
-    "q_x_ann_pq_many" -> ((s, dir) => {
-      // batched serving over the COMPRESSED index: one pruned scan of
-      // stored codes answers the whole query batch; each query's m×k ADC
-      // lookup table rides in a single map literal keyed by query id, so
-      // the estimate stays a pure projection (no vectors read, no
-      // per-query jobs).
-      import graft.ops.Pq
-      val emb = rd(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toArray))
-        .sortBy(_._1).toSeq
-      val idx = IndexStore.annIvfPq(s, dir)
-      Pq.probeManyIndexed(s, idx.path, "vec_id", qs, topK = 10, nprobe = 2)
-    }),
-
-    "q_x_ann_pq_many_joinlut" -> ((s, dir) => {
-      // the large-batch serving form of q_x_ann_pq_many: per-query ADC
-      // LUTs ride the broadcast routing table as DATA (constant-size
-      // plan) instead of a map literal. Same queries, same oracle — the
-      // value check proves the join form loses nothing, the same
-      // shared-oracle discipline as the pruned/unpruned twins.
-      import graft.ops.Pq
-      val emb = rd(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toArray))
-        .sortBy(_._1).toSeq
-      val idx = IndexStore.annIvfPq(s, dir)
-      Pq.probeManyIndexed(s, idx.path, "vec_id", qs, topK = 10, nprobe = 2,
-        lutLiteralMax = 0)
-    }),
+    // batched serving over the COMPRESSED index: one pruned scan of
+    // stored codes answers the whole query batch. Two catalog twins run
+    // the SAME batch through both LUT transports — map literal (the
+    // small-batch default) and broadcast-join data (the large-batch,
+    // constant-plan-size form) — and share one oracle: the value check
+    // proves the transport choice loses nothing, the same shared-oracle
+    // discipline as the pruned/unpruned twins.
+    "q_x_ann_pq_many" -> (pqServeBatch(_, _, lutLiteralMax = Int.MaxValue)),
+    "q_x_ann_pq_many_joinlut" -> (pqServeBatch(_, _, lutLiteralMax = 0)),
 
     "q_x_dup_spans" -> ((s, dir) =>
       // cross-document 5-gram repetition (exact-substring-dedup signal):
@@ -1663,13 +1654,17 @@ object Queries {
     * correctness round. Forcing AS MATERIALIZED on every CTE takes the
     * full 89-oracle suite from 158 s to 5.3 s with byte-identical
     * results (validated oracle-by-oracle). Applied uniformly at assembly
-    * so any future deep-chain oracle is safe by default; the pattern is
-    * anchored to CTE positions (line start or after WITH) so named
-    * window clauses (`... WINDOW w AS (...)`) are left untouched. */
+    * so any future deep-chain oracle is safe by default; a CTE
+    * definition is an identifier + `AS (` whose previous token is WITH
+    * or a comma (across newlines), which is what the pattern requires —
+    * so named window clauses are untouched regardless of line layout
+    * (`WINDOW w AS (` has neither prefix) and a CTE is caught whether
+    * it sits on its own line or after `), ` on the same one. */
   private def materializeCtes(sql: String): String =
-    "(?m)((?:^|\\bWITH )[ \\t]*[A-Za-z_]\\w*\\s+AS) \\(".r.replaceAllIn(
+    "(?s)((?:\\bWITH\\b|,)\\s*)([A-Za-z_]\\w*\\s+AS) \\(".r.replaceAllIn(
       sql,
-      m => java.util.regex.Matcher.quoteReplacement(m.group(1) + " MATERIALIZED ("))
+      m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + m.group(2) + " MATERIALIZED ("))
 
   val oracles: Map[String, String] = rawOracles.view.mapValues(materializeCtes).toMap
 

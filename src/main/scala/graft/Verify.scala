@@ -29,30 +29,42 @@ object Verify {
     // query scores as failed, the other 89 still score.
     val timeoutS =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "600").toLong
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration._
-    implicit val ec: ExecutionContext = ExecutionContext.global
     selected.foreach { case (name, fn) =>
-      try {
-        val run = Future {
-          spark.sparkContext.setJobGroup(s"verify-$name",
-            s"verify dump $name", interruptOnCancel = true)
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          finally {
-            spark.sparkContext.clearJobGroup()
-            // deferred checkpoint unpersists are ThreadLocal — drain on
-            // the thread that deferred them, not the watchdog's
-            graft.core.Metrics.drainUnpersist()
-          }
+      // one fresh DAEMON thread per query, not a shared pool: a stuck
+      // query then leaks its own thread (which cannot block JVM exit)
+      // instead of exhausting an executor and falsely timing out every
+      // later query
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val t = new Thread(() => {
+        spark.sparkContext.setJobGroup(s"verify-$name",
+          s"verify dump $name", interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable => err.set(e) }
+        finally {
+          spark.sparkContext.clearJobGroup()
+          // deferred checkpoint unpersists are ThreadLocal — drain on
+          // the thread that deferred them, not the watchdog's
+          graft.core.Metrics.drainUnpersist()
         }
-        try Await.result(run, timeoutS.seconds)
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            spark.sparkContext.cancelJobGroup(s"verify-$name")
-            throw new RuntimeException(s"timed out after $timeoutS s")
-        }
-      } catch { case e: Throwable =>
+      }, s"verify-$name")
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutS * 1000L)
+      if (t.isAlive) {
+        // cancel running jobs AND interrupt the driver-side thread (it
+        // may be stuck between jobs, where cancelJobGroup reaches
+        // nothing), then give it a grace period so the rm below doesn't
+        // race a still-running writer
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        t.interrupt()
+        t.join(10000L)
+        err.compareAndSet(null,
+          new RuntimeException(s"timed out after $timeoutS s" +
+            (if (t.isAlive) " (worker still running, leaked as daemon)"
+             else "")))
+      }
+      Option(err.get()).foreach { e =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a cancelled/failed write can leave PARTIAL parquet behind;

@@ -90,20 +90,26 @@ object CdcLoadGen {
   }
 
   /** A deterministic micro-batch: mostly creates of fresh ids, plus
-    * updates and deletes against the PREVIOUS batch's id range — the
-    * C/U/D mix the merge path has to dedupe and reconcile. Offsets are
-    * globally monotone (`batchIdx * perBatch`-based), mirroring a Kafka
-    * partition's sequence. */
+    * updates and deletes against ids the PREVIOUS batch actually
+    * created — the C/U/D mix the merge path has to dedupe and
+    * reconcile. Within every block of 20 positions, 16 are creates
+    * (positions 0–15), 3 updates (16–18) and 1 delete (19); the
+    * update/delete targets are `i - 4` positions back in the previous
+    * batch, which always lands on a create position (12–15 mod 20), so
+    * every update exercises in-place SCD-1 overwrite and every delete
+    * the delete-common path — never a phantom id that silently degrades
+    * the workload to append-only. Offsets are globally monotone,
+    * mirroring a Kafka partition's sequence. */
   def batch(batchIdx: Int, perBatch: Int, schemaId: Int): Seq[(Long, Array[Byte])] = {
     val base = batchIdx * perBatch
     val prevBase = (batchIdx - 1) * perBatch
     (0 until perBatch).map { i =>
       val off = (base + i).toLong
       val ev =
-        if (batchIdx > 0 && i % 20 == 19) // 5% deletes of previous batch
-          frame(schemaId, "d", prevBase + i)
-        else if (batchIdx > 0 && i % 20 >= 16) // 15% updates of previous
-          frame(schemaId, "u", prevBase + i)
+        if (batchIdx > 0 && i % 20 == 19) // 5% deletes of prior creates
+          frame(schemaId, "d", prevBase + i - 4)
+        else if (batchIdx > 0 && i % 20 >= 16) // 15% updates of prior creates
+          frame(schemaId, "u", prevBase + i - 4)
         else // 80% creates of fresh ids
           frame(schemaId, "c", base + i)
       (off, ev)

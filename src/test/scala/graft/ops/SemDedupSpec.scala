@@ -165,19 +165,23 @@ class SemDedupSpec extends SparkSpec {
   test("incrementalAgainstIndex scale probe: thousands of batch rows " +
     "against the sf0.1 index stay pruned + broadcast + probe-shaped") {
     import org.apache.spark.sql.functions.col
-    // the real served index over the sf0.1 embeddings corpus (IndexStore
-    // memoizes the build per JVM, exactly as Bench uses it)
-    val built = graft.IndexStore.annIvf(spark, "/root/testdata/sf0.1")
-    // 3000-row ingest batch: perturbed copies of corpus vectors with
-    // shifted ids — realistic near-dup pressure, deterministic
+    // the sf0.1 corpus indexed into a spec-local dir (NOT IndexStore's
+    // shared /tmp scratch, which a concurrently running Bench/Verify JVM
+    // could be rewriting mid-read — its memoization is per-JVM only)
     val corpus = graft.Tables.read(spark, "/root/testdata/sf0.1",
       "embeddings")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_sd_scale").toString + "/idx"
+    val model = Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.index(corpus, "embedding", model, idxPath)
+    // 3000-row ingest batch: perturbed copies of corpus vectors with
+    // shifted ids — realistic near-dup pressure, deterministic
     val batch = corpus.limit(1500)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       .union(corpus.limit(1500)
         .select((col("vec_id") + 200000L).as("vec_id"),
           transform(col("embedding"), x => x * 1.001f).as("embedding")))
-    val df = SemDedup.incrementalAgainstIndex(spark, built.path, batch,
+    val df = SemDedup.incrementalAgainstIndex(spark, idxPath, batch,
       "vec_id", "embedding", threshold = 0.99)
     val t0 = System.nanoTime()
     val n = df.count()

@@ -55,8 +55,27 @@ class CdcLoadGenSpec extends SparkSpec {
     // 100 from batch 0, +80 fresh creates, 15 updates of batch-0 ids
     // merge IN PLACE (no new rows), -5 deletes of batch-0 ids
     assert(t.count() == 100 + 80 - 5)
-    // and an updated row really took the update path
-    assert(t.filter(col("id") === "16").count() == 1)
+    // an updated row (batch-1 position 16 targets id 16-4=12) stays
+    // single, and a deleted one (position 19 -> id 15) is gone
+    assert(t.filter(col("id") === "12").count() == 1)
+    assert(t.filter(col("id") === "15").count() == 0)
+
+    // batch 2: its update/delete targets must be ids batch 1 CREATED
+    // (positions 16-19 of batch 1 were updates/deletes, not creates —
+    // a naive prevBase+i target would hit phantom ids and the workload
+    // would silently degrade to append-only from batch 2 on)
+    val jobs2 = CdcStream.processBatch(
+      CdcLoadGen.batch(2, 100, 1).toDF("offset", "value"), fetcher, cat, cfg)
+    assert(jobs2.head.createEvents == 80 &&
+      jobs2.head.updateEvents == 15 && jobs2.head.deleteEvents == 5)
+    val t2 = cat.load("bench", "users")
+    // updates hit existing batch-1 rows in place; deletes remove real rows
+    assert(t2.count() == 175 + 80 - 5)
+    // a batch-2 update target: id 100 + (16-4) = 112, created by batch 1,
+    // must still exist exactly once (updated, not duplicated)
+    assert(t2.filter(col("id") === "112").count() == 1)
+    // a batch-2 delete target: id 100 + (19-4) = 115 must be gone
+    assert(t2.filter(col("id") === "115").count() == 0)
   }
 
   test("schema v2 batch migrates the table (extra column) mid-stream") {
