@@ -242,7 +242,15 @@ object Bench {
         .start()
       val sec = try time {
         batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // ~100 MB of warehouse + checkpoint per run — don't let bench
+        // iterations accumulate them in the temp dir
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
       (sec, streamBatches.toLong * streamPerBatch)
     } catch {
       case e: Throwable =>
