@@ -1654,21 +1654,129 @@ object Queries {
     * correctness round. Forcing AS MATERIALIZED on every CTE takes the
     * full 89-oracle suite from 158 s to 5.3 s with byte-identical
     * results (validated oracle-by-oracle). Applied uniformly at assembly
-    * so any future deep-chain oracle is safe by default; a CTE
-    * definition is an identifier + `AS (` whose previous token is WITH
-    * or a comma (across newlines), which is what the pattern requires —
-    * so named window clauses are untouched regardless of line layout
-    * (`WINDOW w AS (` has neither prefix) and a CTE is caught whether
-    * it sits on its own line or after `), ` on the same one. */
-  private def materializeCtes(sql: String): String =
-    "(?s)((?:\\bWITH\\b|,)\\s*)([A-Za-z_]\\w*\\s+AS) \\(".r.replaceAllIn(
-      sql,
-      m => java.util.regex.Matcher.quoteReplacement(
-        m.group(1) + m.group(2) + " MATERIALIZED ("))
+    * so any future deep-chain oracle is safe by default.
+    *
+    * Implemented as a tiny CTE-list scanner, not a regex: the rewrite
+    * follows the GRAMMAR (after `WITH [RECURSIVE]`, materialize each
+    * `name [(cols)] AS (body)` element, comma-chained, recursing into
+    * bodies for nested WITH) and copies everything else verbatim — so a
+    * comma-chained named-window clause (`WINDOW w1 AS (…), w2 AS (…)`)
+    * or a string literal containing `, x AS (` is untouched, the two
+    * corruptions a prefix-token regex cannot rule out. Single-quoted
+    * strings and double-quoted identifiers are opaque to the scanner;
+    * an already-annotated `AS [NOT] MATERIALIZED (` is left as written.
+    * Anything unparseable is copied unchanged (the rewrite only ever
+    * INSERTS `MATERIALIZED ` before a confirmed CTE body paren). */
+  private[graft] def materializeCtes(sql: String): String = {
+    val n = sql.length
+    val out = new StringBuilder(n + 64)
+    var i = 0
+    def copyDelimited(quote: Char): Unit = { // 'string' / "ident", '' escapes
+      out.append(sql(i)); i += 1
+      var done = false
+      while (!done && i < n) {
+        val c = sql(i); out.append(c); i += 1
+        if (c == quote) {
+          if (i < n && sql(i) == quote) { out.append(quote); i += 1 }
+          else done = true
+        }
+      }
+    }
+    def isIdentStart(c: Char) = c.isLetter || c == '_'
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // `-- …` line comments are opaque (an apostrophe in a comment must
+    // not open a string); returns true if one was copied
+    def copyLineComment(): Boolean =
+      (sql(i) == '-' && i + 1 < n && sql(i + 1) == '-') && {
+        while (i < n && sql(i) != '\n') { out.append(sql(i)); i += 1 }
+        true
+      }
+    def copyIdent(): String = { // bare identifier at i; returns its text
+      val start = i
+      while (i < n && isIdentChar(sql(i))) i += 1
+      val id = sql.substring(start, i)
+      out.append(id); id
+    }
+    def copyWs(): Unit = {
+      var go = true
+      while (go && i < n) {
+        if (sql(i).isWhitespace) { out.append(sql(i)); i += 1 }
+        else if (sql(i) == '-' && copyLineComment()) ()
+        else go = false
+      }
+    }
+    // balanced-paren copy with full dispatch (nested WITH recurses)
+    def copyParens(): Unit = {
+      out.append('('); i += 1
+      var depth = 1
+      while (depth > 0 && i < n) sql(i) match {
+        case '\'' => copyDelimited('\'')
+        case '"' => copyDelimited('"')
+        case '-' if copyLineComment() =>
+        case '(' => out.append('('); i += 1; depth += 1
+        case ')' => out.append(')'); i += 1; depth -= 1
+        case c if isIdentStart(c) =>
+          if (copyIdent().equalsIgnoreCase("WITH")) cteList()
+        case c => out.append(c); i += 1
+      }
+    }
+    // at the point just after a WITH keyword was copied
+    def cteList(): Unit = {
+      var first = true
+      var more = true
+      while (more) {
+        more = false
+        copyWs()
+        if (i < n && (isIdentStart(sql(i)) || sql(i) == '"')) {
+          if (sql(i) == '"') copyDelimited('"')
+          else if (copyIdent().equalsIgnoreCase("RECURSIVE") && first) {
+            copyWs()
+            if (i < n && sql(i) == '"') copyDelimited('"')
+            else if (i < n && isIdentStart(sql(i))) { copyIdent(); () }
+          }
+          first = false
+          copyWs()
+          if (i < n && sql(i) == '(') { copyParens(); copyWs() } // (cols)
+          if (i + 1 < n && sql.substring(i, i + 2).equalsIgnoreCase("AS") &&
+              (i + 2 == n || !isIdentChar(sql(i + 2)))) {
+            out.append(sql.substring(i, i + 2)); i += 2
+            copyWs()
+            if (i < n && sql(i) == '(') {
+              out.append("MATERIALIZED ")
+              copyParens()
+              copyWs()
+              if (i < n && sql(i) == ',') { out.append(','); i += 1; more = true }
+            } else if (i < n && isIdentStart(sql(i))) {
+              // AS [NOT] MATERIALIZED ( — already annotated, keep as-is
+              val kw = copyIdent()
+              copyWs()
+              if (kw.equalsIgnoreCase("NOT") && i < n && isIdentStart(sql(i))) {
+                copyIdent(); copyWs()
+              }
+              if (i < n && sql(i) == '(') {
+                copyParens()
+                copyWs()
+                if (i < n && sql(i) == ',') { out.append(','); i += 1; more = true }
+              }
+            }
+          }
+        }
+      }
+    }
+    while (i < n) sql(i) match {
+      case '\'' => copyDelimited('\'')
+      case '"' => copyDelimited('"')
+      case '-' if copyLineComment() =>
+      case c if isIdentStart(c) =>
+        if (copyIdent().equalsIgnoreCase("WITH")) cteList()
+      case c => out.append(c); i += 1
+    }
+    out.toString
+  }
 
   val oracles: Map[String, String] = rawOracles.view.mapValues(materializeCtes).toMap
 
-  private def rawOracles: Map[String, String] = Map(
+  private[graft] def rawOracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
     "q_x_ann_pq" -> pqOracleSql,
     "q_x_ann_pq_refined" -> pqRefinedOracleSql,

@@ -92,6 +92,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Second sweep of every failed query's dump dir, AFTER spark.stop():
+    // a timed-out worker that outlived its 10 s grace join can have
+    // re-created partial output after the first rm — with the session
+    // stopped no writer can still be running, so this sweep is final and
+    // the comparator can never see a leaked writer's garbage rows.
+    failed.foreach { name =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$outDir/$name"))
+    }
     // Self-check + greppable sentinel (round 6's official correctness
     // artifact came back empty despite a healthy dump, so the dump now
     // proves its own completeness): every selected query must have a

@@ -385,6 +385,16 @@ object Ivf {
     val marker = new Path(path + "__swapping")
     if (fs.exists(trash)) fs.delete(trash, true)
     fs.create(marker, true).close()
+    // A maintainer paused longer than StaleSwapMarkerMs between creating
+    // the marker and swapping gets its marker reclaimed by a reader's
+    // recoverIndex (target present + stale marker) — proceeding would run
+    // the two-rename window unguarded, the exact race the marker closes.
+    // Re-check immediately before the first rename and abort if reclaimed;
+    // the shadow is left for a re-run to reuse.
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"compact swap aborted: marker $marker reclaimed as stale before " +
+          "the swap began (maintainer paused too long) — re-run compactIndex")
     if (!fs.rename(tgt, trash)) {
       fs.delete(marker, false)
       throw new IllegalStateException(s"compact swap failed renaming $tgt aside")

@@ -99,7 +99,16 @@ object CdcLoadGen {
     * every update exercises in-place SCD-1 overwrite and every delete
     * the delete-common path — never a phantom id that silently degrades
     * the workload to append-only. Offsets are globally monotone,
-    * mirroring a Kafka partition's sequence. */
+    * mirroring a Kafka partition's sequence.
+    *
+    * CONTRACT: every batch of one generated stream must use the SAME
+    * `perBatch` — the update/delete targets are derived as
+    * `(batchIdx - 1) * perBatch + i - 4`, i.e. positions in the previous
+    * batch under the same width. A caller varying `perBatch` across
+    * batches gets phantom ids and the workload silently degrades to
+    * append-only (the failure mode this generator exists to avoid). For
+    * variable-width or hot-key streams use [[zipfBatch]], whose id choice
+    * is batch-width-independent. */
   def batch(batchIdx: Int, perBatch: Int, schemaId: Int): Seq[(Long, Array[Byte])] = {
     val base = batchIdx * perBatch
     val prevBase = (batchIdx - 1) * perBatch
@@ -113,6 +122,65 @@ object CdcLoadGen {
         else // 80% creates of fresh ids
           frame(schemaId, "c", base + i)
       (off, ev)
+    }
+  }
+
+  // splitmix64 finalizer — the same deterministic mixing the engine's
+  // hash-based samplers rely on; no RNG state, so any (batchIdx, i)
+  // reproduces its event bit-for-bit
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-universe inverse-CDF table for zipf(s) over [0, universe):
+    * weight(k) = 1/(k+1)^s. Driver-side and tiny (one double per id);
+    * memoized because the bench calls zipfBatch per batch. */
+  private val zipfCdfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double), Array[Double]]()
+  private def zipfCdf(universe: Int, s: Double): Array[Double] =
+    zipfCdfCache.computeIfAbsent((universe, s), { _ =>
+      val w = Array.tabulate(universe)(k => math.pow(k + 1.0, -s))
+      val total = w.sum
+      val cdf = new Array[Double](universe)
+      var acc = 0.0
+      var k = 0
+      while (k < universe) { acc += w(k) / total; cdf(k) = acc; k += 1 }
+      cdf(universe - 1) = 1.0 // guard against float residue
+      cdf
+    })
+
+  /** Skewed micro-batch: event ids drawn zipf(s) from a FIXED universe
+    * `[0, universe)` — the hot-row shape real CDC exhibits (a busy
+    * account row updated thousands of times while the long tail is
+    * touched once). Id 0 is the hottest; at s=1.2, universe=20k the top
+    * id takes ~8% of all events, so the merge path's PK window (R1
+    * dedupe) and delete-common join see genuine key skew — the probe the
+    * uniform [[batch]] cannot provide.
+    *
+    * Ops are position-derived like [[batch]] (80/15/5 C/U/D), but ids
+    * repeat within and across batches by construction, so the dedupe
+    * stage does real last-writer-wins work. Batch-width independent:
+    * ids depend only on the global event ordinal, so any perBatch
+    * slicing of the same stream yields the same id sequence. */
+  def zipfBatch(batchIdx: Int, perBatch: Int, universe: Int,
+      s: Double = 1.2, schemaId: Int = 1): Seq[(Long, Array[Byte])] = {
+    val cdf = zipfCdf(universe, s)
+    val base = batchIdx.toLong * perBatch
+    (0 until perBatch).map { i =>
+      val off = base + i
+      // uniform in [0, 1) from the global ordinal — id choice survives
+      // re-slicing the stream into different batch widths
+      val u = (mix64(off) >>> 11).toDouble / (1L << 53).toDouble
+      val idx = java.util.Arrays.binarySearch(cdf, u)
+      val id = if (idx >= 0) idx else -idx - 1
+      val op =
+        if (i % 20 == 19) "d"
+        else if (i % 20 >= 16) "u"
+        else "c"
+      (off, frame(schemaId, op, id))
     }
   }
 }

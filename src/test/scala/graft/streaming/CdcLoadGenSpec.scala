@@ -78,6 +78,43 @@ class CdcLoadGenSpec extends SparkSpec {
     assert(t2.filter(col("id") === "115").count() == 0)
   }
 
+  test("zipfBatch is deterministic, skewed, and batch-width independent") {
+    val a = CdcLoadGen.zipfBatch(3, 1000, universe = 5000)
+    val b = CdcLoadGen.zipfBatch(3, 1000, universe = 5000)
+    assert(a.map(_._1) == b.map(_._1))
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.sameElements(y) })
+    // width independence: the same global ordinals yield the same bytes
+    // whether the stream was sliced 1x1000 or 2x500
+    val halves = CdcLoadGen.zipfBatch(6, 500, 5000) ++
+      CdcLoadGen.zipfBatch(7, 500, 5000)
+    assert(a.map(_._1) == halves.map(_._1))
+    // hot-key skew: id 0 is the zipf head and must dominate; with
+    // s=1.2, universe=5000 its share is ~9% vs 0.02% under uniform
+    val cat = new ParquetCatalog(spark, tmp())
+    CdcStream.processBatch(a.toDF("offset", "value"), fetcher, cat, cfg)
+    val decoded = CdcStream.decodeGroup(
+      a.toDF("offset", "value").withColumn("offset", col("offset")),
+      CdcLoadGen.schemaV1, cfg)._1
+    val top = decoded.groupBy("id").count()
+      .orderBy(col("count").desc).limit(1).collect().head
+    assert(top.getString(0) == "0", "zipf head must be id 0")
+    assert(top.getLong(1) > 50, s"id 0 got only ${top.getLong(1)}/1000 events")
+  }
+
+  test("zipfBatch events decode and merge (C/U/D mix over a hot universe)") {
+    val cat = new ParquetCatalog(spark, tmp())
+    val jobs = CdcStream.processBatch(
+      CdcLoadGen.zipfBatch(0, 1000, 2000).toDF("offset", "value"),
+      fetcher, cat, cfg)
+    assert(jobs.head.createEvents == 800 &&
+      jobs.head.updateEvents == 150 && jobs.head.deleteEvents == 50)
+    val t = cat.load("bench", "users")
+    // dedupe collapses repeated hot ids to one row each; the table holds
+    // exactly the distinct surviving ids (present, last op not delete)
+    assert(t.count() == t.select("id").distinct().count())
+    assert(t.count() > 0 && t.count() < 1000)
+  }
+
   test("schema v2 batch migrates the table (extra column) mid-stream") {
     val cat = new ParquetCatalog(spark, tmp())
     CdcStream.processBatch(
