@@ -414,6 +414,38 @@ object Pq {
         round(col("__est"), 6).as("est_d2"))
   }
 
+  /** Batched two-stage serving: [[probeManyIndexed]] shortlists the
+    * WHOLE query batch in one pruned scan, then one exact pass re-ranks
+    * every (query, candidate) pair — vectors are fetched for only the
+    * shortlisted ids (broadcast join; at corpus scale point lookups
+    * against a bucketed vector store), each scored against its query's
+    * vector riding the same broadcast. Per query, ranking equals
+    * [[probeIndexedRefined]] exactly (same shortlist, same cosine, same
+    * tie-break). Batch cost: one pruned code scan + one O(|batch| ·
+    * shortlist) re-rank — no per-query jobs anywhere. */
+  def probeManyIndexedRefined(spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Double])], topK: Int, nprobe: Int = 2,
+      shortlist: Int = 100,
+      lutLiteralMax: Int = LutLiteralMaxQueries): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cand = probeManyIndexed(spark, path, idCol, queries, shortlist,
+      nprobe, lutLiteralMax).select(col("query_id"), col(idCol))
+    val qv = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "__qvec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    vectors.join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine_sim",
+        Similarity.cosine(col(vecCol), col("__qvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("query_id"), col(idCol), col("cosine_sim"))
+  }
+
   /** Served-index two-stage search: the stored-codes shortlist (a pruned
     * scan reading m ints per row) followed by an exact re-rank that
     * fetches full vectors for ONLY the shortlist ids from `vectors` —

@@ -225,6 +225,35 @@ class PqSpec extends SparkSpec {
     assert(served == direct)
   }
 
+  test("probeManyIndexedRefined == per-query probeIndexedRefined on " +
+    "both LUT transports") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, dsub = 4, k = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_manyref").toString + "/idx"
+    Pq.index(vecs, "vec_id", "embedding", coarse, cb, path)
+    val qs = Seq(
+      (1L, Array.tabulate(8)(d => if (d < 4) 1.0 else 0.5)),
+      (2L, Array.tabulate(8)(d => if (d < 4) -1.0 else -0.5)))
+    val perQuery = qs.map { case (qid, q) =>
+      qid -> Pq.probeIndexedRefined(spark, path, vecs, "vec_id",
+        "embedding", q, topK = 5, nprobe = 1, shortlist = 10)
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    }.toMap
+    for (lutMax <- Seq(Int.MaxValue, 0)) { // literal / join transports
+      val many = Pq.probeManyIndexedRefined(spark, path, vecs, "vec_id",
+        "embedding", qs, topK = 5, nprobe = 1, shortlist = 10,
+        lutLiteralMax = lutMax)
+      for ((qid, _) <- qs) {
+        val batch = many.filter(col("query_id") === qid)
+          .select("vec_id", "cosine_sim").collect().toSeq
+          .map(r => (r.getLong(0), r.getDouble(1)))
+          .sortBy { case (id, c) => (-c, id) }
+        assert(batch == perQuery(qid), s"query $qid lutMax=$lutMax")
+      }
+    }
+  }
+
   test("residual ivfpq: k=1 coarse degenerates to ADC on centered vectors") {
     val coarse = Ivf.Model(Array(Array.fill(8)(0.25)))
     val cb = Pq.trainResidual(vecs, "vec_id", "embedding", coarse,
