@@ -87,6 +87,16 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
   private def bucketed(df: DataFrame, pks: Seq[String]): DataFrame =
     df.withColumn(BucketCol, BucketedCatalog.bucketExpr(pks, nBuckets))
 
+  /** Cluster rows BY bucket before a partitioned write: without this
+    * every write task emits one file into every bucket dir it happens to
+    * hold rows for — up to tasks × nBuckets files per merge (measured
+    * 10.3 s vs 1.3 s copytarget on the stream bench at 64 buckets ×
+    * 32 tasks) and a small-files disaster for every later read. One
+    * narrow shuffle of the (bounded) write set buys one-writer-per-bucket
+    * layout — the same discipline as Ivf.clustered. */
+  private def clustered(b: DataFrame): DataFrame =
+    b.repartition(col(BucketCol))
+
   private def schemaSidecar(schema: String, table: String): Path =
     new Path(tablePath(schema, table), "_graft_schema.json")
 
@@ -127,7 +137,7 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
 
   def save(schema: String, table: String, df: DataFrame, pks: Seq[String]): Unit = {
     val b = bucketed(df, pks)
-    b.write.mode(SaveMode.Overwrite)
+    clustered(b).write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(tablePath(schema, table))
     writeSidecar(b, new Path(tablePath(schema, table)))
   }
@@ -137,7 +147,7 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
   override def append(schema: String, table: String, df: DataFrame,
       pks: Seq[String]): Unit = {
     val b = bucketed(df, pks)
-    b.write.mode(SaveMode.Append)
+    clustered(b).write.mode(SaveMode.Append)
       .partitionBy(BucketCol).parquet(tablePath(schema, table))
     if (!fs.exists(schemaSidecar(schema, table)))
       writeSidecar(b, new Path(tablePath(schema, table)))
@@ -170,7 +180,7 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
           target.drop(BucketCol), stagedB.drop(BucketCol), pks)
         val shadow = new Path(tablePath(schema, table) + "__evolving")
         val b = bucketed(full, pks)
-        b.write.mode(SaveMode.Overwrite)
+        clustered(b).write.mode(SaveMode.Overwrite)
           .partitionBy(BucketCol).parquet(shadow.toString)
         // sidecar travels inside the shadow dir: the rename installs the
         // evolved data and its schema together
@@ -197,7 +207,7 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
         targetSlice.drop(BucketCol),
         stagedB.drop(BucketCol), pks)
       val shadow = new Path(tablePath(schema, table) + "__merging")
-      bucketed(merged, pks).write.mode(SaveMode.Overwrite)
+      clustered(bucketed(merged, pks)).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
       // swap only the affected bucket directories into place —
       // rename-aside into __trash, never delete-before-rename: a crash
