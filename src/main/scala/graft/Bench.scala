@@ -202,6 +202,62 @@ object Bench {
     val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
+    // CDC merge under key skew: the SAME decode → merge path, but the
+    // batch's ids drawn zipf(1.2) from a fixed 20k universe (top id ~8%
+    // of all events — the hot-account shape real CDC exhibits) vs a
+    // uniform control (zipf s=0 over the same universe, same 80/15/5
+    // op mix, same event count). Both stages are cached and
+    // materialized OUTSIDE the timed region so the ratio isolates the
+    // merge (PK dedupe window + delete-common join) under skew — the
+    // shape AQE's skew-join handling and the single-shuffle dedupe are
+    // supposed to absorb.
+    val skewEvents =
+      sys.env.getOrElse("SPARK_GRAFT_SKEW_EVENTS", "100000").toInt
+    val (skewZipfEps, skewUniformEps) = try {
+      import graft.streaming.{CdcLoadGen, CdcStream}
+      import spark.implicits._
+      val universe = 20000
+      val skewCfg = CdcStream.TopicConfig(
+        topic = "bench.skew", targetSchema = "bench",
+        targetTable = "skew", maskEnabled = false)
+      def stage(s: Double) = CdcStream.decodeGroup(
+        CdcLoadGen.zipfBatch(0, skewEvents, universe, s = s)
+          .toDF("offset", "value"),
+        CdcLoadGen.schemaV1, skewCfg)._1.cache()
+      // target: one live row per universe id, through the same decode
+      // path (creates of every id), so updates/deletes hit real rows
+      val target = graft.merge.CdcMerge.insertable(CdcStream.decodeGroup(
+        (0 until universe).map(id =>
+          (id.toLong, CdcLoadGen.frame(1, "c", id))).toDF("offset", "value"),
+        CdcLoadGen.schemaV1, skewCfg)._1).cache()
+      target.count()
+      def mergeEps(s: Double): Double = {
+        val st = stage(s)
+        st.count() // materialize outside the timed region
+        try {
+          val secs = (1 to nRuns).flatMap { i =>
+            try Some(time {
+              graft.merge.CdcMerge.merge(target, st, Seq("id"))
+                .write.format("noop").mode("overwrite").save()
+            }) catch {
+              case e: Throwable =>
+                System.err.println(
+                  s"[bench] skew merge (s=$s) run $i failed: ${e.getMessage}")
+                None
+            }
+          }
+          secs.minOption.map(skewEvents / _).getOrElse(0.0)
+        } finally st.unpersist()
+      }
+      val r = (mergeEps(1.2), mergeEps(0.0))
+      target.unpersist()
+      r
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] skew bench failed: ${e.getMessage}")
+        (0.0, 0.0)
+    }
+
     // Streaming end-to-end throughput: the SAME processBatch the batch
     // metric above exercises, but driven through MemoryStream micro-batch
     // boundaries (checkpointed foreachBatch, one trigger per batch) with a
@@ -210,67 +266,143 @@ object Bench {
     // flush, i.e. what a resident stream actually sustains. Event bytes
     // are pre-generated outside the timed window (generation is load-gen
     // cost, not engine cost).
+    //
+    // Measured on BOTH stores: ParquetCatalog (full-rewrite merge per
+    // trigger) and BucketedCatalog (PK-hash buckets, only affected
+    // bucket dirs rewritten — the 100 TB shape), and at two batch
+    // shapes (default 10x10k and big-batch 4x50k), so per-trigger fixed
+    // cost and the store's rewrite proportionality read separately.
     val streamBatches =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
     val streamPerBatch =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "10000").toInt
-    val (streamSec, streamEvents) = try {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import graft.streaming.{CdcLoadGen, CdcStream}
-      import spark.implicits._
-      val batches = (0 until streamBatches).map { b =>
-        // schema v2 (adds a column) from the halfway point: batch
-        // nBatches/2 pays the D4 migration before its merge
-        CdcLoadGen.batch(b, streamPerBatch,
-          schemaId = if (b >= streamBatches / 2) 2 else 1)
-      }
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_bench_stream").toString
-      val cat = new graft.warehouse.ParquetCatalog(spark, dir + "/wh")
-      val fetcher = new graft.sources.StaticSchemaFetcher(
-        Map(1 -> CdcLoadGen.schemaV1, 2 -> CdcLoadGen.schemaV2))
-      val streamCfg = CdcStream.TopicConfig(
-        topic = "bench.stream.users", targetSchema = "bench",
-        targetTable = "users", maskEnabled = false)
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val mem = MemoryStream[(Long, Array[Byte])]
-      val q = mem.toDF().toDF("offset", "value").writeStream
-        .option("checkpointLocation", dir + "/_ckpt")
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          CdcStream.processBatch(df, fetcher, cat, streamCfg); ()
+    def streamBench(mkStore: String => graft.warehouse.TableStore,
+        nBatches: Int, perBatch: Int): (Double, Long, Map[String, Double]) =
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.{CdcLoadGen, CdcStream}
+        import spark.implicits._
+        val batches = (0 until nBatches).map { b =>
+          // schema v2 (adds a column) from the halfway point: batch
+          // nBatches/2 pays the D4 migration before its merge
+          CdcLoadGen.batch(b, perBatch,
+            schemaId = if (b >= nBatches / 2) 2 else 1)
         }
-        .start()
-      val sec = try time {
-        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally {
-        q.stop()
-        // ~100 MB of warehouse + checkpoint per run — don't let bench
-        // iterations accumulate them in the temp dir
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_stream").toString
+        val cat = mkStore(dir + "/wh")
+        val fetcher = new graft.sources.StaticSchemaFetcher(
+          Map(1 -> CdcLoadGen.schemaV1, 2 -> CdcLoadGen.schemaV2))
+        val streamCfg = CdcStream.TopicConfig(
+          topic = "bench.stream.users", targetSchema = "bench",
+          targetTable = "users", maskEnabled = false)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        // Per-trigger cost breakdown rides the engine's OWN metrics
+        // (processBatch already times loader_seconds and the
+        // copystage/copytarget fragments): delta the sums across the
+        // run, and what stream_sec holds beyond loader_seconds is the
+        // streaming harness itself (checkpoint WAL+commit, MemoryStream
+        // planning, trigger dispatch).
+        val tag = "bench.users"
+        def m(name: String): Double =
+          graft.core.Metrics.get(tag, name).map(_.sum).getOrElse(0.0)
+        val before = Seq("loader_seconds", "loader_copystage_seconds",
+          "loader_copytarget_seconds").map(n => n -> m(n)).toMap
+        val mem = MemoryStream[(Long, Array[Byte])]
+        val q = mem.toDF().toDF("offset", "value").writeStream
+          .option("checkpointLocation", dir + "/_ckpt")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            CdcStream.processBatch(df, fetcher, cat, streamCfg); ()
+          }
+          .start()
+        val sec = try time {
+          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        } finally {
+          q.stop()
+          // ~100 MB of warehouse + checkpoint per run — don't let bench
+          // iterations accumulate them in the temp dir
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(dir))
         }
-        rm(new java.io.File(dir))
+        val loader = m("loader_seconds") - before("loader_seconds")
+        val copystage =
+          m("loader_copystage_seconds") - before("loader_copystage_seconds")
+        val copytarget =
+          m("loader_copytarget_seconds") - before("loader_copytarget_seconds")
+        (sec, nBatches.toLong * perBatch, Map(
+          "loader" -> loader,
+          "copystage" -> copystage,
+          "copytarget" -> copytarget,
+          // decode planning + audit aggregate + append gate
+          "loader_other" -> (loader - copystage - copytarget),
+          // checkpoint WAL/commit + MemoryStream + trigger dispatch
+          "harness" -> (sec - loader)))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+          (-1.0, 0L, Map.empty[String, Double])
       }
-      (sec, streamBatches.toLong * streamPerBatch)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
-        (-1.0, 0L)
-    }
+    def plainStore(p: String): graft.warehouse.TableStore =
+      new graft.warehouse.ParquetCatalog(spark, p)
+    def bucketedStore(p: String): graft.warehouse.TableStore =
+      new graft.warehouse.BucketedCatalog(spark, p)
+    val (streamSec, streamEvents, streamPhases) =
+      streamBench(plainStore, streamBatches, streamPerBatch)
+    val (streamBktSec, streamBktEvents, streamBktPhases) =
+      streamBench(bucketedStore, streamBatches, streamPerBatch)
+    val bigBatches =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_BIG_BATCHES", "4").toInt
+    val bigPerBatch =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_BIG_EVENTS", "50000").toInt
+    val (streamBigSec, streamBigEvents, _) =
+      streamBench(plainStore, bigBatches, bigPerBatch)
+    val (streamBktBigSec, streamBktBigEvents, _) =
+      streamBench(bucketedStore, bigBatches, bigPerBatch)
     val streamEps = if (streamSec > 0) streamEvents / streamSec else 0.0
+    def eps2(sec: Double, n: Long): Double = if (sec > 0) n / sec else 0.0
+
+    // Third canary sample AFTER the CDC/stream sections: the start/end
+    // pair brackets only the catalog loop, so contention arriving during
+    // the (later) stream benches was invisible to it — this sample makes
+    // the stream numbers self-diagnosing the same way. Positive delta vs
+    // canary_end (same query, code unchanged, JIT already saturated) =
+    // the host got slower under the stream window.
+    val canaryPostStream = canarySec()
+    val canaryPostStreamDeltaPct: String =
+      if (canaryEnd > 0 && canaryPostStream > 0)
+        (100.0 * (canaryPostStream - canaryEnd) / canaryEnd).toString
+      else "null"
 
     val buildJson = indexBuilds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def phMap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_cold":$qsCold,"bench_runs":$nRuns,""" +
         s""""canary_query":"$canaryQuery","canary_start_sec":$canaryStart,""" +
         s""""canary_end_sec":$canaryEnd,"canary_delta_pct":$canaryDeltaPct,""" +
+        s""""canary_post_stream_sec":$canaryPostStream,""" +
+        s""""canary_post_stream_delta_pct":$canaryPostStreamDeltaPct,""" +
         s""""index_build_sec":$buildJson,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
         s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,""" +
+        s""""cdc_zipf_events_per_sec":$skewZipfEps,""" +
+        s""""cdc_skew_uniform_events_per_sec":$skewUniformEps,""" +
+        s""""cdc_skew_events":$skewEvents,""" +
         s""""stream_sec":$streamSec,"stream_events_per_sec":$streamEps,""" +
         s""""stream_events":$streamEvents,"stream_batches":$streamBatches,""" +
+        s""""stream_trigger_breakdown":${phMap(streamPhases)},""" +
+        s""""stream_bucketed_sec":$streamBktSec,""" +
+        s""""stream_events_per_sec_bucketed":${eps2(streamBktSec, streamBktEvents)},""" +
+        s""""stream_bucketed_trigger_breakdown":${phMap(streamBktPhases)},""" +
+        s""""stream_big_sec":$streamBigSec,""" +
+        s""""stream_events_per_sec_big":${eps2(streamBigSec, streamBigEvents)},""" +
+        s""""stream_bucketed_big_sec":$streamBktBigSec,""" +
+        s""""stream_events_per_sec_bucketed_big":${eps2(streamBktBigSec, streamBktBigEvents)},""" +
         s""""cdc_phases_total_sec":$phasesTotal,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
     // reading the stream can be poisoned — the file copy is always clean.
