@@ -258,6 +258,83 @@ object Bench {
         (0.0, 0.0)
     }
 
+    // Store rewrite proportionality — the claim behind BucketedCatalog,
+    // measured in the regime it exists for. A PK-hash-bucketed store
+    // bounds a merge's rewrite to the AFFECTED buckets: that only pays
+    // off when the batch's keys concentrate in few buckets (key-local
+    // batches — think recent-rows-hot CDC) or nBuckets >> distinct batch
+    // keys. A batch whose hashed keys spread across ALL buckets forces
+    // the same rewrite volume as a plain store PLUS the bucket
+    // machinery — so both shapes are measured: a 10k-row update batch
+    // into a storeRows-row target, keys (a) uniform over the keyspace
+    // (touches every bucket) and (b) localized to 4 of 64 buckets.
+    // Plain rewrites the whole target in every case; bucketed should
+    // track affected/total buckets in case (b). Timed: store.merge()
+    // end-to-end (target read + merge + write + swap), min of nRuns.
+    def plainStore(p: String): graft.warehouse.TableStore =
+      new graft.warehouse.ParquetCatalog(spark, p)
+    def bucketedStore(p: String): graft.warehouse.TableStore =
+      new graft.warehouse.BucketedCatalog(spark, p)
+    val storeRows =
+      sys.env.getOrElse("SPARK_GRAFT_STORE_ROWS", "400000").toInt
+    val storeBatch = 10000
+    val storeMerge: Map[String, Double] = try {
+      val nB = 64
+      val target = spark.range(storeRows.toLong).selectExpr(
+        "cast(id as string) as id", "concat('n', id) as name",
+        "cast(id * 7 as string) as v")
+      def stageOf(localized: Boolean) = {
+        val ids =
+          if (localized) spark.range(storeRows.toLong)
+            .selectExpr("cast(id as string) as id")
+            .filter(graft.warehouse.BucketedCatalog
+              .bucketExpr(Seq("id"), nB) < 4)
+            .limit(storeBatch)
+          else spark.range(storeBatch.toLong).selectExpr(
+            s"cast(id * ${storeRows / storeBatch} as string) as id")
+        ids.selectExpr("id", "concat('upd', id) as name",
+            "cast(id * 11 as string) as v",
+            s"cast(id as long) as ${graft.core.Cdc.OffsetColumn}",
+            s"'${graft.core.Cdc.OpUpdate}' as ${graft.core.Cdc.OperationColumn}")
+          .cache()
+      }
+      def timeMerge(mk: String => graft.warehouse.TableStore,
+          localized: Boolean): Double = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_store").toString
+        val store = mk(dir + "/wh")
+        val st = stageOf(localized)
+        st.count() // materialize outside the timed region
+        try {
+          // seed through the store's own first-merge create path (the
+          // TableStore trait has no save); not timed
+          store.merge("bench", "big", target.selectExpr("id", "name", "v",
+            s"cast(id as long) as ${graft.core.Cdc.OffsetColumn}",
+            s"'${graft.core.Cdc.OpCreate}' as ${graft.core.Cdc.OperationColumn}"),
+            Seq("id"))
+          // updates only: the target keeps its size, so repeated merges
+          // time identical work (min-of-N stays honest)
+          (1 to nRuns).map(_ =>
+            time(store.merge("bench", "big", st, Seq("id")))).min
+        } finally {
+          st.unpersist()
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(dir))
+        }
+      }
+      Map(
+        "plain_uniform" -> timeMerge(plainStore, localized = false),
+        "plain_localized" -> timeMerge(plainStore, localized = true),
+        "bucketed_uniform" -> timeMerge(bucketedStore, localized = false),
+        "bucketed_localized" -> timeMerge(bucketedStore, localized = true))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] store merge bench failed: ${e.getMessage}")
+        Map.empty
+    }
+
     // Streaming end-to-end throughput: the SAME processBatch the batch
     // metric above exercises, but driven through MemoryStream micro-batch
     // boundaries (checkpointed foreachBatch, one trigger per batch) with a
@@ -344,10 +421,6 @@ object Bench {
           System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
           (-1.0, 0L, Map.empty[String, Double])
       }
-    def plainStore(p: String): graft.warehouse.TableStore =
-      new graft.warehouse.ParquetCatalog(spark, p)
-    def bucketedStore(p: String): graft.warehouse.TableStore =
-      new graft.warehouse.BucketedCatalog(spark, p)
     val (streamSec, streamEvents, streamPhases) =
       streamBench(plainStore, streamBatches, streamPerBatch)
     val (streamBktSec, streamBktEvents, streamBktPhases) =
@@ -390,6 +463,9 @@ object Bench {
         s""""index_build_sec":$buildJson,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
         s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,""" +
+        s""""store_merge_sec":${phMap(storeMerge)},""" +
+        s""""store_merge_target_rows":$storeRows,""" +
+        s""""store_merge_batch_rows":$storeBatch,""" +
         s""""cdc_zipf_events_per_sec":$skewZipfEps,""" +
         s""""cdc_skew_uniform_events_per_sec":$skewUniformEps,""" +
         s""""cdc_skew_events":$skewEvents,""" +
