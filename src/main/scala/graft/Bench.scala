@@ -271,10 +271,20 @@ object Bench {
     // Plain rewrites the whole target in every case; bucketed should
     // track affected/total buckets in case (b). Timed: store.merge()
     // end-to-end (target read + merge + write + swap), min of nRuns.
+    // The third store shape is merge-on-read: the hot path writes ONLY
+    // the deduped batch as a delta (no target read/rewrite at all), so
+    // its merge cost is O(batch) under BOTH key distributions — the
+    // resident-stream answer when batches touch every bucket. Its bill
+    // arrives at read time (delta resolve) and is bounded by compaction;
+    // compactEvery is set above nRuns so the timed merges stay pure
+    // O(batch) appends (the fold cost is the catalog's q_x_* compaction
+    // story, measured elsewhere).
     def plainStore(p: String): graft.warehouse.TableStore =
       new graft.warehouse.ParquetCatalog(spark, p)
     def bucketedStore(p: String): graft.warehouse.TableStore =
       new graft.warehouse.BucketedCatalog(spark, p)
+    def morStore(p: String): graft.warehouse.TableStore =
+      new graft.warehouse.MergeOnReadCatalog(spark, p)
     val storeRows =
       sys.env.getOrElse("SPARK_GRAFT_STORE_ROWS", "400000").toInt
     val storeBatch = 10000
@@ -324,11 +334,16 @@ object Bench {
           rm(new java.io.File(dir))
         }
       }
+      def morNoFold(p: String): graft.warehouse.TableStore =
+        new graft.warehouse.MergeOnReadCatalog(spark, p,
+          compactEvery = nRuns + 1)
       Map(
         "plain_uniform" -> timeMerge(plainStore, localized = false),
         "plain_localized" -> timeMerge(plainStore, localized = true),
         "bucketed_uniform" -> timeMerge(bucketedStore, localized = false),
-        "bucketed_localized" -> timeMerge(bucketedStore, localized = true))
+        "bucketed_localized" -> timeMerge(bucketedStore, localized = true),
+        "mor_uniform" -> timeMerge(morNoFold, localized = false),
+        "mor_localized" -> timeMerge(morNoFold, localized = true))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] store merge bench failed: ${e.getMessage}")
@@ -344,11 +359,13 @@ object Bench {
     // are pre-generated outside the timed window (generation is load-gen
     // cost, not engine cost).
     //
-    // Measured on BOTH stores: ParquetCatalog (full-rewrite merge per
-    // trigger) and BucketedCatalog (PK-hash buckets, only affected
-    // bucket dirs rewritten — the 100 TB shape), and at two batch
-    // shapes (default 10x10k and big-batch 4x50k), so per-trigger fixed
-    // cost and the store's rewrite proportionality read separately.
+    // Measured on THREE stores: ParquetCatalog (full-rewrite merge per
+    // trigger), BucketedCatalog (affected bucket dirs rewritten — pays
+    // off only for key-local batches), and MergeOnReadCatalog (O(batch)
+    // delta append per trigger + threshold compaction — the resident-
+    // stream 100 TB shape for uniform keys), and at two batch shapes
+    // (default 10x10k and big-batch 4x50k), so per-trigger fixed cost
+    // and the store's rewrite proportionality read separately.
     val streamBatches =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
     val streamPerBatch =
@@ -425,6 +442,8 @@ object Bench {
       streamBench(plainStore, streamBatches, streamPerBatch)
     val (streamBktSec, streamBktEvents, streamBktPhases) =
       streamBench(bucketedStore, streamBatches, streamPerBatch)
+    val (streamMorSec, streamMorEvents, streamMorPhases) =
+      streamBench(morStore, streamBatches, streamPerBatch)
     val bigBatches =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BIG_BATCHES", "4").toInt
     val bigPerBatch =
@@ -433,6 +452,8 @@ object Bench {
       streamBench(plainStore, bigBatches, bigPerBatch)
     val (streamBktBigSec, streamBktBigEvents, _) =
       streamBench(bucketedStore, bigBatches, bigPerBatch)
+    val (streamMorBigSec, streamMorBigEvents, _) =
+      streamBench(morStore, bigBatches, bigPerBatch)
     val streamEps = if (streamSec > 0) streamEvents / streamSec else 0.0
     def eps2(sec: Double, n: Long): Double = if (sec > 0) n / sec else 0.0
 
@@ -475,10 +496,15 @@ object Bench {
         s""""stream_bucketed_sec":$streamBktSec,""" +
         s""""stream_events_per_sec_bucketed":${eps2(streamBktSec, streamBktEvents)},""" +
         s""""stream_bucketed_trigger_breakdown":${phMap(streamBktPhases)},""" +
+        s""""stream_mor_sec":$streamMorSec,""" +
+        s""""stream_events_per_sec_mor":${eps2(streamMorSec, streamMorEvents)},""" +
+        s""""stream_mor_trigger_breakdown":${phMap(streamMorPhases)},""" +
         s""""stream_big_sec":$streamBigSec,""" +
         s""""stream_events_per_sec_big":${eps2(streamBigSec, streamBigEvents)},""" +
         s""""stream_bucketed_big_sec":$streamBktBigSec,""" +
         s""""stream_events_per_sec_bucketed_big":${eps2(streamBktBigSec, streamBktBigEvents)},""" +
+        s""""stream_mor_big_sec":$streamMorBigSec,""" +
+        s""""stream_events_per_sec_mor_big":${eps2(streamMorBigSec, streamMorBigEvents)},""" +
         s""""cdc_phases_total_sec":$phasesTotal,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
     // reading the stream can be poisoned — the file copy is always clean.

@@ -376,6 +376,25 @@ class CdcStreamSpec extends SparkSpec {
       Map("1" -> "eva"))
   }
 
+  test("pipeline runs against the merge-on-read store, crossing a compaction") {
+    val cat = new graft.warehouse.MergeOnReadCatalog(spark, tmp(),
+      compactEvery = 2)
+    CdcStream.processBatch(
+      toDf(Seq(10L -> create(1, "ada", 6807), 11L -> create(2, "bob", 0))),
+      fetcher, cat, cfg)
+    CdcStream.processBatch(
+      toDf(Seq(12L -> update(1, "ada", "eva"), 13L -> delete(2, "bob"))),
+      fetcher, cat, cfg)
+    assert(cat.deltaCount("inventory", "users") == 1)
+    CdcStream.processBatch(
+      toDf(Seq(14L -> create(3, "kim", 7))), fetcher, cat, cfg)
+    // third batch brought the live-delta count to compactEvery: folded
+    assert(cat.deltaCount("inventory", "users") == 0)
+    assert(cat.load("inventory", "users")
+      .select("id", "name").as[(String, String)].collect().toMap ==
+      Map("1" -> "eva", "3" -> "kim"))
+  }
+
   test("masking applied inside the pipeline when enabled") {
     val cat = new ParquetCatalog(spark, tmp())
     val maskedCfg = cfg.copy(

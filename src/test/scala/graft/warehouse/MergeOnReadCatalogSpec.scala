@@ -1,0 +1,134 @@
+package graft.warehouse
+
+import graft.SparkSpec
+import graft.core.Cdc
+import org.apache.spark.sql.functions._
+
+class MergeOnReadCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-mor").toString
+
+  private def stageDF(rows: Seq[(Long, String, Int, String)]) =
+    rows.toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v")
+
+  test("C/U/D batch sequence matches the eager ParquetCatalog merge") {
+    val mor = new MergeOnReadCatalog(spark, tmp(), compactEvery = 100)
+    val plain = new ParquetCatalog(spark, tmp())
+    val batches = Seq(
+      (1 to 50).map(i => (i.toLong, Cdc.OpCreate, i, s"v$i")),
+      Seq((60L, Cdc.OpUpdate, 7, "v7b"), (61L, Cdc.OpDelete, 8, "v8"),
+        (62L, Cdc.OpCreate, 51, "v51")),
+      // within-batch dedupe: two writes to pk=7, higher offset wins;
+      // delete-then-recreate of pk=8 across batches
+      Seq((70L, Cdc.OpUpdate, 7, "v7c"), (71L, Cdc.OpUpdate, 7, "v7d"),
+        (72L, Cdc.OpCreate, 8, "v8back")))
+    batches.foreach { b =>
+      mor.merge("s", "t", stageDF(b), Seq("pk"))
+      plain.merge("s", "t", stageDF(b), Seq("pk"))
+    }
+    assert(mor.deltaCount("s", "t") == 2) // first batch created the base
+    val got = mor.load("s", "t").as[(Int, String)].collect().toMap
+    val want = plain.load("s", "t").as[(Int, String)].collect().toMap
+    assert(got == want)
+    assert(got(7) == "v7d" && got(8) == "v8back" && got(51) == "v51")
+  }
+
+  test("merges never touch base files; compaction folds deltas and preserves the view") {
+    val root = tmp()
+    val mor = new MergeOnReadCatalog(spark, root, compactEvery = 4)
+    mor.merge("s", "t",
+      stageDF((1 to 30).map(i => (i.toLong, Cdc.OpCreate, i, s"v$i"))),
+      Seq("pk"))
+    def baseState(): Set[String] = {
+      val d = new java.io.File(s"$root/s/t/base")
+      d.listFiles.map(f => f.getName + ":" + f.lastModified).toSet
+    }
+    val before = baseState()
+    // three merges: O(batch) appends, base untouched
+    (1 to 3).foreach { k =>
+      mor.merge("s", "t",
+        stageDF(Seq((100L + k, Cdc.OpUpdate, k, s"u$k"))), Seq("pk"))
+    }
+    assert(mor.deltaCount("s", "t") == 3)
+    assert(baseState() == before, "hot-path merge rewrote the base")
+    val preCompact = mor.load("s", "t").as[(Int, String)].collect().toMap
+    // 4th merge crosses compactEvery: deltas fold into the base
+    mor.merge("s", "t", stageDF(Seq((200L, Cdc.OpDelete, 30, "v30"))), Seq("pk"))
+    assert(mor.deltaCount("s", "t") == 0)
+    assert(baseState() != before)
+    val got = mor.load("s", "t").as[(Int, String)].collect().toMap
+    assert(got == preCompact - 30)
+    assert(got(1) == "u1" && got(2) == "u2" && got(3) == "u3")
+    // post-compaction writes start a fresh delta sequence
+    mor.merge("s", "t", stageDF(Seq((300L, Cdc.OpUpdate, 1, "u1b"))), Seq("pk"))
+    assert(mor.deltaCount("s", "t") == 1)
+    assert(mor.load("s", "t").filter($"pk" === 1)
+      .select("v").as[String].head() == "u1b")
+  }
+
+  test("append fast path survives an earlier delta's DELETE of the same PK") {
+    val mor = new MergeOnReadCatalog(spark, tmp(), compactEvery = 100)
+    mor.merge("s", "t",
+      stageDF(Seq((1L, Cdc.OpCreate, 1, "a"), (2L, Cdc.OpCreate, 2, "b"))),
+      Seq("pk"))
+    mor.merge("s", "t", stageDF(Seq((9L, Cdc.OpDelete, 2, "b"))), Seq("pk"))
+    // R5 append of a re-created pk=2 carries NO offset — seq ordering must
+    // outrank the delete's offset 9
+    mor.append("s", "t", Seq((2, "b2"), (3, "c")).toDF("pk", "v"), Seq("pk"))
+    val got = mor.load("s", "t").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+  }
+
+  test("add-column schema evolution: old base rows read NULL, compaction keeps the wide schema") {
+    val mor = new MergeOnReadCatalog(spark, tmp(), compactEvery = 2)
+    mor.merge("s", "t",
+      stageDF(Seq((1L, Cdc.OpCreate, 1, "a"), (2L, Cdc.OpCreate, 2, "b"))),
+      Seq("pk"))
+    val widened = Seq((10L, Cdc.OpCreate, 3, "c", "e3"))
+      .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v", "extra")
+    mor.merge("s", "t", widened, Seq("pk"))
+    val got = mor.load("s", "t").select("pk", "v", "extra")
+      .as[(Int, String, Option[String])].collect().toMap2
+    assert(got == Map(1 -> (("a", None)), 2 -> (("b", None)),
+      3 -> (("c", Some("e3")))))
+    // cross compactEvery: the folded base must keep the wide schema
+    mor.merge("s", "t",
+      Seq((20L, Cdc.OpUpdate, 1, "a2", "e1"))
+        .toDF(Cdc.OffsetColumn, Cdc.OperationColumn, "pk", "v", "extra"),
+      Seq("pk"))
+    assert(mor.deltaCount("s", "t") == 0)
+    val after = mor.load("s", "t").select("pk", "v", "extra")
+      .as[(Int, String, Option[String])].collect().toMap2
+    assert(after == Map(1 -> (("a2", Some("e1"))), 2 -> (("b", None)),
+      3 -> (("c", Some("e3")))))
+  }
+
+  test("crash recovery: base stranded as __old mid-swap is restored; leftover deltas re-apply idempotently") {
+    val root = tmp()
+    val mor = new MergeOnReadCatalog(spark, root, compactEvery = 100)
+    mor.merge("s", "t",
+      stageDF((1 to 20).map(i => (i.toLong, Cdc.OpCreate, i, s"v$i"))),
+      Seq("pk"))
+    mor.merge("s", "t", stageDF(Seq((30L, Cdc.OpUpdate, 5, "v5b"))), Seq("pk"))
+    val want = mor.load("s", "t").as[(Int, String)].collect().toMap
+    // crash window 1: base renamed aside, shadow never renamed in
+    val fs = new java.io.File(s"$root/s/t")
+    assert(new java.io.File(fs, "base").renameTo(new java.io.File(fs, "base__old")))
+    assert(mor.load("s", "t").as[(Int, String)].collect().toMap == want)
+    // crash window 2: compaction swapped but died before deleting its
+    // consumed deltas — the stale delta re-applies without changing the view
+    mor.compact("s", "t")
+    val resolvedBase = spark.read.parquet(s"$root/s/t/base")
+    stageDF(Seq((30L, Cdc.OpUpdate, 5, "v5b")))
+      .withColumn("__x", lit(1)).drop("__x")
+      .coalesce(1).write.parquet(s"$root/s/t/delta_000000099")
+    assert(mor.load("s", "t").as[(Int, String)].collect().toMap == want)
+    assert(resolvedBase.as[(Int, String)].collect().toMap == want)
+  }
+
+  implicit private class ToMap2[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = s.map(t => (t._1, (t._2, t._3))).toMap
+  }
+}
