@@ -18,9 +18,15 @@ object QueryBench {
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val nRuns = if (args.length > 2) args(2).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // session config MUST mirror graft.Bench exactly — an A/B harness
+    // with a different engine config (e.g. AQE off) times a different
+    // plan and its numbers can't be compared against BENCH.json (first
+    // measured: q_x_minhash_lsh 14.7 s warm without AQE vs 2.7 s with)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-querybench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
