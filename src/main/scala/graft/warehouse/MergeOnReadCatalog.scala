@@ -57,7 +57,6 @@ final class MergeOnReadCatalog(
     extends TableStore {
   require(compactEvery >= 1, "compactEvery must be >= 1")
 
-  private val SeqCol = "__delta_seq"
   private val DeltaPrefix = "delta_"
 
   private def fs = new Path(root)
@@ -123,29 +122,15 @@ final class MergeOnReadCatalog(
   }
 
   /** The resolved view: base minus PKs touched by live deltas, plus each
-    * touched PK's last-written surviving row. The window runs over the
-    * DELTAS only (micro-batches — small); the base never shuffles. */
+    * touched PK's last-written surviving row ([[MergeOnReadCatalog.resolve]]). */
   def load(schema: String, table: String): DataFrame = {
     recover(schema, table)
     val base = spark.read.parquet(basePath(schema, table))
     val live = deltas(schema, table)
     if (live.isEmpty) base
-    else {
-      val pks = pksOf(schema, table)
-      val all = live.map { case (seq, p) =>
-        spark.read.parquet(p).withColumn(SeqCol, lit(seq))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val w = Window.partitionBy(pks.map(col): _*)
-        .orderBy(col(SeqCol).desc, col(Cdc.OffsetColumn).cast("long").desc)
-      val latest = all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", SeqCol)
-      val kept = CdcMerge.deleteCommon(base, latest, pks)
-      val survivors = latest.filter(col(Cdc.OperationColumn) =!= Cdc.OpDelete)
-        .drop(Cdc.OffsetColumn, Cdc.OperationColumn)
-      // allowMissingColumns: a delta carrying a migrated (added) column
-      // widens the view; pre-migration base rows read NULL (D4)
-      kept.unionByName(survivors, allowMissingColumns = true)
-    }
+    else MergeOnReadCatalog.resolve(base,
+      live.map { case (seq, p) => (seq, spark.read.parquet(p)) },
+      pksOf(schema, table))
   }
 
   /** R5 fast path: create-only rows already known new. They ride a delta
@@ -203,4 +188,34 @@ final class MergeOnReadCatalog(
   /** Live delta count (observability + specs). */
   def deltaCount(schema: String, table: String): Int =
     deltas(schema, table).size
+}
+
+object MergeOnReadCatalog {
+  private val SeqCol = "__delta_seq"
+
+  /** Merge-on-read resolution, the pure plan: base minus PKs touched by
+    * any delta, plus each touched PK's last-written surviving row. Deltas
+    * carry [[Cdc.OffsetColumn]] + [[Cdc.OperationColumn]]; ordering per
+    * PK is `(delta seq DESC, offset DESC)` — batch arrival order outranks
+    * the raw offset so an offset-less R5 append still lands above an
+    * earlier delta's DELETE of the same PK. DELETE survivors drop out;
+    * the base never shuffles (resolved delta keys broadcast into
+    * [[CdcMerge.deleteCommon]]'s anti-join); a delta carrying a migrated
+    * (added) column widens the view and pre-migration rows read NULL (D4).
+    *
+    * Shared by [[MergeOnReadCatalog.load]] (deltas read from delta dirs)
+    * and value-oracle-checked standalone as `q_x_mor_resolve`. */
+  def resolve(base: DataFrame, deltas: Seq[(Long, DataFrame)],
+      pks: Seq[String]): DataFrame = {
+    val all = deltas.map { case (seq, df) => df.withColumn(SeqCol, lit(seq)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(SeqCol).desc, col(Cdc.OffsetColumn).cast("long").desc)
+    val latest = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", SeqCol)
+    val kept = CdcMerge.deleteCommon(base, latest, pks)
+    val survivors = latest.filter(col(Cdc.OperationColumn) =!= Cdc.OpDelete)
+      .drop(Cdc.OffsetColumn, Cdc.OperationColumn)
+    kept.unionByName(survivors, allowMissingColumns = true)
+  }
 }
