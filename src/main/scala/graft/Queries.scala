@@ -229,7 +229,7 @@ object Queries {
       // event-time tumbling window aggregation (batch form of the
       // streaming windowed count - same operator).
       rd(s, dir, "events")
-        .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_ts", timestamp_micros(col("ts")))
         .groupBy(window(col("ts_ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("n"))
@@ -300,7 +300,7 @@ object Queries {
     "q_p5_timestamp" -> ((s, dir) =>
       rd(s, dir, "events").select(col("event_id"),
         Temporal.debeziumTimestamp(
-          date_format(timestamp_micros(expr("ts div 1000")),
+          date_format(timestamp_micros(col("ts")),
             "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("ts_str"))),
 
     "q_p6_datetime" -> ((s, dir) =>
@@ -585,7 +585,7 @@ object Queries {
       // each event picks up the customer's latest order at event time
       // (union+window as-of join: one key shuffle, zero row explosion)
       val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t_us"))
+        col("ts").as("t_us"))
       val ord = rd(s, dir, "orders").select(col("o_custkey").as("user_id"),
         // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
         // cast reads the naive value as a UTC instant (= DuckDB epoch_us)
@@ -600,9 +600,9 @@ object Queries {
       // pure interval self-join (no equi key): neighbors within ±60 s,
       // banded into constant-factor bucket equi-join
       val a = rd(s, dir, "events")
-        .select(col("event_id").as("a_id"), expr("ts div 1000").as("a_t"))
+        .select(col("event_id").as("a_id"), col("ts").as("a_t"))
       val b = rd(s, dir, "events")
-        .select(col("event_id").as("b_id"), expr("ts div 1000").as("b_t"))
+        .select(col("event_id").as("b_id"), col("ts").as("b_t"))
       AsOf.rangeJoin(a, b, "a_t", "b_t", width = 60000000L)
         .filter(col("a_id") =!= col("b_id"))
         .groupBy(col("a_id").as("event_id"))
@@ -627,7 +627,7 @@ object Queries {
       // (LayoutSpec measures the locality win; this checks the curve)
       rd(s, dir, "events").select(col("event_id"),
         graft.warehouse.Layout.zValue(
-          Seq(col("user_id"), expr("ts div 1000")), bits = 10).as("z"))),
+          Seq(col("user_id"), col("ts")), bits = 10).as("z"))),
 
     "q_x_pack" -> ((s, dir) =>
       // sequence packing: shard-local next-fit by running token total —
@@ -676,7 +676,7 @@ object Queries {
       // stats; single key-shuffle, both windows share one sort
       graft.ops.Sessions.stats(
         rd(s, dir, "events").select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("t")),
+          col("ts").as("t")),
         "user_id", "t", "event_id", gapMicros = 43200000000L)),
 
     "q_x_quantiles" -> ((s, dir) =>
