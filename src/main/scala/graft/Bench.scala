@@ -34,6 +34,31 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Host-noise canary (defined before the index builds so the build
+    // window gets its own bracket): the same fixed cheap query timed at
+    // section boundaries. Code cannot regress between two timings of the
+    // same query, so a large POSITIVE delta means the host got slower
+    // under that window — phantom regressions self-diagnose. A NEGATIVE
+    // delta is benign JIT warm-up (measured ~-50% at sf0.001).
+    val canaryQuery = "q_p4_date"
+    def canarySec(): Double =
+      try {
+        // warm-up runs first (not timed): the first execution pays the
+        // query's one-time codegen, which is warm-up, not host state
+        (1 to 3).foreach(_ => time(SparkEntry.queries(canaryQuery)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()))
+        (1 to 2).map(_ => time(SparkEntry.queries(canaryQuery)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())).min
+      } catch { case _: Throwable => -1.0 }
+    def deltaPct(a: Double, b: Double): String =
+      if (a > 0 && b > 0) (100.0 * (b - a) / a).toString else "null"
+    // bracket the index-build section: r8's minhash_sigs 128.9 s (vs
+    // ~40 s typical) had no same-window control, so host contention vs a
+    // build-path regression could not be told apart from the artifact
+    // alone. canary_build_delta_pct positive = the host was slow while
+    // the builds ran — discount index_build_sec accordingly.
+    val canaryPreBuild = canarySec()
+
     // Persisted-index builds run ONCE per session (IndexStore memoizes)
     // and are reported as their own metric: the indexed catalog entries
     // (q_x_ann_*_pruned, q_x_minhash_incr) then time the PROBE — the
@@ -63,24 +88,7 @@ object Bench {
     // with 3 the min is robust to one bad window per query.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
 
-    // Host-noise canary: the same fixed cheap query timed before and after
-    // the catalog loop. Code cannot regress between the two timings, so a
-    // large POSITIVE canary_delta_pct means the host got slower under the
-    // window — the whole bench is suspect and phantom per-query
-    // regressions self-diagnose. A NEGATIVE delta is benign: it is the
-    // JVM continuing to JIT through the loop (measured ~-50% at sf0.001
-    // even after explicit warm-up runs; proportionally smaller at driver
-    // scale), so only the positive direction signals contention.
-    val canaryQuery = "q_p4_date"
-    def canarySec(): Double =
-      try {
-        // warm-up runs first (not timed): the first execution pays the
-        // query's one-time codegen, which is warm-up, not host state
-        (1 to 3).foreach(_ => time(SparkEntry.queries(canaryQuery)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()))
-        (1 to 2).map(_ => time(SparkEntry.queries(canaryQuery)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save())).min
-      } catch { case _: Throwable => -1.0 }
+    // canary sample bracketing the catalog loop (pairs with canary_end)
     val canaryStart = canarySec()
 
     val runsByQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -115,10 +123,7 @@ object Bench {
     val canaryEnd = canarySec()
     // JSON null when either measurement failed — a -1.0 sentinel would
     // read as a plausible small negative delta and hide the failure
-    val canaryDeltaPct: String =
-      if (canaryStart > 0 && canaryEnd > 0)
-        (100.0 * (canaryEnd - canaryStart) / canaryStart).toString
-      else "null"
+    val canaryDeltaPct: String = deltaPct(canaryStart, canaryEnd)
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
     // through envelope transform → hash mask → SCD-1 merge.
@@ -370,8 +375,15 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
     val streamPerBatch =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "10000").toInt
+    // `breakdown = true` opts the run into Metrics.enablePhaseBreakdown:
+    // CdcMerge materializes each phase (localCheckpoint) so the
+    // dedupe/deletecommon/deleteop walls become real — at the cost the
+    // materialization adds. Headline throughput and phase attribution
+    // are therefore SEPARATE runs: the OFF run's events/s is what the
+    // engine sustains, the ON run's breakdown says where a trigger goes.
     def streamBench(mkStore: String => graft.warehouse.TableStore,
-        nBatches: Int, perBatch: Int): (Double, Long, Map[String, Double]) =
+        nBatches: Int, perBatch: Int,
+        breakdown: Boolean = false): (Double, Long, Map[String, Double]) =
       try {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{CdcLoadGen, CdcStream}
@@ -400,8 +412,12 @@ object Bench {
         val tag = "bench.users"
         def m(name: String): Double =
           graft.core.Metrics.get(tag, name).map(_.sum).getOrElse(0.0)
-        val before = Seq("loader_seconds", "loader_copystage_seconds",
-          "loader_copytarget_seconds").map(n => n -> m(n)).toMap
+        val phaseNames =
+          if (breakdown) Seq("loader_dedupe_seconds",
+            "loader_deletecommon_seconds", "loader_deleteop_seconds")
+          else Seq.empty
+        val before = (Seq("loader_seconds", "loader_copystage_seconds",
+          "loader_copytarget_seconds") ++ phaseNames).map(n => n -> m(n)).toMap
         val mem = MemoryStream[(Long, Array[Byte])]
         val q = mem.toDF().toDF("offset", "value").writeStream
           .option("checkpointLocation", dir + "/_ckpt")
@@ -409,9 +425,11 @@ object Bench {
             CdcStream.processBatch(df, fetcher, cat, streamCfg); ()
           }
           .start()
+        graft.core.Metrics.enablePhaseBreakdown(breakdown)
         val sec = try time {
           batches.foreach { b => mem.addData(b); q.processAllAvailable() }
         } finally {
+          graft.core.Metrics.enablePhaseBreakdown(false)
           q.stop()
           // ~100 MB of warehouse + checkpoint per run — don't let bench
           // iterations accumulate them in the temp dir
@@ -432,7 +450,10 @@ object Bench {
           // decode planning + audit aggregate + append gate
           "loader_other" -> (loader - copystage - copytarget),
           // checkpoint WAL/commit + MemoryStream + trigger dispatch
-          "harness" -> (sec - loader)))
+          "harness" -> (sec - loader)) ++
+          phaseNames.map(n =>
+            n.stripPrefix("loader_").stripSuffix("_seconds") ->
+              (m(n) - before(n))))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
@@ -444,6 +465,16 @@ object Bench {
       streamBench(bucketedStore, streamBatches, streamPerBatch)
     val (streamMorSec, streamMorEvents, streamMorPhases) =
       streamBench(morStore, streamBatches, streamPerBatch)
+    // phase-attribution runs (breakdown ON): separate from the headline
+    // so trigger-cost attribution and sustained throughput never share
+    // one number; the ON-vs-OFF wall gap IS the attribution overhead
+    val (streamOnSec, _, streamOnPhases) =
+      streamBench(plainStore, streamBatches, streamPerBatch, breakdown = true)
+    val (streamBktOnSec, _, streamBktOnPhases) =
+      streamBench(bucketedStore, streamBatches, streamPerBatch,
+        breakdown = true)
+    val (streamMorOnSec, _, streamMorOnPhases) =
+      streamBench(morStore, streamBatches, streamPerBatch, breakdown = true)
     val bigBatches =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BIG_BATCHES", "4").toInt
     val bigPerBatch =
@@ -481,6 +512,8 @@ object Bench {
         s""""canary_end_sec":$canaryEnd,"canary_delta_pct":$canaryDeltaPct,""" +
         s""""canary_post_stream_sec":$canaryPostStream,""" +
         s""""canary_post_stream_delta_pct":$canaryPostStreamDeltaPct,""" +
+        s""""canary_pre_build_sec":$canaryPreBuild,""" +
+        s""""canary_build_delta_pct":${deltaPct(canaryPreBuild, canaryStart)},""" +
         s""""index_build_sec":$buildJson,""" +
         s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
         s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,""" +
@@ -499,6 +532,12 @@ object Bench {
         s""""stream_mor_sec":$streamMorSec,""" +
         s""""stream_events_per_sec_mor":${eps2(streamMorSec, streamMorEvents)},""" +
         s""""stream_mor_trigger_breakdown":${phMap(streamMorPhases)},""" +
+        s""""stream_breakdown_on_sec":$streamOnSec,""" +
+        s""""stream_breakdown_on_phases":${phMap(streamOnPhases)},""" +
+        s""""stream_bucketed_breakdown_on_sec":$streamBktOnSec,""" +
+        s""""stream_bucketed_breakdown_on_phases":${phMap(streamBktOnPhases)},""" +
+        s""""stream_mor_breakdown_on_sec":$streamMorOnSec,""" +
+        s""""stream_mor_breakdown_on_phases":${phMap(streamMorOnPhases)},""" +
         s""""stream_big_sec":$streamBigSec,""" +
         s""""stream_events_per_sec_big":${eps2(streamBigSec, streamBigEvents)},""" +
         s""""stream_bucketed_big_sec":$streamBktBigSec,""" +
@@ -508,7 +547,15 @@ object Bench {
         s""""cdc_phases_total_sec":$phasesTotal,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
     // reading the stream can be poisoned — the file copy is always clean.
-    println(json)
+    // The stdout line is additionally COMPACTED (queries_cold dropped,
+    // doubles rounded to 4 decimals): the driver's stdout tail capture
+    // truncated the r7/r8 round artifacts mid-string, so the line it
+    // captures must stay small; BENCH.json keeps everything at full
+    // precision for BENCHNOTES archaeology.
+    val noCold = json.replaceFirst("\"queries_cold\":\\{[^}]*\\},", "")
+    val longNum = "(-?\\d+\\.\\d{5,})(?=[,}\\]])".r
+    println(longNum.replaceAllIn(noCold,
+      m => f"${m.group(1).toDouble}%.4f"))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

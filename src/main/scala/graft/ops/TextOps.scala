@@ -331,25 +331,31 @@ object TextOps {
     * by term so the vocabulary is deterministic). High OOV → gibberish,
     * boilerplate, or the wrong language.
     *
-    * Plan: the vocabulary is a topK-row artifact — broadcast to the token
-    * explode (no shuffle of the corpus against it), then one groupBy(id)
-    * to re-assemble per-document counts; the per-row token count comes
-    * from the same tokenize-once projection. Left join keeps zero-token
-    * documents (oov_rate 0). */
+    * Plan: ONE tokenization pass. The corpus folds to a per-document term
+    * histogram (groupBy(id, term) with map-side combine — the only
+    * corpus-sized shuffle, moving combined pairs, not raw tokens), which
+    * is localCheckpoint'ed: both the vocabulary build (document frequency
+    * = rows per term over the distinct (id, term) pairs — no
+    * countDistinct expand needed) and the coverage count read the
+    * materialized histogram instead of re-tokenizing the corpus (the
+    * r8-measured double-tokenize). The vocabulary is a topK-row artifact
+    * — broadcast into the histogram join, then one groupBy(id)
+    * re-assembles per-document counts over pre-aggregated rows. Left
+    * join keeps zero-token documents (oov_rate 0). */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 1000): DataFrame = {
-    // two tokenization passes total (vocabulary build + coverage count) —
-    // the token and in-vocabulary counts come from ONE aggregation over
-    // the explode (a separate per-row size() projection would be a third
-    // full tokenize); zero-token documents rejoin via the id left join
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokens(normalized(col(textCol)))).as("term"))
-    val vocab = toks
-      .groupBy("term").agg(countDistinct(col("id")).as("df"))
+    val docTerms = df.select(col(idCol).as("id"),
+        explode(tokens(normalized(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(docTerms)
+    val vocab = docTerms
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(topK)
       .select(col("term"), lit(1).as("__inv"))
-    val counts = toks.join(broadcast(vocab), Seq("term"), "left")
-      .groupBy("id").agg(count(lit(1)).as("__n"), count(col("__inv")).as("__in"))
+    val counts = docTerms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("id").agg(sum(col("__c")).as("__n"),
+        sum(when(col("__inv").isNotNull, col("__c"))).as("__in"))
     df.select(col(idCol).as("id"))
       .join(counts, Seq("id"), "left")
       .select(col("id"),

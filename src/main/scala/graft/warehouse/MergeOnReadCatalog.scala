@@ -39,12 +39,25 @@ import org.apache.spark.sql.functions._
   * Read cost: resolving the small delta set is a delta-sized window;
   * the base never shuffles (the resolved deltas broadcast into the same
   * anti-join [[CdcMerge.deleteCommon]] the eager stores use). Unbounded
-  * delta accumulation is the MOR failure mode, so every write that
-  * brings the live-delta count to `compactEvery` folds them into a
-  * shadow base and swaps (two renames, crash-recoverable). Re-applying
-  * a delta that compaction already folded is idempotent (same latest
-  * values upsert to themselves; a DELETE of an absent row is a no-op),
-  * so a crash between the swap and the delta cleanup is benign.
+  * delta accumulation is the MOR failure mode, so compaction (fold the
+  * live deltas into a shadow base, two-rename swap, crash-recoverable)
+  * triggers on MEASURED delta-chain read cost, not just a count: each
+  * reader pays ~O(delta bytes) extra (the window sort + broadcast build
+  * are delta-sized; the base scan is paid either way), while compaction
+  * costs one ~O(base+delta bytes) rewrite. So the store compacts when
+  * live delta bytes (from file metadata — measured, free at the driver)
+  * exceed `maxDeltaBytesRatio` × base bytes — i.e. when the per-read
+  * surcharge reaches a set fraction of the rewrite that would erase it —
+  * with `compactEvery` kept as a count backstop for the many-tiny-deltas
+  * regime, where per-delta constant costs (file opens, plan nodes,
+  * listStatus) dominate bytes (the byte trigger only engages above
+  * `ratioFloorBytes`; amortization note: each byte-triggered fold grows
+  * the base ×(1+ratio), so total write amplification is the geometric
+  * sum ≈ (1+1/ratio)× data — bounded, LSM-style, while read
+  * amplification stays ≤ 1+ratio). Re-applying a delta that compaction
+  * already folded is idempotent (same latest values upsert to
+  * themselves; a DELETE of an absent row is a no-op), so a crash
+  * between the swap and the delta cleanup is benign.
   *
   * Single writer per table, like the reference's per-table loader
   * (load_processor.go:80-104); readers are unrestricted — delta dirs
@@ -53,9 +66,12 @@ import org.apache.spark.sql.functions._
   */
 final class MergeOnReadCatalog(
     spark: SparkSession, root: String,
-    compactEvery: Int = 8, deltaPartitions: Int = 4)
+    compactEvery: Int = 8, deltaPartitions: Int = 4,
+    maxDeltaBytesRatio: Double = 0.25,
+    ratioFloorBytes: Long = 64L << 20)
     extends TableStore {
   require(compactEvery >= 1, "compactEvery must be >= 1")
+  require(maxDeltaBytesRatio > 0, "maxDeltaBytesRatio must be > 0")
 
   private val DeltaPrefix = "delta_"
 
@@ -160,9 +176,32 @@ final class MergeOnReadCatalog(
     }
   }
 
+  private def dirBytes(path: String): Long = {
+    val p = new Path(path)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
+  /** Live delta bytes vs base bytes — the measured read-cost inputs the
+    * compaction policy runs on (file metadata only; no data read). */
+  def readAmplification(schema: String, table: String): (Long, Long) = {
+    val d = deltas(schema, table).map { case (_, p) => dirBytes(p) }.sum
+    (d, dirBytes(basePath(schema, table)))
+  }
+
   private def maybeCompact(schema: String, table: String,
-      pks: Seq[String]): Unit =
-    if (deltas(schema, table).size >= compactEvery) compact(schema, table)
+      pks: Seq[String]): Unit = {
+    val live = deltas(schema, table)
+    if (live.size >= compactEvery) { compact(schema, table); return }
+    // cost trigger: every reader pays ~O(delta bytes) over a compacted
+    // read; fold once that surcharge reaches the set fraction of the
+    // base rewrite that erases it (class doc). Below the floor, bytes
+    // don't model the cost (per-file constants dominate tiny parquet) —
+    // the count backstop governs that regime.
+    val (deltaBytes, baseBytes) = readAmplification(schema, table)
+    if (deltaBytes >= ratioFloorBytes &&
+        deltaBytes > maxDeltaBytesRatio * math.max(baseBytes, 1L))
+      compact(schema, table)
+  }
 
   /** Fold the live deltas into the base: materialize the resolved view
     * into a shadow, two-rename swap, then drop the consumed deltas.

@@ -128,6 +128,64 @@ class MergeOnReadCatalogSpec extends SparkSpec {
     assert(resolvedBase.as[(Int, String)].collect().toMap == want)
   }
 
+  test("crash recovery: stranded shadow and tmp-delta debris never surface; next write/compact overwrites them") {
+    val root = tmp()
+    val mor = new MergeOnReadCatalog(spark, root, compactEvery = 100)
+    mor.merge("s", "t",
+      stageDF((1 to 10).map(i => (i.toLong, Cdc.OpCreate, i, s"v$i"))),
+      Seq("pk"))
+    mor.merge("s", "t", stageDF(Seq((20L, Cdc.OpUpdate, 3, "v3b"))), Seq("pk"))
+    val want = mor.load("s", "t").as[(Int, String)].collect().toMap
+    val dir = s"$root/s/t"
+    // crash window A: compaction died mid-shadow-write (before any
+    // rename) — garbage shadow present, store stays readable and a later
+    // compact overwrites the stale shadow
+    stageDF(Seq((99L, Cdc.OpUpdate, 3, "WRONG")))
+      .coalesce(1).write.parquet(s"$dir/base__compacting")
+    assert(mor.load("s", "t").as[(Int, String)].collect().toMap == want)
+    mor.compact("s", "t")
+    assert(mor.deltaCount("s", "t") == 0)
+    assert(mor.load("s", "t").as[(Int, String)].collect().toMap == want)
+    // crash window B: writeDelta died mid-write — dot-prefixed tmp is
+    // invisible to readers and the next delta publish overwrites it
+    stageDF(Seq((100L, Cdc.OpUpdate, 4, "WRONG")))
+      .coalesce(1).write.parquet(s"$dir/.tmp_delta")
+    assert(mor.load("s", "t").as[(Int, String)].collect().toMap == want)
+    mor.merge("s", "t", stageDF(Seq((101L, Cdc.OpUpdate, 5, "v5b"))), Seq("pk"))
+    assert(mor.load("s", "t").as[(Int, String)].collect().toMap ==
+      want.updated(5, "v5b"))
+  }
+
+  test("byte-ratio compaction: folds when delta bytes outgrow the base, count backstop untripped") {
+    val root = tmp()
+    // floor of 1 byte so the tiny-fixture regime exercises the ratio path
+    val mor = new MergeOnReadCatalog(spark, root, compactEvery = 1000,
+      maxDeltaBytesRatio = 0.25, ratioFloorBytes = 1L)
+    mor.merge("s", "t",
+      stageDF((1 to 500).map(i => (i.toLong, Cdc.OpCreate, i, s"v$i"))),
+      Seq("pk"))
+    // a delta a quarter the base's row count — bytes overshoot 25% of the
+    // base (parquet per-file overhead), so the very next write folds
+    mor.merge("s", "t",
+      stageDF((1 to 200).map(i => (1000L + i, Cdc.OpUpdate, i, s"w$i"))),
+      Seq("pk"))
+    assert(mor.deltaCount("s", "t") == 0,
+      "ratio trigger should have compacted")
+    val got = mor.load("s", "t").as[(Int, String)].collect().toMap
+    assert(got.size == 500 && got(1) == "w1" && got(300) == "v300")
+    // and a floor above the delta size suppresses the ratio trigger
+    val mor2 = new MergeOnReadCatalog(spark, tmp(), compactEvery = 1000,
+      maxDeltaBytesRatio = 0.25, ratioFloorBytes = 1L << 30)
+    mor2.merge("s", "t",
+      stageDF((1 to 500).map(i => (i.toLong, Cdc.OpCreate, i, s"v$i"))),
+      Seq("pk"))
+    mor2.merge("s", "t",
+      stageDF((1 to 200).map(i => (1000L + i, Cdc.OpUpdate, i, s"w$i"))),
+      Seq("pk"))
+    assert(mor2.deltaCount("s", "t") == 1,
+      "below the floor only the count backstop may compact")
+  }
+
   implicit private class ToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(t => (t._1, (t._2, t._3))).toMap
   }
