@@ -621,6 +621,28 @@ object Queries {
       Sampling.stratified(rd(s, dir, "documents"), Seq("lang"), "doc_id", 20)
         .select(col("lang"), col("doc_id"), col("rk").cast(LongType).as("rk"))),
 
+    "q_x_weighted_sample" -> ((s, dir) =>
+      // Efraimidis–Spirakis weighted sample w/o replacement, weight =
+      // doc length; hash-derived u makes the draw engine-replayable and
+      // the plan a scan + TakeOrderedAndProject (no corpus shuffle)
+      Sampling.weightedTopK(
+        rd(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200)),
+
+    "q_x_merge_scd2" -> ((s, dir) => {
+      // SCD2 history build over the event stream: event_id is the
+      // monotone per-user version, 'error' events act as DELETEs (close
+      // the interval, emit nothing) — the audit-table twin of the
+      // SCD1 loader path (q_r4_merge_scd1)
+      val stage = rd(s, dir, "events").select(
+        col("user_id"), col("value"), col("event_id").as("ver"),
+        when(col("event_type") === "error", Cdc.OpDelete)
+          .otherwise(Cdc.OpUpdate).as(Cdc.OperationColumn))
+      graft.merge.Scd2.build(stage, Seq("user_id"), "ver")
+        .select(col("user_id"), col("value"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+    }),
+
     "q_x_zorder" -> ((s, dir) =>
       // z-curve kernel over (user_id, event-time µs) low 10 bits — the
       // write-side clustering key for multi-column file skipping
@@ -2332,6 +2354,29 @@ object Queries {
          |               doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 20""".stripMargin,
+
+    "q_x_weighted_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE CAST(n_chars AS DOUBLE) > 0
+         |ORDER BY ln((CAST(${graft.functions.Portable.h60Sql(
+             "'wsample:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+         |    / ${graft.ops.Sampling.H60Space})
+         |  / CAST(n_chars AS DOUBLE) DESC, doc_id
+         |LIMIT 200""".stripMargin,
+
+    "q_x_merge_scd2" ->
+      s"""WITH stage AS (
+         |  SELECT user_id, value, event_id AS valid_from,
+         |    (event_type = 'error') AS is_del
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id, value, is_del, valid_from,
+         |    lead(valid_from) OVER (PARTITION BY user_id
+         |      ORDER BY valid_from) AS valid_to
+         |  FROM stage)
+         |SELECT user_id, value, valid_from, valid_to,
+         |  (valid_to IS NULL) AS is_current
+         |FROM w WHERE NOT is_del""".stripMargin,
 
     "q_x_pii_scrub" -> {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -97,6 +97,38 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement, k rows, inclusion
+    * probability proportional to `weightCol` (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 97(5), 2006): each
+    * row draws u ∈ (0,1] from the portable hash of its id and scores
+    * key = ln(u)/w; the k LARGEST keys are exactly a weighted
+    * sample-without-replacement. With the hash standing in for the RNG
+    * the draw is a pure projection — same selection on any cluster size,
+    * any engine (the DuckDB oracle replays it to the row).
+    *
+    * Scale shape: no shuffle of the corpus — `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject (per-partition top-k heaps, k-sized
+    * merge at the driver), so the cost is one scan + O(k) memory —
+    * the quality-weighted subsampling step a curation pipeline runs
+    * over the full 100 TB corpus. Rows with weight <= 0 are excluded.
+    * `salt` decorrelates from other hash-keyed decisions on the ids. */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (Portable.h60(concat(lit(salt + ":"), col(idCol).cast("string")))
+      .cast("double") + lit(1.0)) / lit(H60Space)
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
+  /** 2^60 — the h60 hash-space size; shared with the q_x_weighted_sample
+    * oracle so both engines compute the identical u. */
+  val H60Space: Double = 1152921504606846976.0
+
   /** Source-weighted deterministic mixing: keep a row iff its id hashes
     * under its domain's weight threshold — static corpus reweighting
     * (up/down-sampling whole sources, the DoReMi-style mixture applied at
