@@ -629,6 +629,18 @@ object Queries {
         rd(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", k = 200)),
 
+    "q_x_token_budget" -> ((s, dir) =>
+      // mixture construction by TOKEN mass per language (8k chars each):
+      // greedy fill in deterministic hash order — the budget knob
+      // mixture recipes are specified in (stratified = count, this =
+      // mass); one group shuffle, running sum on the same window
+      Sampling.tokenBudget(
+        rd(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", budget = 8000L)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          col("cum_tokens"))),
+
     "q_x_merge_scd2" -> ((s, dir) => {
       // SCD2 history build over the event stream: event_id is the
       // monotone per-user version, 'error' events act as DELETEs (close
@@ -2363,6 +2375,16 @@ object Queries {
          |    / ${graft.ops.Sampling.H60Space})
          |  / CAST(n_chars AS DOUBLE) DESC, doc_id
          |LIMIT 200""".stripMargin,
+
+    "q_x_token_budget" ->
+      s"""SELECT lang, doc_id, n_chars, cum_tokens FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(sum(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY ${graft.functions.Portable.h60Sql(
+             "'budget:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM documents)
+         |WHERE cum_tokens - n_chars < 8000""".stripMargin,
 
     "q_x_merge_scd2" ->
       s"""WITH stage AS (

@@ -129,6 +129,31 @@ object Sampling {
     * oracle so both engines compute the identical u. */
   val H60Space: Double = 1152921504606846976.0
 
+  /** Greedy token-budget fill per group: walk each group's rows in
+    * deterministic hash order and keep documents while the group's
+    * running token total is under `budget` (the admitting document may
+    * overshoot — standard greedy fill, so a group with any rows always
+    * contributes at least one document). This is mixture construction by
+    * TOKEN mass, not document count — "1M tokens per language/source" —
+    * the knob mixture recipes are actually specified in, where
+    * [[stratified]] (count) and [[weightedKeep]] (row-wise Bernoulli)
+    * can't express the target.
+    *
+    * One shuffle on the group columns; the running sum is a bounded
+    * per-group window on that same shuffle. Deterministic on any cluster
+    * size / engine (hash order, not arrival order). Adds `cum_tokens`
+    * (the running total INCLUDING the row). */
+  def tokenBudget(df: DataFrame, groupCols: Seq[String], idCol: String,
+      tokenCol: String, budget: Long, salt: String = "budget"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(Portable.h60(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), col(idCol))
+    df.withColumn("cum_tokens",
+        sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") - col(tokenCol).cast("long") < budget)
+  }
+
   /** Source-weighted deterministic mixing: keep a row iff its id hashes
     * under its domain's weight threshold — static corpus reweighting
     * (up/down-sampling whole sources, the DoReMi-style mixture applied at

@@ -98,4 +98,43 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(again == kept.map(_._1).toSet)
   }
+
+  test("weightedTopK: heavy rows overrepresented, zero-weight excluded, partitioning-invariant") {
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i <= 100) 100.0 else if (i <= 200) 0.0 else 1.0))
+      .toDF("id", "w")
+    val got = Sampling.weightedTopK(df, "id", "w", k = 80)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 80)
+    assert(!got.exists(id => id > 100 && id <= 200)) // w=0 never sampled
+    // 100 rows at weight 100 vs 200 rows at weight 1: the heavy block
+    // must dominate the sample far beyond its 1/3 row share
+    assert(got.count(_ <= 100) > 55)
+    val re = Sampling.weightedTopK(df.repartition(17), "id", "w", k = 80)
+      .select("id").as[Long].collect().toSet
+    assert(re == got)
+  }
+
+  test("tokenBudget: per-group mass bounded, greedy overshoot only by the admitting row") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 10L + i % 7)).toDF(
+      "id", "grp", "toks")
+    val budget = 120L
+    val got = Sampling.tokenBudget(df, Seq("grp"), "id", "toks", budget)
+    val perGroup = got.groupBy("grp")
+      .agg(sum("toks").as("mass"), max("toks").as("mx"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(perGroup.map(_._1).toSet == Set("a", "b"))
+    perGroup.foreach { case (_, mass, mx, n) =>
+      assert(n > 1 && mass < budget + mx,
+        s"mass $mass exceeds budget+overshoot ${budget + mx}")
+    }
+    // every admitted row started inside the budget
+    assert(got.filter(col("cum_tokens") - col("toks") >= budget).count() == 0)
+    // deterministic under repartitioning
+    val re = Sampling.tokenBudget(df.repartition(13), Seq("grp"), "id",
+      "toks", budget).select("id").as[Long].collect().toSet
+    assert(re == got.select("id").as[Long].collect().toSet)
+  }
 }
