@@ -57,7 +57,11 @@ import org.apache.spark.sql.functions._
   * amplification stays ≤ 1+ratio). Re-applying a delta that compaction
   * already folded is idempotent (same latest values upsert to
   * themselves; a DELETE of an absent row is a no-op), so a crash
-  * between the swap and the delta cleanup is benign.
+  * between the swap and the delta cleanup is benign. The fold is also
+  * the one moment the base is rewritten, so `layoutCols` (optional)
+  * z-clusters it then — multi-column file skipping for readers at zero
+  * extra write: deltas stay append-cheap, the fold pays the sort it
+  * was already shuffling for.
   *
   * Single writer per table, like the reference's per-table loader
   * (load_processor.go:80-104); readers are unrestricted — delta dirs
@@ -68,7 +72,9 @@ final class MergeOnReadCatalog(
     spark: SparkSession, root: String,
     compactEvery: Int = 8, deltaPartitions: Int = 4,
     maxDeltaBytesRatio: Double = 0.25,
-    ratioFloorBytes: Long = 64L << 20)
+    ratioFloorBytes: Long = 64L << 20,
+    layoutCols: Seq[String] = Nil,
+    layoutBits: Int = 16)
     extends TableStore {
   require(compactEvery >= 1, "compactEvery must be >= 1")
   require(maxDeltaBytesRatio > 0, "maxDeltaBytesRatio must be > 0")
@@ -212,7 +218,21 @@ final class MergeOnReadCatalog(
     val consumed = deltas(schema, table)
     if (consumed.isEmpty) return
     val shadow = new Path(basePath(schema, table) + "__compacting")
-    load(schema, table).write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    // the fold is the one moment the base is rewritten anyway — z-cluster
+    // it for free file skipping on `layoutCols` (multi-column min/max
+    // pruning; a delta append never pays this, only the fold does)
+    val resolved = load(schema, table)
+    val arranged =
+      if (layoutCols.isEmpty) resolved
+      else {
+        // ~512 MB output files, sized from the measured bytes the fold
+        // is already tracking (same rule Compaction.targetPartitions uses)
+        val (db, bb) = readAmplification(schema, table)
+        val nParts = math.max(1,
+          math.ceil((db + bb).toDouble / (512L << 20)).toInt)
+        Layout.zorder(resolved, layoutCols.map(col), nParts, layoutBits)
+      }
+    arranged.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
     val base = new Path(basePath(schema, table))
     val old = new Path(basePath(schema, table) + "__old")
     if (fs.exists(old)) fs.delete(old, true)

@@ -186,6 +186,34 @@ class MergeOnReadCatalogSpec extends SparkSpec {
       "below the floor only the count backstop may compact")
   }
 
+  test("compaction re-clusters the base by the layout columns") {
+    val root = tmp()
+    val mor = new MergeOnReadCatalog(spark, root, compactEvery = 2,
+      layoutCols = Seq("pk"), layoutBits = 10)
+    mor.merge("s", "t",
+      stageDF((1 to 400).map(i => (i.toLong, Cdc.OpCreate, i * 7919 % 1024, s"v$i"))),
+      Seq("pk"))
+    mor.merge("s", "t",
+      stageDF(Seq((500L, Cdc.OpUpdate, 7919 % 1024, "v1b"))), Seq("pk"))
+    mor.merge("s", "t",
+      stageDF(Seq((501L, Cdc.OpUpdate, 2 * 7919 % 1024, "v2b"))), Seq("pk"))
+    assert(mor.deltaCount("s", "t") == 0, "count trigger should have folded")
+    // within each base file, rows lie in z order (the file-skipping
+    // contract: min/max of the z key prunes whole files)
+    val perFile = spark.read.parquet(s"$root/s/t/base")
+      .select(input_file_name().as("f"),
+        graft.warehouse.Layout.zValue(Seq(col("pk")), 10).as("z"))
+      .as[(String, Long)].collect().toSeq.groupBy(_._1)
+    assert(perFile.nonEmpty)
+    perFile.foreach { case (_, rows) =>
+      val zs = rows.map(_._2)
+      assert(zs == zs.sorted, "base rows not z-clustered after fold")
+    }
+    // and the view is unchanged by the re-layout
+    val got = mor.load("s", "t").as[(Int, String)].collect().toMap
+    assert(got.size == 400 && got(7919 % 1024) == "v1b")
+  }
+
   implicit private class ToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(t => (t._1, (t._2, t._3))).toMap
   }
