@@ -230,3 +230,55 @@ class CurationModelSpec extends SparkSpec {
     assert(got == expect)
   }
 }
+
+/** Model-based SCD2 checks: random C/U/D version streams vs a driver-side
+  * sequential model; invariants that must hold for ANY input. */
+class Scd2ModelSpec extends SparkSpec {
+  import graft.merge.Scd2
+  import spark.implicits._
+
+  private def df(events: Seq[(Int, Long, String, String)]) =
+    events.toDF("pk", "ver", "v", Cdc.OperationColumn)
+
+  test("random streams: interval chaining, <=1 current per pk, model agreement, split-merge equivalence") {
+    val rnd = new scala.util.Random(4242)
+    val ops = Seq(Cdc.OpCreate, Cdc.OpUpdate, Cdc.OpDelete)
+    for (round <- 1 to 10) {
+      // distinct versions (re-delivery handled in its own spec test)
+      val vers = rnd.shuffle((1L to 40L).toList)
+      val events = vers.map(ver =>
+        (rnd.nextInt(6) + 1, ver, "v" + rnd.nextInt(100),
+          ops(rnd.nextInt(3))))
+      val hist = Scd2.build(df(events), Seq("pk"), "ver")
+        .select("pk", "valid_from", "valid_to", "is_current", "v")
+        .as[(Int, Long, Option[Long], Boolean, String)].collect().toSeq
+
+      // driver-side model: per pk, sorted versions chain; deletes vanish
+      val want = events.groupBy(_._1).toSeq.flatMap { case (pk, evs) =>
+        val sorted = evs.sortBy(_._2)
+        sorted.zip(sorted.drop(1).map(e => Some(e._2)) :+ None).collect {
+          case ((_, ver, v, op), nxt) if op != Cdc.OpDelete =>
+            (pk, ver, nxt, nxt.isEmpty, v)
+        }
+      }.toSet
+      assert(hist.toSet == want, s"model mismatch in round $round")
+
+      // invariants
+      hist.groupBy(_._1).foreach { case (pk, rows) =>
+        assert(rows.count(_._4) <= 1, s"pk $pk has >1 current row")
+        rows.foreach { case (_, from, to, cur, _) =>
+          assert(to.forall(_ > from))
+          assert(cur == to.isEmpty)
+        }
+      }
+
+      // incremental == one-shot at a random split point
+      val (a, b) = events.sortBy(_._2).splitAt(rnd.nextInt(events.size))
+      val inc = Scd2.merge(Scd2.build(df(a), Seq("pk"), "ver"), df(b),
+        Seq("pk"), "ver")
+        .select("pk", "valid_from", "valid_to", "is_current", "v")
+        .as[(Int, Long, Option[Long], Boolean, String)].collect().toSet
+      assert(inc == hist.toSet, s"split-merge drift in round $round")
+    }
+  }
+}
