@@ -641,6 +641,19 @@ object Queries {
         .select(col("lang"), col("doc_id"), col("n_chars"),
           col("cum_tokens"))),
 
+    "q_x_scd2_asof" -> ((s, dir) => {
+      // point-in-time read of the SCD2 history: the per-user dimension
+      // exactly as of version 5000 — the reproducibility query SCD2
+      // exists for (pure filter over the history)
+      val stage = rd(s, dir, "events").select(
+        col("user_id"), col("value"), col("event_id").as("ver"),
+        when(col("event_type") === "error", Cdc.OpDelete)
+          .otherwise(Cdc.OpUpdate).as(Cdc.OperationColumn))
+      graft.merge.Scd2.asOf(
+          graft.merge.Scd2.build(stage, Seq("user_id"), "ver"), 5000L)
+        .select(col("user_id"), col("value"), col("valid_from"))
+    }),
+
     "q_x_merge_scd2" -> ((s, dir) => {
       // SCD2 history build over the event stream: event_id is the
       // monotone per-user version, 'error' events act as DELETEs (close
@@ -2385,6 +2398,20 @@ object Queries {
          |      AS BIGINT) AS cum_tokens
          |  FROM documents)
          |WHERE cum_tokens - n_chars < 8000""".stripMargin,
+
+    "q_x_scd2_asof" ->
+      s"""WITH stage AS (
+         |  SELECT user_id, value, event_id AS valid_from,
+         |    (event_type = 'error') AS is_del
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id, value, is_del, valid_from,
+         |    lead(valid_from) OVER (PARTITION BY user_id
+         |      ORDER BY valid_from) AS valid_to
+         |  FROM stage)
+         |SELECT user_id, value, valid_from
+         |FROM w WHERE NOT is_del
+         |  AND valid_from <= 5000 AND (valid_to IS NULL OR valid_to > 5000)""".stripMargin,
 
     "q_x_merge_scd2" ->
       s"""WITH stage AS (

@@ -94,4 +94,15 @@ object Scd2 {
     closed.unionByName(build(guarded, pks, versionCol),
       allowMissingColumns = false)
   }
+
+  /** Point-in-time read: the table exactly as of `version` — each pk's
+    * row whose interval covers it (valid_from <= version < valid_to).
+    * A pure filter over the history (predicate-pushdown friendly; with
+    * the history z-ordered on (pk, valid_from) it prunes to the
+    * covering files): the query that makes keeping SCD2 worthwhile —
+    * "reproduce the dimension the model was trained against". */
+  def asOf(history: DataFrame, version: Long): DataFrame =
+    history.filter(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .drop("valid_to", "is_current")
 }

@@ -65,6 +65,16 @@ class Scd2Spec extends SparkSpec {
     assert(got.contains((3, 15L, None, true, "c1")))
   }
 
+  test("asOf: point-in-time read reconstructs the dimension at any version") {
+    val h = Scd2.build(stageDF(events), Seq("pk"), "ver")
+    def at(v: Long) = Scd2.asOf(h, v).select("pk", "v")
+      .as[(Int, String)].collect().toMap
+    assert(at(12L) == Map(1 -> "a1", 2 -> "b1"))       // before 3 exists
+    assert(at(26L) == Map(1 -> "a2", 3 -> "c1"))       // 2 deleted at 25
+    assert(at(100L) == Map(1 -> "a3", 2 -> "b2", 3 -> "c1")) // latest
+    assert(at(5L).isEmpty)                              // before history
+  }
+
   test("merge: delete in the batch closes the open row and leaves no current version") {
     val h = Scd2.build(stageDF(events), Seq("pk"), "ver")
     val got = hist(Scd2.merge(h,
