@@ -668,6 +668,43 @@ object Queries {
           col("valid_to"), col("is_current"))
     }),
 
+    "q_x_hll_distinct" -> ((s, dir) => {
+      // per-source distinct-content estimate via the portable mergeable
+      // HLL (functions/Sketches): md5-derived registers + FIXED-POINT
+      // harmonic sum, so every output value — including the estimate —
+      // is replayed bit-for-bit by the oracle. This is the persistable
+      // distinct-counter: at 100 TB the per-domain register arrays are
+      // a domains×1 KiB table that merges with tomorrow's batch in
+      // O(domains) instead of rescanning history.
+      import graft.functions.Sketches
+      val sk = Sketches.hllSketch(rd(s, dir, "documents"),
+        Seq("source"), col("text"), p = 8)
+      sk.select(col("source"),
+        Sketches.hllZeros(col("hll")).cast(LongType).as("n_zero"),
+        Sketches.hllIntSum(col("hll"), 8).as("intsum"),
+        round(Sketches.hllEstimate(col("hll"), 8), 4).as("est_distinct"))
+    }),
+
+    "q_x_hll_merge" -> ((s, dir) => {
+      // distinct users per event_type computed the INCREMENTAL way: one
+      // sketch per (event_type, day) — what a daily pipeline would
+      // persist — then elementwise-max merged and estimated. The oracle
+      // computes the same registers directly from raw events, so merge
+      // associativity is the property under oracle check. p=5 puts the
+      // ~150-user cardinality in the raw-estimate branch (the
+      // q_x_hll_distinct sources exercise linear counting).
+      import graft.functions.Sketches
+      val ev = rd(s, dir, "events")
+        .withColumn("day", to_date(timestamp_micros(col("ts"))))
+      val daily = Sketches.hllSketch(ev, Seq("event_type", "day"),
+        concat(lit("u:"), col("user_id").cast(StringType)), p = 5)
+      Sketches.hllMergeAgg(daily, Seq("event_type"), p = 5)
+        .select(col("event_type"),
+          Sketches.hllZeros(col("hll")).cast(LongType).as("n_zero"),
+          Sketches.hllIntSum(col("hll"), 5).as("intsum"),
+          round(Sketches.hllEstimate(col("hll"), 5), 4).as("est_distinct"))
+    }),
+
     "q_x_zorder" -> ((s, dir) =>
       // z-curve kernel over (user_id, event-time µs) low 10 bits — the
       // write-side clustering key for multi-column file skipping
@@ -2426,6 +2463,14 @@ object Queries {
          |SELECT user_id, value, valid_from, valid_to,
          |  (valid_to IS NULL) AS is_current
          |FROM w WHERE NOT is_del""".stripMargin,
+
+    "q_x_hll_distinct" ->
+      graft.functions.Sketches.hllOracleSql("documents", Seq("source"),
+        "text", p = 8),
+
+    "q_x_hll_merge" ->
+      graft.functions.Sketches.hllOracleSql("events", Seq("event_type"),
+        "'u:' || CAST(user_id AS VARCHAR)", p = 5),
 
     "q_x_pii_scrub" -> {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
