@@ -705,6 +705,20 @@ object Queries {
           round(Sketches.hllEstimate(col("hll"), 5), 4).as("est_distinct"))
     }),
 
+    "q_x_cms_heavy" -> ((s, dir) => {
+      // token heavy hitters via count-min sketch: the corpus folds into
+      // 4×1024 integer counters (one hash-agg over the token stream,
+      // map-side partials absorb the firehose), candidates score by
+      // broadcast-join min — the corpus never shuffles. Estimates are
+      // exact integers, replayed bit-for-bit by the oracle.
+      import graft.functions.Sketches
+      val toks = docs(s, dir).select(
+        explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
+      Sketches.cmsLookup(Sketches.cmsSketch(toks, col("term")),
+          toks.distinct(), "term")
+        .orderBy(col("cms_count").desc, col("term")).limit(30)
+    }),
+
     "q_x_zorder" -> ((s, dir) =>
       // z-curve kernel over (user_id, event-time µs) low 10 bits — the
       // write-side clustering key for multi-column file skipping
@@ -2471,6 +2485,18 @@ object Queries {
     "q_x_hll_merge" ->
       graft.functions.Sketches.hllOracleSql("events", Seq("event_type"),
         "'u:' || CAST(user_id AS VARCHAR)", p = 5),
+
+    "q_x_cms_heavy" -> {
+      val stream =
+        """SELECT unnest(string_split_regex(
+          |    trim(regexp_replace(lower(coalesce(text, '')),
+          |      '[^\p{L}\p{N}]+', ' ', 'g')), '\s+')) AS term
+          |  FROM documents
+          |  WHERE trim(regexp_replace(lower(coalesce(text, '')),
+          |    '[^\p{L}\p{N}]+', ' ', 'g')) <> ''""".stripMargin
+      graft.functions.Sketches.cmsOracleSql(stream) +
+        "\nORDER BY cms_count DESC, term LIMIT 30"
+    },
 
     "q_x_pii_scrub" -> {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

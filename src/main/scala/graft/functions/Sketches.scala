@@ -192,4 +192,82 @@ object Sketches {
     val s = java.lang.Double.toString(d)
     if (s.contains("E")) f"$d%.17e".replace("e", "E") else s
   }
+
+  // ======================================================================
+  // Count-min sketch: fixed d×w integer counters for frequency estimation
+  // (heavy hitters) under one-sided error (estimate >= true count, excess
+  // bounded by N·e/w per row, min over d rows). Pure integer arithmetic
+  // over the [[Portable]] universal family, so sketch contents AND
+  // point-lookup estimates replay exactly in any SQL engine.
+  //
+  // Scale: the sketch is at most d·w rows regardless of corpus size —
+  // built by ONE hash aggregate over the exploded (row, bucket) stream
+  // (map-side partials absorb the token firehose), merged across batches
+  // or days by summing counters (associative), and broadcast for lookups
+  // so candidate scoring never shuffles the corpus.
+  // ======================================================================
+
+  /** Default CMS shape: 4 rows × 1024 buckets = 4096 counters (32 KiB);
+    * excess ≤ N·e/1024 ≈ 0.27% of stream mass per row before the min. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** The d bucket indices of a key: h_i(x) = ((a_i·h31(x) + b_i) mod P)
+    * mod w. Products stay < 2^62 (ANSI-safe, see [[Portable]]). */
+  def cmsBuckets(key: Column, d: Int = CmsD, w: Int = CmsW): Column =
+    array((0 until d).map { i =>
+      ((lit(Portable.hashA(i)) * Portable.h31(key) + lit(Portable.hashB(i)))
+        % Portable.P % w).cast(IntegerType)
+    }: _*)
+
+  /** Build a sparse CMS over a key stream: (row, bucket, cnt), ≤ d·w
+    * rows. `weight` counts each occurrence `weight` times (defaults 1 —
+    * plain frequency). */
+  def cmsSketch(df: DataFrame, key: Column, d: Int = CmsD, w: Int = CmsW,
+      weight: Column = lit(1L)): DataFrame =
+    df.select(posexplode(cmsBuckets(key, d, w)).as(Seq("row", "bucket")),
+        weight.cast(LongType).as("__w"))
+      .groupBy("row", "bucket").agg(sum(col("__w")).as("cnt"))
+
+  /** Merge sketches (same d/w family): counters add. */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the count of each candidate key: min over the d
+    * counters (0 if any bucket untouched). The sketch side is ≤ d·w rows
+    * — broadcast, so scoring any number of candidates is shuffle-free on
+    * the sketch side. */
+  def cmsLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int = CmsD, w: Int = CmsW): DataFrame =
+    keys.select(col(keyCol),
+        posexplode(cmsBuckets(col(keyCol), d, w)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+
+  /** DuckDB replay of build+lookup for a token stream `streamSql`
+    * (a query yielding one `term` per occurrence): emits
+    * (term, cms_count) for every distinct term. */
+  def cmsOracleSql(streamSql: String, d: Int = CmsD, w: Int = CmsW)
+      : String = {
+    val hashRows = (0 until d).map { i =>
+      s"SELECT ${Portable.hashA(i)}::BIGINT AS a, " +
+        s"${Portable.hashB(i)}::BIGINT AS b, $i AS row"
+    }.mkString(" UNION ALL ")
+    s"""WITH stream AS ($streamSql),
+       |hashes AS ($hashRows),
+       |rb AS (
+       |  SELECT stream.term, hashes.row,
+       |    CAST(((hashes.a * (${Portable.h31Sql("stream.term")})
+       |      + hashes.b) % ${Portable.P}) % $w AS INTEGER) AS bucket
+       |  FROM stream CROSS JOIN hashes),
+       |cms AS (
+       |  SELECT row, bucket, count(*)::BIGINT AS cnt FROM rb
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT term, row, bucket FROM rb)
+       |SELECT cand.term, min(cms.cnt) AS cms_count
+       |FROM cand JOIN cms ON cand.row = cms.row
+       |  AND cand.bucket = cms.bucket
+       |GROUP BY 1""".stripMargin
+  }
 }
