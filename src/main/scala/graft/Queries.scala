@@ -705,6 +705,14 @@ object Queries {
           round(Sketches.hllEstimate(col("hll"), 5), 4).as("est_distinct"))
     }),
 
+    "q_x_bm25" -> ((s, dir) =>
+      // BM25 retrieval over the corpus: one doc-id shuffle (term filter
+      // runs map-side; tf per query term is a static pivot column),
+      // scalar stats broadcast back, TakeOrderedAndProject top-k. The
+      // oracle replays the identical expression tree.
+      graft.ops.Search.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 50)),
+
     "q_x_cms_heavy" -> ((s, dir) => {
       // token heavy hitters via count-min sketch: the corpus folds into
       // 4×1024 integer counters (one hash-agg over the token stream,
@@ -2485,6 +2493,10 @@ object Queries {
     "q_x_hll_merge" ->
       graft.functions.Sketches.hllOracleSql("events", Seq("event_type"),
         "'u:' || CAST(user_id AS VARCHAR)", p = 5),
+
+    "q_x_bm25" ->
+      graft.ops.Search.bm25OracleSql("documents", "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 50),
 
     "q_x_cms_heavy" -> {
       val stream =

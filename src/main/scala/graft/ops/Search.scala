@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full-text relevance scoring (BM25) over a document corpus — the
+  * retrieval half of a training-data curation stack (pair mining, eval
+  * retrieval baselines, quality probes against a seed query set).
+  *
+  * Shape at scale: ONE shuffle on the doc id. The token stream is
+  * filtered to the query's terms BEFORE the exchange (the non-matching
+  * ~99.9% of tokens never leave the map side), per-doc term frequencies
+  * are static pivot columns (query terms are known at plan time, so tf_t
+  * is `sum(CASE term = t)` in a single aggregate — no second shuffle for
+  * a (doc, term) matrix), and the two corpus scalars (N, Σdl) plus the
+  * per-term document frequencies are 1-row / k-row aggregates that
+  * broadcast back. Top-k is `TakeOrderedAndProject` — no global sort.
+  *
+  * Cross-engine determinism: every FP step is either exact (tf, dl, df
+  * are integers; each per-term partial sum aggregates exactly one
+  * non-null row) or a fixed parse tree of IEEE ops mirrored literally by
+  * [[bm25OracleSql]]; the per-term partials fold in query-term order on
+  * both sides. The only 1-ulp surface is `ln` in the idf.
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Normalized whitespace tokens of a text column (shared with the
+    * dedup/vocab paths so search and dedup agree on what a term is). */
+  private def toks(text: Column): Column =
+    TextOps.tokens(TextOps.normalized(text))
+
+  /** BM25 top-k: score every document containing at least one query
+    * term; emit (id, score rounded to 4 dp) best-first, ties broken by
+    * id. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val id = col(idCol)
+    val base = df.select(id, toks(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast(LongType))
+
+    // corpus scalars: doc count and total token mass (exact integers)
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+
+    // one shuffle: per-doc tf for each query term + the doc's length
+    val tfCols = queryTerms.map(t =>
+      sum(when(col("__term") === t, 1L).otherwise(0L)).as(tfName(t)))
+    val perDoc = base
+      .select(id, col("__dl"), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(id)
+      .agg(max(col("__dl")).as("__dl"), tfCols: _*)
+
+    // per-term document frequencies: one k-column scalar row
+    val dfCols = queryTerms.map(t =>
+      sum(when(col(tfName(t)) > 0L, 1L).otherwise(0L)).as(dfName(t)))
+    val docFreqs = perDoc.agg(dfCols.head, dfCols.tail: _*)
+
+    val scored = perDoc
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(docFreqs))
+      .withColumn("__avgdl",
+        col("__sumdl").cast(DoubleType) / col("__n").cast(DoubleType))
+    // fixed-order fold of per-term partials (each exact-by-construction)
+    val score = queryTerms.map { t =>
+      val tf = col(tfName(t)).cast(DoubleType)
+      val idf = log(
+        ((col("__n") - col(dfName(t))).cast(DoubleType) + lit(0.5)) /
+          (col(dfName(t)).cast(DoubleType) + lit(0.5)) + lit(1.0))
+      val partial = idf * ((tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) +
+          (lit(B) * col("__dl").cast(DoubleType)) / col("__avgdl"))))
+      when(col(tfName(t)) > 0L, partial).otherwise(lit(0.0))
+    }.reduce(_ + _)
+
+    scored.select(id, round(score, 4).as("score"))
+      .orderBy(col("score").desc, id)
+      .limit(k)
+  }
+
+  private def tfName(t: String) = s"__tf_$t"
+  private def dfName(t: String) = s"__df_$t"
+
+  /** DuckDB replay of [[bm25TopK]] — identical expression tree, constants
+    * rendered from the same doubles. */
+  def bm25OracleSql(table: String, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): String = {
+    val norm = s"trim(regexp_replace(lower(coalesce($textCol, '')), " +
+      s"'[^\\p{L}\\p{N}]+', ' ', 'g'))"
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val tfSel = queryTerms.map(t =>
+      s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END)::BIGINT " +
+        s"AS tf_${t}").mkString(",\n    ")
+    val dfSel = queryTerms.map(t =>
+      s"sum(CASE WHEN tf_${t} > 0 THEN 1 ELSE 0 END)::BIGINT " +
+        s"AS df_${t}").mkString(",\n    ")
+    val partials = queryTerms.map { t =>
+      val idf = s"ln(((CAST(n - df_${t} AS DOUBLE) + 0.5) / " +
+        s"(CAST(df_${t} AS DOUBLE) + 0.5)) + 1.0)"
+      s"(CASE WHEN tf_${t} > 0 THEN $idf * " +
+        s"((CAST(tf_${t} AS DOUBLE) * ${K1 + 1.0}) / " +
+        s"(CAST(tf_${t} AS DOUBLE) + $K1 * (${1.0 - B} + " +
+        s"($B * CAST(dl AS DOUBLE)) / avgdl))) ELSE 0.0 END)"
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT $idCol, $norm AS norm FROM $table),
+       |dls AS (
+       |  SELECT $idCol,
+       |    CASE WHEN norm = '' THEN 0
+       |         ELSE len(string_split_regex(norm, '\\s+')) END::BIGINT
+       |      AS dl,
+       |    norm
+       |  FROM base),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl
+       |  FROM dls),
+       |toks AS (
+       |  SELECT $idCol, dl,
+       |    unnest(string_split_regex(norm, '\\s+')) AS term
+       |  FROM dls WHERE norm <> ''),
+       |perdoc AS (
+       |  SELECT $idCol, max(dl) AS dl,
+       |    $tfSel
+       |  FROM toks WHERE term IN ($termList)
+       |  GROUP BY $idCol),
+       |dfs AS (
+       |  SELECT
+       |    $dfSel
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT perdoc.*, stats.n,
+       |    CAST(stats.sumdl AS DOUBLE) / CAST(stats.n AS DOUBLE) AS avgdl,
+       |    dfs.*
+       |  FROM perdoc CROSS JOIN stats CROSS JOIN dfs)
+       |SELECT $idCol, round(
+       |    $partials, 4) AS score
+       |FROM scored
+       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+}
