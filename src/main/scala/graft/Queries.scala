@@ -705,6 +705,25 @@ object Queries {
           round(Sketches.hllEstimate(col("hll"), 5), 4).as("est_distinct"))
     }),
 
+    "q_x_pagerank" -> ((s, dir) => {
+      // graph-quality signal: fixed-point PageRank (exact BIGINT
+      // arithmetic — engine- and order-independent, oracle replays the
+      // unrolled iterations bit-for-bit) over the customer↔supplier
+      // trade graph; per iteration one src join + one dst hash-agg
+      val o = rd(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val directed = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey").cast(StringType)).as("src"),
+          concat(lit("s:"), col("l_suppkey").cast(StringType)).as("dst"))
+        .distinct()
+      graft.ops.Graph.pagerank(graft.ops.Graph.undirect(directed),
+          iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    }),
+
     "q_x_bm25" -> ((s, dir) =>
       // BM25 retrieval over the corpus: one doc-id shuffle (term filter
       // runs map-side; tf per query term is a static pivot column),
@@ -2493,6 +2512,19 @@ object Queries {
     "q_x_hll_merge" ->
       graft.functions.Sketches.hllOracleSql("events", Seq("event_type"),
         "'u:' || CAST(user_id AS VARCHAR)", p = 5),
+
+    "q_x_pagerank" -> {
+      val pairs = "SELECT DISTINCT o_custkey, l_suppkey FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey"
+      val edges =
+        s"""SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+           |  's:' || CAST(l_suppkey AS VARCHAR) AS dst FROM ($pairs) p
+           |UNION ALL
+           |SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+           |  'c:' || CAST(o_custkey AS VARCHAR) AS dst
+           |FROM ($pairs) q""".stripMargin
+      graft.ops.Graph.pagerankOracleSql(edges, iters = 3, topK = 100)
+    },
 
     "q_x_bm25" ->
       graft.ops.Search.bm25OracleSql("documents", "doc_id", "text",
