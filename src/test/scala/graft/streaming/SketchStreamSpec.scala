@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.Sketches
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming HLL == batch HLL over the same data; monotone emissions. */
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 6 // small registers keep the spec fast
+
+  test("stream-final sketch equals batch sketch; merged emissions too") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = SketchStream.hllByKey(
+      mem.toDF().toDF("g", "k"), "g", col("k"), P)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hllstream").start()
+    try {
+      // three triggers, overlapping keys (redelivery) across batches
+      mem.addData((1 to 400).map(i => ("a", s"x$i")) ++
+        (1 to 50).map(i => ("b", s"y$i")): _*)
+      q.processAllAvailable()
+      mem.addData((200 to 600).map(i => ("a", s"x$i")): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 50).map(i => ("b", s"y$i")) ++
+        (51 to 80).map(i => ("b", s"y$i")): _*)
+      q.processAllAvailable()
+
+      val emissions = spark.sql("SELECT g, hll FROM hllstream")
+      // last emission per group == batch sketch over all the data
+      val batchDf = ((1 to 600).map(i => ("a", s"x$i")) ++
+        (1 to 80).map(i => ("b", s"y$i"))).toDF("g", "k")
+      val expect = Sketches.hllSketch(batchDf, Seq("g"), col("k"), P)
+        .as[(String, Seq[Int])].collect().toMap
+      // merging ALL emissions (at-least-once replay shape) must also
+      // equal the batch sketch — register-max is idempotent+monotone
+      val mergedAll = Sketches.hllMergeAgg(emissions, Seq("g"), P)
+        .as[(String, Seq[Int])].collect().toMap
+      assert(mergedAll == expect)
+
+      // and the per-group estimates are sane (~600 and ~80 distinct)
+      val est = SketchStream.withEstimate(
+          Sketches.hllMergeAgg(emissions, Seq("g"), P), P)
+        .select("g", "est_distinct").as[(String, Double)].collect().toMap
+      assert(math.abs(est("a") - 600) / 600.0 < 0.4, est("a"))
+      assert(math.abs(est("b") - 80) / 80.0 < 0.4, est("b"))
+    } finally q.stop()
+  }
+}
