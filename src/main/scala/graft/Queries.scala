@@ -705,6 +705,28 @@ object Queries {
           round(Sketches.hllEstimate(col("hll"), 5), 4).as("est_distinct"))
     }),
 
+    "q_x_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: lexical (BM25) and dense (cosine) top-100
+      // lists fused by reciprocal rank — no score calibration, both
+      // lists are k-sized so fusion never touches the corpus again.
+      // doc_id and vec_id share the 0..N id space in the fixtures.
+      val bm = graft.ops.Search.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("hash", "join", "vector"), k = 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val cos = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine_sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.Search.rrfFuse(Seq(bm, cos), "doc_id", k = 30)
+    }),
+
     "q_x_pagerank" -> ((s, dir) => {
       // graph-quality signal: fixed-point PageRank (exact BIGINT
       // arithmetic — engine- and order-independent, oracle replays the
@@ -2512,6 +2534,49 @@ object Queries {
     "q_x_hll_merge" ->
       graft.functions.Sketches.hllOracleSql("events", Seq("event_type"),
         "'u:' || CAST(user_id AS VARCHAR)", p = 5),
+
+    "q_x_hybrid_rrf" -> {
+      val terms = Seq("hash", "join", "vector")
+      s"""WITH ${graft.ops.Search.bm25Ctes("documents", "doc_id", "text",
+             terms)},
+         |bmtop AS (
+         |  SELECT doc_id,
+         |    ${graft.ops.Search.bm25ScoreExpr("doc_id", terms)} AS score
+         |  FROM scored ORDER BY score DESC, doc_id LIMIT 100),
+         |bmrank AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS r1 FROM bmtop),
+         |qv AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0),
+         |sims AS (
+         |  SELECT vec_id,
+         |    CASE WHEN sqrt(list_inner_product(
+         |        CAST(e.embedding AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])))
+         |      * sqrt(list_inner_product(qe, qe)) > 0
+         |    THEN list_inner_product(CAST(e.embedding AS DOUBLE[]), qe)
+         |      / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |          CAST(e.embedding AS DOUBLE[])))
+         |        * sqrt(list_inner_product(qe, qe)))
+         |    ELSE 0.0 END AS sim
+         |  FROM embeddings e, qv WHERE vec_id <> 0),
+         |costop AS (
+         |  SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id
+         |  LIMIT 100),
+         |cosrank AS (
+         |  SELECT vec_id AS doc_id, CAST(row_number() OVER (
+         |    ORDER BY sim DESC, vec_id) AS BIGINT) AS r2 FROM costop),
+         |fused AS (
+         |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         |    round((CASE WHEN b.r1 IS NOT NULL
+         |        THEN 1.0 / (60 + b.r1) ELSE 0.0 END)
+         |      + (CASE WHEN c.r2 IS NOT NULL
+         |        THEN 1.0 / (60 + c.r2) ELSE 0.0 END), 6) AS rrf
+         |  FROM bmrank b FULL JOIN cosrank c ON b.doc_id = c.doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 30""".stripMargin
+    },
 
     "q_x_pagerank" -> {
       val pairs = "SELECT DISTINCT o_custkey, l_suppkey FROM orders " +

@@ -90,7 +90,16 @@ object Search {
   /** DuckDB replay of [[bm25TopK]] — identical expression tree, constants
     * rendered from the same doubles. */
   def bm25OracleSql(table: String, idCol: String, textCol: String,
-      queryTerms: Seq[String], k: Int): String = {
+      queryTerms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(table, idCol, textCol, queryTerms)}
+       |SELECT $idCol, ${bm25ScoreExpr(idCol, queryTerms)} AS score
+       |FROM scored
+       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+
+  /** The WITH-clause body (`base, dls, stats, toks, perdoc, dfs,
+    * scored`) shared by [[bm25OracleSql]] and rank-fusion oracles. */
+  def bm25Ctes(table: String, idCol: String, textCol: String,
+      queryTerms: Seq[String]): String = {
     val norm = s"trim(regexp_replace(lower(coalesce($textCol, '')), " +
       s"'[^\\p{L}\\p{N}]+', ' ', 'g'))"
     val termList = queryTerms.map(t => s"'$t'").mkString(", ")
@@ -100,15 +109,7 @@ object Search {
     val dfSel = queryTerms.map(t =>
       s"sum(CASE WHEN tf_${t} > 0 THEN 1 ELSE 0 END)::BIGINT " +
         s"AS df_${t}").mkString(",\n    ")
-    val partials = queryTerms.map { t =>
-      val idf = s"ln(((CAST(n - df_${t} AS DOUBLE) + 0.5) / " +
-        s"(CAST(df_${t} AS DOUBLE) + 0.5)) + 1.0)"
-      s"(CASE WHEN tf_${t} > 0 THEN $idf * " +
-        s"((CAST(tf_${t} AS DOUBLE) * ${K1 + 1.0}) / " +
-        s"(CAST(tf_${t} AS DOUBLE) + $K1 * (${1.0 - B} + " +
-        s"($B * CAST(dl AS DOUBLE)) / avgdl))) ELSE 0.0 END)"
-    }.mkString("\n    + ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT $idCol, $norm AS norm FROM $table),
        |dls AS (
        |  SELECT $idCol,
@@ -137,10 +138,43 @@ object Search {
        |  SELECT perdoc.*, stats.n,
        |    CAST(stats.sumdl AS DOUBLE) / CAST(stats.n AS DOUBLE) AS avgdl,
        |    dfs.*
-       |  FROM perdoc CROSS JOIN stats CROSS JOIN dfs)
-       |SELECT $idCol, round(
-       |    $partials, 4) AS score
-       |FROM scored
-       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+       |  FROM perdoc CROSS JOIN stats CROSS JOIN dfs)""".stripMargin
+  }
+
+  /** The rounded BM25 score expression over the `scored` CTE. */
+  def bm25ScoreExpr(idCol: String, queryTerms: Seq[String]): String = {
+    val partials = queryTerms.map { t =>
+      val idf = s"ln(((CAST(n - df_${t} AS DOUBLE) + 0.5) / " +
+        s"(CAST(df_${t} AS DOUBLE) + 0.5)) + 1.0)"
+      s"(CASE WHEN tf_${t} > 0 THEN $idf * " +
+        s"((CAST(tf_${t} AS DOUBLE) * ${K1 + 1.0}) / " +
+        s"(CAST(tf_${t} AS DOUBLE) + $K1 * (${1.0 - B} + " +
+        s"($B * CAST(dl AS DOUBLE)) / avgdl))) ELSE 0.0 END)"
+    }.mkString("\n    + ")
+    s"round(\n    $partials, 4)"
+  }
+
+  /** Reciprocal-rank fusion of ranked lists: each list is (id, rank
+    * 1..n); fused score = Σ 1/(rrfK + rank) with absent ids
+    * contributing 0, folded in LIST ORDER (cross-engine deterministic
+    * — each term is one IEEE division of exact integers). The robust
+    * way to combine lexical (BM25) and dense (ANN) retrieval without
+    * score calibration. Lists are top-n — k-sized, broadcast — so
+    * fusion costs no corpus shuffle. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty)
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").as(s"__r_$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full"))
+    val score = rankings.indices.map { i =>
+      when(col(s"__r_$i").isNotNull,
+        lit(1.0) / (lit(rrfK) + col(s"__r_$i")).cast(DoubleType))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    joined.select(col(idCol), round(score, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
   }
 }

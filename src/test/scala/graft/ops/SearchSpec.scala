@@ -77,6 +77,28 @@ class SearchSpec extends SparkSpec {
     assert(got.length == 1 && got.head._1 == 1L)
   }
 
+  test("rrfFuse: both-list docs beat single-list docs; absent = 0") {
+    val l1 = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val l2 = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val fused = Search.rrfFuse(Seq(l1, l2), "doc_id", k = 10)
+      .as[(Long, Double)].collect().toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    assert(math.abs(fused(2L) - (rr(2) + rr(1))) < 1e-6)
+    assert(math.abs(fused(1L) - rr(1)) < 1e-6)
+    assert(math.abs(fused(4L) - rr(2)) < 1e-6)
+    // doc 2 (in both lists) outranks every single-list doc
+    assert(fused(2L) > fused(1L) && fused(2L) > fused(4L))
+  }
+
+  test("rrfFuse k truncates and orders by fused score then id") {
+    val l1 = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val l2 = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq(l1, l2), "doc_id", k = 2)
+      .as[(Long, Double)].collect().toSeq
+    // ties on score (same rank in different lists) break by id
+    assert(got.map(_._1) == Seq(1L, 3L))
+  }
+
   test("rare term contributes more than ubiquitous term (idf)") {
     val c = Seq(
       (1L, "common rare"),
