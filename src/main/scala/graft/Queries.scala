@@ -705,6 +705,19 @@ object Queries {
           round(Sketches.hllEstimate(col("hll"), 5), 4).as("est_distinct"))
     }),
 
+    "q_x_qsketch" -> ((s, dir) => {
+      // mergeable quantile sketch: log-spaced integer buckets (1/16
+      // relative error), ONE hash-agg over the rows, quantile extraction
+      // windows over the few-hundred-bucket sketch — never the data.
+      // Counter-addition merge makes per-day sketches compose; every
+      // step is exact integer math the oracle replays.
+      import graft.functions.Sketches
+      Sketches.qQuantiles(
+        Sketches.qSketch(rd(s, dir, "events"), Seq("event_type"),
+          col("value")),
+        Seq("event_type"), Seq(0.5, 0.95, 0.99))
+    }),
+
     "q_x_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: lexical (BM25) and dense (cosine) top-100
       // lists fused by reciprocal rank — no score calibration, both
@@ -2534,6 +2547,10 @@ object Queries {
     "q_x_hll_merge" ->
       graft.functions.Sketches.hllOracleSql("events", Seq("event_type"),
         "'u:' || CAST(user_id AS VARCHAR)", p = 5),
+
+    "q_x_qsketch" ->
+      graft.functions.Sketches.qOracleSql("events", Seq("event_type"),
+        "value", Seq(0.5, 0.95, 0.99)),
 
     "q_x_hybrid_rrf" -> {
       val terms = Seq("hash", "join", "vector")

@@ -270,4 +270,122 @@ object Sketches {
        |  AND cand.bucket = cms.bucket
        |GROUP BY 1""".stripMargin
   }
+
+  // ======================================================================
+  // Quantile histogram sketch (DDSketch-flavored): values land in
+  // log-spaced integer buckets — 4 mantissa bits after the leading bit,
+  // so any quantile estimate is within 1/16 relative error (values below
+  // 31/QScale are exact). The sketch is (bucket, cnt) integer rows:
+  // mergeable by counter addition, persistable per group/day, and every
+  // step — the fixed-point scaling, the bit-length bucket id, the
+  // cumulative threshold ceil(q·N), the lower-bound reconstruction — is
+  // exact integer/single-IEEE-op arithmetic replayed verbatim by DuckDB.
+  //
+  // Scale: ONE hash aggregate over the rows (map-side partials), output
+  // ≤ a few hundred buckets per group regardless of input size; the
+  // quantile extraction is a window over that tiny sketch, never the
+  // data.
+  // ======================================================================
+
+  /** Fixed-point resolution: 10^-4 absolute below 0.0032, 1/16 relative
+    * above. */
+  val QScale = 10000.0
+
+  /** Scaled fixed-point value (exact: one IEEE multiply + floor). */
+  def qScaled(value: Column): Column =
+    floor(value.cast(DoubleType) * lit(QScale)).cast(LongType)
+
+  /** Log-bucket id of a scaled value: tiny/nonpositive values get exact
+    * cells 0..31; above, (bitlen << 4) | top-4-mantissa-bits. */
+  def qBucket(scaled: Column): Column = {
+    val len = length(conv(scaled, 10, 2)).cast(IntegerType)
+    when(scaled <= 0L, lit(0))
+      .otherwise(when(scaled < 32L, scaled.cast(IntegerType))
+        .otherwise((len * 16 +
+          call_function("shiftright", scaled, len - 5)
+            .bitwiseAND(lit(15L)).cast(IntegerType)).cast(IntegerType)))
+  }
+
+  /** Scaled lower bound of a bucket (the quantile representative). */
+  def qLowerBound(bucket: Column): Column =
+    when(bucket < 32, bucket.cast(LongType))
+      .otherwise(call_function("shiftleft",
+        (lit(16L) + bucket.bitwiseAND(lit(15)).cast(LongType)),
+        (call_function("shiftright", bucket, lit(4)) - lit(5))))
+
+  /** Build a per-group quantile sketch: (groupCols..., bucket, cnt). */
+  def qSketch(df: DataFrame, groupCols: Seq[String], value: Column)
+      : DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ qBucket(qScaled(value)).as("bucket"): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches: counters add per (group, bucket). */
+  def qMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    sketches.groupBy(g :+ col("bucket"): _*).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Extract quantiles from a sketch: for each q, the lower bound of the
+    * first bucket whose cumulative count reaches ceil(q·N), scaled back
+    * to value units. Emits (groupCols..., q, est). */
+  def qQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val cumW = Window.partitionBy(g: _*).orderBy(col("bucket"))
+    val totW = Window.partitionBy(g: _*)
+    val cum = sketch
+      .withColumn("__cum", sum(col("cnt")).over(cumW))
+      .withColumn("__n", sum(col("cnt")).over(totW))
+    qs.map { q =>
+      cum.filter(col("__cum") >= ceil(lit(q) * col("__n")))
+        .groupBy(g: _*).agg(min(col("bucket")).as("__mb"))
+        .select(g :+ lit(q).as("q") :+
+          (qLowerBound(col("__mb")).cast(DoubleType) / lit(QScale))
+            .as("est"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB replay of sketch-build + quantile extraction. */
+  def qOracleSql(table: String, groupCols: Seq[String], valueExpr: String,
+      qs: Seq[Double]): String = {
+    val g = groupCols.mkString(", ")
+    // force DOUBLE: a bare 0.95 literal is DECIMAL in DuckDB, and
+    // ceil(DECIMAL·N) can disagree with ceil(double·N) exactly when q·N
+    // grazes an integer (0.95·2000 = 1900.0000000000000888 as doubles)
+    val qList = qs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT $g,
+       |    CAST(floor(CAST($valueExpr AS DOUBLE) * $QScale) AS BIGINT)
+       |      AS sc
+       |  FROM $table),
+       |b AS (
+       |  SELECT $g,
+       |    CASE WHEN sc <= 0 THEN 0
+       |         WHEN sc < 32 THEN CAST(sc AS INTEGER)
+       |         ELSE CAST(length(bin(sc)) * 16
+       |           + ((sc >> (length(bin(sc)) - 5)) & 15) AS INTEGER)
+       |    END AS bucket
+       |  FROM s),
+       |h AS (SELECT $g, bucket, count(*)::BIGINT AS cnt FROM b
+       |  GROUP BY ALL),
+       |c AS (
+       |  SELECT $g, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY $g ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY $g) AS n
+       |  FROM h),
+       |qq AS (SELECT unnest([$qList]) AS q),
+       |sel AS (
+       |  SELECT $g, qq.q, min(bucket) AS mb
+       |  FROM c CROSS JOIN qq WHERE cum >= ceil(qq.q * n)
+       |  GROUP BY ALL)
+       |SELECT $g, q,
+       |  CAST(CASE WHEN mb < 32 THEN mb
+       |       ELSE (16 + (mb & 15))::BIGINT << ((mb >> 4) - 5)
+       |  END AS DOUBLE) / $QScale AS est
+       |FROM sel""".stripMargin
+  }
 }

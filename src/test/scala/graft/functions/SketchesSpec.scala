@@ -100,6 +100,51 @@ class SketchesSpec extends SparkSpec {
     assert(z == M)
   }
 
+  test("qsketch: quantiles within 1/16 relative of exact; merge exact") {
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 20000).map(_ => math.exp(rnd.nextGaussian()) * 10.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val sk = Sketches.qSketch(df, Seq("g"), col("v"))
+    val got = Sketches.qQuantiles(sk, Seq("g"), Seq(0.5, 0.95, 0.99))
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    Seq(0.5, 0.95, 0.99).foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      val est = got(q)
+      assert(est <= exact, s"q=$q lower bound $est above exact $exact")
+      assert(exact / est <= 1.0 + 1.0 / 16 + 1e-9,
+        s"q=$q est $est vs exact $exact out of 1/16 band")
+    }
+    // merge: two half-sketches sum to the whole sketch, bucket-exact
+    val (h1, h2) = vals.splitAt(vals.size / 2)
+    val m = Sketches.qMerge(
+      Sketches.qSketch(h1.map(("g", _)).toDF("g", "v"), Seq("g"), col("v"))
+        .union(Sketches.qSketch(h2.map(("g", _)).toDF("g", "v"),
+          Seq("g"), col("v"))),
+      Seq("g"))
+    assert(m.orderBy("bucket").as[(String, Int, Long)].collect().toSeq ==
+      sk.orderBy("bucket").as[(String, Int, Long)].collect().toSeq)
+  }
+
+  test("qsketch: values below resolution land exactly; quantile " +
+      "extraction is monotone in q") {
+    // mid-cell values: (i+0.5)/QScale floors to cell i robustly (the
+    // 0.5 margin absorbs the double round-trip ulp; i/QScale itself can
+    // land one cell low, which is correct floor semantics, not a bug)
+    val df = (1 to 31).map(i => ("g", (i + 0.5) / Sketches.QScale))
+      .toDF("g", "v")
+    val sk = Sketches.qSketch(df, Seq("g"), col("v"))
+    // every scaled value < 32 gets its own exact cell
+    assert(sk.count() == 31)
+    val qs = Seq(0.1, 0.3, 0.5, 0.7, 0.9, 1.0)
+    val ests = Sketches.qQuantiles(sk, Seq("g"), qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val ordered = qs.map(ests)
+    assert(ordered == ordered.sorted, s"non-monotone: $ordered")
+    // p100 of 1..31 scaled = 31/QScale exactly
+    assert(math.abs(ests(1.0) - 31 / Sketches.QScale) < 1e-12)
+  }
+
   test("driver/SQL rank agreement on known hashes") {
     // rankOf must equal 61-p - bitLength(h >> p) (0 ⇒ maxRank)
     val hs = Seq(0L, 1L, 255L, 256L, 257L, (1L << 59) + 5, (1L << 60) - 1)
