@@ -1219,7 +1219,37 @@ object Queries {
         .select(col("doc_id"), col("clamped"),
           octet_length(col("clamped")).cast(LongType).as("clamped_bytes"),
           length(col("clamped")).cast(LongType).as("clamped_chars"))
-    })
+    }),
+
+    "q_x_cohort_retention" -> ((s, dir) =>
+      // cohort-retention triangle over the landed event stream: one
+      // user-keyed shuffle (window min = cohort day, no join back), then
+      // a days×days aggregate
+      graft.ops.Behavior.cohortRetention(
+          rd(s, dir, "events").select(col("user_id"),
+            to_date(timestamp_micros(col("ts"))).as("day")),
+          "user_id", "day")
+        .orderBy("cohort_day", "day_offset")),
+
+    "q_x_funnel" -> ((s, dir) =>
+      // ordered signup→view→click→purchase conversion funnel: chained
+      // conditional window-mins on ONE user partitioning; single row of
+      // per-stage distinct-user counts
+      graft.ops.Behavior.funnel(
+        rd(s, dir, "events").select(col("user_id"), col("event_type"),
+          col("ts")),
+        "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))),
+
+    "q_x_anomaly" -> ((s, dir) =>
+      // per-event-type daily anomaly flags: z-score of each day's value
+      // sum against the type's cross-day mean/stddev; flag decided on the
+      // ROUNDED z so the boundary replays engine-identically
+      graft.ops.Behavior.dailyAnomalies(
+          rd(s, dir, "events").select(col("event_type"),
+            to_date(timestamp_micros(col("ts"))).as("day"), col("value")),
+          Seq("event_type"), "day", "value", threshold = 2.0)
+        .orderBy("event_type", "day"))
   )
 
   /** Mixed-normalization fixture strings for q_x_nfc: the same visible
@@ -3046,6 +3076,62 @@ object Queries {
         |SELECT doc_id, substring(s, 1, CAST(keep AS INT)) AS clamped,
         |  CAST(strlen(substring(s, 1, CAST(keep AS INT))) AS BIGINT) AS clamped_bytes,
         |  CAST(length(substring(s, 1, CAST(keep AS INT))) AS BIGINT) AS clamped_chars
-        |FROM cut""".stripMargin
+        |FROM cut""".stripMargin,
+
+    "q_x_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM e)
+        |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // stage i's time = earliest stage-i event at-or-after stage i-1's
+    // time, per user; the per-user table chains by join-on-user (the
+    // engine's window chain computes the identical per-partition values)
+    "q_x_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+        |  FROM events),
+        |u0 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN t END) AS t0
+        |  FROM e GROUP BY user_id),
+        |u1 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'view' AND e.t >= u0.t0
+        |      THEN e.t END) AS t1
+        |  FROM e JOIN u0 USING (user_id) GROUP BY e.user_id),
+        |u2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.t >= u1.t1
+        |      THEN e.t END) AS t2
+        |  FROM e JOIN u1 USING (user_id) GROUP BY e.user_id),
+        |u3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.t >= u2.t2
+        |      THEN e.t END) AS t3
+        |  FROM e JOIN u2 USING (user_id) GROUP BY e.user_id)
+        |SELECT count(t0) AS n_stage1, count(t1) AS n_stage2,
+        |  count(t2) AS n_stage3, count(t3) AS n_stage4
+        |FROM u0 LEFT JOIN u1 USING (user_id)
+        |  LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)""".stripMargin,
+
+    "q_x_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(value) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type, day, day_value,
+        |    (day_value - avg(day_value) OVER (PARTITION BY event_type)) /
+        |      stddev_samp(day_value) OVER (PARTITION BY event_type) AS z
+        |  FROM d)
+        |SELECT event_type, day, round(day_value, 4) AS day_value,
+        |  round(z, 4) AS z, abs(round(z, 4)) >= 2.0 AS is_anomaly
+        |FROM z""".stripMargin
   )
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-behavior analytics over the CDC-landed event stream: cohort
+  * retention, ordered funnels, and per-group time-series anomaly flags.
+  * The reference's sink feeds exactly these warehouse queries (the
+  * tipoca README's "analysts query the loaded tables" story); here they
+  * are first-class operators with oracle-checked semantics.
+  *
+  * Scale shape: each operator is one user-keyed shuffle (window
+  * functions reuse the partitioning across chained frames) plus a
+  * small-cardinality hash aggregate — no joins against the event stream,
+  * no driver-side state. At 100 TB the user partitioning is the natural
+  * key (AQE splits skewed power users only if a single user's history
+  * exceeds a partition, which the window frame tolerates).
+  */
+object Behavior {
+
+  /** Classic cohort-retention triangle: bucket each user by the day they
+    * were first seen, then count distinct active users per
+    * (cohort day, days-since-cohort offset).
+    *
+    * One shuffle on `userCol` computes the per-user first day as a
+    * window min (no join back — the window reuses the shuffle); the
+    * (cohort, offset) aggregate that follows is tiny (days × days).
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      dayCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    events
+      .withColumn("cohort_day", min(col(dayCol)).over(w))
+      .groupBy(col("cohort_day"),
+        datediff(col(dayCol), col("cohort_day")).cast(LongType)
+          .as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Ordered conversion funnel: for each user, stage i's timestamp is the
+    * earliest `stages(i)` event at-or-after the user's stage i−1
+    * timestamp; a user "reaches" stage i when that timestamp exists.
+    * Returns ONE row with a `n_stage<i>` distinct-user count per stage.
+    *
+    * Each stage is a conditional window-min over the same user
+    * partitioning — Spark plans the chain as consecutive Window execs on
+    * one exchange (stage i's predicate references stage i−1's column,
+    * which is partition-constant, so no extra pass over the data is
+    * needed beyond the frame evaluation).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(userCol)
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === stage
+          else col(typeCol) === stage && col(tsCol) >= col(s"t${i - 1}")
+        df.withColumn(s"t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val counts: Seq[Column] = stages.indices.map(i =>
+      countDistinct(when(col(s"t$i").isNotNull, col(userCol)))
+        .as(s"n_stage${i + 1}"))
+    staged.agg(counts.head, counts.tail: _*)
+  }
+
+  /** Per-group daily anomaly flags: sum `valueCol` per (group, day),
+    * z-score each day against its group's mean/stddev across days, and
+    * flag |z| ≥ `threshold`. The flag compares the ROUNDED z (4 dp) so
+    * the decision replays identically on any engine — a raw
+    * floating-point boundary would let two correct engines disagree on
+    * the flag while agreeing on every printed digit.
+    *
+    * The heavy step is the (group, day) partial-aggregated sum — the
+    * stream never shuffles twice; the z-score window runs over the tiny
+    * daily table.
+    */
+  def dailyAnomalies(events: DataFrame, groupCols: Seq[String],
+      dayCol: String, valueCol: String,
+      threshold: Double = 2.0): DataFrame = {
+    val gs = groupCols.map(col)
+    val daily = events.groupBy(gs :+ col(dayCol): _*)
+      .agg(sum(col(valueCol)).as("day_value"))
+    val w = Window.partitionBy(gs: _*)
+    daily
+      .withColumn("z", (col("day_value") - avg("day_value").over(w)) /
+        stddev_samp(col("day_value")).over(w))
+      .select(gs ++ Seq(col(dayCol),
+        round(col("day_value"), 4).as("day_value"),
+        round(col("z"), 4).as("z"),
+        (abs(round(col("z"), 4)) >= threshold).as("is_anomaly")): _*)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: stages must occur in order, per user") {
+    // u1 completes a→b; u2 has b BEFORE a (b must not count); u3 only a;
+    // u4 touches neither
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 20L),
+      (2L, "b", 5L), (2L, "a", 10L),
+      (3L, "a", 10L),
+      (4L, "x", 10L)
+    ).toDF("user_id", "event_type", "ts")
+    val r = Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("a", "b")).head()
+    assert(r.getLong(0) == 3) // u1,u2,u3 reach a
+    assert(r.getLong(1) == 1) // only u1 has b at-or-after a
+  }
+
+  test("funnel: same-timestamp stage counts (at-or-after)") {
+    val ev = Seq((1L, "a", 10L), (1L, "b", 10L))
+      .toDF("user_id", "event_type", "ts")
+    val r = Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("a", "b")).head()
+    assert(r.getLong(1) == 1)
+  }
+
+  test("cohort retention counts distinct users per offset") {
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"), (1L, "2024-01-03"),
+      (2L, "2024-01-01"), (3L, "2024-01-02")
+    ).toDF("user_id", "d").select(col("user_id"), to_date(col("d")).as("d"))
+    val r = Behavior.cohortRetention(ev, "user_id", "d")
+      .orderBy("cohort_day", "day_offset")
+      .select(col("cohort_day").cast("string"), col("day_offset"),
+        col("n_users"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("anomaly flag decided on rounded z, one spike flagged") {
+    val ev = (1 to 20).map(d => ("t", d, if (d == 7) 100.0 else 1.0))
+      .toDF("k", "day", "v")
+    val r = Behavior.dailyAnomalies(ev, Seq("k"), "day", "v",
+      threshold = 2.0)
+    val flagged = r.filter(col("is_anomaly")).select("day")
+      .as[Int].collect().toSeq
+    assert(flagged == Seq(7))
+  }
+
+  test("funnel plan: one exchange feeds the chained windows") {
+    val ev = Seq((1L, "a", 10L)).toDF("user_id", "event_type", "ts")
+    val plan = Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("a", "b", "c")).queryExecution.executedPlan.toString
+    // chained stage windows must not each re-shuffle on user_id
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, plan:\n$plan")
+  }
+}
