@@ -1249,7 +1249,25 @@ object Queries {
           rd(s, dir, "events").select(col("event_type"),
             to_date(timestamp_micros(col("ts"))).as("day"), col("value")),
           Seq("event_type"), "day", "value", threshold = 2.0)
-        .orderBy("event_type", "day"))
+        .orderBy("event_type", "day")),
+
+    "q_x_boilerplate" -> ((s, dir) => {
+      // domain-frequent line removal (nav/footer boilerplate). The
+      // fixture corpus is single-line, so the query plants deterministic
+      // site furniture first (the q_x_pii_scrub pattern): a per-source
+      // subscribe header on EVERY doc (df=100% → stripped), a promo line
+      // on every 7th doc (~14% < the 50% threshold → kept), and a
+      // per-doc ref footer (unique → kept)
+      val synth = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          lit("Subscribe to "), coalesce(col("source"), lit("")),
+          lit(" newsletter\n"), coalesce(col("text"), lit("")), lit("\n"),
+          when(col("doc_id") % 7 === 0, lit("Limited time offer"))
+            .otherwise(concat(lit("ref "),
+              col("doc_id").cast(StringType)))).as("synth"))
+      graft.ops.Boilerplate.strip(synth, "doc_id", "source", "synth",
+        minFrac = 0.5, minDf = 2)
+    })
   )
 
   /** Mixed-normalization fixture strings for q_x_nfc: the same visible
@@ -3132,6 +3150,43 @@ object Queries {
         |  FROM d)
         |SELECT event_type, day, round(day_value, 4) AS day_value,
         |  round(z, 4) AS z, abs(round(z, 4)) >= 2.0 AS is_anomaly
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    // same synthetic furniture as the engine side; boilerplate = lines
+    // in >= 2 docs AND >= 50% of the source's docs
+    "q_x_boilerplate" ->
+      """WITH src AS (
+        |  SELECT doc_id, source,
+        |    'Subscribe to ' || coalesce(source, '') || ' newsletter' ||
+        |    chr(10) || coalesce(text, '') || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Limited time offer'
+        |         ELSE 'ref ' || CAST(doc_id AS VARCHAR) END AS synth
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, string_split(synth, chr(10)) AS ls
+        |  FROM src),
+        |l AS (SELECT doc_id, source, unnest(ls) AS line,
+        |    unnest(generate_series(1, len(ls))) AS pos
+        |  FROM t),
+        |perkey AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |  FROM src GROUP BY source),
+        |df AS (
+        |  SELECT source, line, count(*) AS df FROM (
+        |    SELECT DISTINCT source, line, doc_id FROM l) GROUP BY 1, 2),
+        |boiler AS (
+        |  SELECT df.source, df.line FROM df JOIN perkey USING (source)
+        |  WHERE df.df >= 2 AND df.df >= perkey.n_docs * 0.5),
+        |kept AS (
+        |  SELECT l.doc_id,
+        |    string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM l LEFT JOIN boiler
+        |    ON l.source = boiler.source AND l.line = boiler.line
+        |  WHERE boiler.line IS NULL GROUP BY l.doc_id),
+        |total AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+        |SELECT total.doc_id, coalesce(kept.clean_text, '') AS clean_text,
+        |  coalesce(kept.n_kept, 0) AS n_kept,
+        |  CAST(total.n_lines - coalesce(kept.n_kept, 0) AS BIGINT)
+        |    AS n_dropped
+        |FROM total LEFT JOIN kept USING (doc_id)""".stripMargin
   )
 }

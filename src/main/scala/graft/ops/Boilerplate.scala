@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Domain-frequent line removal — the web-curation "boilerplate strip"
+  * (nav bars, cookie banners, subscribe footers repeated on every page
+  * of a site). A line is boilerplate within a group (site/domain) when
+  * it appears in at least `minDf` documents AND in at least `minFrac`
+  * of the group's documents; such lines are deleted everywhere and the
+  * documents reassembled in original line order.
+  *
+  * Scale shape: the corpus explodes to lines once; the line
+  * document-frequency aggregate shuffles on (group, line) — partial
+  * aggregation absorbs within-partition repeats, and the per-site line
+  * space is bounded by site size, not corpus size. The boilerplate set
+  * that survives the threshold is tiny (lines repeated across ≥ minFrac
+  * of a site), so the removal anti-join broadcasts it; reassembly is
+  * one shuffle on the document id. Nothing in the plan is quadratic and
+  * no stage holds more than a site's distinct lines.
+  */
+object Boilerplate {
+
+  /** Per-(group, line) document frequency joined with the group's doc
+    * count — the decision table [[strip]] thresholds. Exposed for
+    * auditing what WOULD be stripped. */
+  def lineStats(docs: DataFrame, idCol: String, keyCol: String,
+      textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol), col(keyCol),
+      explode(split(coalesce(col(textCol), lit("")), "\n")).as("line"))
+    val perKey = docs.groupBy(col(keyCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    lines.select(col(keyCol), col("line"), col(idCol)).distinct()
+      .groupBy(col(keyCol), col("line"))
+      .agg(count(lit(1)).as("df"))
+      .join(perKey, keyCol)
+  }
+
+  /** Remove boilerplate lines and reassemble each document. Returns one
+    * row per input document: the cleaned text plus kept/dropped line
+    * counts (a fully-boilerplate document survives with empty text —
+    * dropping rows is the dedup family's job, not the cleaner's). */
+  def strip(docs: DataFrame, idCol: String, keyCol: String,
+      textCol: String, minFrac: Double = 0.5, minDf: Int = 2): DataFrame = {
+    val lines = docs.select(col(idCol), col(keyCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("pos", "line")))
+    val boiler = lineStats(docs, idCol, keyCol, textCol)
+      .filter(col("df") >= minDf &&
+        col("df") >= col("n_docs") * minFrac)
+      .select(col(keyCol), col("line"))
+    val kept = lines.join(boiler, Seq(keyCol, "line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          _.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val total = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"))
+    total.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_dropped"))
+  }
+}
