@@ -44,11 +44,20 @@ object Search {
     val base = df.select(id, toks(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast(LongType))
 
-    // corpus scalars: doc count and total token mass (exact integers)
-    val stats = base.agg(count(lit(1)).as("__n"),
-      sum(col("__dl")).as("__sumdl"))
+    // corpus scalars: doc count and total token mass (exact integers).
+    // Collected to the driver (2 longs) rather than cross-joined back:
+    // a 1-row BroadcastNestedLoopJoin is harmless at runtime but breaks
+    // the catalog's zero-cartesian invariant and splits whole-stage
+    // codegen around itself.
+    val statsRow = base.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl")).head()
+    val nDocs = statsRow.getLong(0)
+    val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
 
-    // one shuffle: per-doc tf for each query term + the doc's length
+    // one shuffle: per-doc tf for each query term + the doc's length.
+    // Materialized once — the per-term document frequencies below and
+    // the scoring pass both read it, and without the checkpoint the
+    // term-filtered token shuffle would run twice.
     val tfCols = queryTerms.map(t =>
       sum(when(col("__term") === t, 1L).otherwise(0L)).as(tfName(t)))
     val perDoc = base
@@ -56,17 +65,21 @@ object Search {
       .filter(col("__term").isin(queryTerms: _*))
       .groupBy(id)
       .agg(max(col("__dl")).as("__dl"), tfCols: _*)
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(perDoc)
 
-    // per-term document frequencies: one k-column scalar row
+    // per-term document frequencies: one k-long scalar row off the
+    // checkpointed frame
     val dfCols = queryTerms.map(t =>
       sum(when(col(tfName(t)) > 0L, 1L).otherwise(0L)).as(dfName(t)))
-    val docFreqs = perDoc.agg(dfCols.head, dfCols.tail: _*)
+    val dfRow = perDoc.agg(dfCols.head, dfCols.tail: _*).head()
+    val docFreq = queryTerms.zipWithIndex
+      .map { case (t, i) => t -> dfRow.getLong(i) }.toMap
 
     val scored = perDoc
-      .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(docFreqs))
-      .withColumn("__avgdl",
-        col("__sumdl").cast(DoubleType) / col("__n").cast(DoubleType))
+      .withColumn("__n", lit(nDocs))
+      .withColumn("__avgdl", lit(sumDl.toDouble / nDocs.toDouble))
+      .withColumns(queryTerms.map(t => dfName(t) -> lit(docFreq(t))).toMap)
     // fixed-order fold of per-term partials (each exact-by-construction)
     val score = queryTerms.map { t =>
       val tf = col(tfName(t)).cast(DoubleType)
