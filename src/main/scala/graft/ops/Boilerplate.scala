@@ -49,21 +49,21 @@ object Boilerplate {
     val boiler = lineStats(docs, idCol, keyCol, textCol)
       .filter(col("df") >= minDf &&
         col("df") >= col("n_docs") * minFrac)
-      .select(col(keyCol), col("line"))
-    val kept = lines.join(boiler, Seq(keyCol, "line"), "left_anti")
+      .select(col(keyCol), col("line"), lit(1).as("__boiler"))
+    // flag instead of anti-join so kept text, kept count, and total
+    // count come out of ONE id-shuffle aggregate (collect_list skips
+    // the nulled-out boilerplate lines; an anti-join formulation needs
+    // a second shuffle plus a rejoin just to keep all-boiler docs)
+    lines.join(broadcast(boiler), Seq(keyCol, "line"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("line"))))),
           _.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val total = lines.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"))
-    total.join(kept, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
-          .cast(LongType).as("n_dropped"))
+        count(when(col("__boiler").isNull, 1)).as("n_kept"),
+        count(lit(1)).as("n_lines"))
+      .select(col(idCol), col("clean_text"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).cast(LongType).as("n_dropped"))
   }
 }
