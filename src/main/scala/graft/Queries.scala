@@ -1251,6 +1251,61 @@ object Queries {
           Seq("event_type"), "day", "value", threshold = 2.0)
         .orderBy("event_type", "day")),
 
+    "q_x_script" -> ((s, dir) => {
+      // Unicode-script routing profile (multilingual curation: script
+      // decides the tokenizer/quality pipeline, langid discriminates
+      // within it). ASCII fixture corpus → plant deterministic Cyrillic
+      // and Han tails on thirds of the docs (the pii_scrub pattern).
+      // Row-local codegen'd regex counts; zero shuffle.
+      val synth = docs(s, dir).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0, lit(" привет мир"))
+            .when(col("doc_id") % 3 === 1, lit(" 你好世界"))
+            .otherwise(lit(""))).as("synth"))
+      synth.select(col("doc_id") +:
+        TextOps.scriptColumns(col("synth")).map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      // TPC-H Q5 shape: six-table star-ish join, revenue from orders
+      // whose customer and supplier sit in the SAME nation of one
+      // region. Plan design for 100 TB: lineitem⋈orders is the one big
+      // shuffle (both fact-scale, keyed on orderkey); every dimension —
+      // region-filtered nation, customer, supplier — broadcasts, so the
+      // fact side shuffles exactly once. The region filter prunes
+      // nations BEFORE the customer/supplier joins, shrinking both
+      // build sides (Catalyst pushes it through the join chain).
+      val cents = (c: Column) => round(c * 100).cast(LongType)
+      val nations = rd(s, dir, "nation")
+        .join(broadcast(rd(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = rd(s, dir, "customer")
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = rd(s, dir, "supplier")
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val o = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount"))))
+          .cast(DoubleType) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_x_boilerplate" -> ((s, dir) => {
       // domain-frequent line removal (nav/footer boilerplate). The
       // fixture corpus is single-line, so the query plants deterministic
@@ -3151,6 +3206,71 @@ object Queries {
         |SELECT event_type, day, round(day_value, 4) AS day_value,
         |  round(z, 4) AS z, abs(round(z, 4)) >= 2.0 AS is_anomaly
         |FROM z""".stripMargin,
+
+    // RE2 bare script classes == Java's Is-prefixed ones (same Unicode
+    // Script property); dominant script = FIRST script in list order
+    // reaching the max letter count, 'other' when no profiled script hits
+    "q_x_script" ->
+      """WITH s AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' привет мир'
+        |         WHEN doc_id % 3 = 1 THEN ' 你好世界'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS BIGINT)
+        |      AS n_letters,
+        |    CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g'))
+        |      AS BIGINT) AS c_latin,
+        |    CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g'))
+        |      AS BIGINT) AS c_cyrillic,
+        |    CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g'))
+        |      AS BIGINT) AS c_han,
+        |    CAST(length(regexp_replace(t, '[^\p{Arabic}]', '', 'g'))
+        |      AS BIGINT) AS c_arabic
+        |  FROM s)
+        |SELECT doc_id, n_letters,
+        |  round(CASE WHEN n_letters > 0
+        |    THEN CAST(c_latin AS DOUBLE) / n_letters ELSE 0.0 END, 4)
+        |    AS frac_latin,
+        |  round(CASE WHEN n_letters > 0
+        |    THEN CAST(c_cyrillic AS DOUBLE) / n_letters ELSE 0.0 END, 4)
+        |    AS frac_cyrillic,
+        |  round(CASE WHEN n_letters > 0
+        |    THEN CAST(c_han AS DOUBLE) / n_letters ELSE 0.0 END, 4)
+        |    AS frac_han,
+        |  round(CASE WHEN n_letters > 0
+        |    THEN CAST(c_arabic AS DOUBLE) / n_letters ELSE 0.0 END, 4)
+        |    AS frac_arabic,
+        |  CASE
+        |    WHEN greatest(c_latin, c_cyrillic, c_han, c_arabic) = 0
+        |      THEN 'other'
+        |    WHEN c_latin = greatest(c_latin, c_cyrillic, c_han, c_arabic)
+        |      THEN 'latin'
+        |    WHEN c_cyrillic = greatest(c_latin, c_cyrillic, c_han, c_arabic)
+        |      THEN 'cyrillic'
+        |    WHEN c_han = greatest(c_latin, c_cyrillic, c_han, c_arabic)
+        |      THEN 'han'
+        |    ELSE 'arabic' END AS script
+        |FROM c""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     // same synthetic furniture as the engine side; boilerplate = lines
     // in >= 2 docs AND >= 50% of the source's docs

@@ -147,6 +147,46 @@ object TextOps {
     langIdFromScores(isCjk(text),
       LangPatterns.map { case (l, p) => l -> langScore(text, p) })
 
+  /** Unicode scripts profiled by [[scriptColumns]]: display name →
+    * (Java regex class, RE2/DuckDB class). Java prefixes scripts with
+    * `Is`; RE2 uses the bare name — semantics are the same Unicode
+    * Script property. */
+  val Scripts: Seq[(String, String, String)] = Seq(
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"))
+
+  /** Per-script letter fractions + dominant script — the multilingual
+    * complement to [[langId]] (script routing decides which per-language
+    * pipeline, tokenizer, or quality model a document enters; langid
+    * then discriminates within the script). All counts are row-local
+    * integer regex counts (codegen'd, zero shuffle); the fraction is one
+    * division rounded 4 dp; the dominant-script argmax compares integer
+    * counts with first-listed-wins ties — engine-replayable throughout.
+    * Denominator = letters (`\p{L}`), so digits/punct/space don't dilute.
+    */
+  def scriptColumns(text: Column): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    def letters(c: Column) = length(c).cast(LongType)
+    val total = letters(regexp_replace(t, "[^\\p{L}]", ""))
+    val counts = Scripts.map { case (name, javaCls, _) =>
+      name -> letters(regexp_replace(t, s"[^$javaCls]", ""))
+    }
+    val dominant = counts.foldLeft((lit("other"), lit(0L))) {
+      case ((bestName, bestN), (name, n)) =>
+        // strict > keeps first-listed on ties; 0 letters stays "other"
+        (when(n > bestN, lit(name)).otherwise(bestName),
+          when(n > bestN, n).otherwise(bestN))
+    }._1
+    Seq("n_letters" -> total) ++
+      counts.map { case (name, n) =>
+        s"frac_$name" ->
+          round(when(total > 0, n.cast(DoubleType) / total.cast(DoubleType))
+            .otherwise(lit(0.0)), 4)
+      } :+ ("script" -> dominant)
+  }
+
   /** Content fingerprint: md5 of casefolded, punctuation-stripped,
     * whitespace-collapsed text. Robust to formatting-only edits. */
   def normalized(text: Column): Column =
