@@ -1251,6 +1251,39 @@ object Queries {
           Seq("event_type"), "day", "value", threshold = 2.0)
         .orderBy("event_type", "day")),
 
+    "q_x_quality_model" -> ((s, dir) => {
+      // classifier-based quality filtering with the classifier TRAINED
+      // IN-ENGINE: 3 full-batch logistic-GD steps (one exact-integer
+      // gradient aggregate per step — fast-sigmoid activation, scaled-
+      // long quantization), then score+threshold every doc. The teacher
+      // label (words >= 40) distills a hard rule into a smooth score;
+      // w0..w3 emit on every row so the oracle checks the whole weight
+      // TRAJECTORY, not just the final scores.
+      import graft.ops.QualityModel
+      val d = docs(s, dir)
+      val words = TextOps.tokenCount(col("text"))
+      val chars = length(coalesce(col("text"), lit("")))
+      val digits = length(regexp_replace(coalesce(col("text"), lit("")),
+        "[^0-9]", ""))
+      val feats = d.select(col("doc_id"),
+          lit(1.0).as("f0"),
+          (least(col("n_chars"), lit(2000L)).cast(DoubleType) / 2000.0)
+            .as("f1"),
+          (least(words, lit(200)).cast(DoubleType) / 200.0).as("f2"),
+          (digits.cast(DoubleType) /
+            greatest(chars, lit(1)).cast(DoubleType)).as("f3"),
+          when(words >= 40, 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint()
+      graft.core.Metrics.deferUnpersist(feats)
+      val fcols = (0 to 3).map(j => col(s"f$j"))
+      val wq = QualityModel.train(feats, fcols, col("y"),
+        iters = 3, lrNum = 4L)
+      val sc = round(QualityModel.score(fcols, wq), 6)
+      feats.select(col("doc_id") +: sc.as("score") +:
+        (sc >= 0.5).as("keep") +:
+        wq.zipWithIndex.map { case (w, j) => lit(w).as(s"w$j") }: _*)
+    }),
+
     "q_x_script" -> ((s, dir) => {
       // Unicode-script routing profile (multilingual curation: script
       // decides the tokenizer/quality pipeline, langid discriminates
@@ -3206,6 +3239,29 @@ object Queries {
         |SELECT event_type, day, round(day_value, 4) AS day_value,
         |  round(z, 4) AS z, abs(round(z, 4)) >= 2.0 AS is_anomaly
         |FROM z""".stripMargin,
+
+    // unrolled 3-step GD replay: per-iteration CTEs hold the exact
+    // scaled-long weights; scoring cross-joins the 1-row final weights
+    "q_x_quality_model" -> {
+      import graft.ops.QualityModel
+      val words = "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+      val featSql = Seq(
+        "1.0",
+        "CAST(least(n_chars, 2000) AS DOUBLE) / 2000.0",
+        s"CAST(least($words, 200) AS DOUBLE) / 200.0",
+        "CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', " +
+          "'g')) AS DOUBLE) / CAST(greatest(length(coalesce(text, '')), 1)" +
+          " AS DOUBLE)")
+      val labelSql = s"CASE WHEN ($words) >= 40 THEN 1.0 ELSE 0.0 END"
+      s"""WITH ${QualityModel.trainCtes("documents", featSql, labelSql,
+             iters = 3, lrNum = 4L, passthrough = Seq("doc_id"))}
+         |SELECT doc_id,
+         |  round(${QualityModel.scoreSql(3, 4)}, 6) AS score,
+         |  round(${QualityModel.scoreSql(3, 4)}, 6) >= 0.5 AS keep,
+         |  w3.w0 AS w0, w3.w1 AS w1, w3.w2 AS w2, w3.w3 AS w3
+         |FROM feats CROSS JOIN w3""".stripMargin
+    },
 
     // RE2 bare script classes == Java's Is-prefixed ones (same Unicode
     // Script property); dominant script = FIRST script in list order
