@@ -1251,6 +1251,12 @@ object Queries {
           Seq("event_type"), "day", "value", threshold = 2.0)
         .orderBy("event_type", "day")),
 
+    "q_x_perplexity" -> ((s, dir) =>
+      // perplexity-style filtering with the bigram LM trained in-engine
+      // from the corpus it scores (CCNet recipe); per-bigram -ln(p)
+      // quantized to scaled longs so per-doc sums are order-exact
+      graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
+
     "q_x_quality_model" -> ((s, dir) => {
       // classifier-based quality filtering with the classifier TRAINED
       // IN-ENGINE: 3 full-batch logistic-GD steps (one exact-integer
@@ -3239,6 +3245,9 @@ object Queries {
         |SELECT event_type, day, round(day_value, 4) AS day_value,
         |  round(z, 4) AS z, abs(round(z, 4)) >= 2.0 AS is_anomaly
         |FROM z""".stripMargin,
+
+    "q_x_perplexity" ->
+      graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
 
     // unrolled 3-step GD replay: per-iteration CTEs hold the exact
     // scaled-long weights; scoring cross-joins the 1-row final weights
