@@ -1257,6 +1257,38 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_html_strip" -> ((s, dir) => {
+      // crawl-side markup removal BEFORE quality/dedup; fixture corpus
+      // is plain text, so wrap each doc in deterministic varying markup
+      // (script/style blocks, tags, entities, comments) and strip it
+      val wrapped = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><script>var x=1;</script>"),
+          lit("<style>p{color:red}</style></head><body>"),
+          when(col("doc_id") % 2 === 0, lit("<!-- hidden -->")).otherwise(lit("")),
+          lit("<p class=\"main\">"), coalesce(col("text"), lit("")),
+          lit("</p><div>Tom &amp; Jerry &lt;3 &quot;cheese&quot;</div>"),
+          lit("</body></html>")).as("html"))
+      wrapped.select(col("doc_id"),
+        graft.ops.Web.htmlToText(col("html")).as("clean"),
+        length(graft.ops.Web.htmlToText(col("html"))).cast(LongType)
+          .as("n_chars"))
+    }),
+
+    "q_x_url_canon" -> ((s, dir) =>
+      // URL canonicalization BEFORE URL-level dedup: planted tracking
+      // params / fragments / mixed-case hosts, varying by doc_id
+      docs(s, dir).select(col("doc_id"),
+        concat(lit("HTTPS://Example.COM/Path/"),
+          col("doc_id").cast(StringType),
+          when(col("doc_id") % 4 === 0,
+            lit("?utm_source=x&id=7&utm_campaign=y#frag"))
+            .when(col("doc_id") % 4 === 1, lit("?gclid=abc"))
+            .when(col("doc_id") % 4 === 2, lit("?id=7&fbclid=z&x=1"))
+            .otherwise(lit("#top"))).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.Web.canonicalUrl(col("url")).as("canon"))),
+
     "q_x_quality_model" -> ((s, dir) => {
       // classifier-based quality filtering with the classifier TRAINED
       // IN-ENGINE: 3 full-batch logistic-GD steps (one exact-integer
@@ -3248,6 +3280,34 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_html_strip" -> {
+      val html = "'<html><head><script>var x=1;</script>' || " +
+        "'<style>p{color:red}</style></head><body>' || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '<!-- hidden -->' ELSE '' END || " +
+        "'<p class=\"main\">' || coalesce(text, '') || " +
+        "'</p><div>Tom &amp; Jerry &lt;3 &quot;cheese&quot;</div>' || " +
+        "'</body></html>'"
+      s"""WITH w AS (SELECT doc_id, $html AS html FROM documents)
+         |SELECT doc_id,
+         |  ${graft.ops.Web.htmlToTextSql("html")} AS clean,
+         |  CAST(length(${graft.ops.Web.htmlToTextSql("html")}) AS BIGINT)
+         |    AS n_chars
+         |FROM w""".stripMargin
+    },
+
+    "q_x_url_canon" -> {
+      val url = "'HTTPS://Example.COM/Path/' || CAST(doc_id AS VARCHAR) || " +
+        "CASE WHEN doc_id % 4 = 0 " +
+        "  THEN '?utm_source=x&id=7&utm_campaign=y#frag' " +
+        "WHEN doc_id % 4 = 1 THEN '?gclid=abc' " +
+        "WHEN doc_id % 4 = 2 THEN '?id=7&fbclid=z&x=1' " +
+        "ELSE '#top' END"
+      s"""WITH w AS (SELECT doc_id, $url AS url FROM documents)
+         |SELECT doc_id, url,
+         |  ${graft.ops.Web.canonicalUrlSql("url")} AS canon
+         |FROM w""".stripMargin
+    },
 
     // unrolled 3-step GD replay: per-iteration CTEs hold the exact
     // scaled-long weights; scoring cross-joins the 1-row final weights
