@@ -1257,6 +1257,12 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_tokenize" -> ((s, dir) =>
+      // numericalization against a corpus-built 64-token vocab (count
+      // desc, token asc); OOV -> 0; ids string preserves token order
+      TextOps.tokenizeToIds(docs(s, dir), "doc_id", "text",
+        vocabSize = 64)),
+
     "q_x_html_strip" -> ((s, dir) => {
       // crawl-side markup removal BEFORE quality/dedup; fixture corpus
       // is plain text, so wrap each doc in deterministic varying markup
@@ -3280,6 +3286,36 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_tokenize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+        |           '[^\p{L}\p{N}]+', ' ', 'g')) = '' THEN []
+        |         ELSE string_split_regex(trim(regexp_replace(
+        |           lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |           '\s+') END AS ls
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(ls) AS w,
+        |    unnest(generate_series(1, len(ls))) AS pos
+        |  FROM t),
+        |c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |  ORDER BY c DESC, w LIMIT 64),
+        |v AS (SELECT w,
+        |    CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS tid
+        |  FROM c),
+        |j AS (SELECT tok.doc_id, tok.pos, coalesce(v.tid, 0) AS tid
+        |  FROM tok LEFT JOIN v USING (w)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(CASE WHEN tid = 0 THEN 1 END) AS BIGINT) AS n_oov
+        |  FROM j GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ids, '') AS ids,
+        |  coalesce(n_tokens, 0) AS n_tokens, coalesce(n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q_x_html_strip" -> {
       val html = "'<html><head><script>var x=1;</script>' || " +

@@ -347,6 +347,44 @@ object TextOps {
     * hashes — far past any broadcast cap), where the shuffle join on
     * `term` is the only shape that survives. Ties broken (df, term) so
     * output is deterministic. */
+  /** Tokenize documents to integer id sequences against a vocab built
+    * IN-ENGINE from the same corpus: ids 1..`vocabSize` rank tokens by
+    * (count desc, token asc); everything else is OOV id 0. The
+    * numericalization step that precedes packing/batch assembly.
+    *
+    * Shapes: token counting is one vocab-bounded aggregate; the vocab
+    * top-N is a TakeOrdered over that table (the tiny global row_number
+    * runs on ≤vocabSize rows); id assignment is a broadcast left join
+    * against the exploded token stream; reassembly is one doc-id
+    * shuffle producing the ids string, token count, and OOV count in a
+    * single aggregate. Empty docs survive with empty ids. */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(normalized(col(textCol)))).as(Seq("pos", "w")))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+    val vocab = counts.withColumn("tid",
+      row_number().over(Window.orderBy(col("c").desc, col("w")))
+        .cast(LongType))
+      .select(col("w"), col("tid"))
+    val agg = toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          _.getField("tid").cast(StringType)), " ").as("ids"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("tid") === 0L, 1)).as("n_oov"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ids"), lit("")).as("ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val n = df.count()
