@@ -160,18 +160,19 @@ object TextOps {
   /** Per-script letter fractions + dominant script — the multilingual
     * complement to [[langId]] (script routing decides which per-language
     * pipeline, tokenizer, or quality model a document enters; langid
-    * then discriminates within the script). All counts are row-local
-    * integer regex counts (codegen'd, zero shuffle); the fraction is one
-    * division rounded 4 dp; the dominant-script argmax compares integer
-    * counts with first-listed-wins ties — engine-replayable throughout.
-    * Denominator = letters (`\p{L}`), so digits/punct/space don't dilute.
-    */
+    * then discriminates within the script). Counting is ONE code-point
+    * scan per row (custom codegen'd [[graft.functions.ScriptCounts]] —
+    * semantically the `\p{IsXxx}` regex counts, without running five
+    * regex engines per row); the fraction is one division rounded 4 dp;
+    * the dominant-script argmax compares integer counts with
+    * first-listed-wins ties — engine-replayable throughout. Denominator
+    * = letters (`\p{L}`), so digits/punct/space don't dilute. */
   def scriptColumns(text: Column): Seq[(String, Column)] = {
-    val t = coalesce(text, lit(""))
-    def letters(c: Column) = length(c).cast(LongType)
-    val total = letters(regexp_replace(t, "[^\\p{L}]", ""))
-    val counts = Scripts.map { case (name, javaCls, _) =>
-      name -> letters(regexp_replace(t, s"[^$javaCls]", ""))
+    val arr = graft.functions.ScriptExprs.scriptCounts(
+      coalesce(text, lit("")))
+    val total = arr.getItem(0)
+    val counts = Scripts.zipWithIndex.map { case ((name, _, _), i) =>
+      name -> arr.getItem(i + 1)
     }
     val dominant = counts.foldLeft((lit("other"), lit(0L))) {
       case ((bestName, bestN), (name, n)) =>

@@ -48,4 +48,31 @@ class ScriptSpec extends SparkSpec {
     // 2 latin letters, 2 cyrillic letters
     assert(profile("ab пр")("script") == "latin")
   }
+
+  test("supplementary-plane code points count once (surrogate pairs)") {
+    // U+1D504 MATHEMATICAL FRAKTUR A: a letter of script Common —
+    // counts in n_letters, lands in no profiled script bucket
+    val p = profile("𝔄a")
+    assert(p("n_letters") == 2L)
+    assert(p("frac_latin") == 0.5)
+  }
+
+  test("single-pass expression matches the regex formulation") {
+    val samples = Seq("hello мир 你好 مرحبا 123!", "", "abcПРИ漢字",
+      "𝔄 mixed ціла 台北")
+    samples.foreach { s =>
+      val df = Seq(s).toDF("t")
+      val fast = df.select(
+        graft.functions.ScriptExprs.scriptCounts(col("t"))).head()
+        .getSeq[Long](0)
+      val slow = df.select(
+        length(regexp_replace(col("t"), "[^\\p{L}]", "")).cast("long"),
+        length(regexp_replace(col("t"), "[^\\p{IsLatin}]", "")).cast("long"),
+        length(regexp_replace(col("t"), "[^\\p{IsCyrillic}]", "")).cast("long"),
+        length(regexp_replace(col("t"), "[^\\p{IsHan}]", "")).cast("long"),
+        length(regexp_replace(col("t"), "[^\\p{IsArabic}]", "")).cast("long"))
+        .head()
+      assert(fast == (0 to 4).map(slow.getLong), s"mismatch on '$s'")
+    }
+  }
 }
