@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_utf8_truncate(s, maxBytes)` — whole-character byte-width
   *    clamp (COPY TRUNCATECOLUMNS);
   *  - `graft_utf8_sanitize(s[, repl])` — invalid-UTF-8 byte replacement
-  *    (COPY ACCEPTINVCHARS).
+  *    (COPY ACCEPTINVCHARS);
+  *  - `graft_script_counts(s)` — one-pass Unicode script profile
+  *    `[letters, latin, cyrillic, han, arabic]` code-point counts.
   *
   * Use via config (`spark.sql.extensions=graft.GraftExtensions`) or
   * imperatively with [[GraftExtensions.register]].
@@ -77,7 +79,11 @@ object GraftExtensions {
         classOf[graft.warehouse.Utf8Sanitize].getName, "graft_utf8_sanitize"),
       (args: Seq[Expression]) =>
         graft.warehouse.Utf8Sanitize(args(0),
-          if (args.length > 1) str(args(1)) else "?")))
+          if (args.length > 1) str(args(1)) else "?")),
+    ("graft_script_counts",
+      new ExpressionInfo(
+        classOf[graft.functions.ScriptCounts].getName, "graft_script_counts"),
+      (args: Seq[Expression]) => graft.functions.ScriptCounts(args(0))))
 
   /** Imperative registration on an existing session. Idempotent also
     * against the `spark.sql.extensions` path: injectOptimizerRule'd rules

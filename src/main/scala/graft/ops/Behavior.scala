@@ -81,9 +81,18 @@ object Behavior {
   def dailyAnomalies(events: DataFrame, groupCols: Seq[String],
       dayCol: String, valueCol: String,
       threshold: Double = 2.0): DataFrame = {
-    val gs = groupCols.map(col)
-    val daily = events.groupBy(gs :+ col(dayCol): _*)
+    val daily = events.groupBy((groupCols :+ dayCol).map(col): _*)
       .agg(sum(col(valueCol)).as("day_value"))
+    dailyAnomaliesFromDaily(daily, groupCols, dayCol, threshold)
+  }
+
+  /** The z-score pass over an ALREADY-AGGREGATED daily table
+    * (`day_value` per group×day) — the batch tail of the streaming
+    * rollup ([[graft.streaming.DailyRollup]] maintains the table; this
+    * scores it). */
+  def dailyAnomaliesFromDaily(daily: DataFrame, groupCols: Seq[String],
+      dayCol: String, threshold: Double = 2.0): DataFrame = {
+    val gs = groupCols.map(col)
     val w = Window.partitionBy(gs: _*)
     daily
       .withColumn("z", (col("day_value") - avg("day_value").over(w)) /

@@ -57,6 +57,13 @@ class ScriptSpec extends SparkSpec {
     assert(p("frac_latin") == 0.5)
   }
 
+  test("graft_script_counts is reachable from SQL") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql("SELECT graft_script_counts('ab мир') AS c")
+      .head().getSeq[Long](0)
+    assert(got == Seq(5L, 2L, 3L, 0L, 0L))
+  }
+
   test("single-pass expression matches the regex formulation") {
     val samples = Seq("hello мир 你好 مرحبا 123!", "", "abcПРИ漢字",
       "𝔄 mixed ціла 台北")

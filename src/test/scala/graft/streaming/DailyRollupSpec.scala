@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Behavior
+
+/** Streamed daily rollup + batch z-score tail == one-shot batch
+  * anomalies over the same events, including keys updated across
+  * triggers (update-mode agg re-emits the full sum). */
+class DailyRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollup across triggers matches batch; re-run is idempotent") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("rollup").toString
+    val events = (1 to 30).flatMap(d => Seq(
+      ("click", d, if (d == 17) 50.0 else 1.0),
+      ("view", d, 2.0)))
+
+    val mem = MemoryStream[(String, Int, Double)]
+    // day 17 lands in BOTH triggers → its sum must update, not dup
+    mem.addData(events.take(40): _*)
+    mem.addData(events.drop(35): _*) // overlap of 5 re-deliveries
+    val q = DailyRollup.start(
+      mem.toDF().toDF("k", "day", "v"), Seq("k"), "day", "v",
+      s"$dir/daily", s"$dir/ck")
+    q.awaitTermination()
+
+    val streamed = DailyRollup.anomalies(spark, s"$dir/daily",
+      Seq("k"), "day").orderBy("k", "day")
+      .as[(String, Int, Double, Double, Boolean)].collect().toSeq
+
+    // batch over the DELIVERED multiset (the overlap rows delivered
+    // twice count twice in both paths — at-least-once parity)
+    val delivered = events.take(40) ++ events.drop(35)
+    val batch = Behavior.dailyAnomalies(
+      delivered.toDF("k", "day", "v"), Seq("k"), "day", "v")
+      .orderBy("k", "day")
+      .as[(String, Int, Double, Double, Boolean)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(r => r._1 == "click" && r._2 == 17 && r._5))
+  }
+}
