@@ -1257,6 +1257,32 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_gapfill" -> ((s, dir) => {
+      // time-series densification: every (event_type, day) cell over
+      // each type's [min_day, max_day] span, zero-filled where no
+      // events landed — the resample step before any day-over-day
+      // calculation (a gap read as "no row" silently corrupts
+      // moving averages and anomaly baselines). The day spine is
+      // sequence() on the per-type 1-row aggregate — generated, never
+      // shuffled; one broadcast join back to the daily counts.
+      // fixture events cover every day — drop day-of-month multiples
+      // of 5 first so the fill path actually fills (planted gaps, the
+      // pii_scrub pattern)
+      val ev = rd(s, dir, "events").select(col("event_type"),
+          to_date(timestamp_micros(col("ts"))).as("day"))
+        .filter(dayofmonth(col("day")) % 5 =!= 0)
+      val daily = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy("event_type")
+        .agg(min("day").as("mn"), max("day").as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("filled"))
+    }),
+
     "q_x_tokenize" -> ((s, dir) =>
       // numericalization against a corpus-built 64-token vocab (count
       // desc, token asc); OOV -> 0; ids string preserves token order
@@ -3286,6 +3312,24 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        |  WHERE day(CAST(ts AS DATE)) % 5 <> 0),
+        |daily AS (
+        |  SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |      CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT event_type, min(day) AS mn, max(day) AS mx
+        |        FROM daily GROUP BY 1))
+        |SELECT spine.event_type, spine.day, coalesce(n, 0) AS n,
+        |  n IS NULL AS filled
+        |FROM spine LEFT JOIN daily
+        |  ON spine.event_type = daily.event_type
+        |  AND spine.day = daily.day""".stripMargin,
 
     "q_x_tokenize" ->
       """WITH t AS (
