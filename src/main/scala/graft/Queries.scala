@@ -1257,6 +1257,23 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent click at-or-before it — the as-of join composed over the
+      // event stream (one user shuffle, zero row explosion; a theta
+      // self-join formulation would explode on active users)
+      val ev = rd(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_t_us"),
+          col("event_id").as("click_id"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "t_us", "c_t_us",
+          payload = Seq("click_id", "c_t_us"), tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("t_us") - col("c_t_us")).as("lag_us"))
+    }),
+
     "q_x_gapfill" -> ((s, dir) => {
       // time-series densification: every (event_type, day) cell over
       // each type's [min_day, max_day] span, zero-filled where no
@@ -3312,6 +3329,21 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              epoch_ns(ts) // 1000 AS t FROM events),
+        |p AS (SELECT event_id, user_id, t FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, t AS ct FROM ev
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, c.click_id, c.ct,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ct DESC, c.click_id DESC) AS rn
+        |      FROM p JOIN c ON p.user_id = c.user_id AND c.ct <= p.t)
+        |SELECT p.event_id, p.user_id, j.click_id, p.t - j.ct AS lag_us
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  USING (event_id)""".stripMargin,
 
     "q_x_gapfill" ->
       """WITH e AS (
