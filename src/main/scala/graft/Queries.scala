@@ -1257,6 +1257,33 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_rfm" -> ((s, dir) => {
+      // RFM segmentation over purchase events: recency (µs since last
+      // purchase at corpus horizon), frequency, monetary → quintile
+      // scores via ntile with fully-deterministic ordering (value, then
+      // user) → "535"-style segment label. One user shuffle for the
+      // profile, three ntiles over the users-sized table.
+      val p = rd(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val horizon = p.agg(max(col("ts"))).head().getLong(0)
+      val prof = p.groupBy("user_id").agg(
+        (lit(horizon) - max(col("ts"))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 4).as("monetary"))
+      val seg = prof
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("recency_us").desc, col("user_id"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("frequency"), col("user_id"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("monetary"), col("user_id"))))
+      seg.select(col("user_id"), col("recency_us"), col("frequency"),
+        col("monetary"),
+        concat(col("r").cast(StringType), col("f").cast(StringType),
+          col("m").cast(StringType)).as("segment"))
+    }),
+
     "q_x_attribution" -> ((s, dir) => {
       // last-touch attribution: each purchase credits the user's most
       // recent click at-or-before it — the as-of join composed over the
@@ -3329,6 +3356,28 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS t, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |h AS (SELECT max(t) AS horizon FROM p),
+        |prof AS (
+        |  SELECT user_id,
+        |    (SELECT horizon FROM h) - max(t) AS recency_us,
+        |    count(*) AS frequency,
+        |    round(sum(value), 4) AS monetary
+        |  FROM p GROUP BY user_id),
+        |seg AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_us DESC, user_id) AS r,
+        |    ntile(5) OVER (ORDER BY frequency, user_id) AS f,
+        |    ntile(5) OVER (ORDER BY monetary, user_id) AS m
+        |  FROM prof)
+        |SELECT user_id, recency_us, frequency, monetary,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |    AS segment
+        |FROM seg""".stripMargin,
 
     "q_x_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
