@@ -83,15 +83,14 @@ object Sketches {
     * 0). Both levels carry map-side partials. */
   def hllSketch(df: DataFrame, groupCols: Seq[String], key: Column,
       p: Int = DefaultP, sketchCol: String = "hll"): DataFrame = {
-    val m = 1 << p
-    val h = Portable.h60(key)
     val g = groupCols.map(col)
-    val regMax = df
-      .select(g :+ regOf(h, p).as("__reg") :+ rankOf(h, p).as("__rnk"): _*)
-      .groupBy(g :+ col("__reg"): _*)
-      .agg(max(col("__rnk")).as("__mr"))
-    assembleRegisters(regMax, groupCols, col("__reg"), col("__mr"), m,
-      sketchCol)
+    // custom TypedImperativeAggregate: the buffer IS the register array
+    // (HllAggExprs) — ONE group shuffle carrying one m-int buffer per
+    // (mapper, group) instead of exploding to (group, register) rows and
+    // aggregating twice; register values bit-identical to regOf/rankOf
+    df.select(g :+ Portable.h60(key).as("__h"): _*)
+      .groupBy(g: _*)
+      .agg(HllAggExprs.hllFromHashes(col("__h"), p).as(sketchCol))
   }
 
   /** Merge two sketch arrays (same p): elementwise max. */
@@ -105,13 +104,8 @@ object Sketches {
   def hllMergeAgg(df: DataFrame, groupCols: Seq[String],
       p: Int = DefaultP, sketchCol: String = "hll"): DataFrame = {
     val g = groupCols.map(col)
-    val m = 1 << p
-    val exploded = df
-      .select(g :+ posexplode(col(sketchCol)).as(Seq("__reg", "__r")): _*)
-      .groupBy(g :+ col("__reg"): _*)
-      .agg(max(col("__r")).as("__mr"))
-    assembleRegisters(exploded, groupCols, col("__reg"), col("__mr"), m,
-      sketchCol)
+    df.groupBy(g: _*)
+      .agg(HllAggExprs.hllUnion(col(sketchCol), p).as(sketchCol))
   }
 
   private def assembleRegisters(regMax: DataFrame, groupCols: Seq[String],
