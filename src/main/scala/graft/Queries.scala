@@ -718,6 +718,22 @@ object Queries {
         Seq("event_type"), Seq(0.5, 0.95, 0.99))
     }),
 
+    "q_x_qsketch_merge" -> ((s, dir) => {
+      // the INCREMENTAL quantile path: one sketch per (event_type, day)
+      // — what a daily pipeline persists — counter-added into the
+      // monthly sketch, then quantile-extracted. The oracle computes
+      // quantiles from the raw rows directly, so counter-merge
+      // associativity is the property under check (the hll_merge twin
+      // for histograms).
+      import graft.functions.Sketches
+      val ev = rd(s, dir, "events")
+        .withColumn("day", to_date(timestamp_micros(col("ts"))))
+      val daily = Sketches.qSketch(ev, Seq("event_type", "day"),
+        col("value"))
+      Sketches.qQuantiles(Sketches.qMerge(daily, Seq("event_type")),
+        Seq("event_type"), Seq(0.5, 0.95, 0.99))
+    }),
+
     "q_x_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: lexical (BM25) and dense (cosine) top-100
       // lists fused by reciprocal rank — no score calibration, both
@@ -2799,6 +2815,12 @@ object Queries {
         "'u:' || CAST(user_id AS VARCHAR)", p = 5),
 
     "q_x_qsketch" ->
+      graft.functions.Sketches.qOracleSql("events", Seq("event_type"),
+        "value", Seq(0.5, 0.95, 0.99)),
+
+    // identical oracle to q_x_qsketch: the engine side merges per-day
+    // sketches instead — counter addition must reproduce the one-shot
+    "q_x_qsketch_merge" ->
       graft.functions.Sketches.qOracleSql("events", Seq("event_type"),
         "value", Seq(0.5, 0.95, 0.99)),
 
