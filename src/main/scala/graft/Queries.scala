@@ -1273,6 +1273,32 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_pit_join" -> ((s, dir) => {
+      // point-in-time dimension join (feature-store temporal
+      // correctness): each purchase reads the user's dimension value AS
+      // OF its own version — the SCD2 history built from the
+      // dimension-changing events (signup/click; error = delete), then
+      // an as-of join on valid_from with the interval-end guard. One
+      // user shuffle end to end; training-serving skew from "joined
+      // tomorrow's dimension onto yesterday's event" is exactly the bug
+      // this op exists to prevent.
+      val ev = rd(s, dir, "events")
+      val stage = ev
+        .filter(col("event_type").isin("signup", "click", "error"))
+        .select(col("user_id"), col("value"), col("event_id").as("ver"),
+          when(col("event_type") === "error", Cdc.OpDelete)
+            .otherwise(Cdc.OpUpdate).as(Cdc.OperationColumn))
+      val hist = graft.merge.Scd2.build(stage, Seq("user_id"), "ver")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("event_id").as("v"))
+      AsOf.asofJoin(probes, hist, "user_id", "v", "valid_from",
+          payload = Seq("value", "valid_to"), tieBreak = "valid_from")
+        .select(col("event_id"), col("user_id"),
+          when(col("valid_to").isNull || col("v") < col("valid_to"),
+            col("value")).as("dim_value"))
+    }),
+
     "q_x_rfm" -> ((s, dir) => {
       // RFM segmentation over purchase events: recency (µs since last
       // purchase at corpus horizon), frequency, monetary → quintile
@@ -3378,6 +3404,31 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_pit_join" ->
+      """WITH stage AS (
+        |  SELECT user_id, value, event_id AS valid_from,
+        |    (event_type = 'error') AS is_del
+        |  FROM events WHERE event_type IN ('signup', 'click', 'error')),
+        |w AS (
+        |  SELECT user_id, value, is_del, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from) AS valid_to
+        |  FROM stage),
+        |hist AS (SELECT user_id, value, valid_from, valid_to
+        |  FROM w WHERE NOT is_del),
+        |p AS (SELECT event_id, user_id, event_id AS v FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, hist.value, hist.valid_to,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY hist.valid_from DESC) AS rn
+        |      FROM p JOIN hist ON p.user_id = hist.user_id
+        |        AND hist.valid_from <= p.v)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN j.valid_to IS NULL OR p.v < j.valid_to
+        |    THEN j.value END AS dim_value
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  USING (event_id)""".stripMargin,
 
     "q_x_rfm" ->
       """WITH p AS (
