@@ -1273,6 +1273,33 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_json_props" -> ((s, dir) =>
+      // semi-structured path: per-row JSON property extraction pushed
+      // into the scan projection (get_json_object is codegen'd; no UDF,
+      // no schema inference pass), then a normal aggregate over the
+      // extracted value
+      rd(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    "q_x_unpivot" -> ((s, dir) => {
+      // wide→long reshape of a reporting aggregate (the metric-per-row
+      // form BI/metric stores ingest): melt is a zero-shuffle projection
+      // over the already-aggregated frame
+      val wide = rd(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("qty"),
+          count(lit(1)).cast(DoubleType).as("rows"),
+          sum(round(col("l_discount") * 100).cast(LongType))
+            .cast(DoubleType).as("disc_cents"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("rows"), col("disc_cents")),
+        "metric", "value")
+    }),
+
     "q_x_pit_join" -> ((s, dir) => {
       // point-in-time dimension join (feature-store temporal
       // correctness): each purchase reads the user's dimension value AS
@@ -3404,6 +3431,26 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS n_distinct_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_x_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, sum(l_quantity) AS qty,
+        |    CAST(count(*) AS DOUBLE) AS rows,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+        |      AS disc_cents
+        |  FROM lineitem GROUP BY 1)
+        |UNPIVOT wide ON qty, rows, disc_cents
+        |  INTO NAME metric VALUE value""".stripMargin,
 
     "q_x_pit_join" ->
       """WITH stage AS (
