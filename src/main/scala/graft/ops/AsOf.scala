@@ -61,7 +61,7 @@ object AsOf {
     val attached = unioned
       .withColumn("__asof", last(packed, ignoreNulls = true).over(w))
     attached.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payload.map(p => col(s"__asof.$p").as(p)): _*)
   }
 

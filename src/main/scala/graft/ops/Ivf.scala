@@ -66,7 +66,7 @@ object Ivf {
     * examples on exactly this score). Same single projection, no joins. */
   def assignDist(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("__n2", VectorExprs.dot(col(vecCol), col(vecCol)))
-      .withColumn("__ds", array(model.centroids.map(c =>
+      .withColumn("__ds", array(model.centroids.toIndexedSeq.map(c =>
         dist2Col(col(vecCol), col("__n2"), c)): _*))
       .withColumn("__cluster",
         (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("int"))
@@ -174,7 +174,7 @@ object Ivf {
       anyOver = over.nonEmpty
       if (anyOver) {
         var out = assigned.filter(
-          !col("__cluster").isin(over.map(_._1): _*))
+          !col("__cluster").isin(over.toIndexedSeq.map(_._1): _*))
         for ((cell, size) <- over) {
           val subK = math.max(2,
             math.min(((size + maxCellSize - 1) / maxCellSize).toInt, 256))

@@ -120,7 +120,7 @@ object EventTime {
               // expire once the watermark passes lastMs + idleMs (the
               // timestamp must sit beyond the current watermark)
               state.setTimeoutTimestamp(
-                math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs + 1))
+                math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator.map(s =>
               SessionUpdate(key, s.startMs, s.lastMs, s.events))

@@ -202,7 +202,7 @@ final class BucketedCatalog(spark: SparkSession, root: String, nBuckets: Int = 6
         .collect().map(_.getInt(0)).sorted
       // partition pruning: only affected bucket dirs are read
       val targetSlice = target
-        .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
+        .filter(col(BucketCol).isin(affected.toIndexedSeq.map(Integer.valueOf): _*))
       val merged = CdcMerge.merge(
         targetSlice.drop(BucketCol),
         stagedB.drop(BucketCol), pks)
