@@ -51,13 +51,23 @@ object DailyRollup {
           .unionByName(batch)
       case None => batch
     }
+    // shadow-write then two-rename swap (the ParquetCatalog.swapInto
+    // discipline): the base is renamed ASIDE before the shadow renames
+    // in, so a crash at any point leaves either the old table or the
+    // old table recoverable at __old — never a deleted base with the
+    // replacement not yet in place
     val tmp = path + "__next"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val trash = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (fs.exists(dst) && !fs.rename(dst, trash))
+      throw new IllegalStateException(s"rollup swap: failed renaming $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new IllegalStateException(s"rollup swap: failed renaming $tmp in")
+    fs.delete(trash, true)
   }
 
   /** The batch-side anomaly pass over the persisted rollup. */
