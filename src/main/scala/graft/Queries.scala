@@ -1335,7 +1335,8 @@ object Queries {
       val p = rd(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value"))
-      val horizon = p.agg(max(col("ts"))).head().getLong(0)
+      val hRow = p.agg(max(col("ts"))).head()
+      val horizon = if (hRow.isNullAt(0)) 0L else hRow.getLong(0)
       val prof = p.groupBy("user_id").agg(
         (lit(horizon) - max(col("ts"))).as("recency_us"),
         count(lit(1)).as("frequency"),
@@ -3697,7 +3698,8 @@ object Queries {
         |  FROM src GROUP BY source),
         |df AS (
         |  SELECT source, line, count(*) AS df FROM (
-        |    SELECT DISTINCT source, line, doc_id FROM l) GROUP BY 1, 2),
+        |    SELECT DISTINCT source, line, doc_id FROM l
+        |    WHERE trim(line) <> '') GROUP BY 1, 2),
         |boiler AS (
         |  SELECT df.source, df.line FROM df JOIN perkey USING (source)
         |  WHERE df.df >= 2 AND df.df >= perkey.n_docs * 0.5),

@@ -49,6 +49,9 @@ final case class HllRegisterAgg(
     if (v != null) {
       if (fromSketch) {
         val arr = v.asInstanceOf[ArrayData]
+        require(arr.numElements() == m,
+          s"hll union: sketch has ${arr.numElements()} registers, " +
+            s"expected $m (p mismatch between build and merge)")
         var i = 0
         while (i < m) {
           val r = arr.getInt(i)

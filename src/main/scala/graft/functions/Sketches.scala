@@ -108,18 +108,6 @@ object Sketches {
       .agg(HllAggExprs.hllUnion(col(sketchCol), p).as(sketchCol))
   }
 
-  private def assembleRegisters(regMax: DataFrame, groupCols: Seq[String],
-      reg: Column, mr: Column, m: Int, sketchCol: String): DataFrame = {
-    val g = groupCols.map(col)
-    regMax
-      .groupBy(g: _*)
-      .agg(map_from_entries(collect_list(struct(reg.cast(IntegerType),
-        mr.cast(IntegerType)))).as("__regmap"))
-      .select(g :+ transform(sequence(lit(0), lit(m - 1)),
-        r => coalesce(element_at(col("__regmap"), r), lit(0)))
-        .as(sketchCol): _*)
-  }
-
   /** Fixed-point harmonic sum `Σ 2^(R - rank_j)` — exact BIGINT. */
   def hllIntSum(sketch: Column, p: Int): Column =
     aggregate(sketch, lit(0L),

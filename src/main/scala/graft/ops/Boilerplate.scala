@@ -46,7 +46,18 @@ object Boilerplate {
     val lines = docs.select(col(idCol), col(keyCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n"))
         .as(Seq("pos", "line")))
-    val boiler = lineStats(docs, idCol, keyCol, textCol)
+    val perKey = docs.groupBy(col(keyCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    // candidate table derived from the SAME exploded frame (not a
+    // second explosion via lineStats); blank lines are excluded — a
+    // paragraph separator is present in most docs of any site and would
+    // otherwise be "boilerplate", collapsing all paragraph structure
+    val boiler = lines
+      .filter(trim(col("line")) =!= "")
+      .select(col(keyCol), col("line"), col(idCol)).distinct()
+      .groupBy(col(keyCol), col("line"))
+      .agg(count(lit(1)).as("df"))
+      .join(perKey, keyCol)
       .filter(col("df") >= minDf &&
         col("df") >= col("n_docs") * minFrac)
       .select(col(keyCol), col("line"), lit(1).as("__boiler"))

@@ -46,11 +46,17 @@ object LangModel {
     * Every doc survives — zero-bigram docs score 0. */
   def bigramNll(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // tokenization is the expensive projection and four consumers read
+    // it (unigram counts, vocab size, bigram counts, scoring join) —
+    // materialize the token and bigram streams once each
     val toks = docs.select(col(idCol), col(textCol).as("__text"))
       .select(col(idCol), explode(tokCol).as("w"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(toks)
     val uni = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toks.select(col("w")).distinct().count()
-    val bi = bigrams(docs, idCol, textCol)
+    val bi = bigrams(docs, idCol, textCol).localCheckpoint()
+    graft.core.Metrics.deferUnpersist(bi)
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
 
     val p = (col("c2").cast(DoubleType) + lit(1.0)) /

@@ -73,8 +73,11 @@ object Search {
     val dfCols = queryTerms.map(t =>
       sum(when(col(tfName(t)) > 0L, 1L).otherwise(0L)).as(dfName(t)))
     val dfRow = perDoc.agg(dfCols.head, dfCols.tail: _*).head()
-    val docFreq = queryTerms.zipWithIndex
-      .map { case (t, i) => t -> dfRow.getLong(i) }.toMap
+    // no document matched any term → the sums are NULL; zero dfs keep
+    // the (empty) scoring projection well-typed instead of NPE-ing
+    val docFreq = queryTerms.zipWithIndex.map { case (t, i) =>
+      t -> (if (dfRow.isNullAt(i)) 0L else dfRow.getLong(i))
+    }.toMap
 
     val scored = perDoc
       .withColumn("__n", lit(nDocs))

@@ -38,13 +38,35 @@ object DailyRollup {
       .start()
   }
 
+  /** A crash between the two swap renames leaves the table stranded at
+    * `__old` and nothing at `path`; finish the interrupted swap before
+    * reading (the ParquetCatalog.recoverSwap discipline). Without this,
+    * the next trigger would read "no table" and rebuild from one batch —
+    * silently truncating the rollup history. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val trash = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(dst) && fs.exists(trash) && !fs.rename(trash, dst))
+      throw new IllegalStateException(
+        s"rollup recovery: failed restoring $trash")
+  }
+
   /** Replace-by-key upsert of the rollup table (batch carries full
     * updated sums). Left-anti on the batch keys + union, written via
     * shadow-and-swap so readers never see a half-written table. */
   private[streaming] def upsert(spark: SparkSession, batch: DataFrame,
       keyCols: Seq[String], path: String): Unit = {
+    val fs0 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs0, path)
+    // only an absent table may fall through to the fresh-build branch —
+    // a transient read failure must fail the trigger, not truncate the
+    // rollup to one batch
     val existing =
-      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+      if (fs0.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(spark.read.parquet(path))
+      else None
     val merged = existing match {
       case Some(cur) =>
         cur.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -73,6 +95,8 @@ object DailyRollup {
   /** The batch-side anomaly pass over the persisted rollup. */
   def anomalies(spark: SparkSession, path: String, groupCols: Seq[String],
       dayCol: String, threshold: Double = 2.0): DataFrame = {
+    recoverSwap(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     val daily = spark.read.parquet(path)
     graft.ops.Behavior.dailyAnomaliesFromDaily(daily, groupCols, dayCol,
       threshold)

@@ -153,8 +153,14 @@ object Reconciler {
         Nil, Nil, RequeueReleased)
     }
 
+    // Realtime topics stay in the reload/dupe groups until RELEASED:
+    // their shadow query must keep consuming (or they fall behind and
+    // lose realtime before their release batch arrives — fleets larger
+    // than MaxTopicRelease wait extra cycles) and their dupe keeps the
+    // live table fresh in the meantime.
+    val running = (reloading ++ realtimePrev).sorted
     val reloadingDupe =
-      reloading.filter(t => status.topics.get(t).exists(_.releasedEver))
+      running.filter(t => status.topics.get(t).exists(_.releasedEver))
 
     // First sight of a topic: record it Reloading@desired so the next
     // step (and a restart) sees the same partition.
@@ -162,7 +168,7 @@ object Reconciler {
       if (m.contains(t)) m
       else m.updated(t, TopicStatus(Reloading, desired, releasedEver = false)))
 
-    val groups = SinkGroups(released, reloading, reloadingDupe)
+    val groups = SinkGroups(released, running, reloadingDupe)
 
     // -- 2. realtime promotion (controller:473–491) --------------------
     val newlyRealtime = reloading.filter(obs.realtimeNow).sorted
@@ -186,7 +192,7 @@ object Reconciler {
       m.updated(t, TopicStatus(Active, desired, releasedEver = true)))
 
     val perTopic = toRelease.map(t =>
-      Notify.topicRelease("sink", t, repo, filePath, current, desired))
+      Notify.topicRelease(name, t, repo, filePath, current, desired))
 
     // Post-release accounting for the fleet-complete gate
     // (status.go:443–460): every topic Active@desired ⇒ flip

@@ -44,6 +44,17 @@ class BoilerplateSpec extends SparkSpec {
     assert(r.getString(1) == "x\ny\nz")
   }
 
+  test("blank lines are never boilerplate: paragraph breaks survive") {
+    val d = Seq(
+      (1L, "a", "p1\n\np2"), (2L, "a", "x\n\ny"), (3L, "a", "z\n\nw")
+    ).toDF("doc_id", "site", "text")
+    val r = Boilerplate.strip(d, "doc_id", "site", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // the empty middle line appears in 3/3 docs but must NOT strip
+    assert(r.map(_._2) == Seq("p1\n\np2", "x\n\ny", "z\n\nw"))
+    assert(r.forall(_._4 == 0L))
+  }
+
   test("lineStats exposes the decision table") {
     val s = Boilerplate.lineStats(docs, "doc_id", "site", "text")
       .filter($"line" === "nav")

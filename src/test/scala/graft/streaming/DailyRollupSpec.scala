@@ -44,4 +44,26 @@ class DailyRollupSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.exists(r => r._1 == "click" && r._2 == 17 && r._5))
   }
+
+  test("mid-swap crash: stranded __old restores, history survives") {
+    val dir = Files.createTempDirectory("rollupcrash").toString
+    val daily = s"$dir/daily"
+    DailyRollup.upsert(spark,
+      Seq(("a", 1, 10.0), ("a", 2, 20.0)).toDF("k", "day", "day_value"),
+      Seq("k", "day"), daily)
+    // simulate a crash between the two swap renames: table at __old only
+    val fs = new org.apache.hadoop.fs.Path(daily)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(daily),
+      new org.apache.hadoop.fs.Path(daily + "__old")))
+
+    DailyRollup.upsert(spark,
+      Seq(("a", 2, 25.0)).toDF("k", "day", "day_value"),
+      Seq("k", "day"), daily)
+    val rows = spark.read.parquet(daily)
+      .as[(String, Int, Double)].collect().toSet
+    // day 1 survived recovery; day 2 took the replacement value
+    assert(rows == Set(("a", 1, 10.0), ("a", 2, 25.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(daily + "__old")))
+  }
 }

@@ -78,9 +78,14 @@ class ReconcileLoopLiveSpec extends SparkSpec {
       assert(d0.requeueMillis == RequeueReloading)
       assert(!tracker.realtime("reload-users")) // no progress yet
 
-      // backfill flows; the query catches up → tracker flips realtime
+      // backfill flows; the query catches up → tracker flips realtime.
+      // The listener bus is asynchronous: progress events deliver on a
+      // listener thread after processAllAvailable returns, so poll.
       mem.addData((1L, "clear-new"), (2L, "clear-extra"))
       reloadQuery.get.processAllAvailable()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!tracker.realtime("reload-users") &&
+        System.nanoTime() < deadline) Thread.sleep(50)
       assert(tracker.realtime("reload-users"))
 
       val d1 = tick() // promotion, fast requeue
