@@ -95,6 +95,18 @@ class ReconcilerSpec extends SparkSpec {
     assert(d.groups.main == topics.sorted)
   }
 
+  test("realtime-but-unreleased topics keep their reload groups running") {
+    val d0 = step(SinkStatus.empty, obs("v1", topics.toSet, Set.empty))
+    val d1 = step(d0.status, obs("v1", topics.toSet, topics.toSet))
+    // all 7 realtime; release caps at 5 — the 2 awaiting the next batch
+    // must still be in the reload group (their shadow keeps consuming)
+    val d2 = step(d1.status, obs("v1", topics.toSet, topics.toSet))
+    assert(d2.release.size == MaxTopicRelease)
+    assert(d2.groups.reload == topics.sorted) // realtime ∪ reloading
+    val d3 = step(d2.status, obs("v1", topics.toSet, topics.toSet))
+    assert(d3.groups.reload == topics.sorted.diff(d2.release))
+  }
+
   test("inconsistent status self-heals: reloading with no diff goes active") {
     val stuck = SinkStatus(Some("v1"),
       topics.map(t => t -> TopicStatus(Reloading, "v1",
