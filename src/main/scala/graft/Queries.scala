@@ -1273,6 +1273,47 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_url_dedup" -> ((s, dir) => {
+      // URL-level dedup AFTER canonicalization: the planted URLs vary
+      // by tracking params/fragments in ways that all collapse to one
+      // canonical page per (doc_id % 125) group — survivor = min doc_id
+      // per canonical URL (deterministic), the crawl-frontier dedup rule
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("HTTPS://Example.COM/page/"),
+          (col("doc_id") % 125).cast(StringType),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=x"))
+            .when(col("doc_id") % 4 === 1, lit("#frag"))
+            .when(col("doc_id") % 4 === 2, lit("?gclid=1&id=7"))
+            .otherwise(lit("?id=7"))).as("url"))
+        .select(col("doc_id"),
+          graft.ops.Web.canonicalUrl(col("url")).as("canon"))
+      urls.groupBy("canon")
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("n_dups"))
+    }),
+
+    "q_x_markov" -> ((s, dir) => {
+      // event-sequence transition model: per user, consecutive
+      // event-type pairs (lead over the user's time order), transition
+      // counts and probabilities — the behavioral n-gram the funnel is
+      // a special case of. One user shuffle; the transition matrix is
+      // |types|² rows.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = rd(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val counts = pairs.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = Window.partitionBy(col("event_type"))
+      counts
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(totals).cast(DoubleType), 6))
+        .orderBy("event_type", "next_type")
+    }),
+
     "q_x_json_props" -> ((s, dir) =>
       // semi-structured path: per-row JSON property extraction pushed
       // into the scan projection (get_json_object is codegen'd; no UDF,
@@ -3432,6 +3473,33 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_url_dedup" -> {
+      val url = "'HTTPS://Example.COM/page/' || " +
+        "CAST(doc_id % 125 AS VARCHAR) || " +
+        "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x' " +
+        "WHEN doc_id % 4 = 1 THEN '#frag' " +
+        "WHEN doc_id % 4 = 2 THEN '?gclid=1&id=7' " +
+        "ELSE '?id=7' END"
+      s"""WITH u AS (SELECT doc_id, $url AS url FROM documents),
+         |c AS (SELECT doc_id,
+         |  ${graft.ops.Web.canonicalUrlSql("url")} AS canon FROM u)
+         |SELECT canon, min(doc_id) AS keep_doc, count(*) AS n_dups
+         |FROM c GROUP BY 1""".stripMargin
+    },
+
+    "q_x_markov" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE),
+        |    6) AS p
+        |FROM p WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_x_json_props" ->
       """SELECT event_type, count(*) AS n,
