@@ -1273,6 +1273,48 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_streaks" -> ((s, dir) => {
+      // longest consecutive-day activity streak per user: the classic
+      // gaps-and-islands shape — distinct active days, day minus dense
+      // rank is constant within a run, one aggregate over runs. One
+      // user shuffle; runs never materialize wider than the day table.
+      val days = rd(s, dir, "events")
+        .select(col("user_id"),
+          to_date(timestamp_micros(col("ts"))).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", datediff(col("day"), lit("1970-01-01")) -
+          row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
+    "q_x_lag_hist" -> ((s, dir) => {
+      // attribution-lag histogram: log2 buckets of purchase→click lag
+      // (µs) — the report the attribution feed drives; bucket math is
+      // exact integer bit length, count per bucket
+      val ev = rd(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_t_us"),
+          col("event_id").as("click_id"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "t_us", "c_t_us",
+          payload = Seq("click_id", "c_t_us"), tieBreak = "click_id")
+        .filter(col("click_id").isNotNull)
+        .select((col("t_us") - col("c_t_us")).as("lag"))
+        .select(when(col("lag") <= 0, lit(0))
+          .otherwise(length(conv(col("lag"), 10, 2))).as("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("log2_bucket")
+    }),
+
     "q_x_url_dedup" -> ((s, dir) => {
       // URL-level dedup AFTER canonicalization: the planted URLs vary
       // by tracking params/fragments in ways that all collapse to one
@@ -3473,6 +3515,38 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) -
+        |      row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks
+        |FROM runs GROUP BY 1""".stripMargin,
+
+    "q_x_lag_hist" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              epoch_ns(ts) // 1000 AS t FROM events),
+        |p AS (SELECT event_id, user_id, t FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, t AS ct FROM ev
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, c.ct,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ct DESC, c.click_id DESC) AS rn,
+        |        p.t
+        |      FROM p JOIN c ON p.user_id = c.user_id AND c.ct <= p.t),
+        |lags AS (SELECT t - ct AS lag FROM j WHERE rn = 1)
+        |SELECT CASE WHEN lag <= 0 THEN 0
+        |         ELSE CAST(length(bin(lag)) AS INTEGER) END
+        |  AS log2_bucket, count(*) AS n
+        |FROM lags GROUP BY 1""".stripMargin,
 
     "q_x_url_dedup" -> {
       val url = "'HTTPS://Example.COM/page/' || " +
