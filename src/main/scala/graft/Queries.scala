@@ -1317,9 +1317,11 @@ object Queries {
 
     "q_x_url_dedup" -> ((s, dir) => {
       // URL-level dedup AFTER canonicalization: the planted URLs vary
-      // by tracking params/fragments in ways that all collapse to one
-      // canonical page per (doc_id % 125) group — survivor = min doc_id
-      // per canonical URL (deterministic), the crawl-frontier dedup rule
+      // by tracking params/fragments; per (doc_id % 125) page group the
+      // utm/#frag variants collapse to the bare page and the
+      // gclid/plain variants to page?id=7 — two canonical URLs per
+      // group, survivor = min doc_id (deterministic), the
+      // crawl-frontier dedup rule
       val urls = docs(s, dir).select(col("doc_id"),
         concat(lit("HTTPS://Example.COM/page/"),
           (col("doc_id") % 125).cast(StringType),

@@ -31,7 +31,10 @@ object Boilerplate {
       explode(split(coalesce(col(textCol), lit("")), "\n")).as("line"))
     val perKey = docs.groupBy(col(keyCol))
       .agg(countDistinct(col(idCol)).as("n_docs"))
-    lines.select(col(keyCol), col("line"), col(idCol)).distinct()
+    // blank lines excluded here too, so this audit table shows exactly
+    // the candidate set [[strip]] thresholds — no phantom boilerplate
+    lines.filter(trim(col("line")) =!= "")
+      .select(col(keyCol), col("line"), col(idCol)).distinct()
       .groupBy(col(keyCol), col("line"))
       .agg(count(lit(1)).as("df"))
       .join(perKey, keyCol)

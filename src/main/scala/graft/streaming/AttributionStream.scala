@@ -10,13 +10,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never wait for a window to close.
   *
   * Exactness contract (same as [[FunnelStream]]): equal to the batch
-  * as-of attribution when events are processed in event-time order
-  * (micro-batches are sorted here; equal-time ties process touches
-  * before conversions and larger ids later, matching the batch
-  * at-or-before semantics with max-id tie-break). A touch arriving
-  * late, after a conversion it should have claimed was attributed to
-  * an older touch, stays mis-attributed until batch reconciliation —
-  * bounded state's price, identical to the funnel twin's contract.
+  * as-of attribution when arrival is in STRICT event-time order across
+  * micro-batches; equal-time ties are handled exactly only when they
+  * land in the SAME micro-batch (sorted: touches before conversions,
+  * larger ids later, matching at-or-before with max-id tie-break). A
+  * tie split across a batch boundary — or any late touch — leaves the
+  * conversion attributed to the state at its arrival, reconciled by
+  * the batch operator over the full log: bounded state's price,
+  * identical to the funnel twin's contract.
   */
 object AttributionStream {
 

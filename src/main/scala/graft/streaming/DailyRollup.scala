@@ -38,66 +38,46 @@ object DailyRollup {
       .start()
   }
 
-  /** A crash between the two swap renames leaves the table stranded at
-    * `__old` and nothing at `path`; finish the interrupted swap before
-    * reading (the ParquetCatalog.recoverSwap discipline). Without this,
-    * the next trigger would read "no table" and rebuild from one batch —
-    * silently truncating the rollup history. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val trash = new org.apache.hadoop.fs.Path(path + "__old")
-    if (!fs.exists(dst) && fs.exists(trash) && !fs.rename(trash, dst))
-      throw new IllegalStateException(
-        s"rollup recovery: failed restoring $trash")
-  }
-
   /** Replace-by-key upsert of the rollup table (batch carries full
     * updated sums). Left-anti on the batch keys + union, written via
-    * shadow-and-swap so readers never see a half-written table. */
+    * the shared shadow-and-swap protocol ([[graft.warehouse.AtomicDir]])
+    * so a crash at any point leaves a recoverable table and readers
+    * never see a half-written one. The WRITER (single, per streaming
+    * semantics) finishes any interrupted swap before reading; a
+    * transient read failure fails the trigger instead of silently
+    * rebuilding from one batch. */
   private[streaming] def upsert(spark: SparkSession, batch: DataFrame,
       keyCols: Seq[String], path: String): Unit = {
-    val fs0 = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs0, path)
-    // only an absent table may fall through to the fresh-build branch —
-    // a transient read failure must fail the trigger, not truncate the
-    // rollup to one batch
+    import graft.warehouse.AtomicDir
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicDir.recover(fs, dst)
     val existing =
-      if (fs0.exists(new org.apache.hadoop.fs.Path(path)))
-        Some(spark.read.parquet(path))
-      else None
+      if (fs.exists(dst)) Some(spark.read.parquet(path)) else None
     val merged = existing match {
       case Some(cur) =>
         cur.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(batch)
       case None => batch
     }
-    // shadow-write then two-rename swap (the ParquetCatalog.swapInto
-    // discipline): the base is renamed ASIDE before the shadow renames
-    // in, so a crash at any point leaves either the old table or the
-    // old table recoverable at __old — never a deleted base with the
-    // replacement not yet in place
-    val tmp = path + "__next"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val trash = new org.apache.hadoop.fs.Path(path + "__old")
-    if (fs.exists(trash)) fs.delete(trash, true)
-    if (fs.exists(dst) && !fs.rename(dst, trash))
-      throw new IllegalStateException(s"rollup swap: failed renaming $dst aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new IllegalStateException(s"rollup swap: failed renaming $tmp in")
-    fs.delete(trash, true)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__next")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    AtomicDir.swapInto(fs, dst, tmp)
   }
 
-  /** The batch-side anomaly pass over the persisted rollup. */
+  /** The batch-side anomaly pass over the persisted rollup. READ-ONLY:
+    * a concurrent recover here would race the streaming writer mid-swap
+    * (renaming `__old` back while the writer renames its shadow in
+    * NESTS the shadow inside the restored table); instead read wherever
+    * the table currently lives. */
   def anomalies(spark: SparkSession, path: String, groupCols: Seq[String],
       dayCol: String, threshold: Double = 2.0): DataFrame = {
-    recoverSwap(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
-    val daily = spark.read.parquet(path)
+    import graft.warehouse.AtomicDir
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = AtomicDir.readablePath(fs, dst).getOrElse(
+      throw new IllegalStateException(s"rollup table $path does not exist"))
+    val daily = spark.read.parquet(src.toString)
     graft.ops.Behavior.dailyAnomaliesFromDaily(daily, groupCols, dayCol,
       threshold)
   }

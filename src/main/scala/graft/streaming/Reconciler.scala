@@ -190,6 +190,14 @@ object Reconciler {
     val toRelease = ControlPlane.releaseBatch(realtimePrev, MaxTopicRelease)
     val releasedTopics = toRelease.foldLeft(topics0)((m, t) =>
       m.updated(t, TopicStatus(Active, desired, releasedEver = true)))
+    // this step's groups must not include the topics it releases: the
+    // dupe query would append OLD-mask rows into the just-swapped live
+    // table for a whole requeue interval, and the reload query would
+    // resurrect an orphan _reload_ table after the swap consumed it
+    val releaseGroups = SinkGroups(
+      (released ++ toRelease).sorted,
+      running.diff(toRelease),
+      reloadingDupe.diff(toRelease))
 
     val perTopic = toRelease.map(t =>
       Notify.topicRelease(name, t, repo, filePath, current, desired))
@@ -213,7 +221,7 @@ object Reconciler {
 
     Decision(
       SinkStatus(nextVersion, releasedTopics),
-      groups, toRelease, perTopic ++ fleet, RequeueReleased)
+      releaseGroups, toRelease, perTopic ++ fleet, RequeueReleased)
   }
 }
 

@@ -41,12 +41,8 @@ final class ParquetCatalog(spark: SparkSession, root: String)
     * this, `merge()` would see `!exists` and silently re-create the table
     * from the one batch, and the next swap's trash cleanup would delete
     * the history. */
-  private def recoverSwap(schema: String, table: String): Unit = {
-    val tgt = new Path(tablePath(schema, table))
-    val old = new Path(tablePath(schema, table + "__old"))
-    if (!fs.exists(tgt) && fs.exists(old) && !fs.rename(old, tgt))
-      throw new IllegalStateException(s"swap recovery failed renaming $old back")
-  }
+  private def recoverSwap(schema: String, table: String): Unit =
+    AtomicDir.recover(fs, new Path(tablePath(schema, table)))
 
   def load(schema: String, table: String): DataFrame = {
     recoverSwap(schema, table)
@@ -94,21 +90,11 @@ final class ParquetCatalog(spark: SparkSession, root: String)
   def release(schema: String, table: String, suffix: String): Unit =
     swapInto(schema, table, table + suffix)
 
-  /** Two-rename swap: target → trash, source → target, drop trash. */
-  private def swapInto(schema: String, target: String, source: String): Unit = {
-    val tgt = new Path(tablePath(schema, target))
-    val src = new Path(tablePath(schema, source))
-    require(fs.exists(src), s"source table $source does not exist")
-    val trash = new Path(tablePath(schema, target + "__old"))
-    if (fs.exists(trash)) fs.delete(trash, true)
-    if (fs.exists(tgt)) {
-      if (!fs.rename(tgt, trash))
-        throw new IllegalStateException(s"swap failed renaming $tgt aside")
-    }
-    if (!fs.rename(src, tgt))
-      throw new IllegalStateException(s"swap failed renaming $src into place")
-    fs.delete(trash, true)
-  }
+  /** Two-rename swap: target → trash, source → target, drop trash
+    * (shared protocol: [[AtomicDir]]). */
+  private def swapInto(schema: String, target: String, source: String): Unit =
+    AtomicDir.swapInto(fs, new Path(tablePath(schema, target)),
+      new Path(tablePath(schema, source)))
 
   /** S7 — UNLOAD equivalent: export a table (optionally DISTINCT) as CSV,
     * the reference's table-scan-to-object-store path (redshift.go:812-838).

@@ -31,7 +31,22 @@ class AttributionStreamSpec extends SparkSpec {
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("attrib").start()
     try {
-      events.grouped(800).foreach { b =>
+      // batch boundaries must not split an equal-timestamp group (the
+      // twin's tie contract is same-batch); extend each chunk to the
+      // end of its last timestamp's run
+      val boundarySafe = {
+        val chunks = Seq.newBuilder[Seq[(String, String, Long, Long)]]
+        var rest = events
+        while (rest.nonEmpty) {
+          val take = rest.take(800)
+          val lastT = take.last._3
+          val (tie, remaining) = rest.drop(800).span(_._3 == lastT)
+          chunks += (take ++ tie)
+          rest = remaining
+        }
+        chunks.result()
+      }
+      boundarySafe.foreach { b =>
         mem.addData(b: _*); q.processAllAvailable()
       }
       val got = spark.sql(

@@ -99,12 +99,17 @@ class ReconcilerSpec extends SparkSpec {
     val d0 = step(SinkStatus.empty, obs("v1", topics.toSet, Set.empty))
     val d1 = step(d0.status, obs("v1", topics.toSet, topics.toSet))
     // all 7 realtime; release caps at 5 — the 2 awaiting the next batch
-    // must still be in the reload group (their shadow keeps consuming)
+    // stay in the reload group (their shadow keeps consuming), while
+    // the 5 being released leave it THIS step (their swap consumes the
+    // shadow table; a lingering reload query would resurrect it) and
+    // join main instead
     val d2 = step(d1.status, obs("v1", topics.toSet, topics.toSet))
     assert(d2.release.size == MaxTopicRelease)
-    assert(d2.groups.reload == topics.sorted) // realtime ∪ reloading
+    assert(d2.groups.reload == topics.sorted.diff(d2.release))
+    assert(d2.groups.main == d2.release.sorted)
     val d3 = step(d2.status, obs("v1", topics.toSet, topics.toSet))
-    assert(d3.groups.reload == topics.sorted.diff(d2.release))
+    assert(d3.groups.reload.isEmpty)
+    assert(d3.groups.main == topics.sorted)
   }
 
   test("inconsistent status self-heals: reloading with no diff goes active") {
