@@ -1273,6 +1273,40 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_gini" -> ((s, dir) => {
+      // concentration of the event stream across users (who dominates
+      // the data?): exact Gini from rank-weighted counts — every term
+      // integer until the final division, so the coefficient replays
+      // bit-for-bit. The users table is tiny after the first aggregate.
+      val counts = rd(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c"), col("user_id"))
+      counts
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("total"),
+          sum(col("rk") * col("c")).as("rankmass"))
+        .select(col("n"), col("total"),
+          round((lit(2.0) * col("rankmass").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * col("total").cast(DoubleType)) -
+            (col("n") + lit(1L)).cast(DoubleType) /
+              col("n").cast(DoubleType), 6).as("gini"))
+    }),
+
+    "q_x_vocab_growth" -> ((s, dir) =>
+      // Heaps-law corpus signal per source: distinct vocabulary vs
+      // token mass, plus the type-token ratio — a skewed ratio flags
+      // template/boilerplate-heavy domains before any model sees them
+      docs(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(TextOps.normalized(col("text"))))
+            .as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_vocab"))
+        .select(col("source"), col("n_tokens"), col("n_vocab"),
+          round(col("n_vocab").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6).as("ttr"))),
+
     "q_x_streaks" -> ((s, dir) => {
       // longest consecutive-day activity streak per user: the classic
       // gaps-and-islands shape — distinct active days, day minus dense
@@ -3517,6 +3551,38 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c, user_id)
+        |    AS BIGINT) AS rk FROM c),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(rk * c) AS BIGINT) AS rankmass FROM r)
+        |SELECT n, total,
+        |  round((2.0 * CAST(rankmass AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) -
+        |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
+
+    "q_x_vocab_growth" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+        |           '[^\p{L}\p{N}]+', ' ', 'g')) = '' THEN []
+        |         ELSE string_split_regex(trim(regexp_replace(
+        |           lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |           '\s+') END AS ls
+        |  FROM documents),
+        |w AS (SELECT source, unnest(ls) AS w FROM t)
+        |SELECT source, count(*) AS n_tokens,
+        |  count(DISTINCT w) AS n_vocab,
+        |  round(CAST(count(DISTINCT w) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS ttr
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q_x_streaks" ->
       """WITH d AS (
