@@ -1273,6 +1273,22 @@ object Queries {
       // quantized to scaled longs so per-doc sums are order-exact
       graft.ops.LangModel.bigramNll(docs(s, dir), "doc_id", "text")),
 
+    "q_x_basket_pairs" -> ((s, dir) => {
+      // frequently-bought-together: part pairs co-occurring in an
+      // order, counted across orders — the bounded self-join shape (key
+      // = orderkey, fan-out capped by lines-per-order, p1 < p2 emits
+      // each pair once; never a cartesian). Top-20 by support.
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      li.join(li.withColumnRenamed("p", "p2"), "ok")
+        .filter(col("p") < col("p2"))
+        .groupBy(col("p"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("p"), col("p2"))
+        .limit(20)
+    }),
+
     "q_x_gini" -> ((s, dir) => {
       // concentration of the event stream across users (who dominates
       // the data?): exact Gini from rank-weighted counts — every term
@@ -3551,6 +3567,15 @@ object Queries {
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),
+
+    "q_x_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem)
+        |SELECT a.p AS p, b.p AS p2, count(*) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |GROUP BY a.p, b.p
+        |ORDER BY support DESC, a.p, b.p LIMIT 20""".stripMargin,
 
     "q_x_gini" ->
       """WITH c AS (
