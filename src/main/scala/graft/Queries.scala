@@ -3558,8 +3558,15 @@ object Queries {
         |  FROM events GROUP BY 1, 2),
         |z AS (
         |  SELECT event_type, day, day_value,
-        |    (day_value - avg(day_value) OVER (PARTITION BY event_type)) /
-        |      stddev_samp(day_value) OVER (PARTITION BY event_type) AS z
+        |    CASE WHEN stddev_samp(day_value)
+        |             OVER (PARTITION BY event_type) IS NULL
+        |           OR stddev_samp(day_value)
+        |             OVER (PARTITION BY event_type) = 0
+        |      THEN 0.0
+        |      ELSE (day_value -
+        |            avg(day_value) OVER (PARTITION BY event_type)) /
+        |           stddev_samp(day_value) OVER (PARTITION BY event_type)
+        |    END AS z
         |  FROM d)
         |SELECT event_type, day, round(day_value, 4) AS day_value,
         |  round(z, 4) AS z, abs(round(z, 4)) >= 2.0 AS is_anomaly

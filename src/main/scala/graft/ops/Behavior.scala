@@ -89,14 +89,18 @@ object Behavior {
   /** The z-score pass over an ALREADY-AGGREGATED daily table
     * (`day_value` per group×day) — the batch tail of the streaming
     * rollup ([[graft.streaming.DailyRollup]] maintains the table; this
-    * scores it). */
+    * scores it). Degenerate groups — a single day (stddev_samp NULL) or
+    * zero variance (0/0 → NaN) — score z = 0.0 / is_anomaly = false, so
+    * the flag column is a real boolean downstream filters can trust
+    * rather than a NULL/NaN three-valued one. */
   def dailyAnomaliesFromDaily(daily: DataFrame, groupCols: Seq[String],
       dayCol: String, threshold: Double = 2.0): DataFrame = {
     val gs = groupCols.map(col)
     val w = Window.partitionBy(gs: _*)
+    val sd = stddev_samp(col("day_value")).over(w)
     daily
-      .withColumn("z", (col("day_value") - avg("day_value").over(w)) /
-        stddev_samp(col("day_value")).over(w))
+      .withColumn("z", when(sd.isNull || sd === 0.0, lit(0.0))
+        .otherwise((col("day_value") - avg("day_value").over(w)) / sd))
       .select(gs ++ Seq(col(dayCol),
         round(col("day_value"), 4).as("day_value"),
         round(col("z"), 4).as("z"),

@@ -67,8 +67,13 @@ object Boilerplate {
     // flag instead of anti-join so kept text, kept count, and total
     // count come out of ONE id-shuffle aggregate (collect_list skips
     // the nulled-out boilerplate lines; an anti-join formulation needs
-    // a second shuffle plus a rejoin just to keep all-boiler docs)
-    lines.join(broadcast(boiler), Seq(keyCol, "line"), "left")
+    // a second shuffle plus a rejoin just to keep all-boiler docs).
+    // No broadcast hint: the boiler table is tiny per site but grows
+    // with the number of sites, so at corpus scale it can exceed the
+    // broadcast threshold — AQE picks broadcast when it actually fits,
+    // and the join stays keyed on (site, line) as a shuffle join when
+    // it doesn't.
+    lines.join(boiler, Seq(keyCol, "line"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(

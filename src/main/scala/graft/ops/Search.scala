@@ -35,7 +35,15 @@ object Search {
 
   /** BM25 top-k: score every document containing at least one query
     * term; emit (id, score rounded to 4 dp) best-first, ties broken by
-    * id. */
+    * id.
+    *
+    * NOTE: query construction is EAGER — the corpus scalars (N, Σdl)
+    * and per-term document frequencies are computed by Spark jobs
+    * (`head()` on 1-row aggregates, plus a `localCheckpoint` of the
+    * per-doc tf frame) at call time, not at action time. Callers that
+    * only want to build a plan should defer the call itself. An empty
+    * corpus returns an empty (id, score) frame without evaluating the
+    * avgdl division. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
@@ -53,6 +61,10 @@ object Search {
       sum(col("__dl")).as("__sumdl")).head()
     val nDocs = statsRow.getLong(0)
     val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    // empty corpus: avgdl = sumDl/nDocs would be a 0/0 NaN literal;
+    // nothing can match, so return the empty scored frame directly
+    if (nDocs == 0L)
+      return base.select(id, lit(0.0).as("score")).limit(0)
 
     // one shuffle: per-doc tf for each query term + the doc's length.
     // Materialized once — the per-term document frequencies below and

@@ -334,20 +334,6 @@ object TextOps {
         col("col").as("chunk"))
   }
 
-  /** Corpus keyword extraction: top-`k` terms per document by rational
-    * tf-idf — score = tf · (N+1)/(df+1), N = corpus size, df = document
-    * frequency. Rational (no logarithm) on purpose: libm `log` is not
-    * bit-identical across engines, integer-derived double division is —
-    * so an SQL oracle reproduces scores exactly; the RANKING it induces
-    * matches log-idf's (both are monotone decreasing in df for fixed tf).
-    *
-    * Plan: token explode → (doc, term) tf agg → term df agg → join back →
-    * per-doc window top-k. The tf↔df join is left to AQE: on a small
-    * vocabulary it converts to a broadcast join at runtime; at corpus
-    * scale the distinct-term table grows with the corpus (ids, typos,
-    * hashes — far past any broadcast cap), where the shuffle join on
-    * `term` is the only shape that survives. Ties broken (df, term) so
-    * output is deterministic. */
   /** Tokenize documents to integer id sequences against a vocab built
     * IN-ENGINE from the same corpus: ids 1..`vocabSize` rank tokens by
     * (count desc, token asc); everything else is OOV id 0. The
@@ -386,6 +372,20 @@ object TextOps {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 
+  /** Corpus keyword extraction: top-`k` terms per document by rational
+    * tf-idf — score = tf · (N+1)/(df+1), N = corpus size, df = document
+    * frequency. Rational (no logarithm) on purpose: libm `log` is not
+    * bit-identical across engines, integer-derived double division is —
+    * so an SQL oracle reproduces scores exactly; the RANKING it induces
+    * matches log-idf's (both are monotone decreasing in df for fixed tf).
+    *
+    * Plan: token explode → (doc, term) tf agg → term df agg → join back →
+    * per-doc window top-k. The tf↔df join is left to AQE: on a small
+    * vocabulary it converts to a broadcast join at runtime; at corpus
+    * scale the distinct-term table grows with the corpus (ids, typos,
+    * hashes — far past any broadcast cap), where the shuffle join on
+    * `term` is the only shape that survives. Ties broken (df, term) so
+    * output is deterministic. */
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val n = df.count()

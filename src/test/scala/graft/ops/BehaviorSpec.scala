@@ -54,6 +54,19 @@ class BehaviorSpec extends SparkSpec {
     assert(flagged == Seq(7))
   }
 
+  test("anomaly degenerate groups: single day / zero variance flag false") {
+    val ev = Seq(
+      ("solo", 1, 5.0),                 // single day: stddev_samp NULL
+      ("flat", 1, 2.0), ("flat", 2, 2.0), ("flat", 3, 2.0) // zero variance
+    ).toDF("k", "day", "v")
+    val r = Behavior.dailyAnomalies(ev, Seq("k"), "day", "v")
+      .select("k", "z", "is_anomaly").collect()
+    assert(r.forall(row => !row.isNullAt(1) && row.getDouble(1) == 0.0),
+      "z must be 0.0, not NULL/NaN, for degenerate groups")
+    assert(r.forall(row => !row.isNullAt(2) && !row.getBoolean(2)),
+      "is_anomaly must be false, not NULL, for degenerate groups")
+  }
+
   test("funnel plan: one exchange feeds the chained windows") {
     val ev = Seq((1L, "a", 10L)).toDF("user_id", "event_type", "ts")
     val plan = Behavior.funnel(ev, "user_id", "event_type", "ts",

@@ -77,6 +77,13 @@ class SearchSpec extends SparkSpec {
     assert(got.length == 1 && got.head._1 == 1L)
   }
 
+  test("empty corpus returns empty frame, no NaN avgdl") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Search.bm25TopK(empty, "doc_id", "text", Seq("hash"), k = 3)
+    assert(got.columns.toSeq == Seq("doc_id", "score"))
+    assert(got.count() == 0)
+  }
+
   test("rrfFuse: both-list docs beat single-list docs; absent = 0") {
     val l1 = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
     val l2 = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
