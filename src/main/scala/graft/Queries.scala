@@ -765,13 +765,23 @@ object Queries {
         col("o_custkey"))
       val li = rd(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_suppkey"))
+      // dictionary-encoded node ids: customer c → 2c, supplier s →
+      // 2s+1. The iteration's joins/aggregates and the edge checkpoint
+      // all hash 8-byte longs instead of "c:<id>" strings; the label
+      // strings materialize only on the final O(nodes) rank frame. The
+      // distinct runs on the numeric pair for the same reason.
       val directed = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(
-          concat(lit("c:"), col("o_custkey").cast(StringType)).as("src"),
-          concat(lit("s:"), col("l_suppkey").cast(StringType)).as("dst"))
+        .select((col("o_custkey").cast(LongType) * 2).as("src"),
+          (col("l_suppkey").cast(LongType) * 2 + 1).as("dst"))
         .distinct()
       graft.ops.Graph.pagerank(graft.ops.Graph.undirect(directed),
-          iters = 3)
+          iters = 3, undirected = true)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("c:"), expr("node div 2").cast(StringType)))
+            .otherwise(concat(lit("s:"),
+              expr("(node - 1) div 2").cast(StringType))).as("node"),
+          col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(100)
     }),
 

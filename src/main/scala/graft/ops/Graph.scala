@@ -40,8 +40,15 @@ object Graph {
   /** Fixed-point PageRank over a directed edge list (`src`, `dst`
     * string columns). Every node must appear as a source (feed an
     * undirected graph — see [[undirect]] — or pre-handle danglings).
-    * Returns (node, rank) with rank in [[Scale]] fixed point. */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    * Returns (node, rank) with rank in [[Scale]] fixed point.
+    *
+    * Pass `undirected = true` when the input came from [[undirect]]:
+    * every node then has in-degree ≥ 1, the incoming-mass aggregate
+    * covers the exact node set, and the per-iteration nodes left-join
+    * (whose only job is re-seating in-degree-0 nodes) is skipped —
+    * identical results, one fewer join per iteration. */
+  def pagerank(edges: DataFrame, iters: Int,
+      undirected: Boolean = false): DataFrame = {
     // Materialize the loop invariants ONCE (localCheckpoint is eager and
     // truncates lineage): the caller's edge derivation is often a
     // join+distinct, and without this it re-executes for every reference
@@ -51,27 +58,40 @@ object Graph {
     // eager unpersist here would drop the cache before evaluation.
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     graft.core.Metrics.deferUnpersist(e)
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
-    graft.core.Metrics.deferUnpersist(nodes)
-    val n = nodes.count()
+    // out-degree doubles as the node set (one row per distinct src), so
+    // a single O(nodes) aggregate replaces the former separate
+    // distinct-pass + checkpoint over the full edge list
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(outdeg)
+    val nodes = outdeg.select(col("src").as("node"))
+    val n = outdeg.count()
     require(n > 0, "empty graph")
     val r0 = Scale / n
     val base = (15L * r0) / 100L
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val withDeg = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("od")).localCheckpoint()
-    graft.core.Metrics.deferUnpersist(withDeg)
     var rank = nodes.select(col("node"), lit(r0).as("rank"))
     for (_ <- 1 to iters) {
-      val mass = withDeg
-        .join(rank, withDeg("src") === rank("node"))
-        .select(col("dst"), expr("rank div od").as("contrib"))
+      // pre-divide on the O(nodes) side: (src, rank div od) is a tiny
+      // frame that broadcasts onto the checkpointed edge list, so the
+      // O(edges) rows are scanned once per iteration with no degree
+      // column materialized alongside them (the former `withDeg`
+      // edge+degree join is gone entirely)
+      val contrib = rank.join(outdeg, rank("node") === outdeg("src"))
+        .select(col("src"), expr("rank div od").as("contrib"))
+      val mass = e.join(contrib, "src")
+        .select(col("dst"), col("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("mass"))
-      rank = nodes
-        .join(mass, nodes("node") === mass("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($DampNum * coalesce(mass, 0L)) div $DampDen"))
-            .as("rank"))
+      rank =
+        if (undirected)
+          mass.select(col("dst").as("node"),
+            (lit(base) + expr(s"($DampNum * mass) div $DampDen"))
+              .as("rank"))
+        else
+          nodes.join(mass, nodes("node") === mass("dst"), "left")
+            .select(col("node"),
+              (lit(base) +
+                expr(s"($DampNum * coalesce(mass, 0L)) div $DampDen"))
+                .as("rank"))
     }
     rank
   }

@@ -32,6 +32,20 @@ class GraphSpec extends SparkSpec {
     assert(Seq("l1", "l2", "l3", "l4").map(r).toSet.size == 1)
   }
 
+  test("undirected fast path matches the general path exactly") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0 until 25).map(i => s"n$i")
+    val directed = (for (_ <- 0 until 80) yield
+      (nodes(rnd.nextInt(25)), nodes(rnd.nextInt(25))))
+      .filter { case (a, b) => a != b }.distinct
+    val und = Graph.undirect(directed.toDF("src", "dst"))
+    val general = Graph.pagerank(und, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val fast = Graph.pagerank(und, iters = 3, undirected = true)
+      .as[(String, Long)].collect().toMap
+    assert(fast == general)
+  }
+
   test("matches a driver-side exact integer reference on a random graph") {
     val rnd = new scala.util.Random(7)
     val nodes = (0 until 30).map(i => s"n$i")
