@@ -207,6 +207,13 @@ object Bench {
     val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
+    // canary after the cdc merge + phase sections: r9's official window
+    // showed cdc_zipf/skew 3x slower than the same code's local run, and
+    // the catalog-loop brackets (canary_end → canary_post_stream) span
+    // everything after the loop, so they couldn't say WHICH section the
+    // contention hit. One sample per section boundary localizes it.
+    val canaryPostCdc = canarySec()
+
     // CDC merge under key skew: the SAME decode → merge path, but the
     // batch's ids drawn zipf(1.2) from a fixed 20k universe (top id ~8%
     // of all events — the hot-account shape real CDC exhibits) vs a
@@ -262,6 +269,9 @@ object Bench {
         System.err.println(s"[bench] skew bench failed: ${e.getMessage}")
         (0.0, 0.0)
     }
+    // canary after the skew section (delta vs canary_post_cdc isolates
+    // the zipf/uniform merge window specifically)
+    val canaryPostSkew = canarySec()
 
     // Store rewrite proportionality — the claim behind BucketedCatalog,
     // measured in the regime it exists for. A PK-hash-bucketed store
@@ -354,6 +364,9 @@ object Bench {
         System.err.println(s"[bench] store merge bench failed: ${e.getMessage}")
         Map.empty
     }
+    // canary after the store-merge section (so the final post-stream
+    // bracket covers ONLY the streaming window)
+    val canaryPostStore = canarySec()
 
     // Streaming end-to-end throughput: the SAME processBatch the batch
     // metric above exercises, but driven through MemoryStream micro-batch
@@ -488,17 +501,13 @@ object Bench {
     val streamEps = if (streamSec > 0) streamEvents / streamSec else 0.0
     def eps2(sec: Double, n: Long): Double = if (sec > 0) n / sec else 0.0
 
-    // Third canary sample AFTER the CDC/stream sections: the start/end
-    // pair brackets only the catalog loop, so contention arriving during
-    // the (later) stream benches was invisible to it — this sample makes
-    // the stream numbers self-diagnosing the same way. Positive delta vs
-    // canary_end (same query, code unchanged, JIT already saturated) =
-    // the host got slower under the stream window.
+    // Final canary AFTER the stream section. With the per-section
+    // samples above, its delta vs canary_post_store brackets ONLY the
+    // streaming window (same query, code unchanged, JIT saturated):
+    // positive = the host got slower while the streams ran.
     val canaryPostStream = canarySec()
     val canaryPostStreamDeltaPct: String =
-      if (canaryEnd > 0 && canaryPostStream > 0)
-        (100.0 * (canaryPostStream - canaryEnd) / canaryEnd).toString
-      else "null"
+      deltaPct(canaryPostStore, canaryPostStream)
 
     val buildJson = indexBuilds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -510,6 +519,12 @@ object Bench {
         s""""queries_cold":$qsCold,"bench_runs":$nRuns,""" +
         s""""canary_query":"$canaryQuery","canary_start_sec":$canaryStart,""" +
         s""""canary_end_sec":$canaryEnd,"canary_delta_pct":$canaryDeltaPct,""" +
+        s""""canary_post_cdc_sec":$canaryPostCdc,""" +
+        s""""canary_cdc_delta_pct":${deltaPct(canaryEnd, canaryPostCdc)},""" +
+        s""""canary_post_skew_sec":$canaryPostSkew,""" +
+        s""""canary_skew_delta_pct":${deltaPct(canaryPostCdc, canaryPostSkew)},""" +
+        s""""canary_post_store_sec":$canaryPostStore,""" +
+        s""""canary_store_delta_pct":${deltaPct(canaryPostSkew, canaryPostStore)},""" +
         s""""canary_post_stream_sec":$canaryPostStream,""" +
         s""""canary_post_stream_delta_pct":$canaryPostStreamDeltaPct,""" +
         s""""canary_pre_build_sec":$canaryPreBuild,""" +
