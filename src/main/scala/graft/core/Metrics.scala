@@ -34,8 +34,21 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object Metrics {
 
-  /** Histogram essentials of one (table, metric) stream. */
-  final case class Stat(sum: Double, count: Long, max: Double) {
+  /** The reference's loader-latency histogram bounds in seconds
+    * (REDSHIFTSINK.md:155–171: "histograms in buckets: 10, 30, 60, 120,
+    * 180, 240, 300, 480, 600, 900"). Every `*_seconds` observation
+    * stream keeps cumulative counts per bound so the `/metrics` endpoint
+    * exports real `_bucket{le=...}` series a reference dashboard's
+    * quantile panels can consume unchanged. */
+  final val SecondsBuckets: Vector[Double] =
+    Vector(10, 30, 60, 120, 180, 240, 300, 480, 600, 900)
+
+  /** Histogram essentials of one (table, metric) stream. `buckets` is
+    * cumulative observations ≤ [[SecondsBuckets]](i) — non-empty only
+    * for `*_seconds` metrics (the reference's histogram family); the
+    * implicit `+Inf` bucket is `count`. */
+  final case class Stat(sum: Double, count: Long, max: Double,
+      buckets: Vector[Long] = Vector.empty) {
     def mean: Double = if (count == 0) 0.0 else sum / count
   }
 
@@ -45,11 +58,22 @@ object Metrics {
   /** Opt into per-phase merge materialization (see class doc). */
   def enablePhaseBreakdown(on: Boolean): Unit = breakdown = on
 
+  private def bucketsOf(metric: String, value: Double): Vector[Long] =
+    if (metric.endsWith("_seconds"))
+      SecondsBuckets.map(le => if (value <= le) 1L else 0L)
+    else Vector.empty
+
+  private def addBuckets(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+    if (a.isEmpty) b else if (b.isEmpty) a
+    else a.lazyZip(b).map(_ + _).toVector
+
   /** Record one observation (seconds, rows, bytes — unit is the
     * metric's). */
   def observe(table: String, metric: String, value: Double): Unit =
-    stats.merge((table, metric), Stat(value, 1, value),
-      (a, b) => Stat(a.sum + b.sum, a.count + b.count, math.max(a.max, b.max)))
+    stats.merge((table, metric),
+      Stat(value, 1, value, bucketsOf(metric, value)),
+      (a, b) => Stat(a.sum + b.sum, a.count + b.count,
+        math.max(a.max, b.max), addBuckets(a.buckets, b.buckets)))
 
   /** Monotone counter convenience. */
   def add(table: String, metric: String, n: Long): Unit =

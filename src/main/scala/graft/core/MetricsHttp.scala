@@ -62,15 +62,32 @@ object MetricsHttp {
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
   /** Prometheus text format of a registry snapshot (exposed for specs —
-    * the HTTP layer adds nothing but transport). */
+    * the HTTP layer adds nothing but transport). `*_seconds` streams
+    * carry cumulative bucket counts ([[Metrics.SecondsBuckets]] — the
+    * reference's 10–900 s bounds) and render as TYPE histogram with
+    * full `_bucket{le=...}` series (`+Inf` included), so reference
+    * dashboards' `histogram_quantile` panels port unchanged; other
+    * streams stay `summary` (`_sum`/`_count`) plus a `_max` gauge the
+    * reference lacks. */
   def render(snap: Map[(String, String), Metrics.Stat]): String = {
     val sb = new StringBuilder
     val byMetric = snap.groupBy(_._1._2).toSeq.sortBy(_._1)
     for ((metric, series) <- byMetric) {
       val fq = s"${Prefix}_$metric"
-      sb.append(s"# TYPE ${fq} summary\n")
+      val isHist = series.values.exists(_.buckets.nonEmpty)
+      sb.append(s"# TYPE ${fq} ${if (isHist) "histogram" else "summary"}\n")
       for (((table, _), st) <- series.toSeq.sortBy(_._1._1)) {
         val lbl = s"""{table="${esc(table)}"}"""
+        if (isHist) {
+          Metrics.SecondsBuckets.lazyZip(
+            st.buckets.padTo(Metrics.SecondsBuckets.length, 0L))
+            .foreach { (le, n) =>
+              sb.append(s"""${fq}_bucket{table="${esc(table)}",""" +
+                s"""le="${fmt(le)}"} $n\n""")
+            }
+          sb.append(s"""${fq}_bucket{table="${esc(table)}",le="+Inf"} """ +
+            s"${st.count}\n")
+        }
         sb.append(s"${fq}_sum$lbl ${fmt(st.sum)}\n")
         sb.append(s"${fq}_count$lbl ${st.count}\n")
         sb.append(s"${fq}_max$lbl ${fmt(st.max)}\n")

@@ -55,11 +55,19 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share the query's signature bucket (or
     * differ in <= probeBits bits), then exact cosine re-rank of the
     * candidate set only. At 100 TB the bucket column is a partition key —
-    * the probe touches a tiny fraction of data. */
+    * the probe touches a tiny fraction of data.
+    *
+    * Defaults (planes=16, probeBits=6) are the measured operating point
+    * for CLUSTERED embeddings — real embedding spaces, where signatures
+    * carry locality: recall@10 = 1.0 probing ~11% of the corpus
+    * (RECALL.md clustered sweep). On uniform/structureless vectors LSH
+    * recall can never beat the probed fraction (measured gain ≈ 1);
+    * use [[Ivf]] there. The old probeBits=2 default measured 0.005
+    * recall on the uniform fixture — a silent near-empty probe. */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int,
-      numPlanes: Int = 16, probeBits: Int = 2): DataFrame = {
+      numPlanes: Int = 16, probeBits: Int = 6): DataFrame = {
     val sigCol = hyperplaneSignature(col(vecCol), numPlanes)
     val querySig = hyperplaneSignature(vecLit(query), numPlanes)
     val candidates = df
@@ -76,7 +84,7 @@ object Similarity {
   def lshTopKPortable(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int,
-      numPlanes: Int = 16, probeBits: Int = 2, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 16, probeBits: Int = 6, dim: Int = 64): DataFrame = {
     val planes = portablePlanes(numPlanes, dim)
     val querySig = portableQuerySignature(query, planes)
     val candidates = df

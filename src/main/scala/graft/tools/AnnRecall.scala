@@ -46,19 +46,23 @@ object AnnRecall {
       df.select("vec_id").collect().map(_.getLong(0)).toSet
 
     val methods: Seq[(String, (Long, Array[Double]) => Set[Long])] = Seq(
-      "lsh planes=24 probeBits=8 (catalog default)" -> ((qid, q) =>
+      "lsh planes=24 probeBits=8 (catalog q_x_ann_lsh knobs)" -> ((qid, q) =>
         ids(Similarity.lshTopKPortable(
           emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, k,
           numPlanes = 24, probeBits = 8, dim = 64))),
+      "lsh API DEFAULTS planes=16 probeBits=6" -> ((qid, q) =>
+        ids(Similarity.lshTopKPortable(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, k,
+          dim = 64))),
       "ivf nprobe=1" -> ((qid, q) => ids(Ivf.topK(
         emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", coarse,
         q, k, nprobe = 1))),
       "ivf nprobe=2" -> ((qid, q) => ids(Ivf.topK(
         emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", coarse,
         q, k, nprobe = 2))),
-      "ivf nprobe=4" -> ((qid, q) => ids(Ivf.topK(
+      "ivf nprobe=4 (API DEFAULT, served)" -> ((qid, q) => ids(Ivf.topK(
         emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", coarse,
-        q, k, nprobe = 4))),
+        q, k))),
       "pq adc (L2 rank)" -> ((qid, q) => ids(Pq.adcTopK(
         emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", cb,
         q, k))),
@@ -69,8 +73,8 @@ object AnnRecall {
       "ivfpq nprobe=2" -> ((qid, q) => ids(Pq.ivfPqTopK(
         emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", coarse,
         cb, q, k, nprobe = 2))),
-      s"ivfpq nprobe=2 + exact refine C=${10 * k}" -> ((qid, q) =>
-        ids(Pq.ivfPqRefineTopK(
+      s"ivfpq nprobe=2 + exact refine C=${10 * k} (SERVED PQ SHAPE)" ->
+        ((qid, q) => ids(Pq.ivfPqRefineTopK(
           emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", coarse,
           cb, q, k, nprobe = 2, shortlist = 10 * k))),
       "ivfpq residual nprobe=2" -> ((qid, q) => ids(Pq.ivfPqResidualTopK(
@@ -359,6 +363,20 @@ object AnnRecall {
          |embeddings are uniform (coarse centroids nearly coincide, so
          |residuals carry no extra structure) — on clustered real
          |embeddings the residual form is the one that wins.
+         |
+         |## Served defaults (the configs the APIs recommend)
+         |
+         |- **IVF**: `Ivf.probe`/`probeMany`/`topK` default nprobe=4 —
+         |  the measured 0.84-recall point below. nprobe=2 (0.67) is the
+         |  opt-down when probe I/O dominates.
+         |- **PQ / IVF-PQ**: serve the `*Refined` forms (exact re-rank of
+         |  a shortlist=100 ADC candidate list). ADC-only ranking is a
+         |  SHORTLIST PRIMITIVE — its recall is capped ~0.2 by the code
+         |  quantization regardless of nprobe (rows below).
+         |- **LSH**: `lshTopK*` default planes=16/probeBits=6 — the
+         |  clustered-fixture 1.0-recall @ 11%-probe point. On uniform
+         |  vectors LSH recall ≈ probed fraction by construction; use IVF
+         |  there.
          |
          || method | recall@$k |
          ||---|---|

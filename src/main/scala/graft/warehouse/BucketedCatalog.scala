@@ -24,12 +24,25 @@ import org.apache.spark.sql.functions._
   * co-location key: two bucketed tables with the same nBuckets join
   * bucket-to-bucket without a full shuffle.
   *
-  * Measured crossover (graft.tools.BucketBench): at a 600 k-row target on
-  * local[32] the constant costs (bucket projection, extra driver actions,
-  * per-bucket renames) still outweigh the saved I/O (2.7 s full rewrite
-  * vs 3.3 s bucketed) — the store pays off when the target is large
-  * relative to the batch and storage is remote (the 100 TB case), where
-  * I/O proportionality, not constant overhead, dominates.
+  * STORE SELECTION (measured, graft.tools.BucketBench r10 sweep —
+  * 10 k-row update batches, nBuckets=64, local[32]; full table in
+  * BENCHNOTES.md):
+  *
+  *  - **Bucketed wins only for bucket-LOCALIZED batch keys AND
+  *    target/batch ≳ 1000:** parity at a 4 M-row target (0.94 s vs
+  *    plain's 0.86 s), winning at 40 M (3.10 s vs 4.55 s, 1.5×), and
+  *    the gap widens linearly with target size from there — plain's
+  *    rewrite is O(target), bucketed's is O(affected buckets). Below
+  *    ~1000:1 the per-bucket constants (bucket projection, extra driver
+  *    actions, per-bucket renames) eat the saved I/O.
+  *  - **Uniform batch keys: bucketed NEVER wins** (0.4–0.6× plain at
+  *    every size) — a batch that touches every bucket rewrites plain's
+  *    volume plus the machinery. Use [[MergeOnReadCatalog]] there: its
+  *    O(batch) delta append measured flat 0.2–0.5 s against every
+  *    target size, with the bill bounded by cost-based compaction.
+  *  - Default recommendation: MOR as the streaming substrate;
+  *    bucketed when merges are key-local at big target/batch ratios, or
+  *    when the bucket column's join co-location pays for itself.
   */
 object BucketedCatalog {
   /** Partition-column name of the bucketed layout. */

@@ -28,11 +28,52 @@ class MetricsHttpSpec extends AnyFunSuite {
       assert(body.contains(
         """rsk_batcher_messages_processed_sum{table="events_cdc"} 10000"""))
       assert(body.contains("""rsk_loader_running_sum{table="events_cdc"} 1"""))
-      assert(body.contains("# TYPE rsk_loader_seconds summary"))
+      // *_seconds streams are real histograms (reference 10–900 s bounds)
+      assert(body.contains("# TYPE rsk_loader_seconds histogram"))
+      assert(body.contains(
+        """rsk_loader_seconds_bucket{table="events_cdc",le="10"} 1"""))
+      assert(body.contains(
+        """rsk_loader_seconds_bucket{table="events_cdc",le="30"} 2"""))
+      assert(body.contains(
+        """rsk_loader_seconds_bucket{table="events_cdc",le="900"} 2"""))
+      assert(body.contains(
+        """rsk_loader_seconds_bucket{table="events_cdc",le="+Inf"} 2"""))
+      // non-seconds streams stay summaries — no bucket series
+      assert(body.contains("# TYPE rsk_batcher_messages_processed summary"))
+      assert(!body.contains("rsk_batcher_messages_processed_bucket"))
     } finally {
       srv.stop()
       Metrics.reset()
     }
+  }
+
+  test("the five merge-phase series export reference-bound buckets") {
+    Metrics.reset()
+    val phases = Seq("copystage", "dedupe", "deletecommon", "deleteop",
+      "copytarget")
+    // one fast observation + one mid-bucket one per phase
+    phases.foreach { p =>
+      Metrics.observe("events_cdc", s"loader_${p}_seconds", 0.4)
+      Metrics.observe("events_cdc", s"loader_${p}_seconds", 150.0)
+    }
+    val out = MetricsHttp.render(Metrics.snapshot())
+    phases.foreach { p =>
+      assert(out.contains(s"# TYPE rsk_loader_${p}_seconds histogram"))
+      // 0.4 lands in every bucket; 150 first lands in le=180
+      assert(out.contains(
+        s"""rsk_loader_${p}_seconds_bucket{table="events_cdc",le="10"} 1"""))
+      assert(out.contains(
+        s"""rsk_loader_${p}_seconds_bucket{table="events_cdc",le="120"} 1"""))
+      assert(out.contains(
+        s"""rsk_loader_${p}_seconds_bucket{table="events_cdc",le="180"} 2"""))
+      assert(out.contains(
+        s"""rsk_loader_${p}_seconds_bucket{table="events_cdc",le="+Inf"} 2"""))
+      // all ten reference bounds present
+      Seq(10, 30, 60, 120, 180, 240, 300, 480, 600, 900).foreach(le =>
+        assert(out.contains(
+          s"""rsk_loader_${p}_seconds_bucket{table="events_cdc",le="$le"}""")))
+    }
+    Metrics.reset()
   }
 
   test("label values are escaped and multiple tables sort stably") {
