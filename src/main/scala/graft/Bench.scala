@@ -501,6 +501,68 @@ object Bench {
     val streamEps = if (streamSec > 0) streamEvents / streamSec else 0.0
     def eps2(sec: Double, n: Long): Double = if (sec > 0) n / sec else 0.0
 
+    // Streaming semantic dedup e2e: MemoryStream micro-batches of
+    // embeddings through SemDedupStream's foreachBatch body — per
+    // trigger a pruned-scan dedup against the growing IVF index, a
+    // within-batch keep, the survivor indexAppend, and the compaction
+    // cadence (every 4 batches here). Batch vectors are a deterministic
+    // (seeded) mix of corpus near-dups and novel vectors, pre-generated
+    // OUTSIDE the timed window. events/s = vectors decided per second.
+    val (semSec, semEvents, semAppended, semDropped) = try {
+      import graft.ops.Ivf
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bench_semdedup").toString
+      val idxPath = dir + "/idx"
+      val emb = Tables.read(spark, sfDir, "embeddings").cache()
+      val corpus = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Ivf.index(emb, "embedding", model, idxPath)
+      emb.unpersist()
+      val dim = corpus.head._2.length
+      val rnd = new scala.util.Random(42)
+      val nB = 6; val per = 2000
+      var nextId = corpus.map(_._1).max + 1
+      val batches = (0 until nB).map { _ =>
+        (0 until per).map { i =>
+          val id = nextId; nextId += 1
+          // ~half near-dups of corpus rows (tiny perturbation), half new
+          if (i % 2 == 0) {
+            val (_, base) = corpus(rnd.nextInt(corpus.length))
+            (id, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+          } else
+            (id, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+        }
+      }
+      val s = new graft.streaming.SemDedupStream(spark, idxPath,
+        "vec_id", "embedding", threshold = 0.9, compactEvery = 4)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .option("checkpointLocation", dir + "/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          s.processBatch(b); ()
+        }
+        .start()
+      val sec = try time {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+      val (_, app, drop) = s.stats
+      (sec, nB.toLong * per, app, drop)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] semdedup stream bench failed: ${e.getMessage}")
+        (-1.0, 0L, 0L, 0L)
+    }
+
     // Final canary AFTER the stream section. With the per-section
     // samples above, its delta vs canary_post_store brackets ONLY the
     // streaming window (same query, code unchanged, JIT saturated):
@@ -559,6 +621,10 @@ object Bench {
         s""""stream_events_per_sec_bucketed_big":${eps2(streamBktBigSec, streamBktBigEvents)},""" +
         s""""stream_mor_big_sec":$streamMorBigSec,""" +
         s""""stream_events_per_sec_mor_big":${eps2(streamMorBigSec, streamMorBigEvents)},""" +
+        s""""semdedup_stream_sec":$semSec,""" +
+        s""""semdedup_stream_events_per_sec":${eps2(semSec, semEvents)},""" +
+        s""""semdedup_stream_appended":$semAppended,""" +
+        s""""semdedup_stream_dropped":$semDropped,""" +
         s""""cdc_phases_total_sec":$phasesTotal,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
     // reading the stream can be poisoned — the file copy is always clean.

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{Ivf, SemDedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end streaming SemDeDup: MemoryStream micro-batches through the
+  * foreachBatch body, duplicates resolved against the growing index,
+  * compaction cadence exercised live. */
+class SemDedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** id → vector: base vectors are axis-aligned one-hots scaled per
+    * family; `dupOf`-style near-copies add a tiny orthogonal nudge so
+    * cosine ≈ 1 against the family base and ≈ 0 across families. */
+  private def vec(family: Int, nudge: Double): Array[Float] = {
+    val v = Array.fill(dim)(0.0f)
+    v(family % dim) = 1.0f
+    v((family + 1) % dim) = nudge.toFloat
+    v
+  }
+
+  private def df(rows: Seq[(Long, Array[Float])]): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def seedIndex(path: String, rows: Seq[(Long, Array[Float])])
+      : Unit = {
+    val seed = df(rows)
+    val model = Ivf.train(seed, "vec_id", "embedding", k = 4, iters = 2)
+    Ivf.index(seed, "embedding", model, path)
+  }
+
+  test("batches dedup against corpus AND within batch; survivors advance the corpus") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("semstream").toString + "/idx"
+    // corpus: families 0 and 1
+    seedIndex(tmp, Seq(1L -> vec(0, 0.0), 2L -> vec(1, 0.0)))
+    val s = new SemDedupStream(spark, tmp, "vec_id", "embedding",
+      threshold = 0.95, compactEvery = 0)
+
+    // batch 1: near-dup of family 0 (drop), new family 2 (keep), plus a
+    // within-batch dup pair of family 3 (min id 40 kept, 41 dropped)
+    val n1 = s.processBatch(df(Seq(
+      10L -> vec(0, 0.01), 20L -> vec(2, 0.0),
+      40L -> vec(3, 0.01), 41L -> vec(3, 0.02))))
+    assert(n1 == 2, "batch 1: expected survivors 20 and 40")
+
+    // batch 2: dup of batch-1 survivor family 2 → dropped (the corpus
+    // advanced), dup of family 3 → dropped, new family 4 → kept
+    val n2 = s.processBatch(df(Seq(
+      50L -> vec(2, 0.01), 51L -> vec(3, 0.03), 60L -> vec(4, 0.0))))
+    assert(n2 == 1, "batch 2: only family 4 is new")
+
+    val (batches, appended, dropped) = s.stats
+    assert(batches == 2 && appended == 3 && dropped == 4)
+
+    // the index now holds exactly the 2 seeds + 3 survivors
+    val ids = spark.read.parquet(tmp).select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 20L, 40L, 60L))
+  }
+
+  test("streamed result == batch-order replay of incremental + keep") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("semstream2").toString + "/idx"
+    val seedRows = Seq(1L -> vec(0, 0.0), 2L -> vec(5, 0.0))
+    seedIndex(tmp, seedRows)
+    val batches = Seq(
+      Seq(10L -> vec(0, 0.015), 11L -> vec(2, 0.0), 12L -> vec(2, 0.01)),
+      Seq(20L -> vec(2, 0.02), 21L -> vec(6, 0.0), 22L -> vec(5, 0.01)),
+      Seq(30L -> vec(6, 0.01), 31L -> vec(7, 0.0)))
+    val s = new SemDedupStream(spark, tmp, "vec_id", "embedding",
+      threshold = 0.95, compactEvery = 0)
+    val streamed = batches.map(b => s.processBatch(df(b)))
+
+    // reference: same decision replayed with the BATCH primitives over an
+    // explicit corpus accumulator (greedy earlier-batch-wins semantics)
+    val tmpRef = java.nio.file.Files
+      .createTempDirectory("semstream2ref").toString + "/idx"
+    seedIndex(tmpRef, seedRows)
+    val model = Ivf.loadModel(spark, tmpRef)
+    val expected = batches.map { b =>
+      val corpusDups = SemDedup.incrementalAgainstIndex(spark, tmpRef,
+        df(b), "vec_id", "embedding", 0.95)
+        .select(col("id").as("__d")).distinct()
+      val after = df(b).join(corpusDups, col("vec_id") === col("__d"),
+        "left_anti")
+      val surv = SemDedup.keep(after, "vec_id", "embedding", model, 0.95)
+      Ivf.indexAppend(spark, tmpRef, surv, "embedding")
+      surv.count()
+    }
+    assert(streamed == expected)
+    val a = spark.read.parquet(tmp).select("vec_id").as[Long]
+      .collect().sorted.toSeq
+    val e = spark.read.parquet(tmpRef).select("vec_id").as[Long]
+      .collect().sorted.toSeq
+    assert(a == e)
+  }
+
+  test("live stream with compaction cadence: one file per cell after, probes unchanged") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("semstream3").toString + "/idx"
+    seedIndex(tmp, Seq(1L -> vec(0, 0.0), 2L -> vec(1, 0.0)))
+    val s = new SemDedupStream(spark, tmp, "vec_id", "embedding",
+      threshold = 0.95, compactEvery = 2)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => s.processBatch(b); () }
+      .start()
+    try {
+      mem.addData((100L, vec(2, 0.0)), (101L, vec(2, 0.02)))
+      q.processAllAvailable()
+      mem.addData((110L, vec(3, 0.0))) // triggers compaction (batch 2)
+      q.processAllAvailable()
+      mem.addData((120L, vec(3, 0.01)), (121L, vec(4, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (batches, appended, dropped) = s.stats
+    assert(batches == 3 && appended == 3 && dropped == 2)
+    // survivors: 100 (family 2), 110 (family 3), 121 (family 4)
+    val ids = spark.read.parquet(tmp).select("vec_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 100L, 110L, 121L))
+    // probe equivalence after compaction: pruned probe == brute force
+    // over the index contents for a family-2 query
+    val got = Ivf.probe(spark, tmp, "vec_id", "embedding",
+      vec(2, 0.0).map(_.toDouble), k = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(100L))
+  }
+}
