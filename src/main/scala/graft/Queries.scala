@@ -403,6 +403,27 @@ object Queries {
         .select(col("id").as("doc_id"), col("term"), col("rank"),
           col("score"))),
 
+    "q_x_collocations" -> ((s, dir) =>
+      // corpus collocations: top adjacent bigrams by rational PMI
+      // (c_ab·N / c_a·c_b, exact corpus integers — oracle replays the
+      // double bit-for-bit); bigrams via one zip_with per doc, no
+      // positional self-join
+      TextOps.collocations(docs(s, dir), "text", minCount = 5, k = 100)),
+
+    "q_x_fair_quota" -> ((s, dir) => {
+      // max-min fair (waterfilling) split of a global token budget
+      // across sources: small sources keep everything, large ones clamp
+      // to the common water level. Heavy step = the per-source corpus
+      // token count; the allocation itself runs on the 20-row aggregate.
+      val counts = docs(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(TextOps.normalized(col("text"))))
+            .as("__t"))
+        .groupBy("source").agg(count(lit(1)).as("tokens"))
+      graft.ops.Sampling.fairShareQuota(counts, "source", "tokens",
+        budget = 10000L)
+    }),
+
     "q_x_contamination" -> ((s, dir) =>
       // eval-leakage gate: flag docs sharing 3-gram shingles with the
       // "benchmark" (every 50th doc — a deterministic stand-in eval set);
@@ -548,6 +569,21 @@ object Queries {
       val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
       SemDedup.pairs(emb, "vec_id", "embedding", model, threshold = 0.30)
         .select("id_a", "id_b", "cell")
+    }),
+
+    "q_x_keep_best" -> ((s, dir) => {
+      // quality-aware SemDeDup: every near-dup pair keeps its
+      // higher-quality side (n_chars desc, ties to smaller id) — the
+      // curation refinement of semdedup_keep's min-id rule
+      val emb = rd(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val scored = emb.join(
+        rd(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("n_chars")),
+        Seq("vec_id"))
+      graft.ops.SemDedup.keepBest(scored, "vec_id", "embedding",
+          "n_chars", model, threshold = 0.30)
+        .select(col("vec_id"), col("n_chars"))
     }),
 
     "q_x_semdedup_incr" -> ((s, dir) => {
@@ -2200,6 +2236,22 @@ object Queries {
        |SELECT vec_id FROM emb
        |WHERE vec_id NOT IN (SELECT id_b FROM sdpairs)""".stripMargin
 
+  /** Quality-aware keep: same replayed pairs, loser = lower n_chars
+    * (ties → the larger id, i.e. id_b since id_a < id_b). */
+  private val keepBestOracleSql: String =
+    s"""WITH $ivfTrainCtes,
+       |$semdedupPairsCte,
+       |qual AS (SELECT doc_id AS vid, n_chars FROM documents),
+       |dropset AS (
+       |  SELECT DISTINCT CASE WHEN sa.n_chars > sb.n_chars THEN p.id_b
+       |                       WHEN sb.n_chars > sa.n_chars THEN p.id_a
+       |                       ELSE p.id_b END AS d
+       |  FROM sdpairs p
+       |  JOIN qual sa ON sa.vid = p.id_a
+       |  JOIN qual sb ON sb.vid = p.id_b)
+       |SELECT e.vec_id, q.n_chars FROM emb e JOIN qual q ON q.vid = e.vec_id
+       |WHERE e.vec_id NOT IN (SELECT d FROM dropset)""".stripMargin
+
   /** Incremental-SemDeDup oracle: batch rows (vec_id % 25 = 0) against
     * the indexed corpus (vec_id <> 0), both assigned by the replayed
     * model; exact cosine within the batch row's cell only — the same
@@ -2423,6 +2475,7 @@ object Queries {
     "q_x_semdedup" -> semdedupOracleSql,
     "q_x_semdedup_incr" -> semdedupIncrOracleSql,
     "q_x_semdedup_keep" -> semdedupKeepOracleSql,
+    "q_x_keep_best" -> keepBestOracleSql,
     "q_x_cell_sample" -> cellSampleOracleSql,
 
     // shard-local next-fit packing: the ROWS running sum equals Spark's
@@ -2860,6 +2913,62 @@ object Queries {
         |                       ORDER BY score DESC, df ASC, term ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
+    "q_x_collocations" ->
+      """WITH nrm AS (
+        |  SELECT trim(regexp_replace(lower(coalesce(text, '')),
+        |    '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tl AS (SELECT string_split_regex(norm, '\s+') AS l
+        |       FROM nrm WHERE norm <> ''),
+        |uni AS (SELECT unnest(l) AS term FROM tl),
+        |uc AS (SELECT term, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+        |total AS (SELECT count(*)::BIGINT AS nn FROM uni),
+        |bi AS (
+        |  SELECT l[CAST(i AS INT)] AS term_a,
+        |    l[CAST(i AS INT) + 1] AS term_b
+        |  FROM tl, unnest(generate_series(1, len(l) - 1)) AS t(i)),
+        |bc AS (
+        |  SELECT term_a, term_b, count(*)::BIGINT AS pair_count
+        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT term_a, term_b, pair_count,
+        |    CAST(pair_count AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |      CAST(ca.c * cb.c AS DOUBLE) AS s
+        |  FROM bc
+        |  JOIN uc ca ON ca.term = bc.term_a
+        |  JOIN uc cb ON cb.term = bc.term_b, total)
+        |SELECT term_a, term_b, pair_count, round(s, 4) AS score
+        |FROM scored ORDER BY s DESC, term_a, term_b LIMIT 100""".stripMargin,
+
+    "q_x_fair_quota" ->
+      """WITH nrm AS (
+        |  SELECT source, trim(regexp_replace(lower(coalesce(text, '')),
+        |    '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(string_split_regex(norm, '\s+'))
+        |        FROM nrm WHERE norm <> ''),
+        |cnt AS (SELECT source, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |fl AS (
+        |  SELECT source, c,
+        |    row_number() OVER (ORDER BY c ASC, source ASC) AS i,
+        |    sum(c) OVER (ORDER BY c ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    count(*) OVER () AS n
+        |  FROM cnt),
+        |f2 AS (SELECT *,
+        |    (c * (n - i + 1) + (prefix - c)) <= 10000 AS funded FROM fl),
+        |sc AS (SELECT count(*) FILTER (WHERE funded)::BIGINT AS j,
+        |         coalesce(sum(c) FILTER (WHERE funded), 0)::BIGINT
+        |           AS fundedsum,
+        |         count(*)::BIGINT AS n
+        |       FROM f2)
+        |SELECT source, c AS tokens,
+        |  CASE WHEN funded THEN c
+        |       ELSE (SELECT CASE WHEN n = j THEN 0
+        |                    ELSE (10000 - fundedsum) // (n - j) END
+        |             FROM sc) END AS quota
+        |FROM f2""".stripMargin,
+
     "q_x_simhash" -> simhashOracleSql,
     "q_x_embed_dup_lsh" -> embedLshOracleSql,
 

@@ -154,6 +154,53 @@ object Sampling {
       .filter(col("cum_tokens") - col(tokenCol).cast("long") < budget)
   }
 
+  /** Max-min fair (waterfilling) allocation of ONE global token budget
+    * across groups — the complement of [[tokenBudget]]'s fixed
+    * per-group cap: small sources keep everything, large sources are
+    * clamped to a common water level `t` chosen so the total fits.
+    * Exactly: quota_g = min(c_g, t) with the largest integer t such that
+    * Σ quota ≤ budget (up to the ≤|groups|−1 tokens integer flooring
+    * leaves unallocated — deterministic, never over budget).
+    *
+    * Scale shape: the heavy step is the caller's per-group token count
+    * (one corpus aggregate); this runs on that aggregate. The global
+    * sort window is a single-partition pass over O(groups) rows — the
+    * domains table, not the corpus — plus one scalar aggregate collected
+    * driver-side (eager, the [[graft.ops.Search.bm25TopK]] caveat).
+    * Output: one row per group with `tokens` and `quota`. */
+  def fairShareQuota(counts: DataFrame, groupCol: String,
+      countCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = Window.orderBy(col("__c").asc, col(groupCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    // funded ⇔ raising every not-yet-processed group to this group's
+    // count still fits: c_i·(n−i+1) + prefix_{i−1} ≤ budget
+    val flagged = counts
+      .select(col(groupCol), col(countCol).cast("long").as("__c"))
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__c").asc, col(groupCol).asc)))
+      .withColumn("__prefix", sum(col("__c")).over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__funded",
+        col("__c") * (col("__n") - col("__i") + 1) +
+          (col("__prefix") - col("__c")) <= budget)
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(flagged)
+    val r = flagged.agg(
+      count(when(col("__funded"), 1)).as("j"),
+      sum(when(col("__funded"), col("__c"))).as("fundedSum"),
+      count(lit(1)).as("n")).head()
+    val j = r.getLong(0)
+    val fundedSum = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val n = r.getLong(2)
+    val t = if (n == j) Long.MaxValue
+            else (budget - fundedSum) / (n - j)
+    flagged.select(col(groupCol),
+      col("__c").as("tokens"),
+      when(col("__funded"), col("__c")).otherwise(lit(t)).as("quota"))
+  }
+
   /** Source-weighted deterministic mixing: keep a row iff its id hashes
     * under its domain's weight threshold — static corpus reweighting
     * (up/down-sampling whole sources, the DoReMi-style mixture applied at

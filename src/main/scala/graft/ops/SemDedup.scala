@@ -75,6 +75,32 @@ object SemDedup {
     df.join(drop, col(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Quality-aware keep: drops every row that near-duplicates a BETTER
+    * row — `scoreCol` descending, ties to the smaller id. The curation
+    * refinement of [[keep]]'s min-id rule: when a duplicate cluster
+    * holds a long clean document and its truncated mirror, min-id keeps
+    * whichever crawled first; this keeps the better one. A row survives
+    * iff it loses to no neighbor: for each near-dup pair the loser is
+    * the lower-scored side (equal scores → the larger id), exactly the
+    * pairwise rule an SQL oracle replays. Same plan shape as [[keep]]:
+    * within-cell pairs → drop-set distinct → AQE-planned anti-join. */
+  def keepBest(df: DataFrame, idCol: String, vecCol: String,
+      scoreCol: String, model: Ivf.Model, threshold: Double,
+      maxCellSize: Option[Long] = None): DataFrame = {
+    val p = pairs(df, idCol, vecCol, model, threshold, maxCellSize)
+    val scores = df.select(col(idCol), col(scoreCol))
+    val drop = p
+      .join(scores.select(col(idCol).as("id_a"),
+        col(scoreCol).as("__sa")), Seq("id_a"))
+      .join(scores.select(col(idCol).as("id_b"),
+        col(scoreCol).as("__sb")), Seq("id_b"))
+      .select(when(col("__sa") > col("__sb"), col("id_b"))
+        .when(col("__sb") > col("__sa"), col("id_a"))
+        .otherwise(col("id_b")).as("__drop")) // tie: id_a < id_b keeps a
+      .distinct()
+    df.join(drop, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Ingest-time SemDeDup: near-dup pairs between a micro-BATCH and the
     * INDEXED corpus (the [[Ivf.index]] layout — stored vectors in
     * `cell=<i>` partition directories, centroid sidecar). The batch

@@ -443,4 +443,57 @@ object TextOps {
         repFrac(coalesce(col("__n"), lit(0L)) - coalesce(col("__in"), lit(0L)),
           coalesce(col("__n"), lit(0L))).as("oov_rate"))
   }
+
+  /** Corpus collocation extraction: top-`k` adjacent bigrams by rational
+    * PMI — score = c(ab) · N / (c(a) · c(b)), N = total token count.
+    * Rational on purpose (the [[topKeywords]] discipline): every factor
+    * is an exact corpus integer, so the score is one integer-derived
+    * IEEE multiply/divide an SQL oracle reproduces bit-for-bit, and the
+    * ranking it induces equals log-PMI's. `minCount` floors c(ab) —
+    * PMI's classic failure mode is hapax pairs scoring highest.
+    *
+    * Shapes: bigrams come from one `zip_with` over each doc's token
+    * array (no positional self-join — the array is materialized once per
+    * row); unigram and bigram counts are two aggregates over exploded
+    * streams; the pair↔unigram joins are left to AQE (vocab-sized — the
+    * broadcast call at a 10⁶-type vocabulary is runtime information);
+    * top-k is TakeOrderedAndProject. N is a 1-row aggregate collected
+    * driver-side (construction is eager the way [[Search.bm25TopK]] is).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 100): DataFrame = {
+    val toksOf = df.select(tokens(normalized(col(textCol))).as("__toks"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(toksOf)
+    val uni = toksOf.select(explode(col("__toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(uni)
+    val nRow = uni.agg(sum(col("__c")).as("n")).head()
+    val nTok = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    if (nTok == 0L)
+      return toksOf.limit(0).select(lit("").as("term_a"),
+        lit("").as("term_b"), lit(0L).as("pair_count"),
+        lit(0.0).as("score"))
+    val pairs = toksOf
+      .select(explode(expr(
+        "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), " +
+          "slice(__toks, 2, greatest(size(__toks) - 1, 0)), " +
+          "(x, y) -> struct(x as a, y as b))")).as("__p"))
+      .select(col("__p.a").as("term_a"), col("__p.b").as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val score = (col("pair_count").cast(DoubleType) * lit(nTok.toDouble)) /
+      (col("__ca") * col("__cb")).cast(DoubleType)
+    pairs
+      .join(uni.select(col("term").as("term_a"), col("__c").as("__ca")),
+        Seq("term_a"))
+      .join(uni.select(col("term").as("term_b"), col("__c").as("__cb")),
+        Seq("term_b"))
+      .withColumn("__s", score)
+      .orderBy(col("__s").desc, col("term_a"), col("term_b"))
+      .limit(k)
+      .select(col("term_a"), col("term_b"), col("pair_count"),
+        round(col("__s"), 4).as("score"))
+  }
 }

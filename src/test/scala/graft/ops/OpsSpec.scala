@@ -96,6 +96,22 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_emails") == 2L)
     assert(r.getAs[Long]("n_phones") == 1L)
   }
+
+  test("collocations: rational PMI over adjacent bigrams, minCount floor, tie order") {
+    val docs = Seq("the quick fox", "the quick dog", "the quick fox",
+      "", null).toDF("text")
+    val got = TextOps.collocations(docs, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // N=9; uni: the=3 quick=3 fox=2 dog=1; "the quick"=3, "quick fox"=2
+    // ("quick dog"=1 floored out). PMI: 3·9/9 = 3.0 and 2·9/6 = 3.0 —
+    // score tie breaks on (term_a, term_b): "quick fox" < "the quick"
+    assert(got == Seq(("quick", "fox", 2L, 3.0), ("the", "quick", 3L, 3.0)))
+  }
+
+  test("collocations: empty corpus yields empty frame") {
+    val docs = Seq.empty[String].toDF("text")
+    assert(TextOps.collocations(docs, "text").count() == 0)
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -137,4 +137,30 @@ class SamplingSpec extends SparkSpec {
       "toks", budget).select("id").as[Long].collect().toSet
     assert(re == got.select("id").as[Long].collect().toSet)
   }
+
+  test("fairShareQuota: waterfilling — small sources whole, large clamped, never over budget") {
+    val counts = Seq(("a", 10L), ("b", 50L), ("c", 1000L), ("d", 2000L))
+      .toDF("src", "n")
+    // budget 560: a(10) + b(50) funded; level t = (560-60)/2 = 250
+    val got = Sampling.fairShareQuota(counts, "src", "n", budget = 560L)
+      .as[(String, Long, Long)].collect().toMap2
+    assert(got == Map("a" -> (10L, 10L), "b" -> (50L, 50L),
+      "c" -> (1000L, 250L), "d" -> (2000L, 250L)))
+  }
+
+  test("fairShareQuota: everything fits -> quotas equal counts; tiny budget -> equal split") {
+    val counts = Seq(("a", 5L), ("b", 7L)).toDF("src", "n")
+    val all = Sampling.fairShareQuota(counts, "src", "n", 100L)
+      .as[(String, Long, Long)].collect().toMap2
+    assert(all == Map("a" -> (5L, 5L), "b" -> (7L, 7L)))
+    val tiny = Sampling.fairShareQuota(counts, "src", "n", 4L)
+      .as[(String, Long, Long)].collect().toMap2
+    // nothing fully funded: both clamp to floor(4/2) = 2
+    assert(tiny == Map("a" -> (5L, 2L), "b" -> (7L, 2L)))
+  }
+
+  private implicit class Triples(rows: Array[(String, Long, Long)]) {
+    def toMap2: Map[String, (Long, Long)] =
+      rows.map { case (k, a, b) => k -> (a, b) }.toMap
+  }
 }

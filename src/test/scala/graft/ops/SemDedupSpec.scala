@@ -64,6 +64,26 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.size == 38)
   }
 
+  test("keepBest keeps the higher-quality side of each dup pair; ties to smaller id") {
+    // quality: id 1 outscores its dup 0 → 0 drops (min-id keep would
+    // drop 1); ids 20/21 tie → larger id 21 drops
+    val quality = ((0 until 40).map {
+      case 0 => (0L, 10L)
+      case 1 => (1L, 99L)
+      case 20 => (20L, 50L)
+      case 21 => (21L, 50L)
+      case i => (i.toLong, 5L)
+    }).toDF("vec_id", "q")
+    val scored = vecs.join(quality, Seq("vec_id"))
+    val kept = SemDedup.keepBest(scored, "vec_id", "embedding", "q",
+      model, 0.999).select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(0L) && kept.contains(1L),
+      "higher-quality dup must win regardless of id order")
+    assert(kept.contains(20L) && !kept.contains(21L),
+      "quality tie falls back to min-id")
+    assert(kept.size == 38)
+  }
+
   test("keep: no forced broadcast; AQE-planned join equals hinted result") {
     // high-dup safety: keep() must not hint-force a broadcast (a huge
     // drop set would OOM) — AQE decides from exact runtime sizes
