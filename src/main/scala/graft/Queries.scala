@@ -389,6 +389,32 @@ object Queries {
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.12)),
 
+    "q_x_containment" -> ((s, dir) =>
+      // doc-inside-doc near-dup: |A∩B|/min(|A|,|B|) over 3-gram shingle
+      // sets — catches quote-wrapped/truncated copies whose jaccard is
+      // diluted by the size imbalance; same single shingle-join skeleton
+      Dedup.ngramContainmentPairs(rd(s, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.3)),
+
+    "q_x_source_overlap" -> ((s, dir) =>
+      // corpus-composition diagnostic: per source-pair overlap
+      // coefficient of distinct 3-gram shingle sets ("are these two
+      // crawls the same data?") — runs on the bounded sources set
+      Dedup.sourceOverlap(rd(s, dir, "documents"), "source", "text",
+        n = 3)),
+
+    "q_x_template_groups" -> ((s, dir) =>
+      // template-farm detection: md5 of the line-length skeleton groups
+      // structurally identical pages whose slot text differs
+      TextOps.templateGroups(rd(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("template_id"), col("n_docs"))),
+
+    "q_x_length_outliers" -> ((s, dir) =>
+      // per-source winsorization screen: exact discrete p05/p95 bounds
+      // (member values — replayable on any engine), flag rows outside
+      TextOps.lengthOutliers(rd(s, dir, "documents"), Seq("source"),
+        "doc_id", "n_chars")),
+
     "q_x_dup_clusters" -> ((s, dir) =>
       // pair graph → connected components → canonical representative per
       // duplicate cluster (min-label fixpoint; the recursive-CTE oracle
@@ -2825,6 +2851,81 @@ object Queries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12""".stripMargin,
+
+    "q_x_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+        |    AS containment
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+        |  >= 0.3""".stripMargin,
+
+    "q_x_source_overlap" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source AS src, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT src, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, common,
+        |  round(CAST(common AS DOUBLE) /
+        |    CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS overlap
+        |FROM common
+        |JOIN sizes sa ON sa.src = src_a
+        |JOIN sizes sb ON sb.src = src_b""".stripMargin,
+
+    "q_x_template_groups" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_transform(
+        |      string_split(coalesce(text, ''), chr(10)),
+        |      l -> CAST(len(l) AS VARCHAR)), ',')) AS template_id
+        |  FROM documents),
+        |g AS (SELECT template_id, count(*)::BIGINT AS n_docs
+        |      FROM fp GROUP BY 1)
+        |SELECT doc_id, template_id, n_docs
+        |FROM fp JOIN g USING (template_id)
+        |WHERE n_docs >= 2""".stripMargin,
+
+    "q_x_length_outliers" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, n_chars,
+        |    max(CASE WHEN rn = CAST(ceil(0.05 * n) AS INT)
+        |        THEN n_chars END) OVER (PARTITION BY source) AS p_lo,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS INT)
+        |        THEN n_chars END) OVER (PARTITION BY source) AS p_hi
+        |  FROM r)
+        |SELECT source, doc_id, n_chars, p_lo, p_hi,
+        |  (n_chars < p_lo OR n_chars > p_hi) AS is_outlier
+        |FROM b""".stripMargin,
 
     "q_x_ann_cosine" ->
       """WITH q AS (

@@ -300,6 +300,72 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT near-dup pairs — the doc-inside-doc detector
+    * Jaccard structurally misses: a short document fully quoted inside a
+    * long one scores jaccard ≈ |short|/|long| (arbitrarily low) but
+    * containment |A∩B| / min(|A|,|B|) ≈ 1. The standard screen for
+    * quote-wrapped copies, boilerplate-embedded mirrors, and truncated
+    * re-crawls. Same scalable skeleton as [[ngramJaccardPairs]]: one
+    * shingle equi-join, df-cut for hot shingles, sizes from the uncut
+    * exploded set. Returns (id_a, id_b, containment), id_a < id_b. */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n)
+    val filtered = maxShingleFreq match {
+      case Some(cap) =>
+        val rare = sh.groupBy("shingle").count().filter(col("count") <= cap)
+          .select("shingle")
+        sh.join(broadcast(rare), Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = filtered.as("a").join(filtered.as("b"), "shingle")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("containment",
+        col("common").cast(DoubleType) /
+          least(col("sz_a"), col("sz_b")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
+  /** Source-pair overlap diagnostics: for every pair of sources, the
+    * overlap coefficient of their distinct shingle sets —
+    * |S_a ∩ S_b| / min(|S_a|, |S_b|). The corpus-composition question
+    * ("are these two crawls the same data?") answered before any
+    * doc-level dedup runs. Shapes: distinct (source, shingle) is one
+    * aggregate; the self-join on shingle produces at most
+    * |sources|²/2 aggregate rows per shingle (sources are a bounded
+    * set — domains/crawl batches, not documents). */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = spread(df.select(col(sourceCol).as("src"),
+        col(textCol).as("__t")))
+      .select(col("src"),
+        explode(shinglesFromWords(
+          TextOps.tokens(TextOps.normalized(col("__t"))), n)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("src").as("src_a"), col("sz").as("sz_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("common"),
+        round(col("common").cast(DoubleType) /
+          least(col("sz_a"), col("sz_b")).cast(DoubleType), 4)
+          .as("overlap"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeds, the min hash over
     * the document's shingles — per-row expression form (reference shape;
     * see [[minHashSignatures]] for the at-scale aggregate form). */

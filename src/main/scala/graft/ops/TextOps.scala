@@ -444,6 +444,60 @@ object TextOps {
           coalesce(col("__n"), lit(0L))).as("oov_rate"))
   }
 
+  /** Structural fingerprint: md5 of the document's line-length sequence
+    * (character count of every '\n'-split line, comma-joined). Two pages
+    * from the same template farm share the skeleton even when the slot
+    * text differs — the duplicate class content hashing can't see. One
+    * codegen'd projection per row, no shuffle. */
+  def templateFingerprint(text: Column): Column =
+    md5(array_join(transform(
+      split(coalesce(text, lit("")), "\n", -1),
+      l => length(l).cast(StringType)), ","))
+
+  /** Template-farm detection: group documents by [[templateFingerprint]]
+    * and keep groups of at least `minDocs`. Returns (id, template_id,
+    * n_docs) for every member of a detected template group; one
+    * fingerprint shuffle, group sizes via a window on the same
+    * partitioning. */
+  def templateGroups(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2): DataFrame = {
+    val w = Window.partitionBy(col("template_id"))
+    df.select(col(idCol),
+        templateFingerprint(col(textCol)).as("template_id"))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-group length-outlier flags by EXACT discrete percentiles: a row
+    * is an outlier when its value falls strictly outside its group's
+    * [p_lo, p_hi] (values at sorted positions ceil(q·n) — discrete
+    * selection, so the bound is an actual member value and any SQL
+    * engine replays it bit-for-bit; interpolated percentiles are not
+    * cross-engine-stable). The winsorization screen run per source
+    * before length-sensitive curation. One group shuffle; both bounds
+    * come from the same sorted window pass. */
+  def lengthOutliers(df: DataFrame, groupCols: Seq[String],
+      idCol: String, valueCol: String, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")
+    val gs = groupCols.map(col)
+    val wSort = Window.partitionBy(gs: _*)
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val wAll = Window.partitionBy(gs: _*)
+    df.withColumn("__rn", row_number().over(wSort))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__lo", max(when(
+        col("__rn") === ceil(lit(pLo) * col("__n")).cast("int"),
+        col(valueCol))).over(wAll))
+      .withColumn("__hi", max(when(
+        col("__rn") === ceil(lit(pHi) * col("__n")).cast("int"),
+        col(valueCol))).over(wAll))
+      .select(gs ++ Seq(col(idCol), col(valueCol),
+        col("__lo").as("p_lo"), col("__hi").as("p_hi"),
+        (col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+          .as("is_outlier")): _*)
+  }
+
   /** Corpus collocation extraction: top-`k` adjacent bigrams by rational
     * PMI — score = c(ab) · N / (c(a) · c(b)), N = total token count.
     * Rational on purpose (the [[topKeywords]] discipline): every factor

@@ -112,6 +112,36 @@ class TextOpsSpec extends SparkSpec {
     val docs = Seq.empty[String].toDF("text")
     assert(TextOps.collocations(docs, "text").count() == 0)
   }
+
+  test("templateGroups: same line-length skeleton groups; different text, same slots") {
+    val docs = Seq(
+      (1L, "Title A\nBody text here\nfooter"),   // lengths 7,14,6
+      (2L, "Title B\nWords are here\nFOOTER"),   // lengths 7,14,6 — same
+      (3L, "Completely different\nshape"),
+      (4L, "x")).toDF("doc_id", "text")
+    val got = TextOps.templateGroups(docs, "doc_id", "text")
+      .select("doc_id", "n_docs").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("lengthOutliers: exact discrete bounds, degenerate single-row group") {
+    val rows = ((1 to 100).map(i => ("a", i.toLong, i.toLong)) :+
+      ("b", 200L, 7L)).toDF("src", "id", "v")
+    val got = TextOps.lengthOutliers(rows, Seq("src"), "id", "v",
+      pLo = 0.05, pHi = 0.95)
+    val a = got.filter(col("src") === "a")
+      .select("p_lo", "p_hi").distinct().as[(Long, Long)].collect().toSeq
+    // ceil(0.05*100)=5th value = 5; ceil(0.95*100)=95th = 95
+    assert(a == Seq((5L, 95L)))
+    val aOut = got.filter(col("src") === "a" && col("is_outlier"))
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(aOut == ((1L to 4L) ++ (96L to 100L)))
+    // single-row group: its own value is both bounds — never an outlier
+    val b = got.filter(col("src") === "b")
+      .select("p_lo", "p_hi", "is_outlier")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(b == Seq((7L, 7L, false)))
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -142,6 +172,38 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     // a null-unsafe join would drop ids 2 and 3 entirely
     assert(kept == Set(1L, 2L))
+  }
+
+  test("containment catches doc-inside-doc that jaccard dilutes") {
+    // doc 11 is fully contained in the much longer doc 10
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "unrelated words entirely about something else altogether"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.9).as[(Long, Long, Double)].collect().toSeq
+    assert(cont.map(p => (p._1, p._2)) == Seq((10L, 11L)))
+    assert(cont.head._3 == 1.0, "full containment scores exactly 1.0")
+    // jaccard misses the same pair at any comparable threshold:
+    // |A∩B| = 3 shingles, |A∪B| = 18 → 0.1667
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.5).count()
+    assert(jac == 0)
+  }
+
+  test("sourceOverlap: identical sources score 1.0, disjoint absent") {
+    val d = Seq(
+      ("crawl_a", "one two three four five six"),
+      ("crawl_b", "one two three four five six"), // same shingles as a
+      ("crawl_c", "seven eight nine ten eleven twelve"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlap(d, "source", "text", n = 3)
+      .select("src_a", "src_b", "overlap")
+      .as[(String, String, Double)].collect().toSeq
+    assert(got == Seq(("crawl_a", "crawl_b", 1.0)),
+      "only the identical pair shares any shingle")
   }
 
   test("banding rejects non-dividing band counts (degenerate cross join)") {
