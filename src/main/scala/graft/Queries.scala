@@ -389,6 +389,24 @@ object Queries {
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.12)),
 
+    "q_x_heavy_keys" -> ((s, dir) =>
+      // skew profile: top-10 heaviest event keys with exact share — the
+      // measurement behind salting-factor / AQE-skew-threshold choices
+      graft.ops.CorpusStats.heavyKeys(
+        rd(s, dir, "events").select(col("user_id")), Seq("user_id"),
+        k = 10)),
+
+    "q_x_drift" -> ((s, dir) => {
+      // snapshot drift: doc-length histogram compared between the two
+      // halves of the corpus (doc_id parity = deterministic stand-in
+      // snapshots); symmetric chi-square per bucket, rational arithmetic
+      val d = rd(s, dir, "documents")
+        .select(col("doc_id"), expr("n_chars div 100").as("bucket"))
+      graft.ops.CorpusStats.histogramDrift(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "bucket")
+    }),
+
     "q_x_containment" -> ((s, dir) =>
       // doc-inside-doc near-dup: |A∩B|/min(|A|,|B|) over 3-gram shingle
       // sets — catches quote-wrapped/truncated copies whose jaccard is
@@ -2851,6 +2869,39 @@ object Queries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12""".stripMargin,
+
+    "q_x_heavy_keys" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS total FROM events)
+        |SELECT user_id, n,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_x_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars // 100 AS bucket FROM documents),
+        |a AS (SELECT bucket, count(*)::BIGINT AS n_a FROM d
+        |      WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT bucket, count(*)::BIGINT AS n_b FROM d
+        |      WHERE doc_id % 2 = 1 GROUP BY 1),
+        |ta AS (SELECT greatest(1, count(*))::BIGINT AS t FROM d
+        |       WHERE doc_id % 2 = 0),
+        |tb AS (SELECT greatest(1, count(*))::BIGINT AS t FROM d
+        |       WHERE doc_id % 2 = 1),
+        |j AS (
+        |  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(n_a, 0)::BIGINT AS n_a,
+        |    coalesce(n_b, 0)::BIGINT AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |s AS (
+        |  SELECT bucket, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) / CAST(ta.t AS DOUBLE) AS p,
+        |    CAST(n_b AS DOUBLE) / CAST(tb.t AS DOUBLE) AS q
+        |  FROM j, ta, tb)
+        |SELECT bucket, n_a, n_b, round(p, 6) AS p_a, round(q, 6) AS p_b,
+        |  round((p - q) * (p - q) / (p + q), 6) AS drift
+        |FROM s""".stripMargin,
 
     "q_x_containment" ->
       """WITH docs AS (

@@ -92,4 +92,47 @@ object CorpusStats {
           .when(col("__fp_old") =!= col("__fp_new"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Top-`k` heaviest keys with their exact share of all rows — the
+    * skew profile consulted before choosing a salting factor or an AQE
+    * skew threshold ([[Skew]]). One partial-aggregated count + a
+    * TakeOrdered; the total is a 1-row scalar collected driver-side
+    * (eager) so the share needs no second pass or 1-row join. */
+  def heavyKeys(df: DataFrame, keyCols: Seq[String], k: Int = 10)
+      : DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val totalRow = df.agg(count(lit(1)).as("t")).head()
+    val total = totalRow.getLong(0)
+    counts
+      .orderBy(col("n").desc +: keyCols.map(c => col(c).asc): _*)
+      .limit(k)
+      .withColumn("share",
+        if (total == 0L) lit(0.0)
+        else round(col("n").cast(DoubleType) / lit(total.toDouble), 6))
+  }
+
+  /** Distribution drift between two corpus snapshots over a shared
+    * bucket column: per-bucket shares and the symmetric chi-square
+    * contribution (p−q)²/(p+q) — the PSI-style drift screen run between
+    * crawls, with rational arithmetic instead of PSI's `ln` so any SQL
+    * engine replays the scores bit-for-bit. Buckets absent from one
+    * side contribute with a zero count (full outer). The heavy step is
+    * the two bucket counts; the compare runs on O(buckets) rows. */
+  def histogramDrift(a: DataFrame, b: DataFrame, bucketCol: String)
+      : DataFrame = {
+    def side(df: DataFrame, n: String) =
+      df.groupBy(col(bucketCol)).agg(count(lit(1)).as(n))
+    val ca = side(a, "n_a"); val cb = side(b, "n_b")
+    val ta = math.max(1L, a.count()); val tb = math.max(1L, b.count())
+    val joined = ca.join(cb, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val p = col("n_a").cast(DoubleType) / lit(ta.toDouble)
+    val q = col("n_b").cast(DoubleType) / lit(tb.toDouble)
+    joined.select(col(bucketCol), col("n_a"), col("n_b"),
+      round(p, 6).as("p_a"), round(q, 6).as("p_b"),
+      round((p - q) * (p - q) / (p + q), 6).as("drift"))
+  }
 }

@@ -119,6 +119,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("heavyKeys: top-k by count, exact share, tie-break on key") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++
+      Seq.fill(2)("also") ++ Seq("cold")).toDF("k")
+    val got = CorpusStats.heavyKeys(df, Seq("k"), k = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    // 11 rows total; counts 6,2,2,1 — tie between also/warm on key asc
+    assert(got == Seq(("hot", 6L, 0.545455), ("also", 2L, 0.181818),
+      ("warm", 2L, 0.181818)))
+  }
+
+  test("histogramDrift: identical halves zero drift; shifted bucket scores") {
+    val a = Seq(0L, 0L, 1L, 2L).toDF("bucket")
+    val same = CorpusStats.histogramDrift(a, a, "bucket")
+      .select("drift").as[Double].collect().toSeq
+    assert(same.forall(_ == 0.0))
+    val b = Seq(0L, 1L, 1L, 3L).toDF("bucket")
+    val got = CorpusStats.histogramDrift(a, b, "bucket")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // bucket 2 only in a: p=0.25 q=0 → drift 0.25; bucket 3 mirror
+    assert(got(2L)._6 == 0.25 && got(3L)._6 == 0.25)
+    // bucket 0: p=0.5 q=0.25 → (0.25)²/0.75 = 0.083333
+    assert(got(0L)._6 == 0.083333)
+    assert(got(1L)._6 == 0.083333)
+  }
 }
 
 class RandomProjectSpec extends SparkSpec {
