@@ -721,6 +721,22 @@ object Queries {
         .select(col("lang"), col("doc_id"), col("n_chars"),
           col("cum_tokens"))),
 
+    "q_x_quota_trim" -> ((s, dir) => {
+      // measure → allocate → trim: per-source char mass waterfilled
+      // against a global 30k budget, then each source greedily trimmed
+      // to ITS quota in deterministic hash order — the full fair-budget
+      // pipeline (fairShareQuota's execution half)
+      val d = rd(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val counts = d.groupBy("source").agg(sum(col("n_chars")).as("c"))
+      val quotas = graft.ops.Sampling.fairShareQuota(counts, "source",
+        "c", budget = 30000L).select(col("source"), col("quota"))
+      graft.ops.Sampling.tokenBudgetByQuota(d, "source", "doc_id",
+          "n_chars", quotas)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("quota"), col("cum_tokens"))
+    }),
+
     "q_x_scd2_asof" -> ((s, dir) => {
       // point-in-time read of the SCD2 history: the per-user dimension
       // exactly as of version 5000 — the reproducibility query SCD2
@@ -3237,6 +3253,42 @@ object Queries {
          |      AS BIGINT) AS cum_tokens
          |  FROM documents)
          |WHERE cum_tokens - n_chars < 8000""".stripMargin,
+
+    "q_x_quota_trim" ->
+      s"""WITH cnt AS (
+         |  SELECT source, sum(n_chars)::BIGINT AS c
+         |  FROM documents GROUP BY 1),
+         |fl AS (
+         |  SELECT source, c,
+         |    row_number() OVER (ORDER BY c ASC, source ASC) AS i,
+         |    sum(c) OVER (ORDER BY c ASC, source ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         |    count(*) OVER () AS n
+         |  FROM cnt),
+         |f2 AS (SELECT *,
+         |    (c * (n - i + 1) + (prefix - c)) <= 30000 AS funded FROM fl),
+         |sc AS (SELECT count(*) FILTER (WHERE funded)::BIGINT AS j,
+         |         coalesce(sum(c) FILTER (WHERE funded), 0)::BIGINT
+         |           AS fundedsum,
+         |         count(*)::BIGINT AS n
+         |       FROM f2),
+         |q AS (
+         |  SELECT source,
+         |    CASE WHEN funded THEN c
+         |         ELSE (SELECT CASE WHEN n = j THEN 0
+         |                      ELSE (30000 - fundedsum) // (n - j) END
+         |               FROM sc) END AS quota
+         |  FROM f2),
+         |t AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.Portable.h60Sql(
+             "'budget:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM documents)
+         |SELECT t.source, doc_id, n_chars, quota, cum_tokens
+         |FROM t JOIN q ON q.source = t.source
+         |WHERE cum_tokens - n_chars < quota""".stripMargin,
 
     "q_x_scd2_asof" ->
       s"""WITH stage AS (

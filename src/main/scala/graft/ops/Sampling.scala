@@ -201,6 +201,26 @@ object Sampling {
       when(col("__funded"), col("__c")).otherwise(lit(t)).as("quota"))
   }
 
+  /** Per-group greedy trim against PER-GROUP quotas — the execution half
+    * of [[fairShareQuota]]: measure (per-group token counts) → allocate
+    * (waterfilling) → trim (this). Identical semantics to
+    * [[tokenBudget]] except each group's budget comes from the `quotas`
+    * frame (groupCol + a `quota` column) instead of one global constant;
+    * the quota side is O(groups) so AQE broadcasts it. Same greedy
+    * overshoot rule: the admitting row may cross the line, nothing
+    * after it does. */
+  def tokenBudgetByQuota(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, quotas: DataFrame,
+      salt: String = "budget"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Portable.h60(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), col(idCol))
+    df.join(quotas.select(col(groupCol), col("quota")), Seq(groupCol))
+      .withColumn("cum_tokens",
+        sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") - col(tokenCol).cast("long") < col("quota"))
+  }
+
   /** Source-weighted deterministic mixing: keep a row iff its id hashes
     * under its domain's weight threshold — static corpus reweighting
     * (up/down-sampling whole sources, the DoReMi-style mixture applied at

@@ -41,6 +41,25 @@ class Round10PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetByQuota: per-group mass bounded by its own quota (greedy overshoot only)") {
+    val rows = (1 to 120).map(i =>
+      (s"g${i % 4}", i.toLong, 1L + rnd.nextInt(50).toLong))
+      .toDF("g", "id", "toks")
+    val counts = rows.groupBy("g")
+      .agg(sum(col("toks")).as("c"))
+    val quotas = Sampling.fairShareQuota(counts, "g", "c", budget = 900L)
+      .select(col("g"), col("quota"))
+    val qMap = quotas.as[(String, Long)].collect().toMap
+    val kept = Sampling.tokenBudgetByQuota(rows, "g", "id", "toks", quotas)
+      .as[(String, Long, Long, Long, Long)].collect()
+    kept.groupBy(_._1).foreach { case (g, rs) =>
+      val mass = rs.map(_._3).sum
+      val maxRow = rs.map(_._3).max
+      assert(mass - maxRow < qMap(g),
+        s"group $g over quota beyond the admitting row")
+    }
+  }
+
   test("containment dominates jaccard: every jaccard pair is a containment pair at the same threshold") {
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa")
