@@ -721,6 +721,14 @@ object Queries {
         .select(col("lang"), col("doc_id"), col("n_chars"),
           col("cum_tokens"))),
 
+    "q_x_bpe_merges" -> ((s, dir) =>
+      // tokenizer training in-engine: 8 BPE merges learned from the
+      // corpus. One corpus pass builds the distinct-word frequency
+      // table; every iteration runs on THAT table (O(vocab), never
+      // O(corpus)) — the property that makes 10 merges over 100 TB one
+      // corpus aggregate plus 10 vocab-table passes
+      graft.ops.TextOps.bpeTrain(docs(s, dir), "text", merges = 8)),
+
     "q_x_quota_trim" -> ((s, dir) => {
       // measure → allocate → trim: per-source char mass waterfilled
       // against a global 30k budget, then each source greedily trimmed
@@ -2382,6 +2390,50 @@ object Queries {
        |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.TextOps.bpeTrain]]: the word-frequency
+    * table once, then `merges` unrolled (pair-count → argmax → two-pass
+    * replace) stages — the same leftmost-non-overlapping merge rule the
+    * engine applies. CTEs auto-materialize at assembly, so the deep
+    * w0→w8 chain replays linearly. */
+  private def bpeOracleSql(merges: Int): String = {
+    val stages = (1 to merges).map { k =>
+      val prev = s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT a[CAST(i AS INT)] AS l, a[CAST(i AS INT) + 1] AS r,
+         |    sum(c)::BIGINT AS pc
+         |  FROM (SELECT string_split(sym, ' ') AS a, c FROM $prev),
+         |    unnest(generate_series(1, len(a) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+         |w$k AS (
+         |  SELECT trim(replace(replace(' ' || sym || ' ',
+         |      ' ' || m$k.l || ' ' || m$k.r || ' ',
+         |      ' ' || m$k.l || m$k.r || ' '),
+         |      ' ' || m$k.l || ' ' || m$k.r || ' ',
+         |      ' ' || m$k.l || m$k.r || ' ')) AS sym, c
+         |  FROM $prev, m$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to merges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l AS left_sym, " +
+        s"r AS right_sym, l || r AS merged, pc AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH nrm AS (
+       |  SELECT trim(regexp_replace(lower(coalesce(text, '')),
+       |    '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |words AS (
+       |  SELECT w, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(string_split_regex(norm, '\\s+')) AS w
+       |    FROM nrm WHERE norm <> '') GROUP BY 1),
+       |w0 AS (
+       |  SELECT array_to_string(list_transform(
+       |    generate_series(1, length(w)),
+       |    i -> substr(w, CAST(i AS INT), 1)), ' ') AS sym, c
+       |  FROM words),
+       |$stages
+       |$sel""".stripMargin
+  }
+
   /** DuckDB inlines a CTE at every reference unless told otherwise, so a
     * CTE referenced twice re-executes its whole upstream chain — cost
     * doubles per level of a deep chain. The k-means-replay oracles (two
@@ -3253,6 +3305,8 @@ object Queries {
          |      AS BIGINT) AS cum_tokens
          |  FROM documents)
          |WHERE cum_tokens - n_chars < 8000""".stripMargin,
+
+    "q_x_bpe_merges" -> bpeOracleSql(8),
 
     "q_x_quota_trim" ->
       s"""WITH cnt AS (

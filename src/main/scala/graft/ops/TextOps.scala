@@ -444,6 +444,81 @@ object TextOps {
           coalesce(col("__n"), lit(0L))).as("oov_rate"))
   }
 
+  /** BPE merge learning — the tokenizer-training step of a data
+    * pipeline, run in-engine. Classic byte-pair encoding: starting from
+    * per-character symbols, repeatedly merge the highest-weight adjacent
+    * symbol pair (weight = Σ word-frequency over words containing the
+    * pair; ties broken (left, right) ascending).
+    *
+    * THE scale property: after one corpus pass builds the distinct-word
+    * frequency table, every iteration runs on THAT table — O(vocab)
+    * rows, not O(corpus) — so 10 merges over 100 TB cost one corpus
+    * aggregate plus 10 tiny vocab-table passes. Symbols live as a
+    * space-joined string; merge application is leftmost non-overlapping
+    * `replace` on the space-padded string — deterministic and identical
+    * in any SQL engine (classic BPE's per-word greedy differs from this
+    * only on runs of the merged pair, e.g. "aaaa" with merge (a,a);
+    * the rule here is the replayable one). No end-of-word marker:
+    * merges are intra-word (the symbol strings are per-word).
+    *
+    * Returns one row per merge step: (step, left, right, merged,
+    * pair_count) — the merge table a tokenizer applies at encode time.
+    * Driver-side loop with one small action per merge (argmax of the
+    * pair aggregate); the evolving word table is localCheckpoint'ed per
+    * step so the plan stays flat. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(tokens(normalized(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), ' ')").as("sym"), col("c"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(words)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var continue = merges > 0
+    while (continue && step <= merges) {
+      val top = words
+        .select(col("c"), split(col("sym"), " ").as("a"))
+        .select(col("c"), explode(expr(
+          "zip_with(slice(a, 1, greatest(size(a) - 1, 0)), " +
+            "slice(a, 2, greatest(size(a) - 1, 0)), " +
+            "(x, y) -> struct(x as l, y as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (l, r, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step, l, r, l + r, pc))
+        val prev = words
+        // replace applied exactly TWICE: a matched occurrence consumes
+        // its boundary spaces, so back-to-back occurrences inside one
+        // word ("a b a b") leave every second one unmerged after a
+        // single pass; the second pass catches it. Deeper alternation
+        // runs (>4 in one word) may keep a residual occurrence — the
+        // pair then simply wins a later step (self-healing), and both
+        // engines apply the identical two-pass rule.
+        words = words.select(
+          trim(expr(
+            s"replace(replace(concat(' ', sym, ' '), ' $l $r ', " +
+              s"' $l$r '), ' $l $r ', ' $l$r ')")).as("sym"), col("c"))
+          .localCheckpoint()
+        prev.unpersist()
+        step += 1
+      }
+    }
+    words.unpersist()
+    out.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+      .select(col("step").cast(LongType).as("step"), col("left_sym"),
+        col("right_sym"), col("merged"), col("pair_count"))
+  }
+
   /** Structural fingerprint: md5 of the document's line-length sequence
     * (character count of every '\n'-split line, comma-joined). Two pages
     * from the same template farm share the skeleton even when the slot

@@ -113,6 +113,36 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.collocations(docs, "text").count() == 0)
   }
 
+  test("bpeTrain learns the classic merge sequence on the textbook corpus") {
+    // low×5, lower×2, newest×6, widest×3 — the standard BPE example.
+    // Hand-computed with the (count desc, left, right) tie rule:
+    //   step1 (e,s) 9 [ties (s,t) 9, 'e' < 's' wins]
+    //   step2 (es,t) 9
+    //   step3 (l,o) 7 [ties (o,w) 7]
+    //   step4 (lo,w) 7
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .map(w => s"$w").toDF("text")
+    val got = TextOps.bpeTrain(corpus, "text", merges = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L),
+      (4L, "lo", "w", "low", 7L)))
+  }
+
+  test("bpeTrain: merge application is two-pass leftmost (abab merges fully)") {
+    val corpus = Seq("abab").toDF("text")
+    val got = TextOps.bpeTrain(corpus, "text", merges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // step1: pairs (a,b)=2, (b,a)=1 → merge ab; two-pass replace turns
+    // "a b a b" into "ab ab" (single-pass would strand the second pair)
+    assert(got.head == ((1L, "a", "b", "ab", 2L)))
+    // step2 must therefore see (ab,ab)=1 as the only remaining pair
+    assert(got(1) == ((2L, "ab", "ab", "abab", 1L)))
+  }
+
   test("templateGroups: same line-length skeleton groups; different text, same slots") {
     val docs = Seq(
       (1L, "Title A\nBody text here\nfooter"),   // lengths 7,14,6
