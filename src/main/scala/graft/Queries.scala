@@ -729,6 +729,18 @@ object Queries {
       // corpus aggregate plus 10 vocab-table passes
       graft.ops.TextOps.bpeTrain(docs(s, dir), "text", merges = 8)),
 
+    "q_x_bpe_encode" -> ((s, dir) => {
+      // the encode half: the 8 learned merges fold into one codegen'd
+      // chain of replaces per word (no joins — the merge table is a
+      // driver literal, exactly how a tokenizer ships), then one doc-id
+      // aggregate for word/subword counts
+      val mt = graft.ops.TextOps.bpeTrain(docs(s, dir), "text",
+          merges = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.TextOps.bpeEncodeStats(docs(s, dir), "doc_id", "text", mt)
+    }),
+
     "q_x_quota_trim" -> ((s, dir) => {
       // measure → allocate → trim: per-source char mass waterfilled
       // against a global 30k budget, then each source greedily trimmed
@@ -2395,7 +2407,9 @@ object Queries {
     * replace) stages — the same leftmost-non-overlapping merge rule the
     * engine applies. CTEs auto-materialize at assembly, so the deep
     * w0→w8 chain replays linearly. */
-  private def bpeOracleSql(merges: Int): String = {
+  /** The shared WITH-body: word-frequency table + `merges` unrolled
+    * (pair-count → argmax mK → two-pass replace) training stages. */
+  private def bpeCtes(merges: Int): String = {
     val stages = (1 to merges).map { k =>
       val prev = s"w${k - 1}"
       s"""p$k AS (
@@ -2413,12 +2427,8 @@ object Queries {
          |      ' ' || m$k.l || m$k.r || ' ')) AS sym, c
          |  FROM $prev, m$k)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to merges).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS step, l AS left_sym, " +
-        s"r AS right_sym, l || r AS merged, pc AS pair_count FROM m$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH nrm AS (
-       |  SELECT trim(regexp_replace(lower(coalesce(text, '')),
+    s"""nrm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
        |    '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm
        |  FROM documents),
        |words AS (
@@ -2430,8 +2440,44 @@ object Queries {
        |    generate_series(1, length(w)),
        |    i -> substr(w, CAST(i AS INT), 1)), ' ') AS sym, c
        |  FROM words),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private def bpeOracleSql(merges: Int): String = {
+    val sel = (1 to merges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l AS left_sym, " +
+        s"r AS right_sym, l || r AS merged, pc AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(merges)}
        |$sel""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.TextOps.bpeEncodeStats]] over the
+    * merges [[bpeOracleSql]] learns: per-word symbol strings through the
+    * same k chained two-pass replaces, then per-doc word/subword
+    * counts. */
+  private def bpeEncodeOracleSql(merges: Int): String = {
+    val encStages = (1 to merges).map { k =>
+      val prev = s"e${k - 1}"
+      s"""e$k AS (
+         |  SELECT doc_id, replace(replace(sym,
+         |      ' ' || m$k.l || ' ' || m$k.r || ' ',
+         |      ' ' || m$k.l || m$k.r || ' '),
+         |      ' ' || m$k.l || ' ' || m$k.r || ' ',
+         |      ' ' || m$k.l || m$k.r || ' ') AS sym
+         |  FROM $prev, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes(merges)},
+       |e0 AS (
+       |  SELECT doc_id, ' ' || array_to_string(list_transform(
+       |    generate_series(1, length(w)),
+       |    i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS sym
+       |  FROM (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS w
+       |        FROM nrm WHERE norm <> '')),
+       |$encStages
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(len(string_split(trim(sym), ' ')))::BIGINT AS n_subwords
+       |FROM e$merges GROUP BY doc_id""".stripMargin
   }
 
   /** DuckDB inlines a CTE at every reference unless told otherwise, so a
@@ -3307,6 +3353,7 @@ object Queries {
          |WHERE cum_tokens - n_chars < 8000""".stripMargin,
 
     "q_x_bpe_merges" -> bpeOracleSql(8),
+    "q_x_bpe_encode" -> bpeEncodeOracleSql(8),
 
     "q_x_quota_trim" ->
       s"""WITH cnt AS (

@@ -519,6 +519,31 @@ object TextOps {
         col("right_sym"), col("merged"), col("pair_count"))
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]]'s output collected as
+    * (left, right) in step order) and return per-document subword
+    * stats: word count and subword count after all merges. Encoding is
+    * ONE codegen'd projection — the k merges fold into k chained
+    * two-pass `replace` calls on each word's symbol string (the same
+    * rule training applied, so train-then-encode round-trips) — no
+    * joins, no shuffle beyond the final per-doc aggregate. */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+      mergesInOrder: Seq[(String, String)]): DataFrame = {
+    // merge symbols are alphanumeric by construction (normalized()
+    // strips everything else), so the literals embed into the SQL
+    // expression directly — the exact string the oracle uses
+    val base = "concat(' ', array_join(transform(" +
+      "sequence(1, length(__w)), i -> substring(__w, i, 1)), ' '), ' ')"
+    val symSql = mergesInOrder.foldLeft(base) { case (cur, (l, r)) =>
+      s"replace(replace($cur, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"
+    }
+    df.select(col(idCol),
+        explode(tokens(normalized(col(textCol)))).as("__w"))
+      .select(col(idCol),
+        size(split(trim(expr(symSql)), " ")).cast(LongType).as("__ns"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__ns")).as("n_subwords"))
+  }
+
   /** Structural fingerprint: md5 of the document's line-length sequence
     * (character count of every '\n'-split line, comma-joined). Two pages
     * from the same template farm share the skeleton even when the slot

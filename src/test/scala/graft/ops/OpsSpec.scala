@@ -143,6 +143,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, "ab", "ab", "abab", 1L)))
   }
 
+  test("bpeEncodeStats applies learned merges: subword counts match hand-encoding") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("text")
+    val merges = TextOps.bpeTrain(corpus, "text", merges = 4)
+      .orderBy("step").as[(Long, String, String, String, Long)]
+      .collect().map(t => (t._2, t._3)).toSeq
+    val docs = Seq((1L, "low"), (2L, "lower"), (3L, "newest"),
+      (4L, "widest"), (5L, "low lower")).toDF("id", "t")
+    val got = TextOps.bpeEncodeStats(docs, "id", "t", merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    // merges: es, est, lo, low → low=[low]=1, lower=[low,e,r]=3,
+    // newest=[n,e,w,est]=4, widest=[w,i,d,est]=4
+    assert(got == Map(1L -> (1L, 1L), 2L -> (1L, 3L), 3L -> (1L, 4L),
+      4L -> (1L, 4L), 5L -> (2L, 4L)))
+  }
+
   test("templateGroups: same line-length skeleton groups; different text, same slots") {
     val docs = Seq(
       (1L, "Title A\nBody text here\nfooter"),   // lengths 7,14,6
