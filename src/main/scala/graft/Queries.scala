@@ -1393,6 +1393,17 @@ object Queries {
           Seq("event_type"), "day", "value", threshold = 2.0)
         .orderBy("event_type", "day")),
 
+    "q_x_trending" -> ((s, dir) =>
+      // trending score: per event_type count with events half-lived
+      // every 7 days before the fixed reference day — exact scaled-
+      // integer accumulation, one final dyadic division (see
+      // Behavior.decayedCounts exactness discipline)
+      graft.ops.Behavior.decayedCounts(
+        rd(s, dir, "events").select(col("event_type"),
+          to_date(timestamp_micros(col("ts"))).as("day")),
+        Seq("event_type"), "day", to_date(lit("2024-01-30")),
+        halfLifeDays = 7)),
+
     "q_x_perplexity" -> ((s, dir) =>
       // perplexity-style filtering with the bigram LM trained in-engine
       // from the corpus it scores (CCNet recipe); per-bigram -ln(p)
@@ -3995,6 +4006,20 @@ object Queries {
         |SELECT event_type, day, round(day_value, 4) AS day_value,
         |  round(z, 4) AS z, abs(round(z, 4)) >= 2.0 AS is_anomaly
         |FROM z""".stripMargin,
+
+    "q_x_trending" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    datediff('day', CAST(ts AS DATE), DATE '2024-01-30') AS age
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    (CAST(1 AS BIGINT) << CAST(40 - least(age // 7, 40) AS INT))
+        |      AS scaled
+        |  FROM d WHERE age >= 0)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  CAST(sum(scaled) AS DOUBLE) / 1099511627776.0 AS decayed_count
+        |FROM w GROUP BY event_type""".stripMargin,
 
     "q_x_perplexity" ->
       graft.ops.LangModel.bigramNllOracleSql("documents", "doc_id", "text"),

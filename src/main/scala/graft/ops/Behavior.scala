@@ -67,6 +67,37 @@ object Behavior {
     staged.agg(counts.head, counts.tail: _*)
   }
 
+  /** Exponentially time-decayed counts per group — the trending score:
+    * each event weighs 2^(−age div halfLifeDays), age in whole days
+    * before `refDay` (events after `refDay` excluded; decay exponents
+    * cap at 40 ≈ weight 10^−12, below observability).
+    *
+    * Exactness discipline: the aggregate sums SCALED INTEGER weights
+    * 2^(40 − e) — a float-dyadic sum would lose exactness once the
+    * exponent spread passes the 52-bit mantissa, making the total
+    * order-dependent — and the one double division by 2^40 happens on
+    * the final per-group scalar, so any engine replays the score
+    * bit-for-bit (headroom: ~2^22 events per group before BIGINT
+    * overflow at the scale cap — partition hot groups beyond that).
+    * One partial-aggregated group count; the weight computes map-side,
+    * nothing shuffles but the per-group partials. */
+  def decayedCounts(events: DataFrame, groupCols: Seq[String],
+      dayCol: String, refDay: Column, halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val MaxE = 40
+    val age = datediff(refDay, col(dayCol))
+    val e = least((age.cast("double") / halfLifeDays).cast(LongType),
+      lit(MaxE.toLong))
+    events.filter(age >= 0)
+      .withColumn("__e", e)
+      .withColumn("__scaled", expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST($MaxE - __e AS INT))"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("__scaled")).cast("double") /
+          lit(math.pow(2.0, MaxE))).as("decayed_count"))
+  }
+
   /** Per-group daily anomaly flags: sum `valueCol` per (group, day),
     * z-score each day against its group's mean/stddev across days, and
     * flag |z| ≥ `threshold`. The flag compares the ROUNDED z (4 dp) so

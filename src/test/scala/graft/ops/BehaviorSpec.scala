@@ -67,6 +67,22 @@ class BehaviorSpec extends SparkSpec {
       "is_anomaly must be false, not NULL, for degenerate groups")
   }
 
+  test("decayedCounts: dyadic half-life weights, future events excluded, cap applies") {
+    val ev = Seq(
+      ("a", "2024-01-30"), ("a", "2024-01-30"),  // age 0  → 1.0 each
+      ("a", "2024-01-23"),                       // age 7  → 0.5
+      ("a", "2024-01-09"),                       // age 21 → 0.125
+      ("a", "2024-02-01"),                       // future → excluded
+      ("b", "2020-01-01"))                       // age ≫ cap → 2^-40
+      .toDF("k", "d").select(col("k"), to_date(col("d")).as("day"))
+    val got = Behavior.decayedCounts(ev, Seq("k"), "day",
+      to_date(lit("2024-01-30")), halfLifeDays = 7)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    assert(got("a") == ((4L, 2.625)))
+    assert(got("b") == ((1L, 1.0 / (1L << 40).toDouble)))
+  }
+
   test("funnel plan: one exchange feeds the chained windows") {
     val ev = Seq((1L, "a", 10L)).toDF("user_id", "event_type", "ts")
     val plan = Behavior.funnel(ev, "user_id", "event_type", "ts",
