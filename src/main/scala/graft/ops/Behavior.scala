@@ -98,6 +98,32 @@ object Behavior {
           lit(math.pow(2.0, MaxE))).as("decayed_count"))
   }
 
+  /** [[decayedCounts]] over an ALREADY-AGGREGATED daily table (`nCol`
+    * events per group×day) — the streaming tail: a daily rollup
+    * ([[graft.streaming.DailyRollup]]) maintains the per-day counts
+    * incrementally; this scores the tiny days×groups table. EXACTLY
+    * equal to decayedCounts over the raw events (the weight is constant
+    * within a day, so per-day pre-aggregation commutes with the scaled
+    * integer sum — spec-pinned). */
+  def decayedFromDaily(daily: DataFrame, groupCols: Seq[String],
+      dayCol: String, nCol: String, refDay: Column,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val MaxE = 40
+    val age = datediff(refDay, col(dayCol))
+    val e = least((age.cast("double") / halfLifeDays).cast(LongType),
+      lit(MaxE.toLong))
+    daily.filter(age >= 0)
+      .withColumn("__e", e)
+      .withColumn("__scaled", expr(
+        s"CAST($nCol AS BIGINT) * " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($MaxE - __e AS INT))"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(nCol).cast(LongType)).as("n_events"),
+        (sum(col("__scaled")).cast("double") /
+          lit(math.pow(2.0, MaxE))).as("decayed_count"))
+  }
+
   /** Per-group daily anomaly flags: sum `valueCol` per (group, day),
     * z-score each day against its group's mean/stddev across days, and
     * flag |z| ≥ `threshold`. The flag compares the ROUNDED z (4 dp) so

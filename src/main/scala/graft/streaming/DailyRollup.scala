@@ -81,4 +81,23 @@ object DailyRollup {
     graft.ops.Behavior.dailyAnomaliesFromDaily(daily, groupCols, dayCol,
       threshold)
   }
+
+  /** Trending scores off the persisted rollup — the streaming tail of
+    * [[graft.ops.Behavior.decayedCounts]]: the stream maintains per-day
+    * aggregates; decay re-derives from day ages at READ time, so no
+    * state ever needs rescaling as the reference day advances. Same
+    * read-only path discipline as [[anomalies]]. `nCol` defaults to the
+    * rollup's `day_value` (pass a count column for event-count
+    * trending). */
+  def trending(spark: SparkSession, path: String, groupCols: Seq[String],
+      dayCol: String, refDay: org.apache.spark.sql.Column,
+      halfLifeDays: Int, nCol: String = "day_value"): DataFrame = {
+    import graft.warehouse.AtomicDir
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = AtomicDir.readablePath(fs, dst).getOrElse(
+      throw new IllegalStateException(s"rollup table $path does not exist"))
+    graft.ops.Behavior.decayedFromDaily(spark.read.parquet(src.toString),
+      groupCols, dayCol, nCol, refDay, halfLifeDays)
+  }
 }

@@ -83,6 +83,22 @@ class BehaviorSpec extends SparkSpec {
     assert(got("b") == ((1L, 1.0 / (1L << 40).toDouble)))
   }
 
+  test("decayedFromDaily == decayedCounts on raw events (pre-aggregation commutes)") {
+    val rnd = new scala.util.Random(7)
+    val ev = (1 to 300).map { _ =>
+      (s"k${rnd.nextInt(4)}", f"2024-01-${1 + rnd.nextInt(30)}%02d")
+    }.toDF("k", "d").select(col("k"), to_date(col("d")).as("day"))
+    val ref = to_date(lit("2024-01-30"))
+    val raw = Behavior.decayedCounts(ev, Seq("k"), "day", ref, 7)
+      .as[(String, Long, Double)].collect().toSet
+    val daily = ev.groupBy("k", "day")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val agg = Behavior.decayedFromDaily(daily, Seq("k"), "day", "n",
+      ref, 7).as[(String, Long, Double)].collect().toSet
+    assert(raw == agg, "per-day pre-aggregation must commute EXACTLY")
+  }
+
   test("funnel plan: one exchange feeds the chained windows") {
     val ev = Seq((1L, "a", 10L)).toDF("user_id", "event_type", "ts")
     val plan = Behavior.funnel(ev, "user_id", "event_type", "ts",
