@@ -407,6 +407,26 @@ object Queries {
         d.filter(col("doc_id") % 2 === 1), "bucket")
     }),
 
+    "q_x_cluster_champion" -> ((s, dir) => {
+      // cluster-level champion selection: duplicate clusters (connected
+      // components over the jaccard pair graph) each keep their
+      // highest-quality member (n_chars desc, ties to smaller id) — the
+      // cluster-global form of keep_best's pairwise rule, and the final
+      // step of a dedup pipeline (pairs → clusters → one survivor each)
+      val d = rd(s, dir, "documents")
+      val clusters = Dedup.clusters(d, "doc_id",
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+          threshold = 0.12))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("id").asc)
+      clusters.join(d.select(col("doc_id").as("id"), col("n_chars")),
+          Seq("id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col("id").as("champion"), col("n_chars"))
+    }),
+
     "q_x_containment" -> ((s, dir) =>
       // doc-inside-doc near-dup: |A∩B|/min(|A|,|B|) over 3-gram shingle
       // sets — catches quote-wrapped/truncated copies whose jaccard is
@@ -3169,6 +3189,40 @@ object Queries {
         |  UNION
         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
+    "q_x_cluster_champion" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.12),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+        |ranked AS (
+        |  SELECT cl.cluster, cl.id, d.n_chars,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |      ORDER BY d.n_chars DESC, cl.id ASC) AS rn
+        |  FROM cl JOIN documents d ON d.doc_id = cl.id)
+        |SELECT cluster, id AS champion, n_chars
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q_x_keywords" ->
       """WITH n AS (
