@@ -45,6 +45,31 @@ class DailyRollupSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 == "click" && r._2 == 17 && r._5))
   }
 
+  test("trending off the live rollup == decayed scoring of delivered events") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("rolltrend").toString
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    val events = (1 to 30).flatMap(d => Seq(
+      ("click", day(d), 1.0), ("view", day(d), 3.0)))
+    val mem = MemoryStream[(String, java.sql.Date, Double)]
+    mem.addData(events.take(40): _*)
+    mem.addData(events.drop(40): _*)
+    val q = DailyRollup.start(
+      mem.toDF().toDF("k", "day", "v"), Seq("k"), "day", "v",
+      s"$dir/daily", s"$dir/ck")
+    q.awaitTermination()
+    val ref = to_date(lit("2024-01-30"))
+    val streamed = DailyRollup.trending(spark, s"$dir/daily", Seq("k"),
+      "day", ref, halfLifeDays = 7)
+      .as[(String, Long, Double)].collect().toSet
+    val daily = events.toDF("k", "day", "v").groupBy("k", "day")
+      .agg(sum(col("v")).as("day_value"))
+    val batch = Behavior.decayedFromDaily(daily, Seq("k"), "day",
+      "day_value", ref, halfLifeDays = 7)
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("mid-swap crash: stranded __old restores, history survives") {
     val dir = Files.createTempDirectory("rollupcrash").toString
     val daily = s"$dir/daily"
