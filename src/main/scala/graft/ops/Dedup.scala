@@ -474,7 +474,15 @@ object Dedup {
     * the oracle-checked variant; xxhash64 stays the in-cluster default
     * (cheaper per shingle). Band buckets are the joined signature slice
     * itself (a string) rather than its xxhash — a slightly wider shuffle
-    * key, same join cardinality. */
+    * key, same join cardinality.
+    *
+    * Knob guidance (MEASURED, DEDUP_RECALL.md at sf0.1): rows-per-band
+    * r = numHashes/bands sets the collision S-curve. r=8 (64/8) hits
+    * recall 1.000 on ≥0.5-jaccard truth at precision 0.33 (~3×
+    * verification overhead); r=4 (64/16) keeps ~0.985 recall down to
+    * 0.1-jaccard truth but pays precision 0.12 — pick r=4 only when the
+    * target threshold is low. Doubling numHashes at fixed r changed
+    * nothing measurable. */
   def minHashCandidatesPortable(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
