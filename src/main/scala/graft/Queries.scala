@@ -557,7 +557,7 @@ object Queries {
       Multimodal.extractFeatures(
         docs(s, dir)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
-        "media", dim = 16)
+        "media", dim = 16, codec = Multimodal.StubCodec)
         .select(col("doc_id"),
           element_at(col("features"), 1).cast(DoubleType).as("f_first"),
           element_at(col("features"), 16).cast(DoubleType).as("f_last"))),
@@ -568,8 +568,17 @@ object Queries {
       Multimodal.resize(
         docs(s, dir)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
-        "media", w = 32, h = 24)
+        "media", w = 32, h = 24, codec = Multimodal.StubCodec)
         .select(col("doc_id"), hex(col("media")).as("resized_hex"))),
+
+    "q_x_media_imageio" -> ((s, dir) =>
+      // REAL codec path: synthesize gray PNGs from (doc_id, len(text)),
+      // encode AND decode with javax.imageio; the oracle predicts the
+      // decoded pixel sum in closed form because PNG is lossless.
+      Multimodal.imageIoRoundTrip(
+        docs(s, dir).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).as("len")),
+        "doc_id", "len")),
 
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
@@ -3151,6 +3160,21 @@ object Queries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    // real javax.imageio round trip: PNG is lossless, so the decoded
+    // pixel sum of the synthesized image (pixel = id%128 + x + y) has the
+    // closed form w·h·base + h·Σx + w·Σy. A decode defect breaks equality.
+    "q_x_media_imageio" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(coalesce(text, '')) % 32 + 8 AS INT) AS width,
+        |    CAST((len(coalesce(text, '')) // 7) % 24 + 8 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, 1 AS channels,
+        |  CAST(width * height * (doc_id % 128)
+        |       + height * width * (width - 1) // 2
+        |       + width * height * (height - 1) // 2 AS BIGINT) AS sum_gray
+        |FROM d""".stripMargin,
 
     "q_x_minhash_lsh" -> minhashOracleSql,
     // incremental = batch-mode restricted to pairs touching a new doc

@@ -54,7 +54,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize rewrites the payload deterministically") {
-    val out = Multimodal.resize(media, "media", 32, 24)
+    val out = Multimodal.resize(media, "media", 32, 24, Multimodal.StubCodec)
       .filter(col("id") === 1).select("media").head().getAs[Array[Byte]](0)
     assert(out.length == 12) // 4-byte dims header + 8-byte content hash
     assert(((out(0) & 0xff) << 8 | (out(1) & 0xff)) == 32)
