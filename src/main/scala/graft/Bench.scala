@@ -120,6 +120,13 @@ object Bench {
     val qsCold = runsByQuery.map { case (k, cm) => "\"" + k + "\":" + cm._1 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // headline fields that survive the driver's stdout truncation: the
+    // per-query map is file-only (BENCH.json), so the stdout line carries
+    // the count, the failures, and the slowest tail instead
+    val qFailed = results.filter(_._2 < 0).map(_._1).toSeq.sorted
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val canaryEnd = canarySec()
     // JSON null when either measurement failed — a -1.0 sentinel would
     // read as a plausible small negative delta and hide the failure
@@ -508,7 +515,12 @@ object Bench {
     // cadence (every 4 batches here). Batch vectors are a deterministic
     // (seeded) mix of corpus near-dups and novel vectors, pre-generated
     // OUTSIDE the timed window. events/s = vectors decided per second.
-    val (semSec, semEvents, semAppended, semDropped) = try {
+    // Runs TWICE — small batches (the latency shape) and big batches
+    // (the throughput shape): per-trigger driver actions are a fixed
+    // floor, so events/s scaling ~linearly with batch size is the
+    // attribution test for "floor = trigger overhead, not probe math".
+    def semDedupBench(nB: Int, per: Int)
+        : (Double, Long, Long, Long, Map[String, Double]) = try {
       import graft.ops.Ivf
       import spark.implicits._
       val dir = java.nio.file.Files
@@ -517,12 +529,18 @@ object Bench {
       val emb = Tables.read(spark, sfDir, "embeddings").cache()
       val corpus = emb.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      // k sizes the probe: each batch row exact-compares against its own
+      // cell only (≈ corpus/k rows), so cell count is the per-event-work
+      // knob — production guidance k ≈ corpus/1000 (SemDedup scaladoc).
+      // Env-tunable for A/B; k must be trained on a corpus that supports
+      // it (k=64 on the sf0.001 seed's ~100 vectors degenerates: skewed
+      // cells made keep/append SLOWER, measured 311 vs 531 ev/s).
+      val k = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_CELLS", "16").toInt
+      val model = Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
       Ivf.index(emb, "embedding", model, idxPath)
       emb.unpersist()
       val dim = corpus.head._2.length
       val rnd = new scala.util.Random(42)
-      val nB = 6; val per = 2000
       var nextId = corpus.map(_._1).max + 1
       val batches = (0 until nB).map { _ =>
         (0 until per).map { i =>
@@ -542,8 +560,8 @@ object Bench {
       val mem = MemoryStream[(Long, Array[Float])]
       val q = mem.toDF().toDF("vec_id", "embedding").writeStream
         .option("checkpointLocation", dir + "/_ckpt")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          s.processBatch(b); ()
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          s.processBatch(b, id); ()
         }
         .start()
       val sec = try time {
@@ -556,11 +574,79 @@ object Bench {
         rm(new java.io.File(dir))
       }
       val (_, app, drop) = s.stats
-      (sec, nB.toLong * per, app, drop)
+      (sec, nB.toLong * per, app, drop, s.phaseTotals)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] semdedup stream bench failed: ${e.getMessage}")
-        (-1.0, 0L, 0L, 0L)
+        (-1.0, 0L, 0L, 0L, Map.empty[String, Double])
+    }
+    val (semSec, semEvents, semAppended, semDropped, semPhases) =
+      semDedupBench(
+        sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_BATCHES", "6").toInt,
+        sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_EVENTS", "2000").toInt)
+    val (semBigSec, semBigEvents, _, _, semBigPhases) =
+      semDedupBench(
+        sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_BIG_BATCHES", "3").toInt,
+        sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_BIG_EVENTS", "10000").toInt)
+    def semPhaseFmt(m: Map[String, Double]): String = m.toSeq
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val semPhaseJson = semPhaseFmt(semPhases)
+    val semBigPhaseJson = semPhaseFmt(semBigPhases)
+
+    // Streaming trending freshness: events through the DailyRollup
+    // update-mode agg + replace-by-key upsert, with a decayed trending
+    // read AFTER EVERY trigger (the freshness contract — scores reflect
+    // the just-committed rollup). events/s counts the events upserted;
+    // the read side is reported separately per query.
+    val (trSec, trEvents, trReadSec, trReads) = try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{sum, to_date, lit, desc, col}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bench_trending").toString
+      val path = dir + "/rollup"
+      val nB = 8; val per = 25000
+      val rnd = new scala.util.Random(7)
+      val batches = (0 until nB).map { b =>
+        (0 until per).map { _ =>
+          (s"g${rnd.nextInt(100)}",
+            java.sql.Date.valueOf(f"2026-07-${rnd.nextInt(28) + 1}%02d"),
+            rnd.nextInt(50).toLong)
+        }
+      }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(String, java.sql.Date, Long)]
+      val q = mem.toDF().toDF("grp", "day", "v")
+        .groupBy("grp", "day").agg(sum("v").as("day_value"))
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", dir + "/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.DailyRollup.upsert(spark, b, Seq("grp", "day"), path)
+        }
+        .start()
+      var readSec = 0.0
+      val sec = try time {
+        batches.foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+          val t0 = System.nanoTime()
+          graft.streaming.DailyRollup.trending(spark, path, Seq("grp"),
+            "day", refDay = to_date(lit("2026-07-28")), halfLifeDays = 7)
+            .orderBy(desc("decayed_count"), col("grp")).limit(10).collect()
+          readSec += (System.nanoTime() - t0) / 1e9
+        }
+      } finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+      (sec - readSec, nB.toLong * per, readSec, nB)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] trending bench failed: ${e.getMessage}")
+        (-1.0, 0L, -1.0, 0)
     }
 
     // Final canary AFTER the stream section. With the per-section
@@ -579,6 +665,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_cold":$qsCold,"bench_runs":$nRuns,""" +
+        s""""queries_n":${results.size},""" +
+        s""""queries_failed":${qFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries_slowest":$slowest,""" +
         s""""canary_query":"$canaryQuery","canary_start_sec":$canaryStart,""" +
         s""""canary_end_sec":$canaryEnd,"canary_delta_pct":$canaryDeltaPct,""" +
         s""""canary_post_cdc_sec":$canaryPostCdc,""" +
@@ -588,7 +677,11 @@ object Bench {
         s""""canary_post_store_sec":$canaryPostStore,""" +
         s""""canary_store_delta_pct":${deltaPct(canaryPostSkew, canaryPostStore)},""" +
         s""""canary_post_stream_sec":$canaryPostStream,""" +
-        s""""canary_post_stream_delta_pct":$canaryPostStreamDeltaPct,""" +
+        // r10 note: this delta's BASELINE is canary_post_store (it
+        // brackets only the stream window); renamed from the r9-era
+        // canary_post_stream_delta_pct, whose baseline was canary_end —
+        // cross-round comparisons must not mix the two quantities
+        s""""canary_stream_delta_pct":$canaryPostStreamDeltaPct,""" +
         s""""canary_pre_build_sec":$canaryPreBuild,""" +
         s""""canary_build_delta_pct":${deltaPct(canaryPreBuild, canaryStart)},""" +
         s""""index_build_sec":$buildJson,""" +
@@ -625,17 +718,28 @@ object Bench {
         s""""semdedup_stream_events_per_sec":${eps2(semSec, semEvents)},""" +
         s""""semdedup_stream_appended":$semAppended,""" +
         s""""semdedup_stream_dropped":$semDropped,""" +
+        s""""semdedup_stream_phase_sec":$semPhaseJson,""" +
+        s""""semdedup_stream_big_sec":$semBigSec,""" +
+        s""""semdedup_stream_big_events_per_sec":${eps2(semBigSec, semBigEvents)},""" +
+        s""""semdedup_stream_big_phase_sec":$semBigPhaseJson,""" +
+        s""""trending_rollup_sec":$trSec,""" +
+        s""""trending_rollup_events_per_sec":${eps2(trSec, trEvents)},""" +
+        s""""trending_read_sec_per_query":${
+          if (trReads > 0) trReadSec / trReads else -1.0},""" +
         s""""cdc_phases_total_sec":$phasesTotal,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
     // reading the stream can be poisoned — the file copy is always clean.
-    // The stdout line is additionally COMPACTED (queries_cold dropped,
-    // doubles rounded to 4 decimals): the driver's stdout tail capture
-    // truncated the r7/r8 round artifacts mid-string, so the line it
-    // captures must stay small; BENCH.json keeps everything at full
-    // precision for BENCHNOTES archaeology.
-    val noCold = json.replaceFirst("\"queries_cold\":\\{[^}]*\\},", "")
+    // The stdout line is additionally COMPACTED — BOTH per-query maps
+    // dropped (headline count/failures/slowest-5 stand in), doubles
+    // rounded to 4 decimals: the r7–r10 round artifacts were truncated
+    // mid-string by the driver's stdout tail capture, so the captured
+    // line must stay a few hundred bytes; BENCH.json keeps the full
+    // per-query maps at full precision for BENCHNOTES archaeology.
+    val noMaps = json
+      .replaceFirst("\"queries\":\\{[^}]*\\},", "")
+      .replaceFirst("\"queries_cold\":\\{[^}]*\\},", "")
     val longNum = "(-?\\d+\\.\\d{5,})(?=[,}\\]])".r
-    println(longNum.replaceAllIn(noCold,
+    println(longNum.replaceAllIn(noMaps,
       m => f"${m.group(1).toDouble}%.4f"))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -43,6 +43,24 @@ object Metrics {
   final val SecondsBuckets: Vector[Double] =
     Vector(10, 30, 60, 120, 180, 240, 300, 480, 600, 900)
 
+  /** Prometheus client DefBuckets — the reference registers its batcher
+    * byte/message histograms with no explicit bounds
+    * (pkg/redshiftbatcher/metrics.go:8–25; REDSHIFTSINK.md:115–124 "The
+    * metrics are histograms in default buckets"), so parity means
+    * exporting the same default bounds. */
+  final val DefaultBuckets: Vector[Double] =
+    Vector(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1, 2.5, 5, 10)
+
+  /** Histogram bounds for a metric name: the reference's 10–900 s family
+    * for `*_seconds`, Prometheus defaults for the batcher/loader
+    * throughput observations (`*_processed` / `*_loaded`), none
+    * otherwise (those stay summaries). */
+  def bucketBoundsFor(metric: String): Option[Vector[Double]] =
+    if (metric.endsWith("_seconds")) Some(SecondsBuckets)
+    else if (metric.endsWith("_processed") || metric.endsWith("_loaded"))
+      Some(DefaultBuckets)
+    else None
+
   /** Histogram essentials of one (table, metric) stream. `buckets` is
     * cumulative observations ≤ [[SecondsBuckets]](i) — non-empty only
     * for `*_seconds` metrics (the reference's histogram family); the
@@ -59,9 +77,9 @@ object Metrics {
   def enablePhaseBreakdown(on: Boolean): Unit = breakdown = on
 
   private def bucketsOf(metric: String, value: Double): Vector[Long] =
-    if (metric.endsWith("_seconds"))
-      SecondsBuckets.map(le => if (value <= le) 1L else 0L)
-    else Vector.empty
+    bucketBoundsFor(metric)
+      .map(_.map(le => if (value <= le) 1L else 0L))
+      .getOrElse(Vector.empty)
 
   private def addBuckets(a: Vector[Long], b: Vector[Long]): Vector[Long] =
     if (a.isEmpty) b else if (b.isEmpty) a

@@ -62,25 +62,34 @@ object MetricsHttp {
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
   /** Prometheus text format of a registry snapshot (exposed for specs —
-    * the HTTP layer adds nothing but transport). `*_seconds` streams
-    * carry cumulative bucket counts ([[Metrics.SecondsBuckets]] — the
-    * reference's 10–900 s bounds) and render as TYPE histogram with
-    * full `_bucket{le=...}` series (`+Inf` included), so reference
+    * the HTTP layer adds nothing but transport). Bucketed streams
+    * ([[Metrics.bucketBoundsFor]]: the reference's 10–900 s bounds for
+    * `*_seconds`, Prometheus DefBuckets for the batcher/loader
+    * byte/message observations) render as TYPE histogram with full
+    * `_bucket{le=...}` series (`+Inf` included), so reference
     * dashboards' `histogram_quantile` panels port unchanged; other
-    * streams stay `summary` (`_sum`/`_count`) plus a `_max` gauge the
-    * reference lacks. */
+    * streams stay `summary` (`_sum`/`_count`).
+    *
+    * The max of each stream — an extension the reference lacks — is its
+    * OWN gauge family `<name>_max`, rendered after the main family:
+    * `_max` is not a legal sample suffix inside a histogram/summary
+    * family group, and emitting it mid-group broke strict OpenMetrics
+    * parsers (and the text-format grouping rule) before r11. */
   def render(snap: Map[(String, String), Metrics.Stat]): String = {
     val sb = new StringBuilder
     val byMetric = snap.groupBy(_._1._2).toSeq.sortBy(_._1)
     for ((metric, series) <- byMetric) {
       val fq = s"${Prefix}_$metric"
-      val isHist = series.values.exists(_.buckets.nonEmpty)
+      val bounds = Metrics.bucketBoundsFor(metric)
+      val isHist = bounds.nonEmpty &&
+        series.values.exists(_.buckets.nonEmpty)
+      val sorted = series.toSeq.sortBy(_._1._1)
       sb.append(s"# TYPE ${fq} ${if (isHist) "histogram" else "summary"}\n")
-      for (((table, _), st) <- series.toSeq.sortBy(_._1._1)) {
+      for (((table, _), st) <- sorted) {
         val lbl = s"""{table="${esc(table)}"}"""
         if (isHist) {
-          Metrics.SecondsBuckets.lazyZip(
-            st.buckets.padTo(Metrics.SecondsBuckets.length, 0L))
+          val bs = bounds.get
+          bs.lazyZip(st.buckets.padTo(bs.length, 0L))
             .foreach { (le, n) =>
               sb.append(s"""${fq}_bucket{table="${esc(table)}",""" +
                 s"""le="${fmt(le)}"} $n\n""")
@@ -90,8 +99,10 @@ object MetricsHttp {
         }
         sb.append(s"${fq}_sum$lbl ${fmt(st.sum)}\n")
         sb.append(s"${fq}_count$lbl ${st.count}\n")
-        sb.append(s"${fq}_max$lbl ${fmt(st.max)}\n")
       }
+      sb.append(s"# TYPE ${fq}_max gauge\n")
+      for (((table, _), st) <- sorted)
+        sb.append(s"""${fq}_max{table="${esc(table)}"} ${fmt(st.max)}\n""")
     }
     sb.toString
   }

@@ -327,8 +327,8 @@ object Ivf {
     * directories. Re-train + re-[[index]] when drift accumulates — the
     * model is versioned by the sidecar, so a rebuild is a swap. */
   def indexAppend(spark: SparkSession, path: String, df: DataFrame,
-      vecCol: String): Unit =
-    clustered(df, vecCol, loadModel(spark, path))
+      vecCol: String, modelOpt: Option[Model] = None): Unit =
+    clustered(df, vecCol, modelOpt.getOrElse(loadModel(spark, path)))
       .write.mode(SaveMode.Append).partitionBy(CellCol).parquet(path)
 
   /** Assign + cluster rows BY cell before the partitioned write: without

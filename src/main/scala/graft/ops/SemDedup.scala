@@ -82,8 +82,13 @@ object SemDedup {
     * whichever crawled first; this keeps the better one. A row survives
     * iff it loses to no neighbor: for each near-dup pair the loser is
     * the lower-scored side (equal scores → the larger id), exactly the
-    * pairwise rule an SQL oracle replays. Same plan shape as [[keep]]:
-    * within-cell pairs → drop-set distinct → AQE-planned anti-join. */
+    * pairwise rule an SQL oracle replays. A NULL score ranks BELOW every
+    * real score (SQL NULLS-last descending): the null-scored side loses,
+    * and a both-NULL pair falls back to the min-id tie rule — without the
+    * explicit branches both `when`s would be null and the otherwise would
+    * silently drop `id_b` even when `id_b` holds the only real score.
+    * Same plan shape as [[keep]]: within-cell pairs → drop-set distinct →
+    * AQE-planned anti-join. */
   def keepBest(df: DataFrame, idCol: String, vecCol: String,
       scoreCol: String, model: Ivf.Model, threshold: Double,
       maxCellSize: Option[Long] = None): DataFrame = {
@@ -94,7 +99,9 @@ object SemDedup {
         col(scoreCol).as("__sa")), Seq("id_a"))
       .join(scores.select(col(idCol).as("id_b"),
         col(scoreCol).as("__sb")), Seq("id_b"))
-      .select(when(col("__sa") > col("__sb"), col("id_b"))
+      .select(when(col("__sb").isNull && col("__sa").isNotNull, col("id_b"))
+        .when(col("__sa").isNull && col("__sb").isNotNull, col("id_a"))
+        .when(col("__sa") > col("__sb"), col("id_b"))
         .when(col("__sb") > col("__sa"), col("id_a"))
         .otherwise(col("id_b")).as("__drop")) // tie: id_a < id_b keeps a
       .distinct()
@@ -117,14 +124,18 @@ object SemDedup {
     * corpus. */
   def incrementalAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val model = Ivf.loadModel(spark, indexPath)
+      threshold: Double, modelOpt: Option[Ivf.Model] = None,
+      cellsOpt: Option[Seq[Int]] = None): DataFrame = {
+    // a caller holding the model (e.g. a resident stream doing several
+    // stages per trigger) passes it — and optionally the batch's cell
+    // set — to skip the per-call sidecar read and the cells-collect job
+    val model = modelOpt.getOrElse(Ivf.loadModel(spark, indexPath))
     val b = Ivf.assign(batch, vecCol, model)
       .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
         sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__bnrm"),
         col("__cluster").as("__bcell"))
-    val cells = b.select("__bcell").distinct().collect()
-      .map(_.getInt(0)).toSeq
+    val cells = cellsOpt.getOrElse(b.select("__bcell").distinct().collect()
+      .map(_.getInt(0)).toSeq)
     val corpus = spark.read.parquet(indexPath)
       .filter(col(Ivf.CellCol).isin(cells: _*))
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),

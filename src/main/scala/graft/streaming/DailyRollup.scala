@@ -46,7 +46,7 @@ object DailyRollup {
     * semantics) finishes any interrupted swap before reading; a
     * transient read failure fails the trigger instead of silently
     * rebuilding from one batch. */
-  private[streaming] def upsert(spark: SparkSession, batch: DataFrame,
+  private[graft] def upsert(spark: SparkSession, batch: DataFrame,
       keyCols: Seq[String], path: String): Unit = {
     import graft.warehouse.AtomicDir
     val dst = new org.apache.hadoop.fs.Path(path)

@@ -23,8 +23,19 @@ class MetricsHttpSpec extends AnyFunSuite {
         """rsk_loader_seconds_sum{table="events_cdc"} 20"""))
       assert(body.contains(
         """rsk_loader_seconds_count{table="events_cdc"} 2"""))
+      // the max extension is its OWN gauge family — `_max` inside a
+      // histogram family group violates the text-format grouping rule
+      assert(body.contains("# TYPE rsk_loader_seconds_max gauge"))
       assert(body.contains(
         """rsk_loader_seconds_max{table="events_cdc"} 12.5"""))
+      assert(body.indexOf("rsk_loader_seconds_max") >
+        body.indexOf("""rsk_loader_seconds_count"""),
+        "_max family must render after the histogram family")
+      val histBlock = body.substring(
+        body.indexOf("# TYPE rsk_loader_seconds histogram"),
+        body.indexOf("# TYPE rsk_loader_seconds_max"))
+      assert(!histBlock.contains("_max{"),
+        "no _max sample inside the histogram family group")
       assert(body.contains(
         """rsk_batcher_messages_processed_sum{table="events_cdc"} 10000"""))
       assert(body.contains("""rsk_loader_running_sum{table="events_cdc"} 1"""))
@@ -38,9 +49,20 @@ class MetricsHttpSpec extends AnyFunSuite {
         """rsk_loader_seconds_bucket{table="events_cdc",le="900"} 2"""))
       assert(body.contains(
         """rsk_loader_seconds_bucket{table="events_cdc",le="+Inf"} 2"""))
-      // non-seconds streams stay summaries — no bucket series
-      assert(body.contains("# TYPE rsk_batcher_messages_processed summary"))
-      assert(!body.contains("rsk_batcher_messages_processed_bucket"))
+      // batcher byte/message streams are histograms too — the reference
+      // registers them with Prometheus DefBuckets
+      // (pkg/redshiftbatcher/metrics.go:8–25)
+      assert(body.contains("# TYPE rsk_batcher_messages_processed histogram"))
+      Seq("0.005", "0.01", "0.025", "0.05", "0.1", "0.25", "0.5", "1",
+        "2.5", "5", "10").foreach(le =>
+        assert(body.contains(
+          s"""rsk_batcher_messages_processed_bucket{table="events_cdc",le="$le"} 0"""),
+          s"DefBucket le=$le"))
+      assert(body.contains(
+        """rsk_batcher_messages_processed_bucket{table="events_cdc",le="+Inf"} 1"""))
+      // genuinely bucket-less streams stay summaries
+      assert(body.contains("# TYPE rsk_loader_running summary"))
+      assert(!body.contains("rsk_loader_running_bucket"))
     } finally {
       srv.stop()
       Metrics.reset()

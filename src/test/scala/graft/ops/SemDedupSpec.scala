@@ -84,6 +84,28 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.size == 38)
   }
 
+  test("keepBest: NULL score ranks below every real score; both-NULL falls to min-id") {
+    // dup pair (0,1): 0 has NULL score, 1 has a real one → 0 must drop
+    // (the pre-fix expression nulled both comparisons and silently
+    // dropped id_b=1, the only scored side). dup pair (20,21): both NULL
+    // → min-id rule keeps 20.
+    val quality = ((0 until 40).map {
+      case 0 => (0L, null.asInstanceOf[java.lang.Long])
+      case 1 => (1L, java.lang.Long.valueOf(3L))
+      case 20 => (20L, null.asInstanceOf[java.lang.Long])
+      case 21 => (21L, null.asInstanceOf[java.lang.Long])
+      case i => (i.toLong, java.lang.Long.valueOf(5L))
+    }).toDF("vec_id", "q")
+    val scored = vecs.join(quality, Seq("vec_id"))
+    val kept = SemDedup.keepBest(scored, "vec_id", "embedding", "q",
+      model, 0.999).select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(0L) && kept.contains(1L),
+      "the null-scored side must lose to a real score")
+    assert(kept.contains(20L) && !kept.contains(21L),
+      "a both-null pair falls back to min-id")
+    assert(kept.size == 38)
+  }
+
   test("keep: no forced broadcast; AQE-planned join equals hinted result") {
     // high-dup safety: keep() must not hint-force a broadcast (a huge
     // drop set would OOM) — AQE decides from exact runtime sizes

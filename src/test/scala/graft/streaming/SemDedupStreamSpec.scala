@@ -101,6 +101,38 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("replayed batches are no-ops: marker fast path + id append guard") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("semstream4").toString + "/idx"
+    seedIndex(tmp, Seq(1L -> vec(0, 0.0), 2L -> vec(1, 0.0)))
+    val s = new SemDedupStream(spark, tmp, "vec_id", "embedding",
+      threshold = 0.95, compactEvery = 0)
+    val b = Seq(10L -> vec(2, 0.0), 11L -> vec(2, 0.01))
+    assert(s.processBatch(df(b), batchId = 0L) == 1) // 10 kept, 11 in-batch dup
+
+    // at-least-once replay, marker intact → fast path, nothing read/written
+    assert(s.processBatch(df(b), batchId = 0L) == 0L)
+    assert(s.skipped == 1)
+
+    // crash window: append succeeded but the marker write was lost —
+    // the replay passes the fast path, and the id guard must still not
+    // re-append survivor 10 (its corpus copy is excluded from the probe
+    // by the =!= self-guard, so without the append guard it WOULD dup)
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_last_applied_batch")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    assert(s.processBatch(df(b), batchId = 0L) == 0L)
+
+    val ids = spark.read.parquet(tmp).select("vec_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 10L), s"index must hold no duplicates: $ids")
+    // phase breakdown accumulates across batches
+    val ph = s.phaseTotals
+    assert(Seq("ingest", "probe", "keep", "append", "compact")
+      .forall(ph.contains))
+    assert(ph("probe") > 0 && ph("append") > 0)
+  }
+
   test("live stream with compaction cadence: one file per cell after, probes unchanged") {
     val tmp = java.nio.file.Files
       .createTempDirectory("semstream3").toString + "/idx"
@@ -110,7 +142,7 @@ class SemDedupStreamSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Array[Float])]
     val q = mem.toDF().toDF("vec_id", "embedding").writeStream
-      .foreachBatch { (b: DataFrame, _: Long) => s.processBatch(b); () }
+      .foreachBatch { (b: DataFrame, id: Long) => s.processBatch(b, id); () }
       .start()
     try {
       mem.addData((100L, vec(2, 0.0)), (101L, vec(2, 0.02)))
