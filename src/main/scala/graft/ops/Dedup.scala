@@ -476,13 +476,23 @@ object Dedup {
     * itself (a string) rather than its xxhash — a slightly wider shuffle
     * key, same join cardinality.
     *
-    * Knob guidance (MEASURED, DEDUP_RECALL.md at sf0.1): rows-per-band
-    * r = numHashes/bands sets the collision S-curve. r=8 (64/8) hits
-    * recall 1.000 on ≥0.5-jaccard truth at precision 0.33 (~3×
-    * verification overhead); r=4 (64/16) keeps ~0.985 recall down to
-    * 0.1-jaccard truth but pays precision 0.12 — pick r=4 only when the
-    * target threshold is low. Doubling numHashes at fixed r changed
-    * nothing measurable. */
+    * Knob guidance (MEASURED, DEDUP_RECALL.md at sf0.1 — r11 fixture
+    * with a populated 0.1–0.4 borderline band, 2882 truth pairs at
+    * ≥0.1 vs 256 at ≥0.5): rows-per-band r = numHashes/bands sets the
+    * collision S-curve.
+    *  - r=8 (64/8): recall 1.000 on ≥0.5 truth at precision 0.23–0.29 —
+    *    the high-threshold dedup operating point; it sees only 11–23%
+    *    of the borderline band.
+    *  - r=4 (64/16): also 1.000 at ≥0.5, and 2–2.3× r=8's borderline
+    *    recall (0.42 vs 0.23 at ≥0.3 truth) at ~3× the candidates —
+    *    the middle ground for targets around 0.4.
+    *  - r=2 (64/32 or 128/64): the only shape that HOLDS the
+    *    borderline band — 0.96–1.00 recall at ≥0.3, 0.78–0.90 at ≥0.1
+    *    (128/64) — at 3.5–4.5× r=4's candidate volume. Required when
+    *    the target threshold is below ~0.4; r=4 alone is NOT enough
+    *    there (the r10 extrapolation overestimated it).
+    * Doubling numHashes at fixed r mainly adds borderline recall at
+    * r=2 (0.78→0.90 at ≥0.1); it changes nothing at r≥4. */
   def minHashCandidatesPortable(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
