@@ -580,6 +580,30 @@ object Queries {
           length(coalesce(col("text"), lit(""))).as("len")),
         "doc_id", "len")),
 
+    "q_x_media_wav" -> ((s, dir) =>
+      // REAL audio codec path: 16-bit PCM synthesized from (doc_id,
+      // len), encoded AND decoded as WAV via javax.sound.sampled; PCM
+      // losslessness makes the decoded sample sum closed-form.
+      Multimodal.wavRoundTrip(
+        docs(s, dir).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).as("len")),
+        "doc_id", "len")),
+
+    "q_x_para_dedup" -> ((s, dir) => {
+      // corpus-wide paragraph dedup (C4 screen): three paragraphs per
+      // doc — the doc's own text (unique), a corpus-wide boilerplate
+      // footer (survives once, in doc 0), and a doc_id%7 navigation
+      // block (one survivor per residue class) — then global
+      // first-occurrence keep + reassembly.
+      val sep = " <p> "
+      val wrapped = docs(s, dir).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(sep),
+          lit("copyright footer all rights reserved"), lit(sep),
+          concat(lit("nav block "), (col("doc_id") % 7).cast("string")))
+          .as("wtext"))
+      Dedup.dedupParagraphs(wrapped, "doc_id", "wtext", sep)
+    }),
+
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -3160,6 +3184,47 @@ object Queries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    // real javax.sound WAV round trip: PCM is lossless, so the decoded
+    // sample sum of s_i = id%1000 + 15·i over n = len%1000+50 samples
+    // has the closed form n·base + 15·n(n−1)/2.
+    "q_x_media_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(coalesce(text, '')) % 1000 + 50 AS BIGINT) AS n_samples
+        |  FROM documents)
+        |SELECT doc_id, 16000 AS sample_rate, 1 AS channels, n_samples,
+        |  CAST(n_samples * (doc_id % 1000)
+        |       + 15 * n_samples * (n_samples - 1) // 2 AS BIGINT) AS sum_samples
+        |FROM d""".stripMargin,
+
+    // corpus-wide paragraph dedup: global first-occurrence keep by
+    // (doc_id, pos), reassembly in original order — the same decision
+    // the Spark window + ordered array_join makes.
+    "q_x_para_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || ' <p> ' ||
+        |    'copyright footer all rights reserved' || ' <p> ' ||
+        |    'nav block ' || CAST(doc_id % 7 AS VARCHAR) AS wtext
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, list_transform(string_split(wtext, ' <p> '),
+        |    (s, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), para := s)) AS ps
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para
+        |  FROM (SELECT doc_id, unnest(ps) AS u FROM p0)),
+        |d AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, ' <p> ' ORDER BY pos)
+        |    FILTER (WHERE rn = 1), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE rn <> 1) AS BIGINT) AS n_dropped
+        |FROM d GROUP BY doc_id""".stripMargin,
 
     // real javax.imageio round trip: PNG is lossless, so the decoded
     // pixel sum of the synthesized image (pixel = id%128 + x + y) has the

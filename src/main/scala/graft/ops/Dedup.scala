@@ -34,6 +34,49 @@ object Dedup {
     df.join(keep, cond, "left_semi")
   }
 
+  /** Corpus-wide paragraph dedup — the C4/RefinedWeb screen (Raffel et
+    * al. 2020 §2.2 "we discarded all but one of any three-sentence span
+    * occurring more than once"; here the unit is the explicit paragraph):
+    * split every document on `sep`, keep only the GLOBALLY FIRST
+    * occurrence of each distinct paragraph (first = smallest (doc, pos),
+    * so boilerplate navigation/footer paragraphs survive exactly once,
+    * in the earliest document), and reassemble each document from its
+    * surviving paragraphs in original order. Documents whose every
+    * paragraph loses reassemble to ''.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped).
+    *
+    * Scale shape: explode is linear; the winner decision is ONE hash
+    * shuffle on md5(paragraph) (a window min over the hash group — the
+    * same shape as [[exact]], no self-join); reassembly is one shuffle
+    * back on the doc id with an in-group sort. Both keys are bounded
+    * (hash, id) — no skew beyond a pathological mega-duplicated
+    * paragraph, which the window handles as a single reducer group of
+    * (id,pos) pairs, never materializing pairwise combinations. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))))
+      .select(col("__id"), col("pos").cast(LongType).as("__pos"),
+        col("col").as("__para"))
+    val w = Window.partitionBy(md5(col("__para")))
+      .orderBy(col("__id"), col("__pos"))
+    val decided = paras
+      .withColumn("__rank", row_number().over(w))
+    decided
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__rank") === 1,
+            struct(col("__pos"), col("__para"))))),
+          s => s("__para")), sep).as("clean_text"),
+        sum(when(col("__rank") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rank") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Incremental (ingest-time) dedup: keep the batch rows whose key is
     * new — first within the batch itself AND absent from the accumulated
     * corpus keys. Append the survivors' keys back to the store to advance

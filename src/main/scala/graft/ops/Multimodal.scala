@@ -245,6 +245,122 @@ object Multimodal {
     }
   }
 
+  /** Real JDK-native AUDIO codec: `javax.sound.sampled` (java.desktop)
+    * reads and writes RIFF/WAVE PCM — the second real-media binding
+    * after [[ImageIoCodec]], leaving only video containers on
+    * [[StubCodec]]. Same determinism discipline: header-only stream
+    * info, exact 16-bit PCM decode (WAV is lossless), integer feature
+    * math (per-window mean |sample|). */
+  object WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Header-only (sampleRate, channels, bitsPerSample, nFrames). */
+    def wavInfo(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong)
+    }
+
+    /** Decode 16-bit PCM samples (little-endian WAV, interleaved). */
+    def decodePcm16(bytes: Array[Byte]): Array[Short] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 16,
+          s"expected 16-bit PCM, got ${f.getSampleSizeInBits}")
+        val raw = in.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val lo = raw(2 * i) & 0xff
+          val hi = raw(2 * i + 1).toInt
+          out(i) = (if (f.isBigEndian) (lo << 8) | (hi & 0xff)
+                    else (hi << 8) | lo).toShort
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    /** Encode 16-bit little-endian PCM as a WAV container. */
+    def encodePcm16(sampleRate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat,
+        false)
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt,
+        samples.length.toLong / channels)
+      val bos = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      bos.toByteArray
+    }
+
+    /** Sum of all decoded samples — the closed-form oracle hook (WAV PCM
+      * is lossless, like the PNG pixel sum). */
+    def sampleSum(bytes: Array[Byte]): Long = {
+      val s = decodePcm16(bytes)
+      var sum = 0L; var i = 0
+      while (i < s.length) { sum += s(i); i += 1 }
+      sum
+    }
+
+    /** `dim` fixed windows of mean |sample| / 32768 — a deterministic
+      * energy envelope (the audio analog of the image luma histogram). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val s = decodePcm16(bytes)
+      val out = new Array[Float](dim)
+      if (s.length == 0) return out
+      val w = (s.length + dim - 1) / dim
+      var k = 0
+      while (k < dim) {
+        var sum = 0L; var i = k * w; val end = math.min(s.length, (k + 1) * w)
+        while (i < end) { sum += math.abs(s(i).toInt); i += 1 }
+        out(k) =
+          if (end > k * w) (sum.toDouble / (end - k * w) / 32768.0).toFloat
+          else 0f
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** Real WAV round trip, oracle-checkable end to end — the audio twin
+    * of [[imageIoRoundTrip]]: per row, synthesize 16-bit PCM mono at
+    * 16 kHz with n = len%1000+50 samples, s_i = id%1000 + 15·i (max
+    * 999 + 15·1048 < 32767, no clipping), ENCODE it as a WAV container
+    * and DECODE it back with `javax.sound.sampled` (header info +
+    * full-stream sample sum). PCM is lossless, so DuckDB predicts the
+    * sum in closed form: n·(id%1000) + 15·n(n−1)/2. */
+  def wavRoundTrip(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType), StructField("n_samples", LongType),
+      StructField("sum_samples", LongType)))
+    df.select(col(idCol).cast(LongType), col(lenCol).cast(LongType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val len = r.getLong(1)
+          val n = (len % 1000 + 50).toInt
+          val base = (id % 1000).toInt
+          val samples = Array.tabulate(n)(i => (base + 15 * i).toShort)
+          val wav = WavCodec.encodePcm16(16000, 1, samples)
+          val (rate, ch, bits, frames) = WavCodec.wavInfo(wav)
+          require(bits == 16, s"round trip changed bit depth: $bits")
+          Row(id, rate, ch, frames, WavCodec.sampleSum(wav))
+        }
+      }(Encoders.row(out))
+  }
+
   /** Real-codec round trip, oracle-checkable end to end: per row,
     * synthesize a gray PNG whose dims and pixels are closed-form functions
     * of (id, len) — width = len%32+8, height = (len/7)%24+8, pixel(x,y) =

@@ -452,4 +452,24 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.99, maxRows = 3)
     }
   }
+
+  test("paragraph dedup: global first occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val sep = "\n\n"
+    val docs = Seq(
+      (1L, s"alpha one${sep}shared footer${sep}alpha two"),
+      (2L, s"beta one${sep}shared footer${sep}beta two"),
+      // doc 3 repeats ITS OWN paragraph and doc 1's opener
+      (3L, s"alpha one${sep}gamma${sep}gamma"),
+      (4L, s"shared footer")) // loses everything
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text", sep)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"alpha one${sep}shared footer${sep}alpha two", 3L, 0L)))
+    assert(out(2L) == ((s"beta one${sep}beta two", 2L, 1L)))
+    // within-doc duplicate also collapses to the first occurrence
+    assert(out(3L) == ((s"gamma", 1L, 2L)))
+    assert(out(4L) == (("", 0L, 1L)))
+  }
 }
