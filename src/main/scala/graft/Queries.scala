@@ -580,6 +580,15 @@ object Queries {
           length(coalesce(col("text"), lit(""))).as("len")),
         "doc_id", "len")),
 
+    "q_x_media_mp4" -> ((s, dir) =>
+      // REAL container parsing: a valid ISO-BMFF box tree synthesized
+      // from (doc_id, len), then parsed back header-only (moov walk) —
+      // the metadata-pruning path video filtering runs before any decode.
+      Multimodal.mp4RoundTrip(
+        docs(s, dir).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).as("len")),
+        "doc_id", "len")),
+
     "q_x_media_wav" -> ((s, dir) =>
       // REAL audio codec path: 16-bit PCM synthesized from (doc_id,
       // len), encoded AND decoded as WAV via javax.sound.sampled; PCM
@@ -588,6 +597,21 @@ object Queries {
         docs(s, dir).select(col("doc_id"),
           length(coalesce(col("text"), lit(""))).as("len")),
         "doc_id", "len")),
+
+    "q_x_para_strip" -> ((s, dir) => {
+      // boilerplate strip: the corpus-wide footer (500 occurrences) and
+      // nav blocks (~71 per residue) exceed maxFreq and vanish from
+      // EVERY doc; unique own-text paragraphs survive (unless the
+      // document text itself repeats > maxFreq times corpus-wide).
+      val sep = " <p> "
+      val wrapped = docs(s, dir).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(sep),
+          lit("copyright footer all rights reserved"), lit(sep),
+          concat(lit("nav block "), (col("doc_id") % 7).cast("string")))
+          .as("wtext"))
+      Dedup.stripFrequentParagraphs(wrapped, "doc_id", "wtext", sep,
+        maxFreq = 2)
+    }),
 
     "q_x_para_dedup" -> ((s, dir) => {
       // corpus-wide paragraph dedup (C4 screen): three paragraphs per
@@ -3185,6 +3209,16 @@ object Queries {
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
 
+    // real ISO-BMFF round trip: the box walk is byte-exact, so every
+    // parsed moov field is a closed-form function of (doc_id, len)
+    "q_x_media_mp4" ->
+      """SELECT doc_id,
+        |  CAST(len(coalesce(text, '')) * 40 + 1000 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 640 + 16 AS INT) AS width,
+        |  CAST(doc_id % 480 + 16 AS INT) AS height,
+        |  1 AS n_tracks
+        |FROM documents""".stripMargin,
+
     // real javax.sound WAV round trip: PCM is lossless, so the decoded
     // sample sum of s_i = id%1000 + 15·i over n = len%1000+50 samples
     // has the closed form n·base + 15·n(n−1)/2.
@@ -3197,6 +3231,33 @@ object Queries {
         |  CAST(n_samples * (doc_id % 1000)
         |       + 15 * n_samples * (n_samples - 1) // 2 AS BIGINT) AS sum_samples
         |FROM d""".stripMargin,
+
+    // boilerplate strip: drop every occurrence of any paragraph whose
+    // corpus-wide count exceeds 2; reassemble the rest in order.
+    "q_x_para_strip" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || ' <p> ' ||
+        |    'copyright footer all rights reserved' || ' <p> ' ||
+        |    'nav block ' || CAST(doc_id % 7 AS VARCHAR) AS wtext
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, list_transform(string_split(wtext, ' <p> '),
+        |    (s, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), para := s)) AS ps
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para
+        |  FROM (SELECT doc_id, unnest(ps) AS u FROM p0)),
+        |d AS (
+        |  SELECT doc_id, pos, para,
+        |    count(*) OVER (PARTITION BY para) AS freq
+        |  FROM p)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, ' <p> ' ORDER BY pos)
+        |    FILTER (WHERE freq <= 2), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE freq <= 2) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE freq > 2) AS BIGINT) AS n_dropped
+        |FROM d GROUP BY doc_id""".stripMargin,
 
     // corpus-wide paragraph dedup: global first-occurrence keep by
     // (doc_id, pos), reassembly in original order — the same decision

@@ -77,6 +77,37 @@ object Dedup {
         sum(when(col("__rank") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Boilerplate strip by corpus frequency — [[dedupParagraphs]]'s
+    * complement (RefinedWeb / MassiveText line-filtering: a span
+    * repeated across many documents is navigation/footer/template, not
+    * content): drop EVERY occurrence of a paragraph whose corpus-wide
+    * occurrence count exceeds `maxFreq` (first-occurrence keep would
+    * still ship one copy of "All rights reserved" per corpus — this
+    * ships zero), keep everything else, reassemble in order.
+    *
+    * Same two-shuffle shape as [[dedupParagraphs]] with the window min
+    * replaced by a count over the paragraph-hash group. */
+  def stripFrequentParagraphs(df: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n\n", maxFreq: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))))
+      .select(col("__id"), col("pos").cast(LongType).as("__pos"),
+        col("col").as("__para"))
+    val w = Window.partitionBy(md5(col("__para")))
+    paras.withColumn("__freq", count(lit(1)).over(w))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__freq") <= maxFreq,
+            struct(col("__pos"), col("__para"))))),
+          s => s("__para")), sep).as("clean_text"),
+        sum(when(col("__freq") <= maxFreq, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__freq") > maxFreq, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Incremental (ingest-time) dedup: keep the batch rows whose key is
     * new — first within the batch itself AND absent from the accumulated
     * corpus keys. Append the survivors' keys back to the store to advance

@@ -15,13 +15,15 @@ import org.apache.spark.sql.types._
   * once per partition, not once per row — the same batch shape
   * `mapInPandas`/`mapInArrow` gives Python pipelines).
   *
-  * IMAGES ARE REAL: [[ImageIoCodec]] (JDK `javax.imageio`) is the default
-  * [[MediaCodec]] — actual PNG/JPEG/GIF/BMP decode, deterministic
-  * nearest-neighbor resize, integer-luma histogram features, all
-  * value-checked against goldens and (via [[imageIoRoundTrip]]) a DuckDB
-  * oracle. [[StubCodec]] remains for two narrower jobs: audio/video
-  * container formats (no JDK codec exists) and oracle queries whose
-  * "decode" arithmetic DuckDB must replay byte-for-byte.
+  * IMAGES AND AUDIO ARE REAL: [[ImageIoCodec]] (JDK `javax.imageio`) is
+  * the default [[MediaCodec]] — actual PNG/JPEG/GIF/BMP decode,
+  * deterministic nearest-neighbor resize, integer-luma histogram
+  * features — and [[WavCodec]] (JDK `javax.sound.sampled`) covers
+  * RIFF/WAVE PCM, both value-checked against goldens and (via
+  * [[imageIoRoundTrip]]/[[wavRoundTrip]]) DuckDB oracles. [[StubCodec]]
+  * remains for two narrower jobs: video container formats (no JDK codec
+  * exists) and oracle queries whose "decode" arithmetic DuckDB must
+  * replay byte-for-byte.
   */
 object Multimodal {
 
@@ -332,6 +334,153 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Real ISO-BMFF (MP4/MOV) metadata parser — video's header-only
+    * story: no JDK video CODEC exists, but the container format is just
+    * length-prefixed boxes, and metadata pruning (duration/dims filters
+    * before any decode) only needs `moov` — so this parses the real box
+    * structure: top-level `[size:u32][type:4cc]` walk, recursing into
+    * `moov`/`trak`, reading `mvhd` v0 (timescale, duration) and `tkhd`
+    * v0 (16.16 fixed-point width/height). 64-bit extended sizes
+    * (size==1) honored; truncated/garbage input fails loudly. Frame
+    * DECODE stays on [[StubCodec]] — the one genuinely codec-shaped gap
+    * left in this container-less environment. */
+  object Mp4Meta {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    final case class Info(timescale: Long, duration: Long,
+        width: Int, height: Int, nTracks: Int) {
+      def durationMs: Long =
+        if (timescale == 0) 0L else duration * 1000L / timescale
+    }
+
+    private def u32(b: ByteBuffer): Long = b.getInt.toLong & 0xffffffffL
+
+    /** Walk boxes in [from, to); invoke f(type, payloadFrom, payloadTo). */
+    private def walk(buf: ByteBuffer, from: Int, to: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        buf.position(p)
+        var size = u32(buf)
+        val tpe = {
+          val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+        }
+        var hdr = 8
+        if (size == 1) { size = buf.getLong; hdr = 16 }
+        else if (size == 0) size = (to - p).toLong // box extends to end
+        if (size < hdr || p + size > to)
+          throw new IllegalArgumentException(
+            s"bad box '$tpe' size=$size at $p")
+        f(tpe, p + hdr, p + size.toInt)
+        p += size.toInt
+      }
+      if (p != to)
+        throw new IllegalArgumentException(s"trailing garbage at $p/$to")
+    }
+
+    /** Parse moov metadata. Throws on non-BMFF payloads. */
+    def parse(bytes: Array[Byte]): Info = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      var timescale = 0L; var duration = 0L
+      var w = 0; var h = 0; var tracks = 0; var sawMoov = false
+      walk(buf, 0, bytes.length) { (tpe, from, to) =>
+        if (tpe == "moov") {
+          sawMoov = true
+          walk(buf, from, to) {
+            case ("mvhd", f0, _) =>
+              buf.position(f0)
+              val version = buf.get()
+              buf.position(buf.position() + 3) // flags
+              if (version == 0) {
+                buf.position(buf.position() + 8) // ctime, mtime
+                timescale = u32(buf); duration = u32(buf)
+              } else { // v1: 64-bit times
+                buf.position(buf.position() + 16)
+                timescale = u32(buf); duration = buf.getLong
+              }
+            case ("trak", f0, t0) =>
+              tracks += 1
+              walk(buf, f0, t0) {
+                case ("tkhd", f1, _) =>
+                  buf.position(f1)
+                  val version = buf.get()
+                  buf.position(buf.position() + 3)
+                  val skip = if (version == 0) 4 + 4 + 4 + 4 + 4 else
+                    8 + 8 + 4 + 4 + 8
+                  buf.position(buf.position() + skip + 8 + 2 + 2 + 2 + 2 + 36)
+                  val wFix = u32(buf); val hFix = u32(buf)
+                  if (wFix > 0) { w = (wFix >> 16).toInt; h = (hFix >> 16).toInt }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      }
+      if (!sawMoov)
+        throw new IllegalArgumentException("no moov box: not ISO-BMFF")
+      Info(timescale, duration, w, h, tracks)
+    }
+
+    // ---- deterministic synthesizer (fixtures + oracle round trip) ----
+
+    private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+        .order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+
+    /** Minimal valid BMFF: ftyp + moov(mvhd v0 + one trak(tkhd v0)). */
+    def synthesize(timescale: Long, duration: Long, width: Int,
+        height: Int): Array[Byte] = {
+      val mvhd = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      mvhd.putInt(0) // version 0 + flags
+      mvhd.putInt(0).putInt(0) // ctime mtime
+      mvhd.putInt(timescale.toInt).putInt(duration.toInt)
+      mvhd.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      mvhd.putInt(0).putInt(0)
+      // identity matrix
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(mvhd.putInt)
+      (0 until 6).foreach(_ => mvhd.putInt(0)) // pre_defined
+      mvhd.putInt(2) // next track id
+      val tkhd = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+      tkhd.putInt(0) // v0 + flags
+      tkhd.putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration.toInt)
+      tkhd.putLong(0) // reserved
+      tkhd.putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(tkhd.putInt)
+      tkhd.putInt(width << 16).putInt(height << 16)
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+          "isomiso2".getBytes("US-ASCII"))
+      ftyp ++ box("moov",
+        box("mvhd", mvhd.array()) ++ box("trak", box("tkhd", tkhd.array())))
+    }
+  }
+
+  /** Real BMFF round trip, oracle-checkable: synthesize a valid MP4 box
+    * tree from (id, len) — timescale 1000, duration len·40+1000 "ms",
+    * dims (id%640+16, id%480+16) — and parse it back header-only. The
+    * box walk is byte-exact, so DuckDB predicts every field. */
+  def mp4RoundTrip(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType), StructField("duration_ms", LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_tracks", IntegerType)))
+    df.select(col(idCol).cast(LongType), col(lenCol).cast(LongType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val len = r.getLong(1)
+          val mp4 = Mp4Meta.synthesize(1000L, len * 40 + 1000,
+            (id % 640 + 16).toInt, (id % 480 + 16).toInt)
+          val info = Mp4Meta.parse(mp4)
+          Row(id, info.durationMs, info.width, info.height, info.nTracks)
+        }
+      }(Encoders.row(out))
   }
 
   /** Real WAV round trip, oracle-checkable end to end — the audio twin

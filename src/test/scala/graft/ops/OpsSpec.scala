@@ -472,4 +472,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == ((s"gamma", 1L, 2L)))
     assert(out(4L) == (("", 0L, 1L)))
   }
+
+  test("frequent-paragraph strip drops every copy past the cap, keeps the rest") {
+    import spark.implicits._
+    val sep = "\n\n"
+    // 'footer' appears 3× (> maxFreq=2) → vanishes everywhere;
+    // 'gamma' appears 2× (= cap) → survives BOTH times
+    val docs = Seq(
+      (1L, s"alpha${sep}footer${sep}gamma"),
+      (2L, s"beta${sep}footer${sep}gamma"),
+      (3L, s"footer")).toDF("doc_id", "text")
+    val out = Dedup.stripFrequentParagraphs(docs, "doc_id", "text", sep,
+      maxFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"alpha${sep}gamma", 2L, 1L)))
+    assert(out(2L) == ((s"beta${sep}gamma", 2L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+  }
 }
