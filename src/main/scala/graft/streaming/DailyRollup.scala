@@ -38,6 +38,52 @@ object DailyRollup {
       .start()
   }
 
+  /** [[start]] with the rollup persisted through a [[graft.warehouse
+    * .TableStore]] instead of the single-directory AtomicDir table:
+    * update-mode batches carry FULL updated sums per key, which is
+    * exactly an SCD-1 replace-by-key — so each trigger is one
+    * `store.merge` with synthetic CDC columns (offset 0, op UPDATE) and
+    * the rollup inherits the store's write complexity. With
+    * [[graft.warehouse.MergeOnReadCatalog]] a trigger costs O(batch)
+    * (delta append; resolution at read time) instead of [[upsert]]'s
+    * O(rollup) rewrite — the right substrate when triggers are frequent
+    * and the group×day key space is large. Read through
+    * [[trendingFrom]]/[[anomaliesFrom]]. */
+  def startInto(events: DataFrame, groupCols: Seq[String], dayCol: String,
+      valueCol: String, store: graft.warehouse.TableStore, schema: String,
+      table: String, checkpoint: String): StreamingQuery = {
+    import graft.core.Cdc
+    val keys = (groupCols :+ dayCol).map(col)
+    events
+      .groupBy(keys: _*)
+      .agg(sum(col(valueCol)).as("day_value"))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.merge(schema, table,
+          batch.withColumn(Cdc.OffsetColumn, lit(0L))
+            .withColumn(Cdc.OperationColumn, lit(Cdc.OpUpdate)),
+          groupCols :+ dayCol)
+      }
+      .start()
+  }
+
+  /** [[trending]] over a store-backed rollup ([[startInto]]). */
+  def trendingFrom(store: graft.warehouse.TableStore, schema: String,
+      table: String, groupCols: Seq[String], dayCol: String,
+      refDay: org.apache.spark.sql.Column, halfLifeDays: Int,
+      nCol: String = "day_value"): DataFrame =
+    graft.ops.Behavior.decayedFromDaily(store.load(schema, table),
+      groupCols, dayCol, nCol, refDay, halfLifeDays)
+
+  /** [[anomalies]] over a store-backed rollup ([[startInto]]). */
+  def anomaliesFrom(store: graft.warehouse.TableStore, schema: String,
+      table: String, groupCols: Seq[String], dayCol: String,
+      threshold: Double = 2.0): DataFrame =
+    graft.ops.Behavior.dailyAnomaliesFromDaily(store.load(schema, table),
+      groupCols, dayCol, threshold)
+
   /** Replace-by-key upsert of the rollup table (batch carries full
     * updated sums). Left-anti on the batch keys + union, written via
     * the shared shadow-and-swap protocol ([[graft.warehouse.AtomicDir]])

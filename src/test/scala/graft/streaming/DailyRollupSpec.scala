@@ -45,6 +45,46 @@ class DailyRollupSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 == "click" && r._2 == 17 && r._5))
   }
 
+  test("startInto(MOR store): store-backed rollup == AtomicDir rollup, reads agree") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("rollupmor").toString
+    def day(d: Int) = java.sql.Date.valueOf(f"2026-01-$d%02d")
+    val events = (1 to 20).flatMap(d => Seq(
+      ("click", day(d), d.toDouble), ("view", day(d), 2.0)))
+
+    // classic AtomicDir path
+    val mem1 = MemoryStream[(String, java.sql.Date, Double)]
+    mem1.addData(events.take(24): _*)
+    mem1.addData(events.drop(20): _*) // overlap re-deliveries + updates
+    DailyRollup.start(mem1.toDF().toDF("k", "day", "v"), Seq("k"), "day",
+      "v", s"$dir/daily", s"$dir/ck1").awaitTermination()
+
+    // store-backed path: same triggers through an SCD-1 merge per batch
+    val store = new graft.warehouse.MergeOnReadCatalog(spark, s"$dir/mor")
+    val mem2 = MemoryStream[(String, java.sql.Date, Double)]
+    mem2.addData(events.take(24): _*)
+    mem2.addData(events.drop(20): _*)
+    DailyRollup.startInto(mem2.toDF().toDF("k", "day", "v"), Seq("k"),
+      "day", "v", store, "metrics", "daily", s"$dir/ck2")
+      .awaitTermination()
+
+    val a = spark.read.parquet(s"$dir/daily")
+      .select("k", "day", "day_value").orderBy("k", "day")
+      .as[(String, java.sql.Date, Double)].collect().toSeq
+    val b = store.load("metrics", "daily")
+      .select("k", "day", "day_value").orderBy("k", "day")
+      .as[(String, java.sql.Date, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+
+    // and the read tails agree
+    val ref = to_date(lit("2026-01-20"))
+    val t1 = DailyRollup.trending(spark, s"$dir/daily", Seq("k"), "day",
+      ref, 7).orderBy("k").collect().toSeq
+    val t2 = DailyRollup.trendingFrom(store, "metrics", "daily", Seq("k"),
+      "day", ref, 7).orderBy("k").collect().toSeq
+    assert(t1 == t2)
+  }
+
   test("trending off the live rollup == decayed scoring of delivered events") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("rolltrend").toString
