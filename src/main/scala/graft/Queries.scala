@@ -580,6 +580,13 @@ object Queries {
           length(coalesce(col("text"), lit(""))).as("len")),
         "doc_id", "len")),
 
+    "q_x_temp_mix" -> ((s, dir) =>
+      // GPT-3/Pile-style temperature mixing: source quotas ∝ count^0.5,
+      // exact integer largest-remainder split of 1000 units.
+      Sampling.temperatureMix(
+        docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n")),
+        "source", "n", alpha = 0.5, total = 1000)),
+
     "q_x_media_mp4" -> ((s, dir) =>
       // REAL container parsing: a valid ISO-BMFF box tree synthesized
       // from (doc_id, len), then parsed back header-only (moov walk) —
@@ -3208,6 +3215,34 @@ object Queries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    // temperature mixing: integer milli-unit weights ⌊√n·1000⌋, then
+    // pure 64-bit integer allocation (div + largest remainder, ties to
+    // the smaller source) — no order-dependent float accumulation.
+    "q_x_temp_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |s AS (
+        |  SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS sv
+        |  FROM c),
+        |t AS (SELECT *, sum(sv) OVER () AS W FROM s),
+        |a AS (
+        |  SELECT source, n, sv, W,
+        |    CASE WHEN W > 0 THEN (1000 * sv) // W ELSE 0 END AS alloc,
+        |    CASE WHEN W > 0 THEN 1000 * sv - ((1000 * sv) // W) * W
+        |         ELSE 0 END AS rem
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    sum(alloc) OVER () AS atot
+        |  FROM a)
+        |SELECT source, n,
+        |  CAST(CASE WHEN W > 0
+        |    THEN alloc + CASE WHEN rk <= 1000 - atot THEN 1 ELSE 0 END
+        |    ELSE 0 END AS BIGINT) AS quota
+        |FROM r""".stripMargin,
 
     // real ISO-BMFF round trip: the box walk is byte-exact, so every
     // parsed moov field is a closed-form function of (doc_id, len)

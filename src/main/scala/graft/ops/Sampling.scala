@@ -154,6 +154,53 @@ object Sampling {
       .filter(col("cum_tokens") - col(tokenCol).cast("long") < budget)
   }
 
+  /** Temperature-scaled mixture allocation — the dataset-mixing rule of
+    * GPT-3/The Pile (weights ∝ count^α, α<1 upsamples small sources,
+    * α=1 is proportional, α=0 uniform): split an integer `total` across
+    * groups with quota_g ∝ c_g^α, exactly and replayably.
+    *
+    * Exact-arithmetic discipline (the cross-engine float-sum trap):
+    * weights are scaled to INTEGER milli-units s_g = ⌊c_g^α·1000⌋ —
+    * `sqrt`/`pow` are per-row IEEE ops both engines round identically,
+    * and everything after (Σs, total·s div Σs, largest-remainder
+    * distribution of the flooring leftover, ties to the smaller group
+    * name) is 64-bit integer math with NO order-dependent float
+    * accumulation. Caller bound: total · max(s) must fit in a long —
+    * total ≤ 1e9 with counts ≤ 1e12 is safe.
+    *
+    * Runs on the caller's per-group counts table (O(groups) rows); the
+    * empty-window scans are group-table-sized, never corpus-sized.
+    * Output: (group, n, quota), Σ quota = total exactly (W=0 → all 0). */
+  def temperatureMix(counts: DataFrame, groupCol: String, countCol: String,
+      alpha: Double, total: Long): DataFrame = {
+    require(total >= 0, "total must be non-negative")
+    require(alpha >= 0, "alpha must be non-negative")
+    val weight =
+      if (alpha == 0.5) sqrt(col("n").cast("double"))
+      else pow(col("n").cast("double"), lit(alpha))
+    val base = counts
+      .select(col(groupCol), col(countCol).cast("long").as("n"))
+      .withColumn("__s", floor(weight * 1000).cast("long"))
+      .withColumn("__W", sum(col("__s")).over(Window.partitionBy()))
+      .withColumn("__alloc",
+        when(col("__W") > 0, expr(s"($total * __s) div __W"))
+          .otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__W") > 0,
+          lit(total) * col("__s") - col("__alloc") * col("__W"))
+          .otherwise(lit(0L)))
+    base
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(groupCol).asc)))
+      .withColumn("__atot", sum(col("__alloc")).over(Window.partitionBy()))
+      .select(col(groupCol), col("n"),
+        when(col("__W") > 0,
+          col("__alloc") +
+            when(col("__rk") <= lit(total) - col("__atot"), 1L)
+              .otherwise(0L))
+          .otherwise(lit(0L)).as("quota"))
+  }
+
   /** Max-min fair (waterfilling) allocation of ONE global token budget
     * across groups — the complement of [[tokenBudget]]'s fixed
     * per-group cap: small sources keep everything, large sources are

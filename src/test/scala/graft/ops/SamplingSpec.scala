@@ -159,6 +159,30 @@ class SamplingSpec extends SparkSpec {
     assert(tiny == Map("a" -> (5L, 2L), "b" -> (7L, 2L)))
   }
 
+  test("temperatureMix: alpha=0.5 upsamples small sources, total exact") {
+    val counts = Seq(("tiny", 100L), ("mid", 10000L), ("big", 1000000L))
+      .toDF("src", "n")
+    val got = Sampling.temperatureMix(counts, "src", "n", 0.5, 1000L)
+      .as[(String, Long, Long)].collect().toMap2
+    val quotas = got.view.mapValues(_._2).toMap
+    // sqrt weights 10 : 100 : 1000 → ~9 : 90 : 901
+    assert(quotas.values.sum == 1000L, s"total must be exact: $quotas")
+    // proportional (alpha=1) would give tiny ≈ 0.099 units; sqrt gives 9
+    assert(quotas("tiny") == 9L && quotas("mid") == 90L &&
+      quotas("big") == 901L, quotas.toString)
+  }
+
+  test("temperatureMix: alpha=0 is uniform; degenerate zero counts all-zero") {
+    val counts = Seq(("a", 1L), ("b", 1000000L), ("c", 4L)).toDF("src", "n")
+    val uni = Sampling.temperatureMix(counts, "src", "n", 0.0, 9L)
+      .as[(String, Long, Long)].collect().toMap2.view.mapValues(_._2).toMap
+    assert(uni == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+    val zeros = Seq(("a", 0L), ("b", 0L)).toDF("src", "n")
+    val z = Sampling.temperatureMix(zeros, "src", "n", 0.5, 10L)
+      .as[(String, Long, Long)].collect().toMap2.view.mapValues(_._2).toMap
+    assert(z == Map("a" -> 0L, "b" -> 0L))
+  }
+
   private implicit class Triples(rows: Array[(String, Long, Long)]) {
     def toMap2: Map[String, (Long, Long)] =
       rows.map { case (k, a, b) => k -> (a, b) }.toMap
