@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming paragraph dedup — the stream-side twin of
+  * [[graft.ops.Dedup.dedupParagraphs]], completing the family
+  * ([[StreamDedup]] exact rows, [[SemDedupStream]] embeddings, this for
+  * the C4-style paragraph screen): each micro-batch of documents loses
+  * every paragraph already seen — in the accumulated corpus OR earlier
+  * in the batch (first occurrence by (doc, pos) wins) — and documents
+  * reassemble from their surviving paragraphs.
+  *
+  * State is a (key, batch_id) parquet table of md5 paragraph keys.
+  * Tagging keys with the batch that introduced them makes replay
+  * EXACTLY-ONCE by construction, with no marker file: the dedup
+  * decision only consults keys with `batch_id < current`, so a
+  * replayed batch (foreachBatch is at-least-once) excludes the keys
+  * its failed attempt already appended and reproduces the identical
+  * output; its re-appended keys are duplicates of identical rows,
+  * which membership semantics never notice (and [[compact]] folds
+  * away, keeping min batch_id per key — the earliest introduction,
+  * which preserves every later batch's decision).
+  *
+  * Scale shape: explode is batch-linear; the seen-lookup is an
+  * anti-join of the BATCH's keys (micro-batch sized, broadcastable)
+  * against the key store — at corpus scale hold the store
+  * key-bucketed ([[graft.warehouse.BucketedCatalog]] on `key`) so the
+  * probe partition-prunes, the same bound as
+  * [[graft.ops.Dedup.incremental]]; reassembly shuffles only the
+  * batch. Executor memory holds nothing between triggers.
+  */
+final class ParaDedupStream(spark: SparkSession, storePath: String,
+    idCol: String, textCol: String, sep: String = "\n\n") {
+
+  private var batchesSeen = 0L
+  private var parasKept = 0L
+  private var parasDropped = 0L
+
+  /** Totals since construction: (batches, paragraphs kept, dropped). */
+  def stats: (Long, Long, Long) = (batchesSeen, parasKept, parasDropped)
+
+  private def storeExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The `foreachBatch` body: returns (doc_id, clean_text, n_kept,
+    * n_dropped) for the batch — the caller sinks it — with the new
+    * paragraph keys already appended to the store. Pass foreachBatch's
+    * `batchId`; decisions consult only strictly-earlier batches, so
+    * re-running a batch id reproduces identical output. */
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    val paras = batch
+      .select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))))
+      .select(col("__id"), col("pos").cast("long").as("__pos"),
+        md5(col("col")).as("__key"), col("col").as("__para"))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__id"), col("__pos"))
+    val first = paras.withColumn("__rn", row_number().over(w))
+    val seen =
+      if (storeExists)
+        spark.read.parquet(storePath)
+          .filter(col("batch_id") < lit(batchId))
+          .select(col("key").as("__key")).distinct()
+          .withColumn("__in_corpus", lit(true))
+      else
+        spark.range(0).select(lit("").as("__key"),
+          lit(true).as("__in_corpus"))
+    // left-join marker, not anti-join: reassembly needs LOSING rows too
+    // (they count as dropped), so every paragraph keeps a row
+    val marked = first.join(seen, Seq("__key"), "left").localCheckpoint()
+    try {
+      val keep = col("__rn") === 1 && col("__in_corpus").isNull
+      val out = marked.groupBy(col("__id").as(idCol))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(keep,
+              struct(col("__pos"), col("__para"))))),
+            s => s("__para")), sep).as("clean_text"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!keep, 1L).otherwise(0L)).as("n_dropped"))
+        .localCheckpoint()
+      marked.filter(keep)
+        .select(col("__key").as("key"), lit(batchId).as("batch_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(storePath)
+      val (k, d) = {
+        val r = out.agg(sum("n_kept"), sum("n_dropped")).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      batchesSeen += 1; parasKept += k; parasDropped += d
+      out
+    } finally marked.unpersist()
+  }
+
+  /** Fold replay-duplicated keys: one row per key at its MIN batch_id
+    * (the earliest introduction — preserves every later batch's
+    * decision). Shadow-write + swap via the shared AtomicDir protocol. */
+  def compact(): Unit = {
+    if (!storeExists) return
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = spark.read.parquet(storePath)
+      .groupBy("key").agg(min("batch_id").as("batch_id"))
+      .localCheckpoint()
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "__next")
+    folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    graft.warehouse.AtomicDir.swapInto(fs,
+      new org.apache.hadoop.fs.Path(storePath), tmp)
+  }
+}
