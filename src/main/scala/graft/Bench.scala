@@ -594,6 +594,56 @@ object Bench {
     val semPhaseJson = semPhaseFmt(semPhases)
     val semBigPhaseJson = semPhaseFmt(semBigPhases)
 
+    // Streaming paragraph dedup e2e: documents (each wrapped with a
+    // corpus-wide boilerplate footer + a residue-class nav block, so
+    // every batch has real cross-batch duplicate paragraphs) through
+    // ParaDedupStream's foreachBatch body. events/s = documents decided
+    // per second.
+    val (paraSec, paraDocs, paraKept, paraDropped) = try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, concat, concat_ws, coalesce, lit}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bench_paradedup").toString
+      val docsAll = Tables.read(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" <p> ", coalesce(col("text"), lit("")),
+            lit("copyright footer all rights reserved"),
+            concat(lit("nav block "), (col("doc_id") % 7).cast("string")))
+            .as("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val nB = 5
+      val per = math.max(1, docsAll.length / nB)
+      val batches = docsAll.grouped(per).toSeq
+      val s = new graft.streaming.ParaDedupStream(spark, dir + "/keys",
+        "doc_id", "text", " <p> ")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", dir + "/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          s.processBatch(b, id).write
+            .mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(dir + "/out")
+        }
+        .start()
+      val sec = try time {
+        batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      } finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+      val (_, kept, dropped) = s.stats
+      (sec, docsAll.length.toLong, kept, dropped)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] paragraph dedup stream bench failed: ${e.getMessage}")
+        (-1.0, 0L, 0L, 0L)
+    }
+
     // Streaming trending freshness: events through the DailyRollup
     // update-mode agg + replace-by-key upsert, with a decayed trending
     // read AFTER EVERY trigger (the freshness contract — scores reflect
@@ -722,6 +772,10 @@ object Bench {
         s""""semdedup_stream_big_sec":$semBigSec,""" +
         s""""semdedup_stream_big_events_per_sec":${eps2(semBigSec, semBigEvents)},""" +
         s""""semdedup_stream_big_phase_sec":$semBigPhaseJson,""" +
+        s""""para_stream_sec":$paraSec,""" +
+        s""""para_stream_docs_per_sec":${eps2(paraSec, paraDocs)},""" +
+        s""""para_stream_kept":$paraKept,""" +
+        s""""para_stream_dropped":$paraDropped,""" +
         s""""trending_rollup_sec":$trSec,""" +
         s""""trending_rollup_events_per_sec":${eps2(trSec, trEvents)},""" +
         s""""trending_read_sec_per_query":${
