@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming MinHash near-dup dedup — the text twin of
+  * [[SemDedupStream]], completing the streaming dedup family (exact
+  * keys: [[StreamDedup]]; embeddings: [[SemDedupStream]]; paragraphs:
+  * [[ParaDedupStream]]; whole-document text near-dups: this).
+  *
+  * Per micro-batch of (id, text):
+  *
+  *  1. signatures once ([[Dedup.minHashSignaturesPortable]]);
+  *  2. candidate pairs within the batch AND against the accumulated
+  *     signature store ([[Dedup.minHashIncrementalPortable]] — banded,
+  *     batch side broadcast, the stored side never re-shingled);
+  *  3. greedy keep: a batch doc drops if it pairs with ANY corpus doc
+  *     (earlier-arrival-wins) or with a smaller-id batch doc (the batch
+  *     operator's min-id rule);
+  *  4. survivors' signatures append to the store tagged with the batch
+  *     id — the [[ParaDedupStream]] replay trick: decisions consult only
+  *     `batch_id < current`, so an at-least-once replay excludes its own
+  *     failed-attempt appends and reproduces identical output with no
+  *     marker file; [[compact]] folds replay duplicates.
+  *
+  * Scale shape: signatures are batch-linear; the cross lookup explodes
+  * band keys on BOTH sides but broadcasts only the batch — the stored
+  * side streams through the join (hold it bucketed on the band key at
+  * corpus scale). Executors hold nothing between triggers.
+  */
+final class MinHashDedupStream(spark: SparkSession, storePath: String,
+    idCol: String, textCol: String,
+    n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+    estThreshold: Double = 0.5) {
+
+  private var batchesSeen = 0L
+  private var kept = 0L
+  private var dropped = 0L
+
+  /** Totals since construction: (batches, survivors, dropped). */
+  def stats: (Long, Long, Long) = (batchesSeen, kept, dropped)
+
+  private def storeExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The `foreachBatch` body: returns the batch's surviving rows (all
+    * original columns), with survivors' signatures already appended. */
+  def processBatch(batch0: DataFrame, batchId: Long): DataFrame = {
+    val batch = batch0.localCheckpoint()
+    try {
+      val stored =
+        if (storeExists)
+          spark.read.parquet(storePath)
+            .filter(col("batch_id") < lit(batchId)).select("id", "sig")
+        else {
+          import spark.implicits._
+          Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+        }
+      val pairs = Dedup.minHashIncrementalPortable(batch, idCol, textCol,
+        stored, n, numHashes, bands, estThreshold).localCheckpoint()
+      try {
+        // a batch doc loses to a corpus doc on EITHER pair side
+        // (corpus ids can exceed batch ids), and to a smaller batch id
+        val batchIds = batch.select(col(idCol).as("__bid2")).distinct()
+        val tagged = pairs
+          .join(batchIds.select(col("__bid2").as("id_a"),
+            lit(true).as("__a_in")), Seq("id_a"), "left")
+          .join(batchIds.select(col("__bid2").as("id_b"),
+            lit(true).as("__b_in")), Seq("id_b"), "left")
+        val drops = tagged.select(
+          when(col("__a_in").isNull, col("id_b")) // corpus beat id_b
+            .when(col("__b_in").isNull, col("id_a")) // corpus beat id_a
+            .otherwise(col("id_b")) // both in batch: min-id keeps id_a
+            .as("__drop")).distinct()
+        val survivors = batch
+          .join(drops, col(idCol) === col("__drop"), "left_anti")
+          .localCheckpoint()
+        // per-trigger checkpoint blocks drain via the deferred pool (the
+        // CdcMerge soft-leak discipline) — the caller still reads them
+        graft.core.Metrics.deferUnpersist(survivors)
+        val nKept = survivors.count()
+        val total = batch.count()
+        Dedup.minHashSignaturesPortable(survivors, idCol, textCol, n,
+          numHashes)
+          .select(col("id"), col("sig"), lit(batchId).as("batch_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+        batchesSeen += 1; kept += nKept; dropped += total - nKept
+        survivors
+      } finally pairs.unpersist()
+    } finally batch.unpersist()
+  }
+
+  /** Fold replay-duplicated signature rows (one per id, min batch_id). */
+  def compact(): Unit = {
+    if (!storeExists) return
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("batch_id"))
+    val folded = spark.read.parquet(storePath)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn").localCheckpoint()
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "__next")
+    folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    graft.warehouse.AtomicDir.swapInto(fs,
+      new org.apache.hadoop.fs.Path(storePath), tmp)
+  }
+}
