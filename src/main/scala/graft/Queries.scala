@@ -4,7 +4,7 @@ import graft.cdc.Temporal
 import graft.core.Cdc
 import graft.mask.{MaskConfig, Masker}
 import graft.merge.CdcMerge
-import graft.ops.{AsOf, Dedup, Ivf, Multimodal, Packing, Sampling, SemDedup, Similarity, TextOps}
+import graft.ops.{AsOf, CorpusStats, Dedup, Ivf, Multimodal, Packing, Sampling, SemDedup, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -579,6 +579,14 @@ object Queries {
         docs(s, dir).select(col("doc_id"),
           length(coalesce(col("text"), lit(""))).as("len")),
         "doc_id", "len")),
+
+    "q_x_profile" -> ((s, dir) =>
+      // ingest data-quality screen: one aggregation pass profiles the
+      // string-stable lineitem columns (ints + flags; doubles/timestamps
+      // excluded — their string forms aren't cross-engine-identical).
+      CorpusStats.profileColumns(rd(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
 
     "q_x_temp_mix" -> ((s, dir) =>
       // GPT-3/Pile-style temperature mixing: source quotas ∝ count^0.5,
@@ -3215,6 +3223,19 @@ object Queries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    // column profile: per column n/null/distinct/min/max, min-max cast
+    // to VARCHAR (int/flag columns only — string-stable across engines)
+    "q_x_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      .map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
 
     // temperature mixing: integer milli-unit weights ⌊√n·1000⌋, then
     // pure 64-bit integer allocation (div + largest remainder, ties to

@@ -135,4 +135,35 @@ object CorpusStats {
       round(p, 6).as("p_a"), round(q, 6).as("p_b"),
       round((p - q) * (p - q) / (p + q), 6).as("drift"))
   }
+
+  /** Column profile — the data-quality screen every ingest runs before
+    * trusting a new table: per column, row count, null count, exact
+    * distinct count, and min/max (cast to string so one schema carries
+    * every column type; pick string-stable types for cross-engine
+    * value checks — ints/strings/dates, not doubles/timestamps).
+    *
+    * ONE aggregation job over the table: all columns' aggregates ride a
+    * single `agg` (Spark plans the multi-distinct via Expand — one scan,
+    * expand factor = |cols|), and the wide 1-row result explodes to the
+    * long (column, stats) form driver-side-free. At 100 TB swap
+    * `countDistinct` for `approx_count_distinct` (the [[domainStats]]
+    * trade) or profile column groups separately to bound the Expand
+    * factor; exact here so the oracle verifies values. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast(StringType).as(s"__min_$c"),
+      max(col(c)).cast(StringType).as(s"__max_$c")))
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"),
+        col(s"__max_$c").as("max_s"))): _*)).as("p"))
+      .select("p.*")
+  }
 }

@@ -189,6 +189,21 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(b == Seq((7L, 7L, false)))
   }
+
+  test("profileColumns: nulls, distinct, min/max per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10)), (2L, None, Some(10)),
+      (3L, Some("c"), None), (4L, Some("a"), Some(30)))
+      .toDF("id", "s", "v")
+    val got = CorpusStats.profileColumns(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "c")))
+    assert(got("v") == ((4L, 1L, 2L, "10", "30")))
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -387,6 +402,44 @@ class DedupSpec extends SparkSpec {
       .select("id", "term", "rank").as[(Long, String, Long)].collect().toSet
     assert(ranks.contains((1L, "shared", 2L)))
   }
+
+  test("paragraph dedup: global first occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val sep = "\n\n"
+    val docs = Seq(
+      (1L, s"alpha one${sep}shared footer${sep}alpha two"),
+      (2L, s"beta one${sep}shared footer${sep}beta two"),
+      // doc 3 repeats ITS OWN paragraph and doc 1's opener
+      (3L, s"alpha one${sep}gamma${sep}gamma"),
+      (4L, s"shared footer")) // loses everything
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text", sep)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"alpha one${sep}shared footer${sep}alpha two", 3L, 0L)))
+    assert(out(2L) == ((s"beta one${sep}beta two", 2L, 1L)))
+    // within-doc duplicate also collapses to the first occurrence
+    assert(out(3L) == ((s"gamma", 1L, 2L)))
+    assert(out(4L) == (("", 0L, 1L)))
+  }
+
+  test("frequent-paragraph strip drops every copy past the cap, keeps the rest") {
+    import spark.implicits._
+    val sep = "\n\n"
+    // 'footer' appears 3× (> maxFreq=2) → vanishes everywhere;
+    // 'gamma' appears 2× (= cap) → survives BOTH times
+    val docs = Seq(
+      (1L, s"alpha${sep}footer${sep}gamma"),
+      (2L, s"beta${sep}footer${sep}gamma"),
+      (3L, s"footer")).toDF("doc_id", "text")
+    val out = Dedup.stripFrequentParagraphs(docs, "doc_id", "text", sep,
+      maxFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"alpha${sep}gamma", 2L, 1L)))
+    assert(out(2L) == ((s"beta${sep}gamma", 2L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -451,43 +504,5 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.99, maxRows = 3)
     }
-  }
-
-  test("paragraph dedup: global first occurrence wins, docs reassemble in order") {
-    import spark.implicits._
-    val sep = "\n\n"
-    val docs = Seq(
-      (1L, s"alpha one${sep}shared footer${sep}alpha two"),
-      (2L, s"beta one${sep}shared footer${sep}beta two"),
-      // doc 3 repeats ITS OWN paragraph and doc 1's opener
-      (3L, s"alpha one${sep}gamma${sep}gamma"),
-      (4L, s"shared footer")) // loses everything
-      .toDF("doc_id", "text")
-    val out = Dedup.dedupParagraphs(docs, "doc_id", "text", sep)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(out(1L) == ((s"alpha one${sep}shared footer${sep}alpha two", 3L, 0L)))
-    assert(out(2L) == ((s"beta one${sep}beta two", 2L, 1L)))
-    // within-doc duplicate also collapses to the first occurrence
-    assert(out(3L) == ((s"gamma", 1L, 2L)))
-    assert(out(4L) == (("", 0L, 1L)))
-  }
-
-  test("frequent-paragraph strip drops every copy past the cap, keeps the rest") {
-    import spark.implicits._
-    val sep = "\n\n"
-    // 'footer' appears 3× (> maxFreq=2) → vanishes everywhere;
-    // 'gamma' appears 2× (= cap) → survives BOTH times
-    val docs = Seq(
-      (1L, s"alpha${sep}footer${sep}gamma"),
-      (2L, s"beta${sep}footer${sep}gamma"),
-      (3L, s"footer")).toDF("doc_id", "text")
-    val out = Dedup.stripFrequentParagraphs(docs, "doc_id", "text", sep,
-      maxFreq = 2)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(out(1L) == ((s"alpha${sep}gamma", 2L, 1L)))
-    assert(out(2L) == ((s"beta${sep}gamma", 2L, 1L)))
-    assert(out(3L) == (("", 0L, 1L)))
   }
 }
