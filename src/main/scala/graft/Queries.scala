@@ -511,6 +511,13 @@ object Queries {
       Dedup.minHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, estThreshold = 0.3)),
 
+    "q_x_minhash_r2" -> ((s, dir) =>
+      // the LOW-THRESHOLD banding shape DEDUP_RECALL.md measures as the
+      // only one that holds the 0.1–0.4 jaccard band (r=2: 64 hashes in
+      // 32 bands, est cut 0.15) — value-checked like its r=4 sibling.
+      Dedup.minHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, estThreshold = 0.15)),
+
     "q_x_minhash_incr" -> ((s, dir) => {
       // ingest-time NEAR-dup: corpus (id <= 400) signatures persisted to
       // the warehouse ONCE per session ([[IndexStore]]); the new batch
@@ -1923,16 +1930,19 @@ object Queries {
   private def normSql(textExpr: String): String =
     s"trim(regexp_replace(lower(coalesce($textExpr, '')), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
 
-  private val minhashOracleSql: String = {
+  private def minhashOracleSqlFor(numHashes: Int, bands: Int,
+      est: Double): String = {
     import graft.functions.Portable
     val P = Portable.P
-    val mins = (0 until 64).map(i =>
+    val rows = numHashes / bands
+    val mins = (0 until numHashes).map(i =>
       s"min((h * ${Portable.hashA(i)} + ${Portable.hashB(i)}) % $P) AS m$i")
       .mkString(",\n  ")
-    val bandCase = (0 until 16).map { b =>
-      s"WHEN $b THEN " + (0 until 4).map(k => s"m${4 * b + k}").mkString(" || ',' || ")
+    val bandCase = (0 until bands).map { b =>
+      s"WHEN $b THEN " + (0 until rows).map(k => s"m${rows * b + k}")
+        .mkString(" || ',' || ")
     }.mkString("\n      ")
-    val eq = (0 until 64)
+    val eq = (0 until numHashes)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH docs AS (
        |  SELECT doc_id,
@@ -1951,15 +1961,17 @@ object Queries {
        |    CASE r.range
        |      $bandCase
        |    END AS bucket
-       |  FROM sig, range(16) r),
+       |  FROM sig, range($bands) r),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, est_jaccard FROM (
-       |  SELECT id_a, id_b, CAST($eq AS DOUBLE) / 64 AS est_jaccard
+       |  SELECT id_a, id_b, CAST($eq AS DOUBLE) / $numHashes AS est_jaccard
        |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
-       |WHERE est_jaccard >= 0.3""".stripMargin
+       |WHERE est_jaccard >= $est""".stripMargin
   }
+
+  private val minhashOracleSql: String = minhashOracleSqlFor(64, 16, 0.3)
 
   private val simhashOracleSql: String = {
     import graft.functions.Portable
@@ -3359,6 +3371,7 @@ object Queries {
         |FROM d""".stripMargin,
 
     "q_x_minhash_lsh" -> minhashOracleSql,
+    "q_x_minhash_r2" -> minhashOracleSqlFor(64, 32, 0.15),
     // incremental = batch-mode restricted to pairs touching a new doc
     // (id_a < id_b and old ids are <= 400, so id_b > 400 ⇔ "has a new
     // side") — per-document signatures make stored and recomputed
