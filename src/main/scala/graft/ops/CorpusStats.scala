@@ -142,28 +142,28 @@ object CorpusStats {
     * every column type; pick string-stable types for cross-engine
     * value checks — ints/strings/dates, not doubles/timestamps).
     *
-    * ONE aggregation job over the table: all columns' aggregates ride a
-    * single `agg` (Spark plans the multi-distinct via Expand — one scan,
-    * expand factor = |cols|), and the wide 1-row result explodes to the
-    * long (column, stats) form driver-side-free. At 100 TB swap
+    * Plan shape: one SINGLE-distinct aggregation branch per column,
+    * unioned — each branch is a column-pruned scan with map-side
+    * partials and the planner's efficient two-level distinct rewrite.
+    * The tempting alternative (every column's `countDistinct` in ONE
+    * `agg`) plans the multi-distinct via Expand — |cols|+1 projected
+    * copies of every row through the shuffle — and measured 7.6 s where
+    * the per-column branches run 0.6 s warm on the same table (sf0.1
+    * lineitem, 6 columns, 12.7×); k cheap columnar scans beat one
+    * k×-inflated shuffle. At 100 TB swap
     * `countDistinct` for `approx_count_distinct` (the [[domainStats]]
-    * trade) or profile column groups separately to bound the Expand
-    * factor; exact here so the oracle verifies values. */
+    * trade); exact here so the oracle verifies values. */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__cnt_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
-      min(col(c)).cast(StringType).as(s"__min_$c"),
-      max(col(c)).cast(StringType).as(s"__max_$c")))
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    one.select(explode(array(cols.map(c => struct(
-        lit(c).as("column"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"__cnt_$c")).as("n_null"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_s"),
-        col(s"__max_$c").as("max_s"))): _*)).as("p"))
-      .select("p.*")
+    cols.map { c =>
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast(StringType).as("min_s"),
+          max(col(c)).cast(StringType).as("max_s"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionAll _)
   }
 }

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *  3. greedy keep: a batch doc drops if it pairs with ANY corpus doc
   *     (earlier-arrival-wins) or with a smaller-id batch doc (the batch
   *     operator's min-id rule);
-  *  4. survivors' signatures append to the store tagged with the batch
-  *     id — the [[ParaDedupStream]] replay trick: decisions consult only
-  *     `batch_id < current`, so an at-least-once replay excludes its own
+  *  4. survivors' signatures append to the store tagged with
+  *     (batch_id, lineage) — the [[ParaDedupStream]] replay trick:
+  *     decisions consult only same-lineage `batch_id < current` (other
+  *     lineages always count, so a fresh-checkpoint restart keeps the
+  *     accumulated corpus), an at-least-once replay excludes its own
   *     failed-attempt appends and reproduces identical output with no
   *     marker file; [[compact]] folds replay duplicates.
   *
@@ -32,7 +34,7 @@ import org.apache.spark.sql.functions._
 final class MinHashDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String,
     n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-    estThreshold: Double = 0.5) {
+    estThreshold: Double = 0.5, lineage: String = "default") {
 
   private var batchesSeen = 0L
   private var kept = 0L
@@ -51,10 +53,15 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
   def processBatch(batch0: DataFrame, batchId: Long): DataFrame = {
     val batch = batch0.localCheckpoint()
     try {
+      // lineage scoping (see ParaDedupStream): other lineages' signatures
+      // always count; only the current lineage gets the replay filter —
+      // a fresh-checkpoint restart (ids back at 0) must not forget the
+      // corpus its predecessor accumulated
       val stored =
         if (storeExists)
           spark.read.parquet(storePath)
-            .filter(col("batch_id") < lit(batchId)).select("id", "sig")
+            .filter(col("lineage") =!= lit(lineage) ||
+              col("batch_id") < lit(batchId)).select("id", "sig")
         else {
           import spark.implicits._
           Seq.empty[(Long, Array[Long])].toDF("id", "sig")
@@ -85,7 +92,8 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
         val total = batch.count()
         Dedup.minHashSignaturesPortable(survivors, idCol, textCol, n,
           numHashes)
-          .select(col("id"), col("sig"), lit(batchId).as("batch_id"))
+          .select(col("id"), col("sig"), lit(batchId).as("batch_id"),
+            lit(lineage).as("lineage"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .parquet(storePath)
         batchesSeen += 1; kept += nKept; dropped += total - nKept
@@ -94,13 +102,16 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
     } finally batch.unpersist()
   }
 
-  /** Fold replay-duplicated signature rows (one per id, min batch_id). */
+  /** Fold replay-duplicated signature rows (one per (id, lineage) at
+    * its min batch_id — other-lineage rows always count as corpus, so
+    * per-lineage folding preserves every decision). */
   def compact(): Unit = {
     if (!storeExists) return
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("id")).orderBy(col("batch_id"))
+    val w = Window.partitionBy(col("id"), col("lineage"))
+      .orderBy(col("batch_id"))
     val folded = spark.read.parquet(storePath)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn").localCheckpoint()

@@ -12,16 +12,20 @@ import org.apache.spark.sql.functions._
   * in the batch (first occurrence by (doc, pos) wins) — and documents
   * reassemble from their surviving paragraphs.
   *
-  * State is a (key, batch_id) parquet table of md5 paragraph keys.
-  * Tagging keys with the batch that introduced them makes replay
+  * State is a (key, batch_id, lineage) parquet table of md5 paragraph
+  * keys. Tagging keys with the batch that introduced them makes replay
   * EXACTLY-ONCE by construction, with no marker file: the dedup
-  * decision only consults keys with `batch_id < current`, so a
-  * replayed batch (foreachBatch is at-least-once) excludes the keys
-  * its failed attempt already appended and reproduces the identical
-  * output; its re-appended keys are duplicates of identical rows,
-  * which membership semantics never notice (and [[compact]] folds
-  * away, keeping min batch_id per key — the earliest introduction,
-  * which preserves every later batch's decision).
+  * decision only consults keys with `batch_id < current` FROM THE SAME
+  * `lineage`, so a replayed batch (foreachBatch is at-least-once)
+  * excludes the keys its failed attempt already appended and
+  * reproduces the identical output; its re-appended keys are
+  * duplicates of identical rows, which membership semantics never
+  * notice (and [[compact]] folds away, keeping min batch_id per
+  * (key, lineage) — the earliest introduction, which preserves every
+  * later batch's decision). Keys from OTHER lineages always count as
+  * corpus: a NEW query (fresh checkpoint — foreachBatch ids restart at
+  * 0) adopting an existing store passes a new `lineage` string and
+  * inherits everything its predecessors screened.
   *
   * Scale shape: explode is batch-linear; the seen-lookup is an
   * anti-join of the BATCH's keys (micro-batch sized, broadcastable)
@@ -32,7 +36,8 @@ import org.apache.spark.sql.functions._
   * batch. Executor memory holds nothing between triggers.
   */
 final class ParaDedupStream(spark: SparkSession, storePath: String,
-    idCol: String, textCol: String, sep: String = "\n\n") {
+    idCol: String, textCol: String, sep: String = "\n\n",
+    lineage: String = "default") {
 
   private var batchesSeen = 0L
   private var parasKept = 0L
@@ -61,10 +66,17 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__id"), col("__pos"))
     val first = paras.withColumn("__rn", row_number().over(w))
+    // lineage scoping: foreachBatch ids restart at 0 when a NEW query
+    // (fresh checkpoint) adopts an existing store — keys from OTHER
+    // lineages must always count as corpus, and only the current
+    // lineage's keys get the strictly-earlier-batch replay filter
+    // (without this, a restarted pipeline would admit every duplicate
+    // its predecessor already screened)
     val seen =
       if (storeExists)
         spark.read.parquet(storePath)
-          .filter(col("batch_id") < lit(batchId))
+          .filter(col("lineage") =!= lit(lineage) ||
+            col("batch_id") < lit(batchId))
           .select(col("key").as("__key")).distinct()
           .withColumn("__in_corpus", lit(true))
       else
@@ -85,7 +97,8 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
           sum(when(!keep, 1L).otherwise(0L)).as("n_dropped"))
         .localCheckpoint()
       marked.filter(keep)
-        .select(col("__key").as("key"), lit(batchId).as("batch_id"))
+        .select(col("__key").as("key"), lit(batchId).as("batch_id"),
+          lit(lineage).as("lineage"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(storePath)
       val (k, d) = {
@@ -98,15 +111,17 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     } finally marked.unpersist()
   }
 
-  /** Fold replay-duplicated keys: one row per key at its MIN batch_id
-    * (the earliest introduction — preserves every later batch's
-    * decision). Shadow-write + swap via the shared AtomicDir protocol. */
+  /** Fold replay-duplicated keys: one row per (key, lineage) at its MIN
+    * batch_id (the earliest introduction — preserves every later
+    * batch's decision; other-lineage rows always count as corpus, so
+    * per-lineage folding is safe and row count stays ≤ |lineages| per
+    * key). Shadow-write + swap via the shared AtomicDir protocol. */
   def compact(): Unit = {
     if (!storeExists) return
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val folded = spark.read.parquet(storePath)
-      .groupBy("key").agg(min("batch_id").as("batch_id"))
+      .groupBy("key", "lineage").agg(min("batch_id").as("batch_id"))
       .localCheckpoint()
     val tmp = new org.apache.hadoop.fs.Path(storePath + "__next")
     folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)

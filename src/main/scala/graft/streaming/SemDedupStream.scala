@@ -60,7 +60,7 @@ import org.apache.spark.sql.functions._
   */
 final class SemDedupStream(spark: SparkSession, indexPath: String,
     idCol: String, vecCol: String, threshold: Double,
-    compactEvery: Int = 16) {
+    compactEvery: Int = 16, lineage: String = "default") {
 
   private var batchesSeen = 0L
   private var appended = 0L
@@ -82,7 +82,15 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
     * replay guard + cell write, compact = cadenced rewrite). */
   def phaseTotals: Map[String, Double] = phases.toMap
 
-  private def markerPath = new Path(indexPath, "_last_applied_batch")
+  /** Marker is scoped per LINEAGE: a new streaming query (fresh
+    * checkpoint — foreachBatch ids restart at 0) adopting this index
+    * passes a new `lineage` and gets its own marker, so the fast path
+    * never skips its early batches; the id anti-join guard keeps the
+    * cross-lineage overlap exactly-once regardless. */
+  private def markerPath = new Path(indexPath,
+    if (lineage == "default") "_last_applied_batch"
+    else "_last_applied_batch_" +
+      lineage.replaceAll("[^A-Za-z0-9_.-]", "_"))
 
   private def lastApplied: Long = {
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -58,6 +58,20 @@ class MinHashDedupStreamSpec extends SparkSpec {
     assert(streamed == Seq(Set(1L, 3L), Set(5L), Set(8L)))
   }
 
+  test("fresh-checkpoint restart (new lineage) keeps the signature corpus") {
+    val dir = Files.createTempDirectory("mhstream3").toString + "/sigs"
+    val a = new MinHashDedupStream(spark, dir, "doc_id", "text",
+      estThreshold = 0.3, lineage = "run-a")
+    ids(a.processBatch(Seq((1L, txt(0, 0))).toDF("doc_id", "text"), 0L))
+    // new lineage, batch id restarts at 0: doc 2 near-dups lineage-a's
+    // doc 1 and must drop (same-lineage-only filtering would admit it)
+    val b = new MinHashDedupStream(spark, dir, "doc_id", "text",
+      estThreshold = 0.3, lineage = "run-b")
+    assert(ids(b.processBatch(
+      Seq((2L, txt(0, 1)), (3L, txt(9, 0))).toDF("doc_id", "text"), 0L))
+      == Set(3L))
+  }
+
   test("replaying a batch id reproduces identical survivors; compact folds dups") {
     val dir = Files.createTempDirectory("mhstream2").toString + "/sigs"
     val s = new MinHashDedupStream(spark, dir, "doc_id", "text",

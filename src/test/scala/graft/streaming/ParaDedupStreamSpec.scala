@@ -62,6 +62,23 @@ class ParaDedupStreamSpec extends SparkSpec {
     assert(after(4L) == ((s"four", 1L, 1L)))
   }
 
+  test("fresh-checkpoint restart (new lineage, ids back at 0) keeps the corpus") {
+    val dir = Files.createTempDirectory("parastream4").toString + "/keys"
+    val a = new ParaDedupStream(spark, dir, "doc_id", "text", sep, "run-a")
+    dump(a.processBatch(
+      Seq((1L, s"alpha${sep}boiler")).toDF("doc_id", "text"), 0L))
+    // new query lineage, batch ids restart at 0: lineage-a's keys MUST
+    // still count (same-lineage-only filtering would admit 'boiler')
+    val b = new ParaDedupStream(spark, dir, "doc_id", "text", sep, "run-b")
+    val got = dump(b.processBatch(
+      Seq((2L, s"beta${sep}boiler")).toDF("doc_id", "text"), 0L))
+    assert(got(2L) == ((s"beta", 1L, 1L)))
+    // and run-b's own replay semantics still hold
+    val replay = dump(b.processBatch(
+      Seq((2L, s"beta${sep}boiler")).toDF("doc_id", "text"), 0L))
+    assert(replay == got)
+  }
+
   test("live MemoryStream e2e through foreachBatch") {
     val dir = Files.createTempDirectory("parastream3").toString
     val s = new ParaDedupStream(spark, dir + "/keys", "doc_id", "text", sep)

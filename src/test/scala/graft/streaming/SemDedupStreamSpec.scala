@@ -133,6 +133,26 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(ph("probe") > 0 && ph("append") > 0)
   }
 
+  test("fresh-checkpoint restart (new lineage): marker does not skip, guard holds") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("semstream5").toString + "/idx"
+    seedIndex(tmp, Seq(1L -> vec(0, 0.0), 2L -> vec(1, 0.0)))
+    val a = new SemDedupStream(spark, tmp, "vec_id", "embedding",
+      threshold = 0.95, compactEvery = 0, lineage = "run-a")
+    assert(a.processBatch(df(Seq(10L -> vec(2, 0.0))), batchId = 3L) == 1)
+    // new query lineage restarts at batchId 0 ≤ run-a's marker (3) —
+    // a lineage-blind marker would silently skip this batch
+    val b = new SemDedupStream(spark, tmp, "vec_id", "embedding",
+      threshold = 0.95, compactEvery = 0, lineage = "run-b")
+    assert(b.processBatch(df(Seq(
+      20L -> vec(2, 0.01), // dups run-a's survivor 10 → dropped
+      21L -> vec(3, 0.0))), batchId = 0L) == 1)
+    assert(b.skipped == 0)
+    val ids = spark.read.parquet(tmp).select("vec_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 10L, 21L))
+  }
+
   test("live stream with compaction cadence: one file per cell after, probes unchanged") {
     val tmp = java.nio.file.Files
       .createTempDirectory("semstream3").toString + "/idx"
