@@ -602,6 +602,14 @@ object Queries {
         docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n")),
         "source", "n", alpha = 0.5, total = 1000)),
 
+    "q_x_media_jpeg" -> ((s, dir) =>
+      // REAL lossy-codec path: PNG → JPEG transcode → JPEG header read;
+      // the oracle checks the format-preserved fields (dims, gray).
+      Multimodal.jpegTranscode(
+        docs(s, dir).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).as("len")),
+        "doc_id", "len")),
+
     "q_x_media_mp4" -> ((s, dir) =>
       // REAL container parsing: a valid ISO-BMFF box tree synthesized
       // from (doc_id, len), then parsed back header-only (moov walk) —
@@ -3276,6 +3284,15 @@ object Queries {
         |    THEN alloc + CASE WHEN rk <= 1000 - atot THEN 1 ELSE 0 END
         |    ELSE 0 END AS BIGINT) AS quota
         |FROM r""".stripMargin,
+
+    // real JPEG transcode: dims and gray single-component survive the
+    // lossy codec; the boolean pins the real SOI-marked JPEG bytes
+    "q_x_media_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(len(coalesce(text, '')) % 48 + 8 AS INT) AS width,
+        |  CAST(doc_id % 32 + 8 AS INT) AS height,
+        |  1 AS channels, TRUE AS is_jpeg
+        |FROM documents""".stripMargin,
 
     // real ISO-BMFF round trip: the box walk is byte-exact, so every
     // parsed moov field is a closed-form function of (doc_id, len)

@@ -483,6 +483,38 @@ object Multimodal {
       }(Encoders.row(out))
   }
 
+  /** Real JPEG transcode path, oracle-checkable on the lossless fields:
+    * synthesize a gray PNG (closed-form dims), TRANSCODE it to JPEG via
+    * the real ImageIO writer, and read the JPEG header back. Pixel
+    * values are lossy (that is what JPEG is), so the oracle checks what
+    * the format preserves — dimensions, single-component gray — plus
+    * that the payload really is JPEG (SOI marker) and decodes. */
+  def jpegTranscode(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("channels", IntegerType),
+      StructField("is_jpeg", BooleanType)))
+    df.select(col(idCol).cast(LongType), col(lenCol).cast(LongType))
+      .mapPartitions { rows =>
+        ImageIoCodec.open()
+        registerClose(ImageIoCodec)
+        rows.map { r =>
+          val id = r.getLong(0); val len = r.getLong(1)
+          val w = (len % 48 + 8).toInt
+          val h = (id % 32 + 8).toInt
+          val png = ImageIoCodec.encodeGrayPng(w, h,
+            (x, y) => (x * 5 + y * 3) % 256)
+          val img = ImageIoCodec.decode(png)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val jpg = bos.toByteArray
+          val (dw, dh, ch) = ImageIoCodec.imageDims(jpg)
+          Row(id, dw, dh, ch,
+            (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+        }
+      }(Encoders.row(out))
+  }
+
   /** Real WAV round trip, oracle-checkable end to end — the audio twin
     * of [[imageIoRoundTrip]]: per row, synthesize 16-bit PCM mono at
     * 16 kHz with n = len%1000+50 samples, s_i = id%1000 + 15·i (max
