@@ -99,6 +99,16 @@ class ImageIoCodecSpec extends SparkSpec {
     }
   }
 
+  test("jpegTranscode: real lossy transcode preserves dims + gray, emits true JPEG") {
+    import spark.implicits._
+    val got = Multimodal.jpegTranscode(
+      Seq((3L, 100L), (40L, 0L)).toDF("doc_id", "len"), "doc_id", "len")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(got(3L) == (((100 % 48 + 8), (3 % 32 + 8), 1, true)))
+    assert(got(40L) == ((8, (40 % 32 + 8), 1, true)))
+  }
+
   test("Spark feature pass runs the real codec per partition") {
     import spark.implicits._
     val rows = Seq(
