@@ -1272,6 +1272,17 @@ object Queries {
         "embedding", coarse, cbRes, q, topK = 20, nprobe = 2)
     }),
 
+    "q_x_ivf_drift" -> ((s, dir) => {
+      // retrain trigger: occupancy drift of a "new batch" (every 10th
+      // vector by id — a deterministic, scale-free 10% slice re-assigned
+      // under the frozen stored model) vs the persisted index's cells.
+      import graft.ops.Ivf
+      val emb = rd(s, dir, "embeddings")
+      val idx = IndexStore.annIvf(s, dir)
+      Ivf.cellDrift(s, idx.path, emb.filter(col("vec_id") % 10 === 3),
+        "embedding")
+    }),
+
     "q_x_ann_probe_many" -> ((s, dir) => {
       // batched serving: ONE pruned scan answers a whole query batch
       // (Ivf.probeMany) — at corpus scale the per-query probe cost
@@ -2736,6 +2747,32 @@ object Queries {
 
   private[graft] def rawOracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
+
+    // retrain-trigger drift: replayed training + assignment give both
+    // distributions; the per-cell statistic is histogramDrift's
+    // (p−q)²/(p+q) with round-6, already replay-proven by q_x_drift
+    "q_x_ivf_drift" ->
+      s"""WITH $ivfTrainCtes,
+         |${ivfAssignBlock("af", "c2", "")},
+         |i AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_index
+         |      FROM af WHERE vec_id <> 0 GROUP BY cell),
+         |b AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
+         |      FROM af WHERE vec_id % 10 = 3 GROUP BY cell),
+         |t AS (SELECT (SELECT sum(n_index) FROM i) AS ti,
+         |             (SELECT sum(n_batch) FROM b) AS tb),
+         |j AS (
+         |  SELECT coalesce(i.cell, b.cell) AS cell,
+         |    coalesce(n_index, 0) AS n_index,
+         |    coalesce(n_batch, 0) AS n_batch
+         |  FROM i FULL OUTER JOIN b ON i.cell = b.cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_index, n_batch,
+         |  round(n_index / CAST(ti AS DOUBLE), 6) AS p_index,
+         |  round(n_batch / CAST(tb AS DOUBLE), 6) AS p_batch,
+         |  round((n_index / CAST(ti AS DOUBLE) - n_batch / CAST(tb AS DOUBLE))
+         |        * (n_index / CAST(ti AS DOUBLE) - n_batch / CAST(tb AS DOUBLE))
+         |        / (n_index / CAST(ti AS DOUBLE) + n_batch / CAST(tb AS DOUBLE)),
+         |    6) AS drift
+         |FROM j, t""".stripMargin,
     "q_x_ann_pq" -> pqOracleSql,
     "q_x_ann_pq_refined" -> pqRefinedOracleSql,
     "q_x_ann_ivfpq" -> ivfPqOracleSql,

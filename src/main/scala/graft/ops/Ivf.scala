@@ -357,6 +357,46 @@ object Ivf {
     Similarity.bruteForceTopK(pruned, idCol, vecCol, query, k)
   }
 
+  /** Retrain trigger — makes the "re-train + re-index when drift
+    * accumulates" maintenance promise OPERATIONAL: occupancy drift
+    * between the stored index's cell distribution and a new batch
+    * assigned under the same frozen model. Per cell, the squared-
+    * Hellinger-style term (p−q)²/(p+q) over the two occupancy fractions
+    * (the [[CorpusStats.histogramDrift]] statistic applied to cells);
+    * Σ drift near 0 = the batch looks like the indexed corpus, growing
+    * mass on few cells = the distribution is sliding off the trained
+    * geometry and probe quality will follow — schedule the retrain.
+    *
+    * Cost: one metadata-cheap count-by-partition scan of the index
+    * (column-pruned — no vectors read) + one assignment pass over the
+    * BATCH (micro-batch sized). Output is O(k) rows. */
+  def cellDrift(spark: SparkSession, indexPath: String, batch: DataFrame,
+      vecCol: String): DataFrame = {
+    val model = loadModel(spark, indexPath)
+    val idx = spark.read.parquet(indexPath)
+      .groupBy(col(CellCol).cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_index"))
+    val b = assign(batch, vecCol, model)
+      .groupBy(col("__cluster").as("cell"))
+      .agg(count(lit(1)).as("n_batch"))
+    // totals are bounded driver scalars (the centroid-literal class);
+    // fail loudly on degenerate inputs — an empty batch would otherwise
+    // surface as an ANSI divide-by-zero deep in the fraction math
+    val ti = idx.agg(sum("n_index")).head().getLong(0)
+    val tb = batch.count()
+    require(ti > 0, s"index at $indexPath is empty")
+    require(tb > 0, "drift needs a non-empty batch")
+    val joined = idx.join(b, Seq("cell"), "full_outer")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+    val p = col("n_index").cast("double") / lit(ti.toDouble)
+    val q = col("n_batch").cast("double") / lit(tb.toDouble)
+    joined.select(col("cell"), col("n_index"), col("n_batch"),
+      round(p, 6).as("p_index"), round(q, 6).as("p_batch"),
+      round((p - q) * (p - q) / (p + q), 6).as("drift"))
+  }
+
   /** Layout maintenance after many [[indexAppend]]s: each append adds one
     * file per touched cell, so a long-running ingest accumulates small
     * files exactly like any streaming sink. Rewrite one-file-per-cell via
