@@ -1272,6 +1272,21 @@ object Queries {
         "embedding", coarse, cbRes, q, topK = 20, nprobe = 2)
     }),
 
+    "q_x_ann_sq8" -> ((s, dir) => {
+      // SQ8 scalar quantization: per-dim min/max train, uint8 encode,
+      // dequantized-cosine top-k — the 4×-compression serving point
+      // before PQ's 32×; every step is replayable double arithmetic.
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val m = Pq.sq8Train(emb, "embedding")
+      val codes = Pq.sq8Encode(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", m)
+      Pq.sq8TopK(codes, "vec_id", "codes", m, q, topK = 20)
+    }),
+
     "q_x_ivf_drift" -> ((s, dir) => {
       // retrain trigger: occupancy drift of a "new batch" (every 10th
       // vector by id — a deterministic, scale-free 10% slice re-assigned
@@ -2747,6 +2762,44 @@ object Queries {
 
   private[graft] def rawOracles: Map[String, String] = Map(
     "q_x_ann_ivf" -> ivfOracleSql,
+
+    // SQ8 replay: per-dim min/max → scale lists, floor(x+0.5) uint8
+    // codes, dequantized cosine — same sequential double arithmetic
+    // (list_inner_product ≡ the codegen'd dot, proven by q_x_ann_cosine)
+    "q_x_ann_sq8" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |mm AS (
+        |  SELECT j.range AS pos,
+        |    min(e[CAST(j.range + 1 AS INT)]) AS mn,
+        |    max(e[CAST(j.range + 1 AS INT)]) AS mx
+        |  FROM v, range(64) j GROUP BY j.range),
+        |ms AS (
+        |  SELECT list(mn ORDER BY pos) AS mns,
+        |    list((mx - mn) / 255.0 ORDER BY pos) AS scs
+        |  FROM mm),
+        |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        |vh AS (
+        |  SELECT v.vec_id,
+        |    list_transform(range(1, 65), j ->
+        |      ms.mns[CAST(j AS INT)] + ms.scs[CAST(j AS INT)] *
+        |        CASE WHEN ms.scs[CAST(j AS INT)] > 0
+        |          THEN least(255, greatest(0,
+        |            CAST(floor((v.e[CAST(j AS INT)] - ms.mns[CAST(j AS INT)])
+        |              / ms.scs[CAST(j AS INT)] + 0.5) AS INT)))
+        |          ELSE 0 END) AS vhat
+        |  FROM v, ms WHERE v.vec_id <> 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_inner_product(vhat, vhat))
+        |            * sqrt(list_inner_product(qe, qe)) > 0
+        |      THEN list_inner_product(vhat, qe)
+        |           / (sqrt(list_inner_product(vhat, vhat))
+        |              * sqrt(list_inner_product(qe, qe)))
+        |      ELSE 0.0 END AS est_cosine
+        |  FROM vh, q)
+        |SELECT vec_id, est_cosine FROM s
+        |ORDER BY est_cosine DESC, vec_id LIMIT 20""".stripMargin,
 
     // retrain-trigger drift: replayed training + assignment give both
     // distributions; the per-cell statistic is histogramDrift's

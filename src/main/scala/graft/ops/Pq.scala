@@ -483,4 +483,71 @@ object Pq {
     refineExact(vectors, idCol, vecCol,
       probeIndexed(spark, path, idCol, query, shortlist, nprobe),
       query, topK, shortlist)
+
+  // ---- SQ8 scalar quantization ----------------------------------------
+
+  /** Per-dimension uint8 quantization model: 4× compression at one
+    * arithmetic op per dimension (vs PQ's 32× at one table lookup per
+    * subspace) — the FAISS `SQ8` point on the compression/recall curve,
+    * the usual first stop before PQ because its reconstruction error is
+    * per-dimension-bounded and needs no codebook training. `scales` is
+    * (max−min)/255 per dimension; a constant dimension scales to 0 and
+    * encodes as code 0. */
+  final case class Sq8Model(mins: Array[Double], scales: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** One aggregation pass: per-dimension min/max (driver artifact,
+    * 2×dim doubles — the centroid-literal class). */
+  def sq8Train(df: DataFrame, vecCol: String): Sq8Model = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val aggs = (0 until dim).flatMap(j => Seq(
+      min(element_at(col(vecCol), j + 1).cast("double")).as(s"mn$j"),
+      max(element_at(col(vecCol), j + 1).cast("double")).as(s"mx$j")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = Array.tabulate(dim)(j => r.getDouble(2 * j))
+    val scales = Array.tabulate(dim)(j =>
+      (r.getDouble(2 * j + 1) - r.getDouble(2 * j)) / 255.0)
+    Sq8Model(mins, scales)
+  }
+
+  /** Encode vectors to uint8 codes — a pure projection (two-arg
+    * `transform` with the model as literal arrays): code_j =
+    * ⌊(v_j − min_j)/scale_j + 0.5⌋ clamped to [0, 255] (floor(x+0.5),
+    * not round() — half-up vs half-even rounding differs across
+    * engines, floor does not). */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String,
+      m: Sq8Model): DataFrame = {
+    val mins = array(m.mins.map(lit(_)): _*)
+    val scales = array(m.scales.map(lit(_)): _*)
+    df.select(col(idCol),
+      transform(col(vecCol), (x, i) => {
+        val s = element_at(scales, i + 1)
+        when(s > 0, least(lit(255),
+          greatest(lit(0),
+            floor((x.cast("double") - element_at(mins, i + 1)) / s + 0.5)
+              .cast("int"))))
+          .otherwise(lit(0))
+      }).as("codes"))
+  }
+
+  /** Approximate cosine top-k over SQ8 codes: dequantize per row
+    * (v̂_j = min_j + scale_j·code_j — a pure projection, no codebook
+    * join) and score against the query. The scan reads 1 byte/dim
+    * instead of 4; the arithmetic stays one codegen'd span ending in
+    * TakeOrdered. Exact re-rank composes exactly like [[adcRefineTopK]]
+    * when the estimate orders a shortlist. */
+  def sq8TopK(codes: DataFrame, idCol: String, codesCol: String,
+      m: Sq8Model, query: Array[Double], topK: Int): DataFrame = {
+    val mins = array(m.mins.map(lit(_)): _*)
+    val scales = array(m.scales.map(lit(_)): _*)
+    val q = typedlit(query.toSeq)
+    val vhat = transform(col(codesCol), (c, i) =>
+      element_at(mins, i + 1) +
+        element_at(scales, i + 1) * c.cast("double"))
+    val scored = codes.select(col(idCol), vhat.as("__vhat"))
+      .select(col(idCol),
+        Similarity.cosine(col("__vhat"), q).as("est_cosine"))
+    scored.orderBy(col("est_cosine").desc, col(idCol)).limit(topK)
+  }
 }

@@ -41,6 +41,9 @@ object AnnRecall {
       k = 8, iters = 2)
     val cbRes = Pq.trainResidual(emb, "vec_id", "embedding", coarse,
       m = 4, dsub = 16, k = 8, iters = 2)
+    val sq8 = Pq.sq8Train(emb, "embedding")
+    val sq8Codes = Pq.sq8Encode(emb, "vec_id", "embedding", sq8).cache()
+    sq8Codes.count()
 
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
@@ -63,6 +66,9 @@ object AnnRecall {
       "ivf nprobe=4 (API DEFAULT, served)" -> ((qid, q) => ids(Ivf.topK(
         emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", coarse,
         q, k))),
+      "sq8 (scalar uint8, dequant cosine, 4x)" -> ((qid, q) =>
+        ids(Pq.sq8TopK(sq8Codes.filter(col("vec_id") =!= qid), "vec_id",
+          "codes", sq8, q, k))),
       "pq adc (L2 rank)" -> ((qid, q) => ids(Pq.adcTopK(
         emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", cb,
         q, k))),

@@ -274,4 +274,32 @@ class IvfSpec extends SparkSpec {
     assert(viaAppend == viaFull)
     assert(viaAppend.map(_.getLong(0)).forall(_ >= 20L)) // right cluster
   }
+
+  test("cellDrift: balanced batch near zero, one-sided batch concentrates drift") {
+    import org.apache.spark.sql.functions.col
+    val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_drift").toString + "/idx"
+    Ivf.index(vecs, "embedding", m, path)
+    // a batch mirroring the corpus: both cells, same 50/50 shape
+    val balanced = Ivf.cellDrift(spark, path,
+      vecs.filter(col("vec_id") % 2 === 0), "embedding")
+      .select("cell", "drift").as[(Long, Double)].collect().toMap
+    assert(balanced.size == 2 && balanced.values.forall(_ < 0.01),
+      s"balanced batch must not drift: $balanced")
+    // a batch entirely from ONE cluster: that cell's share doubles,
+    // the other's collapses to zero — drift mass appears on both
+    val skewed = Ivf.cellDrift(spark, path,
+      vecs.filter(col("vec_id") < 20), "embedding")
+      .select("cell", "n_batch", "drift").as[(Long, Long, Double)]
+      .collect()
+    assert(skewed.exists(r => r._2 == 0 && r._3 > 0.3),
+      s"emptied cell must carry drift: ${skewed.toSeq}")
+    assert(skewed.map(_._3).sum > 0.3, s"total drift: ${skewed.toSeq}")
+    // degenerate inputs fail loudly, not with a deep ANSI div-by-zero
+    intercept[IllegalArgumentException] {
+      Ivf.cellDrift(spark, path, vecs.filter(col("vec_id") < 0),
+        "embedding").collect()
+    }
+  }
 }

@@ -312,4 +312,48 @@ class PqSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("sq8: codes in [0,255], reconstruction within half a step, degenerate dim -> 0") {
+    // dim 0 spans [-3, 5], dim 1 is CONSTANT (scale 0), dim 2 spans [0, 1]
+    val rows = Seq(
+      (1L, Array(-3f, 7f, 0f)), (2L, Array(5f, 7f, 1f)),
+      (3L, Array(1f, 7f, 0.5f)), (4L, Array(0.25f, 7f, 0.33f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pq.sq8Train(df, "embedding")
+    assert(m.mins.toSeq == Seq(-3.0, 7.0, 0.0))
+    assert(m.scales(1) == 0.0)
+    val codes = Pq.sq8Encode(df, "vec_id", "embedding", m)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // extremes hit the rail codes exactly; the constant dim encodes 0
+    assert(codes(1L) == Seq(0, 0, 0) && codes(2L)(0) == 255 &&
+      codes(2L)(2) == 255)
+    // reconstruction error bound: |v − (min + scale·code)| ≤ scale/2
+    for ((id, v) <- rows; j <- 0 until 3 if m.scales(j) > 0) {
+      val vh = m.mins(j) + m.scales(j) * codes(id)(j)
+      assert(math.abs(v(j) - vh) <= m.scales(j) / 2 + 1e-9,
+        s"id=$id dim=$j v=${v(j)} vhat=$vh")
+    }
+  }
+
+  test("sq8TopK: dequantized ranking matches exact brute force on angle-separated data") {
+    // vectors at distinct angles in a 2-D subspace (well-separated in
+    // cosine, unlike scalar multiples which all tie at 1.0): id i sits
+    // at angle i·10°, the query at 0° — exact top-5 is ids 0..4
+    val angled = (0 until 18).map { i =>
+      val t = math.toRadians(i * 10.0)
+      (i.toLong, Array(math.cos(t).toFloat, math.sin(t).toFloat, 0.3f, 0.3f))
+    }.toDF("vec_id", "embedding")
+    val m = Pq.sq8Train(angled, "embedding")
+    val codes = Pq.sq8Encode(angled, "vec_id", "embedding", m)
+    val q = Array(1.0, 0.0, 0.3, 0.3)
+    val approx = Pq.sq8TopK(codes, "vec_id", "codes", m, q, topK = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.bruteForceTopK(angled, "vec_id", "embedding",
+      q, 5).select("vec_id").as[Long].collect().toSeq
+    // 10° separation dwarfs the 1/255-step reconstruction error: the
+    // ORDERED top-5 survives quantization
+    assert(approx == exact && exact == Seq(0L, 1L, 2L, 3L, 4L),
+      s"approx=$approx exact=$exact")
+  }
 }
