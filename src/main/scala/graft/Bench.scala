@@ -625,6 +625,9 @@ object Bench {
           s.processBatch(b, id).write
             .mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(dir + "/out")
+          // the sink was the terminal action — free this trigger's
+          // deferred checkpoint blocks before the next one
+          graft.core.Metrics.drainUnpersist()
         }
         .start()
       val sec = try time {

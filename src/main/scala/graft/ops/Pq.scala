@@ -505,6 +505,7 @@ object Pq {
       min(element_at(col(vecCol), j + 1).cast("double")).as(s"mn$j"),
       max(element_at(col(vecCol), j + 1).cast("double")).as(s"mx$j")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.isNullAt(0), "sq8Train needs a non-empty corpus")
     val mins = Array.tabulate(dim)(j => r.getDouble(2 * j))
     val scales = Array.tabulate(dim)(j =>
       (r.getDouble(2 * j + 1) - r.getDouble(2 * j)) / 255.0)

@@ -49,7 +49,9 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
   }
 
   /** The `foreachBatch` body: returns the batch's surviving rows (all
-    * original columns), with survivors' signatures already appended. */
+    * original columns), with survivors' signatures already appended.
+    * The result rides a deferred localCheckpoint — call
+    * `graft.core.Metrics.drainUnpersist()` after sinking it. */
   def processBatch(batch0: DataFrame, batchId: Long): DataFrame = {
     val batch = batch0.localCheckpoint()
     try {

@@ -55,7 +55,11 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     * n_dropped) for the batch — the caller sinks it — with the new
     * paragraph keys already appended to the store. Pass foreachBatch's
     * `batchId`; decisions consult only strictly-earlier batches, so
-    * re-running a batch id reproduces identical output. */
+    * re-running a batch id reproduces identical output. The returned
+    * frame rides a deferred localCheckpoint: call
+    * `graft.core.Metrics.drainUnpersist()` after sinking it (the
+    * CdcStream per-trigger discipline), or a resident stream
+    * accumulates checkpoint blocks. */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val paras = batch
       .select(col(idCol).as("__id"),
@@ -96,6 +100,10 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
           sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
           sum(when(!keep, 1L).otherwise(0L)).as("n_dropped"))
         .localCheckpoint()
+      // the caller still reads `out` after we return — release its
+      // blocks via the deferred pool (the CdcMerge soft-leak
+      // discipline), not an eager unpersist
+      graft.core.Metrics.deferUnpersist(out)
       marked.filter(keep)
         .select(col("__key").as("key"), lit(batchId).as("batch_id"),
           lit(lineage).as("lineage"))
