@@ -43,9 +43,15 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, survivors, dropped). */
   def stats: (Long, Long, Long) = (batchesSeen, kept, dropped)
 
+  /** Existence check doubles as crash recovery (single-writer store —
+    * see [[ParaDedupStream]]'s note): a [[compact]] interrupted
+    * mid-swap leaves the signatures in `__old`; reading without
+    * recovering would silently empty the corpus. */
   private def storeExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(storePath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.warehouse.AtomicDir.recover(fs, p)
+    fs.exists(p)
   }
 
   /** The `foreachBatch` body: returns the batch's surviving rows (all

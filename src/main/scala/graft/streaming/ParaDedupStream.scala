@@ -46,9 +46,16 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, paragraphs kept, dropped). */
   def stats: (Long, Long, Long) = (batchesSeen, parasKept, parasDropped)
 
+  /** Existence check doubles as crash recovery: this stream is the
+    * store's single writer, so a [[compact]] interrupted between the
+    * swap renames (store stranded in `__old`) is finished here — read
+    * without recovering and the corpus would silently look empty,
+    * readmitting every duplicate it ever screened. */
   private def storeExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(storePath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.warehouse.AtomicDir.recover(fs, p)
+    fs.exists(p)
   }
 
   /** The `foreachBatch` body: returns (doc_id, clean_text, n_kept,

@@ -62,6 +62,25 @@ class ParaDedupStreamSpec extends SparkSpec {
     assert(after(4L) == ((s"four", 1L, 1L)))
   }
 
+  test("compact crash mid-swap: the stranded store recovers, corpus not forgotten") {
+    val base = Files.createTempDirectory("parastream5").toString
+    val dir = base + "/keys"
+    val s = new ParaDedupStream(spark, dir, "doc_id", "text", sep)
+    dump(s.processBatch(
+      Seq((1L, s"one${sep}boiler")).toDF("doc_id", "text"), 0L))
+    // simulate a compact() that crashed between the two swap renames:
+    // the live store is stranded aside as __old, the target is gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    // next trigger must finish the swap and still know 'boiler'
+    val got = dump(s.processBatch(
+      Seq((2L, s"two${sep}boiler")).toDF("doc_id", "text"), 1L))
+    assert(got(2L) == ((s"two", 1L, 1L)),
+      "a stranded store must not forget the screened corpus")
+  }
+
   test("fresh-checkpoint restart (new lineage, ids back at 0) keeps the corpus") {
     val dir = Files.createTempDirectory("parastream4").toString + "/keys"
     val a = new ParaDedupStream(spark, dir, "doc_id", "text", sep, "run-a")
