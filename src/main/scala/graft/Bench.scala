@@ -59,6 +59,44 @@ object Bench {
     // the builds ran — discount index_build_sec accordingly.
     val canaryPreBuild = canarySec()
 
+    // --- section harness: every post-catalog section is bracketed by
+    // canary samples and wall-clock timestamps; a section whose
+    // bracketing canary delta exceeds ±rerunPct gets ONE automatic
+    // rerun (r11's official stream window was ~5x host-polluted and
+    // only the canary hinted at it — the bench now self-heals, and a
+    // section whose SECOND bracket is still skewed carries a `skewed`
+    // flag so the round artifact ships its own discount notice).
+    // Bodies are rerun-safe: each creates and removes its own temp
+    // dirs, and failures already resolve to sentinel values in-body.
+    final case class SectionMeta(name: String, startMs: Long, endMs: Long,
+      canaryBefore: Double, canaryAfter: Double, rerun: Boolean,
+      skewed: Boolean)
+    val sectionMetas = scala.collection.mutable.ArrayBuffer[SectionMeta]()
+    val rerunPct =
+      sys.env.getOrElse("SPARK_GRAFT_SECTION_RERUN_PCT", "15").toDouble
+    var lastCanary = canaryPreBuild
+    def section[A](name: String)(body: => A): A = {
+      def skewedAt(before: Double, after: Double): Boolean =
+        before > 0 && after > 0 &&
+          math.abs(100.0 * (after - before) / before) > rerunPct
+      val t0 = System.currentTimeMillis()
+      var res = body
+      var end = System.currentTimeMillis()
+      var c = canarySec()
+      if (rerunPct > 0 && skewedAt(lastCanary, c)) {
+        val before2 = c
+        res = body
+        end = System.currentTimeMillis()
+        c = canarySec()
+        sectionMetas += SectionMeta(name, t0, end, lastCanary, c,
+          rerun = true, skewed = skewedAt(before2, c))
+      } else
+        sectionMetas += SectionMeta(name, t0, end, lastCanary, c,
+          rerun = false, skewed = false)
+      lastCanary = c
+      res
+    }
+
     // Persisted-index builds run ONCE per session (IndexStore memoizes)
     // and are reported as their own metric: the indexed catalog entries
     // (q_x_ann_*_pruned, q_x_minhash_incr) then time the PROBE — the
@@ -131,6 +169,7 @@ object Bench {
     // JSON null when either measurement failed — a -1.0 sentinel would
     // read as a plausible small negative delta and hide the failure
     val canaryDeltaPct: String = deltaPct(canaryStart, canaryEnd)
+    lastCanary = canaryEnd
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
     // through envelope transform → hash mask → SCD-1 merge.
@@ -143,7 +182,8 @@ object Bench {
         col("c_custkey").cast("string").as("user_id"),
         format_string("%.2f", col("c_acctbal")).as("value"))
     }
-    val (cdcSec, nEvents) = {
+    val ((cdcSec, nEvents), (phases, phasesTotal)) = section("cdc") {
+    val cdcMergeRes = {
       val stage0 = SparkEntry.queries("q_p_envelope_cdc")(spark, sfDir)
       val masker = cdcMasker
       val target = cdcTarget
@@ -163,7 +203,6 @@ object Bench {
       }
       (secs.minOption.getOrElse(-1.0), n)
     }
-    val eps = if (cdcSec > 0) nEvents / cdcSec else 0.0
 
     // Per-phase merge timings — the reference's loader histogram phases
     // (BASELINE.md: dedupe, deletecommon, deleteop, copytarget).
@@ -178,7 +217,7 @@ object Bench {
     // the fused single-job plan, which is faster than the instrumented
     // run precisely by the phase-materialization cost the breakdown
     // opts into (see Metrics doc).
-    val (phases, phasesTotal) = try {
+    val cdcPhasesRes = try {
       import graft.core.Metrics
       import graft.merge.CdcMerge
       val stagePlan = cdcMasker(
@@ -211,6 +250,9 @@ object Bench {
         System.err.println(s"[bench] phase timing failed: ${e.getMessage}")
         (Seq.empty[(String, Double)], -1.0)
     }
+    (cdcMergeRes, cdcPhasesRes)
+    } // section("cdc")
+    val eps = if (cdcSec > 0) nEvents / cdcSec else 0.0
     val phaseJson = phases.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
@@ -218,8 +260,9 @@ object Bench {
     // showed cdc_zipf/skew 3x slower than the same code's local run, and
     // the catalog-loop brackets (canary_end → canary_post_stream) span
     // everything after the loop, so they couldn't say WHICH section the
-    // contention hit. One sample per section boundary localizes it.
-    val canaryPostCdc = canarySec()
+    // contention hit. One sample per section boundary localizes it —
+    // taken by the section harness, which also owns the rerun decision.
+    val canaryPostCdc = lastCanary
 
     // CDC merge under key skew: the SAME decode → merge path, but the
     // batch's ids drawn zipf(1.2) from a fixed 20k universe (top id ~8%
@@ -232,7 +275,7 @@ object Bench {
     // supposed to absorb.
     val skewEvents =
       sys.env.getOrElse("SPARK_GRAFT_SKEW_EVENTS", "100000").toInt
-    val (skewZipfEps, skewUniformEps) = try {
+    val (skewZipfEps, skewUniformEps) = section("skew") { try {
       import graft.streaming.{CdcLoadGen, CdcStream}
       import spark.implicits._
       val universe = 20000
@@ -275,10 +318,10 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] skew bench failed: ${e.getMessage}")
         (0.0, 0.0)
-    }
+    } }
     // canary after the skew section (delta vs canary_post_cdc isolates
     // the zipf/uniform merge window specifically)
-    val canaryPostSkew = canarySec()
+    val canaryPostSkew = lastCanary
 
     // Store rewrite proportionality — the claim behind BucketedCatalog,
     // measured in the regime it exists for. A PK-hash-bucketed store
@@ -310,7 +353,7 @@ object Bench {
     val storeRows =
       sys.env.getOrElse("SPARK_GRAFT_STORE_ROWS", "400000").toInt
     val storeBatch = 10000
-    val storeMerge: Map[String, Double] = try {
+    val storeMerge: Map[String, Double] = section("store") { try {
       val nB = 64
       val target = spark.range(storeRows.toLong).selectExpr(
         "cast(id as string) as id", "concat('n', id) as name",
@@ -369,11 +412,11 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] store merge bench failed: ${e.getMessage}")
-        Map.empty
-    }
+        Map.empty[String, Double]
+    } }
     // canary after the store-merge section (so the final post-stream
     // bracket covers ONLY the streaming window)
-    val canaryPostStore = canarySec()
+    val canaryPostStore = lastCanary
 
     // Streaming end-to-end throughput: the SAME processBatch the batch
     // metric above exercises, but driven through MemoryStream micro-batch
@@ -479,32 +522,43 @@ object Bench {
           System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
           (-1.0, 0L, Map.empty[String, Double])
       }
-    val (streamSec, streamEvents, streamPhases) =
-      streamBench(plainStore, streamBatches, streamPerBatch)
-    val (streamBktSec, streamBktEvents, streamBktPhases) =
-      streamBench(bucketedStore, streamBatches, streamPerBatch)
-    val (streamMorSec, streamMorEvents, streamMorPhases) =
-      streamBench(morStore, streamBatches, streamPerBatch)
-    // phase-attribution runs (breakdown ON): separate from the headline
-    // so trigger-cost attribution and sustained throughput never share
-    // one number; the ON-vs-OFF wall gap IS the attribution overhead
-    val (streamOnSec, _, streamOnPhases) =
-      streamBench(plainStore, streamBatches, streamPerBatch, breakdown = true)
-    val (streamBktOnSec, _, streamBktOnPhases) =
-      streamBench(bucketedStore, streamBatches, streamPerBatch,
-        breakdown = true)
-    val (streamMorOnSec, _, streamMorOnPhases) =
-      streamBench(morStore, streamBatches, streamPerBatch, breakdown = true)
     val bigBatches =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BIG_BATCHES", "4").toInt
     val bigPerBatch =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BIG_EVENTS", "50000").toInt
-    val (streamBigSec, streamBigEvents, _) =
-      streamBench(plainStore, bigBatches, bigPerBatch)
-    val (streamBktBigSec, streamBktBigEvents, _) =
-      streamBench(bucketedStore, bigBatches, bigPerBatch)
-    val (streamMorBigSec, streamMorBigEvents, _) =
-      streamBench(morStore, bigBatches, bigPerBatch)
+    val ((streamSec, streamEvents, streamPhases),
+      (streamBktSec, streamBktEvents, streamBktPhases),
+      (streamMorSec, streamMorEvents, streamMorPhases),
+      (streamOnSec, streamOnPhases),
+      (streamBktOnSec, streamBktOnPhases),
+      (streamMorOnSec, streamMorOnPhases),
+      (streamBigSec, streamBigEvents),
+      (streamBktBigSec, streamBktBigEvents),
+      (streamMorBigSec, streamMorBigEvents)) = section("stream") {
+      val plain = streamBench(plainStore, streamBatches, streamPerBatch)
+      val bkt = streamBench(bucketedStore, streamBatches, streamPerBatch)
+      val mor = streamBench(morStore, streamBatches, streamPerBatch)
+      // phase-attribution runs (breakdown ON): separate from the headline
+      // so trigger-cost attribution and sustained throughput never share
+      // one number; the ON-vs-OFF wall gap IS the attribution overhead
+      val plainOn =
+        streamBench(plainStore, streamBatches, streamPerBatch,
+          breakdown = true)
+      val bktOn =
+        streamBench(bucketedStore, streamBatches, streamPerBatch,
+          breakdown = true)
+      val morOn =
+        streamBench(morStore, streamBatches, streamPerBatch,
+          breakdown = true)
+      val plainBig = streamBench(plainStore, bigBatches, bigPerBatch)
+      val bktBig = streamBench(bucketedStore, bigBatches, bigPerBatch)
+      val morBig = streamBench(morStore, bigBatches, bigPerBatch)
+      (plain, bkt, mor,
+        (plainOn._1, plainOn._3), (bktOn._1, bktOn._3),
+        (morOn._1, morOn._3),
+        (plainBig._1, plainBig._2), (bktBig._1, bktBig._2),
+        (morBig._1, morBig._2))
+    }
     val streamEps = if (streamSec > 0) streamEvents / streamSec else 0.0
     def eps2(sec: Double, n: Long): Double = if (sec > 0) n / sec else 0.0
 
@@ -580,14 +634,16 @@ object Bench {
         System.err.println(s"[bench] semdedup stream bench failed: ${e.getMessage}")
         (-1.0, 0L, 0L, 0L, Map.empty[String, Double])
     }
-    val (semSec, semEvents, semAppended, semDropped, semPhases) =
-      semDedupBench(
+    val ((semSec, semEvents, semAppended, semDropped, semPhases),
+      (semBigSec, semBigEvents, semBigPhases)) = section("semdedup") {
+      val small = semDedupBench(
         sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_BATCHES", "6").toInt,
         sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_EVENTS", "2000").toInt)
-    val (semBigSec, semBigEvents, _, _, semBigPhases) =
-      semDedupBench(
+      val big = semDedupBench(
         sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_BIG_BATCHES", "3").toInt,
         sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_BIG_EVENTS", "10000").toInt)
+      (small, (big._1, big._2, big._5))
+    }
     def semPhaseFmt(m: Map[String, Double]): String = m.toSeq
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -599,7 +655,7 @@ object Bench {
     // every batch has real cross-batch duplicate paragraphs) through
     // ParaDedupStream's foreachBatch body. events/s = documents decided
     // per second.
-    val (paraSec, paraDocs, paraKept, paraDropped) = try {
+    val (paraSec, paraDocs, paraKept, paraDropped) = section("para") { try {
       import spark.implicits._
       import org.apache.spark.sql.functions.{col, concat, concat_ws, coalesce, lit}
       val dir = java.nio.file.Files
@@ -645,14 +701,14 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] paragraph dedup stream bench failed: ${e.getMessage}")
         (-1.0, 0L, 0L, 0L)
-    }
+    } }
 
     // Streaming trending freshness: events through the DailyRollup
     // update-mode agg + replace-by-key upsert, with a decayed trending
     // read AFTER EVERY trigger (the freshness contract — scores reflect
     // the just-committed rollup). events/s counts the events upserted;
     // the read side is reported separately per query.
-    val (trSec, trEvents, trReadSec, trReads) = try {
+    val (trSec, trEvents, trReadSec, trReads) = section("trending") { try {
       import spark.implicits._
       import org.apache.spark.sql.functions.{sum, to_date, lit, desc, col}
       val dir = java.nio.file.Files
@@ -700,13 +756,15 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] trending bench failed: ${e.getMessage}")
         (-1.0, 0L, -1.0, 0)
-    }
+    } }
 
-    // Final canary AFTER the stream section. With the per-section
-    // samples above, its delta vs canary_post_store brackets ONLY the
-    // streaming window (same query, code unchanged, JIT saturated):
-    // positive = the host got slower while the streams ran.
-    val canaryPostStream = canarySec()
+    // Final canary AFTER the stream sections (stream/semdedup/para/
+    // trending — the harness's last sample). Its delta vs
+    // canary_post_store brackets the whole streaming window (same
+    // query, code unchanged, JIT saturated): positive = the host got
+    // slower while the streams ran. Per-section brackets + rerun flags
+    // live in the `sections` map (file-only).
+    val canaryPostStream = lastCanary
     val canaryPostStreamDeltaPct: String =
       deltaPct(canaryPostStore, canaryPostStream)
 
@@ -715,91 +773,121 @@ object Bench {
     def phMap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_cold":$qsCold,"bench_runs":$nRuns,""" +
-        s""""queries_n":${results.size},""" +
-        s""""queries_failed":${qFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""queries_slowest":$slowest,""" +
-        s""""canary_query":"$canaryQuery","canary_start_sec":$canaryStart,""" +
-        s""""canary_end_sec":$canaryEnd,"canary_delta_pct":$canaryDeltaPct,""" +
-        s""""canary_post_cdc_sec":$canaryPostCdc,""" +
-        s""""canary_cdc_delta_pct":${deltaPct(canaryEnd, canaryPostCdc)},""" +
-        s""""canary_post_skew_sec":$canaryPostSkew,""" +
-        s""""canary_skew_delta_pct":${deltaPct(canaryPostCdc, canaryPostSkew)},""" +
-        s""""canary_post_store_sec":$canaryPostStore,""" +
-        s""""canary_store_delta_pct":${deltaPct(canaryPostSkew, canaryPostStore)},""" +
-        s""""canary_post_stream_sec":$canaryPostStream,""" +
-        // r10 note: this delta's BASELINE is canary_post_store (it
-        // brackets only the stream window); renamed from the r9-era
-        // canary_post_stream_delta_pct, whose baseline was canary_end —
-        // cross-round comparisons must not mix the two quantities
-        s""""canary_stream_delta_pct":$canaryPostStreamDeltaPct,""" +
-        s""""canary_pre_build_sec":$canaryPreBuild,""" +
-        s""""canary_build_delta_pct":${deltaPct(canaryPreBuild, canaryStart)},""" +
-        s""""index_build_sec":$buildJson,""" +
-        s""""cdc_merge_sec":$cdcSec,"cdc_events_per_sec":$eps,""" +
-        s""""cdc_events":$nEvents,"cdc_phases":$phaseJson,""" +
-        s""""store_merge_sec":${phMap(storeMerge)},""" +
-        s""""store_merge_target_rows":$storeRows,""" +
-        s""""store_merge_batch_rows":$storeBatch,""" +
-        s""""cdc_zipf_events_per_sec":$skewZipfEps,""" +
-        s""""cdc_skew_uniform_events_per_sec":$skewUniformEps,""" +
-        s""""cdc_skew_events":$skewEvents,""" +
-        s""""stream_sec":$streamSec,"stream_events_per_sec":$streamEps,""" +
-        s""""stream_events":$streamEvents,"stream_batches":$streamBatches,""" +
-        s""""stream_trigger_breakdown":${phMap(streamPhases)},""" +
-        s""""stream_bucketed_sec":$streamBktSec,""" +
-        s""""stream_events_per_sec_bucketed":${eps2(streamBktSec, streamBktEvents)},""" +
-        s""""stream_bucketed_trigger_breakdown":${phMap(streamBktPhases)},""" +
-        s""""stream_mor_sec":$streamMorSec,""" +
-        s""""stream_events_per_sec_mor":${eps2(streamMorSec, streamMorEvents)},""" +
-        s""""stream_mor_trigger_breakdown":${phMap(streamMorPhases)},""" +
-        s""""stream_breakdown_on_sec":$streamOnSec,""" +
-        s""""stream_breakdown_on_phases":${phMap(streamOnPhases)},""" +
-        s""""stream_bucketed_breakdown_on_sec":$streamBktOnSec,""" +
-        s""""stream_bucketed_breakdown_on_phases":${phMap(streamBktOnPhases)},""" +
-        s""""stream_mor_breakdown_on_sec":$streamMorOnSec,""" +
-        s""""stream_mor_breakdown_on_phases":${phMap(streamMorOnPhases)},""" +
-        s""""stream_big_sec":$streamBigSec,""" +
-        s""""stream_events_per_sec_big":${eps2(streamBigSec, streamBigEvents)},""" +
-        s""""stream_bucketed_big_sec":$streamBktBigSec,""" +
-        s""""stream_events_per_sec_bucketed_big":${eps2(streamBktBigSec, streamBktBigEvents)},""" +
-        s""""stream_mor_big_sec":$streamMorBigSec,""" +
-        s""""stream_events_per_sec_mor_big":${eps2(streamMorBigSec, streamMorBigEvents)},""" +
-        s""""semdedup_stream_sec":$semSec,""" +
-        s""""semdedup_stream_events_per_sec":${eps2(semSec, semEvents)},""" +
-        s""""semdedup_stream_appended":$semAppended,""" +
-        s""""semdedup_stream_dropped":$semDropped,""" +
-        s""""semdedup_stream_phase_sec":$semPhaseJson,""" +
-        s""""semdedup_stream_big_sec":$semBigSec,""" +
-        s""""semdedup_stream_big_events_per_sec":${eps2(semBigSec, semBigEvents)},""" +
-        s""""semdedup_stream_big_phase_sec":$semBigPhaseJson,""" +
-        s""""para_stream_sec":$paraSec,""" +
-        s""""para_stream_docs_per_sec":${eps2(paraSec, paraDocs)},""" +
-        s""""para_stream_kept":$paraKept,""" +
-        s""""para_stream_dropped":$paraDropped,""" +
-        s""""trending_rollup_sec":$trSec,""" +
-        s""""trending_rollup_events_per_sec":${eps2(trSec, trEvents)},""" +
-        s""""trending_read_sec_per_query":${
-          if (trReads > 0) trReadSec / trReads else -1.0},""" +
-        s""""cdc_phases_total_sec":$phasesTotal,"sf":"$sfDir"}"""
-    // stdout AND a file: sbt/log4j noise interleaves on stdout, so a parser
-    // reading the stream can be poisoned — the file copy is always clean.
-    // The stdout line is additionally COMPACTED — BOTH per-query maps
-    // dropped (headline count/failures/slowest-5 stand in), doubles
-    // rounded to 4 decimals: the r7–r10 round artifacts were truncated
-    // mid-string by the driver's stdout tail capture, so the captured
-    // line must stay a few hundred bytes; BENCH.json keeps the full
-    // per-query maps at full precision for BENCHNOTES archaeology.
-    val noMaps = json
-      .replaceFirst("\"queries\":\\{[^}]*\\},", "")
-      .replaceFirst("\"queries_cold\":\\{[^}]*\\},", "")
-    val longNum = "(-?\\d+\\.\\d{5,})(?=[,}\\]])".r
-    println(longNum.replaceAllIn(noMaps,
-      m => f"${m.group(1).toDouble}%.4f"))
+    // Per-section window metadata (file-only): wall-clock bracket +
+    // canary bracket + the harness's rerun/skewed verdicts.
+    val sectionsJson = sectionMetas.map { m =>
+      "\"" + m.name + "\":{\"start_ms\":" + m.startMs +
+        ",\"end_ms\":" + m.endMs +
+        ",\"canary_before_sec\":" + m.canaryBefore +
+        ",\"canary_after_sec\":" + m.canaryAfter +
+        ",\"rerun\":" + m.rerun + ",\"skewed\":" + m.skewed + "}"
+    }.mkString("{", ",", "}")
+    def sectionNames(p: SectionMeta => Boolean): String =
+      sectionMetas.filter(p).map("\"" + _.name + "\"")
+        .mkString("[", ",", "]")
+
+    // One field list, two renderings (BenchReport): BENCH.json gets
+    // every field at full precision; stdout gets ONLY the headline
+    // subset (BenchReport.headlineKeys) with doubles rounded — the
+    // driver's capture keeps a 2000-char stdout tail, and the r9–r11
+    // round artifacts all truncated mid-string because breakdown maps
+    // rode the printed line. BenchReportSpec pins the worst-case
+    // headline width under the budget.
+    // NOTE canary_stream_delta_pct's baseline is canary_post_store
+    // (brackets only the stream window) — renamed in r10 from the
+    // r9-era canary_post_stream_delta_pct whose baseline was
+    // canary_end; cross-round comparisons must not mix the two.
+    val fields = Seq[(String, String)](
+      "metric" -> "\"total\"",
+      "value" -> total.toString,
+      "unit" -> "\"sec\"",
+      "queries" -> qs,
+      "queries_cold" -> qsCold,
+      "bench_runs" -> nRuns.toString,
+      "queries_n" -> results.size.toString,
+      "queries_failed_n" -> qFailed.size.toString,
+      "queries_failed" ->
+        qFailed.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "queries_slowest" -> slowest,
+      "canary_query" -> ("\"" + canaryQuery + "\""),
+      "canary_pre_build_sec" -> canaryPreBuild.toString,
+      "canary_build_delta_pct" -> deltaPct(canaryPreBuild, canaryStart),
+      "canary_start_sec" -> canaryStart.toString,
+      "canary_end_sec" -> canaryEnd.toString,
+      "canary_delta_pct" -> canaryDeltaPct,
+      "canary_post_cdc_sec" -> canaryPostCdc.toString,
+      "canary_cdc_delta_pct" -> deltaPct(canaryEnd, canaryPostCdc),
+      "canary_post_skew_sec" -> canaryPostSkew.toString,
+      "canary_skew_delta_pct" -> deltaPct(canaryPostCdc, canaryPostSkew),
+      "canary_post_store_sec" -> canaryPostStore.toString,
+      "canary_store_delta_pct" -> deltaPct(canaryPostSkew, canaryPostStore),
+      "canary_post_stream_sec" -> canaryPostStream.toString,
+      "canary_stream_delta_pct" -> canaryPostStreamDeltaPct,
+      "sections" -> sectionsJson,
+      "sections_rerun" -> sectionNames(_.rerun),
+      "sections_skewed" -> sectionNames(_.skewed),
+      "index_build_sec" -> buildJson,
+      "index_build_total_sec" -> indexBuilds.values.sum.toString,
+      "cdc_merge_sec" -> cdcSec.toString,
+      "cdc_events_per_sec" -> eps.toString,
+      "cdc_events" -> nEvents.toString,
+      "cdc_phases" -> phaseJson,
+      "store_merge_sec" -> phMap(storeMerge),
+      "store_merge_target_rows" -> storeRows.toString,
+      "store_merge_batch_rows" -> storeBatch.toString,
+      "cdc_zipf_events_per_sec" -> skewZipfEps.toString,
+      "cdc_skew_uniform_events_per_sec" -> skewUniformEps.toString,
+      "cdc_skew_events" -> skewEvents.toString,
+      "stream_sec" -> streamSec.toString,
+      "stream_events_per_sec" -> streamEps.toString,
+      "stream_events" -> streamEvents.toString,
+      "stream_batches" -> streamBatches.toString,
+      "stream_trigger_breakdown" -> phMap(streamPhases),
+      "stream_bucketed_sec" -> streamBktSec.toString,
+      "stream_events_per_sec_bucketed" ->
+        eps2(streamBktSec, streamBktEvents).toString,
+      "stream_bucketed_trigger_breakdown" -> phMap(streamBktPhases),
+      "stream_mor_sec" -> streamMorSec.toString,
+      "stream_events_per_sec_mor" ->
+        eps2(streamMorSec, streamMorEvents).toString,
+      "stream_mor_trigger_breakdown" -> phMap(streamMorPhases),
+      "stream_breakdown_on_sec" -> streamOnSec.toString,
+      "stream_breakdown_on_phases" -> phMap(streamOnPhases),
+      "stream_bucketed_breakdown_on_sec" -> streamBktOnSec.toString,
+      "stream_bucketed_breakdown_on_phases" -> phMap(streamBktOnPhases),
+      "stream_mor_breakdown_on_sec" -> streamMorOnSec.toString,
+      "stream_mor_breakdown_on_phases" -> phMap(streamMorOnPhases),
+      "stream_big_sec" -> streamBigSec.toString,
+      "stream_events_per_sec_big" ->
+        eps2(streamBigSec, streamBigEvents).toString,
+      "stream_bucketed_big_sec" -> streamBktBigSec.toString,
+      "stream_events_per_sec_bucketed_big" ->
+        eps2(streamBktBigSec, streamBktBigEvents).toString,
+      "stream_mor_big_sec" -> streamMorBigSec.toString,
+      "stream_events_per_sec_mor_big" ->
+        eps2(streamMorBigSec, streamMorBigEvents).toString,
+      "semdedup_stream_sec" -> semSec.toString,
+      "semdedup_stream_events_per_sec" -> eps2(semSec, semEvents).toString,
+      "semdedup_stream_appended" -> semAppended.toString,
+      "semdedup_stream_dropped" -> semDropped.toString,
+      "semdedup_stream_phase_sec" -> semPhaseJson,
+      "semdedup_stream_big_sec" -> semBigSec.toString,
+      "semdedup_stream_big_events_per_sec" ->
+        eps2(semBigSec, semBigEvents).toString,
+      "semdedup_stream_big_phase_sec" -> semBigPhaseJson,
+      "para_stream_sec" -> paraSec.toString,
+      "para_stream_docs_per_sec" -> eps2(paraSec, paraDocs).toString,
+      "para_stream_kept" -> paraKept.toString,
+      "para_stream_dropped" -> paraDropped.toString,
+      "trending_rollup_sec" -> trSec.toString,
+      "trending_rollup_events_per_sec" -> eps2(trSec, trEvents).toString,
+      "trending_read_sec_per_query" ->
+        (if (trReads > 0) trReadSec / trReads else -1.0).toString,
+      "cdc_phases_total_sec" -> phasesTotal.toString,
+      "sf" -> ("\"" + sfDir + "\""))
+    println(BenchReport.stdoutLine(fields))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (BenchReport.fileJson(fields) + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+/** Renders the bench artifact two ways from one field list:
+  *   - `fileJson`: every field, full precision → written to BENCH.json
+  *   - `stdoutLine`: ONLY the headline subset (totals + canaries +
+  *     headline throughputs + rerun flags), long doubles rounded to 4
+  *     decimals — the driver's stdout capture keeps the LAST 2000
+  *     chars of the run's output, so the printed line must stay under
+  *     [[StdoutBudget]] or the round artifact truncates mid-string
+  *     (BENCH_r09–r11 all parsed null for exactly this reason).
+  *
+  * Fields are (key, renderedJsonValue) pairs — values arrive already
+  * rendered (numbers, quoted strings, or object/array literals) so the
+  * two renderings cannot disagree on formatting. The headline subset is
+  * the closed list [[headlineKeys]]; adding a key to it is a reviewed
+  * budget decision, enforced by BenchReportSpec's worst-case-width
+  * assertion.
+  */
+object BenchReport {
+  /** Hard budget for the printed line INCLUDING newline: the driver
+    * keeps a 2000-char stdout tail and post-line log noise eats into
+    * it, so the line itself must leave headroom. */
+  val StdoutBudget = 1900
+
+  /** The closed headline set, in emission order. Everything else is
+    * file-only. Per-query maps, phase breakdowns, and per-section
+    * metadata all live in BENCH.json. */
+  val headlineKeys: Seq[String] = Seq(
+    "metric", "value", "unit", "bench_runs", "queries_n",
+    "queries_failed_n", "queries_slowest",
+    "canary_query",
+    "canary_pre_build_sec", "canary_build_delta_pct",
+    "canary_start_sec", "canary_end_sec", "canary_delta_pct",
+    "canary_post_cdc_sec", "canary_cdc_delta_pct",
+    "canary_post_skew_sec", "canary_skew_delta_pct",
+    "canary_post_store_sec", "canary_store_delta_pct",
+    "canary_post_stream_sec", "canary_stream_delta_pct",
+    "sections_rerun", "sections_skewed",
+    "index_build_total_sec",
+    "cdc_merge_sec", "cdc_events_per_sec", "cdc_events",
+    "cdc_zipf_events_per_sec", "cdc_skew_uniform_events_per_sec",
+    "stream_events_per_sec", "stream_events_per_sec_bucketed",
+    "stream_events_per_sec_mor", "stream_events_per_sec_big",
+    "stream_events_per_sec_bucketed_big", "stream_events_per_sec_mor_big",
+    "semdedup_stream_events_per_sec", "semdedup_stream_big_events_per_sec",
+    "para_stream_docs_per_sec",
+    "trending_rollup_events_per_sec", "trending_read_sec_per_query",
+    "sf")
+
+  private def render(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
+  /** Full-precision JSON object over every field, file order = insertion
+    * order. */
+  def fileJson(fields: Seq[(String, String)]): String = render(fields)
+
+  /** The stdout line: headline subset in [[headlineKeys]] order (keys
+    * absent from `fields` are skipped), doubles ≥5 decimals rounded to
+    * 4. */
+  def stdoutLine(fields: Seq[(String, String)]): String = {
+    val byKey = fields.toMap
+    val subset = headlineKeys.flatMap(k => byKey.get(k).map(k -> _))
+    val longNum = "(-?\\d+\\.\\d{5,})(?=[,}\\]])".r
+    longNum.replaceAllIn(render(subset),
+      m => f"${m.group(1).toDouble}%.4f")
+  }
+}

@@ -500,7 +500,11 @@ object Pq {
   /** One aggregation pass: per-dimension min/max (driver artifact,
     * 2×dim doubles — the centroid-literal class). */
   def sq8Train(df: DataFrame, vecCol: String): Sq8Model = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // take(1), not head(): head() on an empty frame throws
+    // NoSuchElementException before any intent-bearing message can fire
+    val first = df.select(size(col(vecCol))).take(1)
+    require(first.nonEmpty, "sq8Train needs a non-empty corpus")
+    val dim = first(0).getInt(0)
     val aggs = (0 until dim).flatMap(j => Seq(
       min(element_at(col(vecCol), j + 1).cast("double")).as(s"mn$j"),
       max(element_at(col(vecCol), j + 1).cast("double")).as(s"mx$j")))

@@ -175,9 +175,13 @@ object Sampling {
       alpha: Double, total: Long): DataFrame = {
     require(total >= 0, "total must be non-negative")
     require(alpha >= 0, "alpha must be non-negative")
-    val weight =
+    val raw =
       if (alpha == 0.5) sqrt(col("n").cast("double"))
       else pow(col("n").cast("double"), lit(alpha))
+    // pow(0,0)=1: at alpha=0 a ZERO-COUNT source would earn a full
+    // uniform share it cannot supply a single row of — empty groups
+    // weigh 0 at every alpha
+    val weight = when(col("n") > 0, raw).otherwise(lit(0.0))
     val base = counts
       .select(col(groupCol), col(countCol).cast("long").as("n"))
       .withColumn("__s", floor(weight * 1000).cast("long"))

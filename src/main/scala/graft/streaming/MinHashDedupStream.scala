@@ -43,16 +43,9 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, survivors, dropped). */
   def stats: (Long, Long, Long) = (batchesSeen, kept, dropped)
 
-  /** Existence check doubles as crash recovery (single-writer store —
-    * see [[ParaDedupStream]]'s note): a [[compact]] interrupted
-    * mid-swap leaves the signatures in `__old`; reading without
-    * recovering would silently empty the corpus. */
-  private def storeExists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.warehouse.AtomicDir.recover(fs, p)
-    fs.exists(p)
-  }
+  // the shared side-store protocol: recover-on-read, lineage-scoped
+  // replay visibility, tagged append, fold-compact (see StreamStore)
+  private val store = new StreamStore(spark, storePath, lineage)
 
   /** The `foreachBatch` body: returns the batch's surviving rows (all
     * original columns), with survivors' signatures already appended.
@@ -65,12 +58,8 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
       // always count; only the current lineage gets the replay filter —
       // a fresh-checkpoint restart (ids back at 0) must not forget the
       // corpus its predecessor accumulated
-      val stored =
-        if (storeExists)
-          spark.read.parquet(storePath)
-            .filter(col("lineage") =!= lit(lineage) ||
-              col("batch_id") < lit(batchId)).select("id", "sig")
-        else {
+      val stored = store.visible(batchId).map(_.select("id", "sig"))
+        .getOrElse {
           import spark.implicits._
           Seq.empty[(Long, Array[Long])].toDF("id", "sig")
         }
@@ -98,12 +87,9 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
         graft.core.Metrics.deferUnpersist(survivors)
         val nKept = survivors.count()
         val total = batch.count()
-        Dedup.minHashSignaturesPortable(survivors, idCol, textCol, n,
-          numHashes)
-          .select(col("id"), col("sig"), lit(batchId).as("batch_id"),
-            lit(lineage).as("lineage"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(storePath)
+        store.append(
+          Dedup.minHashSignaturesPortable(survivors, idCol, textCol, n,
+            numHashes).select(col("id"), col("sig")), batchId)
         batchesSeen += 1; kept += nKept; dropped += total - nKept
         survivors
       } finally pairs.unpersist()
@@ -112,21 +98,13 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
 
   /** Fold replay-duplicated signature rows (one per (id, lineage) at
     * its min batch_id — other-lineage rows always count as corpus, so
-    * per-lineage folding preserves every decision). */
-  def compact(): Unit = {
-    if (!storeExists) return
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    * per-lineage folding preserves every decision). Shadow-write +
+    * swap via the shared [[StreamStore]]. */
+  def compact(): Unit = store.compact { df =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id"), col("lineage"))
       .orderBy(col("batch_id"))
-    val folded = spark.read.parquet(storePath)
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn").localCheckpoint()
-    val tmp = new org.apache.hadoop.fs.Path(storePath + "__next")
-    folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    graft.warehouse.AtomicDir.swapInto(fs,
-      new org.apache.hadoop.fs.Path(storePath), tmp)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
   }
 }

@@ -46,17 +46,9 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, paragraphs kept, dropped). */
   def stats: (Long, Long, Long) = (batchesSeen, parasKept, parasDropped)
 
-  /** Existence check doubles as crash recovery: this stream is the
-    * store's single writer, so a [[compact]] interrupted between the
-    * swap renames (store stranded in `__old`) is finished here — read
-    * without recovering and the corpus would silently look empty,
-    * readmitting every duplicate it ever screened. */
-  private def storeExists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.warehouse.AtomicDir.recover(fs, p)
-    fs.exists(p)
-  }
+  // the shared side-store protocol: recover-on-read, lineage-scoped
+  // replay visibility, tagged append, fold-compact (see StreamStore)
+  private val store = new StreamStore(spark, storePath, lineage)
 
   /** The `foreachBatch` body: returns (doc_id, clean_text, n_kept,
     * n_dropped) for the batch — the caller sinks it — with the new
@@ -82,17 +74,12 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     // lineages must always count as corpus, and only the current
     // lineage's keys get the strictly-earlier-batch replay filter
     // (without this, a restarted pipeline would admit every duplicate
-    // its predecessor already screened)
-    val seen =
-      if (storeExists)
-        spark.read.parquet(storePath)
-          .filter(col("lineage") =!= lit(lineage) ||
-            col("batch_id") < lit(batchId))
-          .select(col("key").as("__key")).distinct()
-          .withColumn("__in_corpus", lit(true))
-      else
-        spark.range(0).select(lit("").as("__key"),
-          lit(true).as("__in_corpus"))
+    // its predecessor already screened). StreamStore.visible owns both.
+    val seen = store.visible(batchId)
+      .map(_.select(col("key").as("__key")).distinct()
+        .withColumn("__in_corpus", lit(true)))
+      .getOrElse(spark.range(0).select(lit("").as("__key"),
+        lit(true).as("__in_corpus")))
     // left-join marker, not anti-join: reassembly needs LOSING rows too
     // (they count as dropped), so every paragraph keeps a row
     val marked = first.join(seen, Seq("__key"), "left").localCheckpoint()
@@ -111,11 +98,8 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       // blocks via the deferred pool (the CdcMerge soft-leak
       // discipline), not an eager unpersist
       graft.core.Metrics.deferUnpersist(out)
-      marked.filter(keep)
-        .select(col("__key").as("key"), lit(batchId).as("batch_id"),
-          lit(lineage).as("lineage"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(storePath)
+      store.append(marked.filter(keep).select(col("__key").as("key")),
+        batchId)
       val (k, d) = {
         val r = out.agg(sum("n_kept"), sum("n_dropped")).head()
         (if (r.isNullAt(0)) 0L else r.getLong(0),
@@ -130,18 +114,7 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     * batch_id (the earliest introduction — preserves every later
     * batch's decision; other-lineage rows always count as corpus, so
     * per-lineage folding is safe and row count stays ≤ |lineages| per
-    * key). Shadow-write + swap via the shared AtomicDir protocol. */
-  def compact(): Unit = {
-    if (!storeExists) return
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val folded = spark.read.parquet(storePath)
-      .groupBy("key", "lineage").agg(min("batch_id").as("batch_id"))
-      .localCheckpoint()
-    val tmp = new org.apache.hadoop.fs.Path(storePath + "__next")
-    folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    graft.warehouse.AtomicDir.swapInto(fs,
-      new org.apache.hadoop.fs.Path(storePath), tmp)
-  }
+    * key). Shadow-write + swap via the shared [[StreamStore]]. */
+  def compact(): Unit = store.compact(
+    _.groupBy("key", "lineage").agg(min("batch_id").as("batch_id")))
 }

@@ -100,7 +100,16 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       s.toLong
-    } catch { case _: Exception => -1L } // truncated write → guard decides
+    } catch {
+      case _: NumberFormatException => -1L // truncated write → guard decides
+      case e: Exception =>
+        // an IO failure (not a bad marker) also falls back to the
+        // anti-join guard — correct, but the disabled fast path must be
+        // OBSERVABLE or a persistent FS problem hides as slow triggers
+        System.err.println(
+          s"[semdedup-stream] marker read failed ($markerPath): $e")
+        -1L
+    }
   }
 
   private def writeMarker(batchId: Long): Unit = {

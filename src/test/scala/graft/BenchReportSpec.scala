@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout contract: the printed line must survive the
+  * driver's 2000-char stdout tail capture. r9–r11's official artifacts
+  * all truncated mid-string because breakdown maps rode the line —
+  * this spec renders the headline subset at WORST-CASE field widths
+  * and asserts it stays under BenchReport.StdoutBudget, so adding a
+  * key to the headline set is a reviewed budget decision. */
+class BenchReportSpec extends AnyFunSuite {
+
+  /** Every headline field at its maximum plausible rendered width:
+    * 12-char doubles everywhere (pre-rounding), 5 slowest entries with
+    * 40-char query names, every section flagged rerun AND skewed, the
+    * 6-entry store-merge map, full-precision deltas. */
+  private def worstCaseFields: Seq[(String, String)] = {
+    val wideDouble = "-99999.123456789"
+    val slowest = (1 to 5)
+      .map(i => "\"" + ("q_x_" + ("a" * 36).take(36) + i) + "\":99.123456789")
+      .mkString("{", ",", "}")
+    val storeMap = Seq("plain_uniform", "plain_localized",
+      "bucketed_uniform", "bucketed_localized", "mor_uniform",
+      "mor_localized")
+      .map(k => "\"" + k + "\":" + "99999.123456789")
+      .mkString("{", ",", "}")
+    val allSections = Seq("cdc", "skew", "store", "stream", "semdedup",
+      "para", "trending").map("\"" + _ + "\"").mkString("[", ",", "]")
+    BenchReport.headlineKeys.map {
+      case k @ "metric" => k -> "\"total\""
+      case k @ "unit" => k -> "\"sec\""
+      case k @ "sf" => k -> "\"/root/testdata/sf0.001\""
+      case k @ "canary_query" => k -> "\"q_p4_date\""
+      case k @ "queries_slowest" => k -> slowest
+      case k @ "store_merge_sec" => k -> storeMap
+      case k @ ("sections_rerun" | "sections_skewed") => k -> allSections
+      case k @ ("bench_runs" | "queries_n" | "queries_failed_n" |
+        "cdc_events") => k -> "999999"
+      case k => k -> wideDouble
+    }
+  }
+
+  test("worst-case headline line fits the driver's stdout capture") {
+    val line = BenchReport.stdoutLine(worstCaseFields)
+    // +1 for the newline println appends
+    assert(line.length + 1 <= BenchReport.StdoutBudget,
+      s"headline line is ${line.length + 1} chars — over the " +
+        s"${BenchReport.StdoutBudget} budget; drop a key from " +
+        "BenchReport.headlineKeys")
+  }
+
+  test("stdout line rounds long doubles to 4 decimals, in maps too") {
+    val line = BenchReport.stdoutLine(worstCaseFields)
+    assert(!"(-?\\d+\\.\\d{5,})(?=[,}\\]])".r.findFirstIn(line).isDefined,
+      s"unrounded double survived: $line")
+    assert(line.contains("\"canary_start_sec\":-99999.1235"))
+    // inside the slowest-5 map too, not only top-level values
+    assert(line.contains("1\":99.1235"))
+  }
+
+  test("stdout line is the headline subset in declared order") {
+    val line = BenchReport.stdoutLine(worstCaseFields)
+    // file-only keys never leak onto stdout
+    for (k <- Seq("queries", "queries_cold", "stream_trigger_breakdown",
+      "sections", "semdedup_stream_phase_sec", "cdc_phases"))
+      assert(!line.contains("\"" + k + "\":"), s"file-only key $k leaked")
+    val idx = BenchReport.headlineKeys.map(k => line.indexOf("\"" + k + "\":"))
+    assert(idx.forall(_ >= 0), "headline key missing from rendered line")
+    assert(idx == idx.sorted, "headline keys out of declared order")
+  }
+
+  test("file json keeps every field at full precision") {
+    val fields = worstCaseFields :+ ("queries" -> "{\"q1\":1.23456789}")
+    val json = BenchReport.fileJson(fields)
+    assert(json.contains("\"queries\":{\"q1\":1.23456789}"))
+    assert(json.contains("\"canary_start_sec\":-99999.123456789"))
+    assert(json.startsWith("{") && json.endsWith("}"))
+  }
+
+  test("headline skips keys absent from the field list") {
+    val line = BenchReport.stdoutLine(Seq("metric" -> "\"total\""))
+    assert(line == "{\"metric\":\"total\"}")
+  }
+}

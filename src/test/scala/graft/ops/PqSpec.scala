@@ -313,6 +313,14 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("sq8Train: empty corpus fails with the intended message") {
+    // regression: head() on the empty frame used to throw
+    // NoSuchElementException before the require could fire
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Pq.sq8Train(empty, "embedding"))
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
+
   test("sq8: codes in [0,255], reconstruction within half a step, degenerate dim -> 0") {
     // dim 0 spans [-3, 5], dim 1 is CONSTANT (scale 0), dim 2 spans [0, 1]
     val rows = Seq(

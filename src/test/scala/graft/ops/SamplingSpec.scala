@@ -183,6 +183,18 @@ class SamplingSpec extends SparkSpec {
     assert(z == Map("a" -> 0L, "b" -> 0L))
   }
 
+  test("temperatureMix: zero-count group gets quota 0 at every alpha") {
+    // pow(0,0)=1 regression: at alpha=0 an empty source used to earn a
+    // full uniform share it could not supply a single row of
+    val counts = Seq(("empty", 0L), ("a", 10L), ("b", 10L)).toDF("src", "n")
+    for (alpha <- Seq(0.0, 0.5, 1.0)) {
+      val q = Sampling.temperatureMix(counts, "src", "n", alpha, 10L)
+        .as[(String, Long, Long)].collect().toMap2.view.mapValues(_._2).toMap
+      assert(q("empty") == 0L, s"alpha=$alpha: $q")
+      assert(q.values.sum == 10L, s"alpha=$alpha total must stay exact: $q")
+    }
+  }
+
   private implicit class Triples(rows: Array[(String, Long, Long)]) {
     def toMap2: Map[String, (Long, Long)] =
       rows.map { case (k, a, b) => k -> (a, b) }.toMap
