@@ -619,6 +619,16 @@ object Queries {
           length(coalesce(col("text"), lit(""))).as("len")),
         "doc_id", "len")),
 
+    "q_x_media_mjpeg" -> ((s, dir) =>
+      // REAL video path: per row, real JPEG frames packed into a real
+      // RIFF/AVI container, parsed back, every 2nd frame decoded with
+      // the real JPEG decoder; the oracle checks the format-preserved
+      // fields (frame count, dims, duration, sampled-decode success).
+      Multimodal.mjpegRoundTrip(
+        docs(s, dir).select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).as("len")),
+        "doc_id", "len")),
+
     "q_x_media_wav" -> ((s, dir) =>
       // REAL audio codec path: 16-bit PCM synthesized from (doc_id,
       // len), encoded AND decoded as WAV via javax.sound.sampled; PCM
@@ -3393,6 +3403,23 @@ object Queries {
         |  CAST(doc_id % 480 + 16 AS INT) AS height,
         |  1 AS n_tracks
         |FROM documents""".stripMargin,
+
+    // real MJPEG/AVI round trip: the container walk is byte-exact and
+    // every sampled frame must decode at the encoded dims, so every
+    // output field is a closed-form function of (doc_id, len) — JPEG
+    // loses pixel values, never dimensions or frame count
+    "q_x_media_mjpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(coalesce(text, '')) % 6 + 2 AS INT) AS n_frames,
+        |    CAST(doc_id % 24 + 8 AS INT) AS width,
+        |    CAST(len(coalesce(text, '')) % 16 + 8 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, n_frames, width, height,
+        |  CAST(n_frames * 40 AS BIGINT) AS duration_ms,
+        |  CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
+        |  CAST((n_frames + 1) // 2 AS INT) AS n_decoded_ok
+        |FROM d""".stripMargin,
 
     // real javax.sound WAV round trip: PCM is lossless, so the decoded
     // sample sum of s_i = id%1000 + 15·i over n = len%1000+50 samples

@@ -15,15 +15,17 @@ import org.apache.spark.sql.types._
   * once per partition, not once per row — the same batch shape
   * `mapInPandas`/`mapInArrow` gives Python pipelines).
   *
-  * IMAGES AND AUDIO ARE REAL: [[ImageIoCodec]] (JDK `javax.imageio`) is
-  * the default [[MediaCodec]] — actual PNG/JPEG/GIF/BMP decode,
-  * deterministic nearest-neighbor resize, integer-luma histogram
-  * features — and [[WavCodec]] (JDK `javax.sound.sampled`) covers
-  * RIFF/WAVE PCM, both value-checked against goldens and (via
-  * [[imageIoRoundTrip]]/[[wavRoundTrip]]) DuckDB oracles. [[StubCodec]]
-  * remains for two narrower jobs: video container formats (no JDK codec
-  * exists) and oracle queries whose "decode" arithmetic DuckDB must
-  * replay byte-for-byte.
+  * IMAGES, AUDIO, AND VIDEO ARE REAL: [[ImageIoCodec]] (JDK
+  * `javax.imageio`) is the default [[MediaCodec]] — actual
+  * PNG/JPEG/GIF/BMP decode, deterministic nearest-neighbor resize,
+  * integer-luma histogram features — [[WavCodec]] (JDK
+  * `javax.sound.sampled`) covers RIFF/WAVE PCM, and [[AviMjpeg]]
+  * covers Motion-JPEG video (real RIFF/AVI container parse + per-frame
+  * JPEG decode through ImageIO), each value-checked against goldens
+  * and (via [[imageIoRoundTrip]]/[[wavRoundTrip]]/[[mjpegRoundTrip]])
+  * DuckDB oracles. [[StubCodec]] survives ONLY as the deterministic
+  * oracle twin — queries whose "decode" arithmetic DuckDB must replay
+  * byte-for-byte.
   */
 object Multimodal {
 
@@ -155,6 +157,12 @@ object Multimodal {
     def encodePng(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def encodeJpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
 
@@ -337,15 +345,16 @@ object Multimodal {
   }
 
   /** Real ISO-BMFF (MP4/MOV) metadata parser — video's header-only
-    * story: no JDK video CODEC exists, but the container format is just
-    * length-prefixed boxes, and metadata pruning (duration/dims filters
-    * before any decode) only needs `moov` — so this parses the real box
-    * structure: top-level `[size:u32][type:4cc]` walk, recursing into
-    * `moov`/`trak`, reading `mvhd` v0 (timescale, duration) and `tkhd`
-    * v0 (16.16 fixed-point width/height). 64-bit extended sizes
-    * (size==1) honored; truncated/garbage input fails loudly. Frame
-    * DECODE stays on [[StubCodec]] — the one genuinely codec-shaped gap
-    * left in this container-less environment. */
+    * story: the container format is just length-prefixed boxes, and
+    * metadata pruning (duration/dims filters before any decode) only
+    * needs `moov` — so this parses the real box structure: top-level
+    * `[size:u32][type:4cc]` walk, recursing into `moov`/`trak`, reading
+    * `mvhd` v0 (timescale, duration) and `tkhd` v0 (16.16 fixed-point
+    * width/height). 64-bit extended sizes (size==1) honored;
+    * truncated/garbage input fails loudly. Frame DECODE is real too —
+    * for MJPEG payloads via [[AviMjpeg]] + `javax.imageio` (modern
+    * inter-frame codecs like H.264 have no JDK decoder; their
+    * container metadata still parses here). */
   object Mp4Meta {
     import java.nio.{ByteBuffer, ByteOrder}
 
@@ -462,6 +471,178 @@ object Multimodal {
     }
   }
 
+  /** Real MJPEG video — the last StubCodec surface closed: Motion-JPEG
+    * stores every frame as an ordinary JPEG inside a RIFF/AVI
+    * container, so the already-wired `javax.imageio` decoder IS a real
+    * video frame decoder once the container is parsed. This object
+    * reads and writes the actual AVI structure (`RIFF…AVI ` with an
+    * `hdrl` LIST carrying `avih`/`strh`/`strf` headers and a `movi`
+    * LIST of `00dc` frame chunks, all little-endian, chunks padded to
+    * even offsets — the same RIFF grammar WAV uses).
+    *
+    * Scale shape: [[frameOffsets]] indexes frames WITHOUT copying
+    * payloads, so sampled decode (every Nth frame) slices only the
+    * chosen chunks out of a multi-MB clip — decode cost follows the
+    * SAMPLED frame count, not the clip length. */
+  object AviMjpeg {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    final case class Info(width: Int, height: Int, nFrames: Int,
+        microSecPerFrame: Long) {
+      def durationMs: Long = nFrames.toLong * microSecPerFrame / 1000L
+    }
+
+    private def le(bytes: Array[Byte]): ByteBuffer =
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+    private def fourcc(b: ByteBuffer): String = {
+      val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+    }
+
+    private def u32(b: ByteBuffer): Long = b.getInt.toLong & 0xffffffffL
+
+    /** Walk RIFF chunks in [from, to): f(type, payloadFrom, payloadTo).
+      * LIST chunks are passed through with their list-type as `type`
+      * and the inner chunk region as the payload. */
+    private def walk(buf: ByteBuffer, from: Int, to: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        buf.position(p)
+        val tpe = fourcc(buf)
+        val size = u32(buf)
+        if (p + 8 + size > to)
+          throw new IllegalArgumentException(
+            s"bad RIFF chunk '$tpe' size=$size at $p")
+        if (tpe == "LIST") {
+          buf.position(p + 8)
+          f(fourcc(buf), p + 12, p + 8 + size.toInt)
+        } else f(tpe, p + 8, p + 8 + size.toInt)
+        p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+    }
+
+    private def requireRiffAvi(buf: ByteBuffer, n: Int): Int = {
+      if (n < 12) throw new IllegalArgumentException("not a RIFF file")
+      buf.position(0)
+      if (fourcc(buf) != "RIFF")
+        throw new IllegalArgumentException("no RIFF magic")
+      val size = u32(buf)
+      if (fourcc(buf) != "AVI ")
+        throw new IllegalArgumentException("RIFF but not AVI")
+      math.min(n, 8 + size.toInt)
+    }
+
+    /** Container metadata from the real `avih` header (no frame decode). */
+    def parse(bytes: Array[Byte]): Info = {
+      val buf = le(bytes)
+      val end = requireRiffAvi(buf, bytes.length)
+      var info: Option[Info] = None
+      walk(buf, 12, end) {
+        case ("hdrl", f0, t0) =>
+          walk(buf, f0, t0) {
+            case ("avih", f1, _) =>
+              buf.position(f1)
+              val microSecPerFrame = u32(buf)
+              buf.position(f1 + 16)
+              val totalFrames = u32(buf).toInt
+              buf.position(f1 + 32)
+              val w = u32(buf).toInt; val h = u32(buf).toInt
+              info = Some(Info(w, h, totalFrames, microSecPerFrame))
+            case _ => ()
+          }
+        case _ => ()
+      }
+      info.getOrElse(
+        throw new IllegalArgumentException("no avih header: not AVI"))
+    }
+
+    /** (offset, length) of each `00dc` frame chunk's JPEG payload —
+      * the zero-copy index sampled decode slices from. */
+    def frameOffsets(bytes: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      val buf = le(bytes)
+      val end = requireRiffAvi(buf, bytes.length)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      walk(buf, 12, end) {
+        case ("movi", f0, t0) =>
+          walk(buf, f0, t0) {
+            case ("00dc", f1, t1) => out += ((f1, t1 - f1))
+            case _ => ()
+          }
+        case _ => ()
+      }
+      out.toIndexedSeq
+    }
+
+    /** Extract frame `i`'s JPEG bytes (one copy, one frame). */
+    def frame(bytes: Array[Byte], offsets: IndexedSeq[(Int, Int)],
+        i: Int): Array[Byte] = {
+      val (off, len) = offsets(i)
+      java.util.Arrays.copyOfRange(bytes, off, off + len)
+    }
+
+    /** Write JPEG frames into a real AVI container (MJPG fourcc,
+      * even-padded `00dc` chunks, `idx1` frame index — the structure
+      * any MJPEG-aware tool expects). */
+    def synthesize(frames: Seq[Array[Byte]], width: Int, height: Int,
+        microSecPerFrame: Long): Array[Byte] = {
+      require(frames.nonEmpty, "an AVI needs at least one frame")
+      def chunk(tpe: String, payload: Array[Byte]): Array[Byte] = {
+        val pad = payload.length & 1
+        val b = ByteBuffer.allocate(8 + payload.length + pad)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(tpe.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+        b.array() // trailing pad byte is the zero the allocate left
+      }
+      def list(listType: String, payload: Array[Byte]): Array[Byte] =
+        chunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+      val maxFrame = frames.map(_.length).max
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.putInt(microSecPerFrame.toInt).putInt(0).putInt(0)
+        .putInt(0x10) // AVIF_HASINDEX
+        .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+        .putInt(width).putInt(height)
+      // 4 reserved u32s stay zero
+      val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1) // dwScale
+        .putInt((1000000L / math.max(1L, microSecPerFrame)).toInt) // dwRate
+        .putInt(0).putInt(frames.length).putInt(maxFrame)
+        .putInt(-1) // dwQuality: default
+        .putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort)
+      val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      strf.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24)
+        .put("MJPG".getBytes("US-ASCII"))
+        .putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+        list("strl", chunk("strh", strh.array()) ++
+          chunk("strf", strf.array())))
+      val moviChunks = frames.map(f => chunk("00dc", f))
+      val movi = list("movi", moviChunks.flatten.toArray)
+      // idx1: one 16-byte entry per frame, offsets relative to the
+      // movi list-type fourcc (the convention players expect)
+      val idx = ByteBuffer.allocate(16 * frames.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var off = 4 // first chunk starts right after the 'movi' fourcc
+      for ((f, c) <- frames.zip(moviChunks)) {
+        idx.put("00dc".getBytes("US-ASCII"))
+          .putInt(0x10) // AVIIF_KEYFRAME: every MJPEG frame is one
+          .putInt(off).putInt(f.length)
+        off += c.length
+      }
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++
+        chunk("idx1", idx.array())
+      val out = ByteBuffer.allocate(8 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array()
+    }
+  }
+
   /** Real BMFF round trip, oracle-checkable: synthesize a valid MP4 box
     * tree from (id, len) — timescale 1000, duration len·40+1000 "ms",
     * dims (id%640+16, id%480+16) — and parse it back header-only. The
@@ -568,6 +749,88 @@ object Multimodal {
           val png = ImageIoCodec.encodeGrayPng(w, h, (x, y) => base + x + y)
           val (dw, dh, ch) = ImageIoCodec.imageDims(png)
           Row(id, dw, dh, ch, ImageIoCodec.pixelSum(png))
+        }
+      }(Encoders.row(out))
+  }
+
+  /** Real MJPEG round trip, oracle-checkable on what the format
+    * preserves — the video twin of [[jpegTranscode]], closing the last
+    * StubCodec surface: per row, synthesize nF = len%6+2 REAL JPEG
+    * frames (gray gradient pixel (3x+5y+7f)%256, dims w = id%24+8,
+    * h = len%16+8) via the real ImageIO writer, pack them into a real
+    * AVI at 25 fps, PARSE the container back, sample every 2nd frame,
+    * and DECODE each sampled frame with the real JPEG decoder. JPEG
+    * pixel values are lossy, so the oracle checks the preserved
+    * fields — frame count, dims, duration, and that every sampled
+    * frame decoded at the encoded dimensions. */
+  def mjpegRoundTrip(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("n_sampled", IntegerType),
+      StructField("n_decoded_ok", IntegerType)))
+    df.select(col(idCol).cast(LongType), col(lenCol).cast(LongType))
+      .mapPartitions { rows =>
+        ImageIoCodec.open()
+        registerClose(ImageIoCodec)
+        rows.map { r =>
+          val id = r.getLong(0); val len = r.getLong(1)
+          val nF = (len % 6 + 2).toInt
+          val w = (id % 24 + 8).toInt
+          val h = (len % 16 + 8).toInt
+          val frames = (0 until nF).map { f =>
+            val png = ImageIoCodec.encodeGrayPng(w, h,
+              (x, y) => (3 * x + 5 * y + 7 * f) % 256)
+            ImageIoCodec.encodeJpeg(ImageIoCodec.decode(png))
+          }
+          val avi = AviMjpeg.synthesize(frames, w, h, 40000L) // 25 fps
+          val info = AviMjpeg.parse(avi)
+          val offs = AviMjpeg.frameOffsets(avi)
+          val sampled = 0 until offs.length by 2
+          val ok = sampled.count { i =>
+            val img = ImageIoCodec.decode(AviMjpeg.frame(avi, offs, i))
+            img.getWidth == w && img.getHeight == h
+          }
+          Row(id, info.nFrames, info.width, info.height, info.durationMs,
+            sampled.length, ok)
+        }
+      }(Encoders.row(out))
+  }
+
+  /** Real frame sampling over MJPEG/AVI payloads — the decode-bearing
+    * twin of [[sampleFrames]]: parse the container once per row, slice
+    * every Nth `00dc` chunk out of the payload ([[AviMjpeg.frame]] —
+    * decode cost follows the SAMPLED count, not clip length), decode
+    * it with the real JPEG decoder, and emit one row per sampled frame
+    * with decoded dims + integer mean luma. Per-partition codec
+    * lifecycle, null payloads skipped. */
+  def mjpegSampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      everyNth: Int): DataFrame = {
+    require(everyNth > 0, "everyNth must be positive")
+    val out = StructType(Seq(
+      StructField("doc_id", LongType), StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("mean_luma", IntegerType)))
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .mapPartitions { rows =>
+        ImageIoCodec.open()
+        registerClose(ImageIoCodec)
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (r.isNullAt(0) || bytes == null) Iterator.empty
+          else {
+            val id = r.getLong(0)
+            val offs = AviMjpeg.frameOffsets(bytes)
+            Iterator.range(0, offs.length, everyNth).map { i =>
+              val fb = AviMjpeg.frame(bytes, offs, i)
+              val (w, h, _) = ImageIoCodec.imageDims(fb)
+              val mean =
+                if (w == 0 || h == 0) 0
+                else (ImageIoCodec.pixelSum(fb) / (w.toLong * h)).toInt
+              Row(id, i, w, h, mean)
+            }
+          }
         }
       }(Encoders.row(out))
   }
