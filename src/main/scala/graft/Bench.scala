@@ -165,6 +165,22 @@ object Bench {
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    // Warm wall budget — the AUTOMATED slowest-5 eyeball: at the
+    // official SF every query's warm min must fit the per-query budget
+    // and the catalog the total budget (r11's column profiler shipped
+    // at 7.6 s and was only caught by a human reading the slowest-5
+    // table). Violation count + worst offender ride the stdout
+    // headline; the seal checklist treats nonzero as a fail.
+    val queryBudget =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "2.5").toDouble
+    val totalBudget =
+      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_SEC", "90").toDouble
+    val budgetViolations: Seq[String] =
+      if (!sfDir.contains("sf0.1")) Seq.empty // budgets are sf0.1-calibrated
+      else (if (total > totalBudget) Seq(f"total:$total%.1f")
+            else Seq.empty) ++
+        results.toSeq.filter(_._2 > queryBudget).sortBy(-_._2)
+          .map { case (n, s) => f"$n:$s%.2f" }
     val canaryEnd = canarySec()
     // JSON null when either measurement failed — a -1.0 sentinel would
     // read as a plausible small negative delta and hide the failure
@@ -809,6 +825,13 @@ object Bench {
       "queries_failed" ->
         qFailed.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "queries_slowest" -> slowest,
+      "budget_violations_n" -> budgetViolations.size.toString,
+      "budget_worst" ->
+        ("\"" + budgetViolations.headOption.getOrElse("") + "\""),
+      "budget_violations" ->
+        budgetViolations.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "budget_query_sec" -> queryBudget.toString,
+      "budget_total_sec" -> totalBudget.toString,
       "canary_query" -> ("\"" + canaryQuery + "\""),
       "canary_pre_build_sec" -> canaryPreBuild.toString,
       "canary_build_delta_pct" -> deltaPct(canaryPreBuild, canaryStart),

@@ -28,6 +28,7 @@ object BenchReport {
   val headlineKeys: Seq[String] = Seq(
     "metric", "value", "unit", "bench_runs", "queries_n",
     "queries_failed_n", "queries_slowest",
+    "budget_violations_n", "budget_worst",
     "canary_query",
     "canary_pre_build_sec", "canary_build_delta_pct",
     "canary_start_sec", "canary_end_sec", "canary_delta_pct",

@@ -61,10 +61,20 @@ object Behavior {
           else col(typeCol) === stage && col(tsCol) >= col(s"t${i - 1}")
         df.withColumn(s"t$i", min(when(cond, col(tsCol))).over(w))
     }
+    // Reduce to ONE row per user before counting: each t_i is a
+    // full-partition window value, i.e. constant per user, so max()
+    // recovers it exactly — and the final counts become plain counts
+    // over user rows. The direct form (N countDistinct over different
+    // when() args) plans an Expand that pushes |stages|+1 copies of
+    // EVERY event row through the aggregate — the multi-distinct trap
+    // CatalogPlanInvariantsSpec now gates. The groupBy reuses the
+    // window's hashpartitioning(user), so no extra shuffle.
+    val perUser = staged.groupBy(col(userCol)).agg(
+      max(col("t0")).as("t0"),
+      stages.indices.drop(1).map(i => max(col(s"t$i")).as(s"t$i")): _*)
     val counts: Seq[Column] = stages.indices.map(i =>
-      countDistinct(when(col(s"t$i").isNotNull, col(userCol)))
-        .as(s"n_stage${i + 1}"))
-    staged.agg(counts.head, counts.tail: _*)
+      count(when(col(s"t$i").isNotNull, lit(1))).as(s"n_stage${i + 1}"))
+    perUser.agg(counts.head, counts.tail: _*)
   }
 
   /** Exponentially time-decayed counts per group — the trending score:
