@@ -784,6 +784,27 @@ object Bench {
     val canaryPostStreamDeltaPct: String =
       deltaPct(canaryPostStore, canaryPostStream)
 
+    // ANN serving latency under concurrency: p50/p95 per request at
+    // 1/8/32 in-flight batched probes (IVF nprobe=4 + SQ8 codes scan),
+    // the same AnnServing.run core that generates RECALL.md's table —
+    // here with fewer requests per level, as artifact fields. Runs
+    // AFTER the canary_post_stream sample so the stream-window bracket
+    // keeps its r10/r11 meaning.
+    val servingRequests =
+      sys.env.getOrElse("SPARK_GRAFT_SERVING_REQUESTS", "12").toInt
+    val servingMetrics: Map[String, Double] =
+      if (servingRequests <= 0) Map.empty
+      else section("serving") {
+        try graft.tools.AnnServing.metrics(graft.tools.AnnServing.run(
+          spark, sfDir, nRequests = servingRequests))
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] serving bench failed: ${e.getMessage}")
+            Map.empty[String, Double]
+        }
+      }
+
     val buildJson = indexBuilds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def phMap(m: Map[String, Double]): String =
@@ -907,6 +928,8 @@ object Bench {
       "trending_read_sec_per_query" ->
         (if (trReads > 0) trReadSec / trReads else -1.0).toString,
       "cdc_phases_total_sec" -> phasesTotal.toString,
+      "ann_serving_ms" -> phMap(servingMetrics),
+      "ann_serving_requests" -> servingRequests.toString,
       "sf" -> ("\"" + sfDir + "\""))
     println(BenchReport.stdoutLine(fields))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

@@ -555,4 +555,36 @@ object Pq {
         Similarity.cosine(col("__vhat"), q).as("est_cosine"))
     scored.orderBy(col("est_cosine").desc, col(idCol)).limit(topK)
   }
+
+  /** Batched SQ8 serving — the [[Ivf.probeMany]] shape for scalar
+    * quantization: top-k for EVERY query in ONE codes scan. The query
+    * batch rides the plan as a generated literal array (per code row:
+    * reconstruct v̂ once, explode the |Q| queries, score each — a
+    * Generate, not a nested-loop join), and a per-query window keeps k.
+    * Per query, results equal [[sq8TopK]] exactly — same estimate,
+    * same (score desc, id) order (PqSpec). Row amplification is
+    * |Q|-bounded and feeds straight into a partial TakeOrdered window,
+    * so the scan cost — the 1 byte/dim read sq8 exists for — amortizes
+    * across the whole request batch. */
+  def sq8TopKMany(codes: DataFrame, idCol: String, codesCol: String,
+      m: Sq8Model, queries: Seq[(Long, Array[Double])],
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "sq8TopKMany needs at least one query")
+    val mins = array(m.mins.map(lit(_)): _*)
+    val scales = array(m.scales.map(lit(_)): _*)
+    val vhat = transform(col(codesCol), (c, i) =>
+      element_at(mins, i + 1) +
+        element_at(scales, i + 1) * c.cast("double"))
+    val qlit = typedlit(queries.map { case (qid, q) => (qid, q.toSeq) })
+    val scored = codes
+      .select(col(idCol), vhat.as("__vhat"))
+      .select(col(idCol), col("__vhat"), explode(qlit).as("__q"))
+      .select(col("__q._1").as("query_id"), col(idCol),
+        Similarity.cosine(col("__vhat"), col("__q._2")).as("est_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_cosine").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK).drop("__rn")
+  }
 }

@@ -364,4 +364,37 @@ class PqSpec extends SparkSpec {
     assert(approx == exact && exact == Seq(0L, 1L, 2L, 3L, 4L),
       s"approx=$approx exact=$exact")
   }
+
+  test("sq8TopKMany == sq8TopK per query (the batched serving form)") {
+    val angled = (0 until 18).map { i =>
+      val t = math.toRadians(i * 10.0)
+      (i.toLong, Array(math.cos(t).toFloat, math.sin(t).toFloat, 0.3f, 0.3f))
+    }.toDF("vec_id", "embedding")
+    val m = Pq.sq8Train(angled, "embedding")
+    val codes = Pq.sq8Encode(angled, "vec_id", "embedding", m)
+    // three queries at different angles, served as ONE batch
+    val qs = Seq(0, 60, 140).map { deg =>
+      val t = math.toRadians(deg.toDouble)
+      (deg.toLong, Array(math.cos(t), math.sin(t), 0.3, 0.3))
+    }
+    val batched = Pq.sq8TopKMany(codes, "vec_id", "codes", m, qs, topK = 4)
+      .select("query_id", "vec_id", "est_cosine")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for ((qid, q) <- qs) {
+      val single = Pq.sq8TopK(codes, "vec_id", "codes", m, q, topK = 4)
+        .select("vec_id", "est_cosine")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batched(qid) == single,
+        s"query $qid: batched ${batched(qid)} != single $single")
+    }
+    // and the plan stays join-free: one scan, a Generate, a window —
+    // no nested-loop join sneaks in via the query batch
+    val plan = Pq.sq8TopKMany(codes, "vec_id", "codes", m, qs, topK = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(500))
+  }
 }
