@@ -40,6 +40,17 @@ object Queries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Dedup.spread(rd(s, dir, "documents"))
 
+  /** Shared fixture of the exact-substring twins: every document gets a
+    * corpus-wide 10-token boilerplate tail (single-space joined — the
+    * portable tokenizer), so duplicate 8-token windows provably exist
+    * for every doc; natural repeated 8-grams in the doc text surface on
+    * top. */
+  private def substrWrapped(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        lit(" subscribe to our newsletter for updates and special offers today"))
+        .as("wtext"))
+
   /** Shared body of the batched-PQ-serving twins: the md5-stable 3-query
     * batch (vec_ids 0–2) probed against the session's served IVF-PQ
     * index; only the LUT transport differs between the catalog entries. */
@@ -667,6 +678,24 @@ object Queries {
           .as("wtext"))
       Dedup.dedupParagraphs(wrapped, "doc_id", "wtext", sep)
     }),
+
+    "q_x_substr_spans" -> ((s, dir) => {
+      // exact-substring duplicate spans (Lee et al. ExactSubstr): every
+      // doc carries a shared 10-token boilerplate tail, so duplicate
+      // 8-token windows exist corpus-wide and merge into one maximal
+      // span per doc; any NATURAL repeated 8-gram in the doc text
+      // surfaces too. Token-window hash aggregate + gaps-and-islands —
+      // no suffix array, no self-join.
+      Dedup.duplicateSpans(substrWrapped(s, dir), "doc_id", "wtext",
+        n = 8, minCount = 2)
+    }),
+
+    "q_x_substr_strip" -> ((s, dir) =>
+      // the executing half: cut every duplicate span, keep the unique
+      // remainder, reassemble — doc-level drop would throw away the
+      // good half of a half-duplicated document.
+      Dedup.stripDuplicateSpans(substrWrapped(s, dir), "doc_id", "wtext",
+        n = 8, minCount = 2)),
 
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
@@ -3488,6 +3517,98 @@ object Queries {
         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |  CAST(count(*) FILTER (WHERE rn <> 1) AS BIGINT) AS n_dropped
         |FROM d GROUP BY doc_id""".stripMargin,
+
+    // exact-substring spans (ExactSubstr): duplicate 8-token windows by
+    // global md5 count, merged gaps-and-islands per doc — pure integer
+    // window arithmetic DuckDB replays exactly
+    "q_x_substr_spans" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    ' subscribe to our newsletter for updates and special offers today'
+        |    AS wtext
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(wtext, ' ') AS toks FROM w),
+        |w0 AS (
+        |  SELECT doc_id, unnest(range(0, len(toks) - 7)) AS s, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |k AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    md5(array_to_string(list_slice(toks, s + 1, s + 8), ' ')) AS key
+        |  FROM w0),
+        |d AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY key) AS cnt FROM k)
+        |  WHERE cnt >= 2),
+        |i AS (
+        |  SELECT doc_id, s,
+        |    max(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM d),
+        |j AS (
+        |  SELECT doc_id, s,
+        |    sum(CASE WHEN run_end IS NULL OR s > run_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM i)
+        |SELECT doc_id,
+        |  CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(s) + 8 AS BIGINT) AS span_end,
+        |  CAST(max(s) + 8 - min(s) AS BIGINT) AS span_tokens
+        |FROM j GROUP BY doc_id, island""".stripMargin,
+
+    // the strip twin: tokens covered by any merged span drop, the rest
+    // reassemble in order
+    "q_x_substr_strip" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    ' subscribe to our newsletter for updates and special offers today'
+        |    AS wtext
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(wtext, ' ') AS toks FROM w),
+        |w0 AS (
+        |  SELECT doc_id, unnest(range(0, len(toks) - 7)) AS s, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |k AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    md5(array_to_string(list_slice(toks, s + 1, s + 8), ' ')) AS key
+        |  FROM w0),
+        |d AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY key) AS cnt FROM k)
+        |  WHERE cnt >= 2),
+        |i AS (
+        |  SELECT doc_id, s,
+        |    max(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM d),
+        |j AS (
+        |  SELECT doc_id, s,
+        |    sum(CASE WHEN run_end IS NULL OR s > run_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM i),
+        |spans AS MATERIALIZED (
+        |  SELECT doc_id, min(s) AS span_start, max(s) + 8 AS span_end
+        |  FROM j GROUP BY doc_id, island),
+        |p0 AS (
+        |  SELECT doc_id, list_transform(string_split(wtext, ' '),
+        |    (tk, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := tk))
+        |    AS ps
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+        |  FROM (SELECT doc_id, unnest(ps) AS u FROM p0)),
+        |m AS (
+        |  SELECT p.doc_id, p.pos, any_value(p.tok) AS tok,
+        |    count(sp.span_start) AS hits
+        |  FROM p LEFT JOIN spans sp
+        |    ON p.doc_id = sp.doc_id
+        |      AND p.pos >= sp.span_start AND p.pos < sp.span_end
+        |  GROUP BY p.doc_id, p.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+        |    FILTER (WHERE hits = 0), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE hits = 0) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_dropped
+        |FROM m GROUP BY doc_id""".stripMargin,
 
     // real javax.imageio round trip: PNG is lossless, so the decoded
     // pixel sum of the synthesized image (pixel = id%128 + x + y) has the

@@ -108,6 +108,97 @@ object Dedup {
         sum(when(col("__freq") > maxFreq, 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Exact-substring duplicate spans — the ExactSubstr screen of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 §4.1): any window of `n` consecutive
+    * tokens whose text occurs at least `minCount` times in the corpus
+    * (across documents OR repeated within one) marks its token range as
+    * duplicated; per document, overlapping marked windows merge into
+    * maximal spans. The reference implementation builds a corpus-wide
+    * suffix array; the Spark-first shape is a token-window hash
+    * aggregate — one row per token (the same linear corpus pass the
+    * suffix array pays, but embarrassingly parallel), one hash shuffle
+    * to count window-text occurrences, one shuffle back to the doc for
+    * the island merge. No self-join, no all-pairs anything; the only
+    * skew risk is a mega-duplicated window, which is a single count
+    * group (scalar), never a pairwise blow-up.
+    *
+    * Tokens are single-space-split (the portable tokenizer — both
+    * engines split identically); window key = md5 of the n tokens
+    * re-joined with one space. The island merge is the classic
+    * gaps-and-islands: a window starts a new span when its start lies
+    * beyond every earlier window's end (running max), span id = running
+    * count of span-starts — integer window arithmetic an SQL oracle
+    * replays exactly.
+    *
+    * Returns (id, span_start, span_end, span_tokens): merged token-index
+    * spans [span_start, span_end), one row per maximal duplicate span. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "window size must be positive")
+    val wins = df
+      .select(col(idCol).as("__id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("__id"),
+        col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - n)).as("__s"))
+      .select(col("__id"), col("__s"),
+        md5(array_join(slice(col("__toks"), col("__s") + 1, lit(n)), " "))
+          .as("__key"))
+    val byKey = Window.partitionBy(col("__key"))
+    val dup = wins.withColumn("__cnt", count(lit(1)).over(byKey))
+      .filter(col("__cnt") >= minCount)
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__s"))
+    val runEnd = max(col("__s") + n)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("__new",
+        when(runEnd.isNull || col("__s") > runEnd, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col("__id").as(idCol), col("__island"))
+      .agg(min(col("__s")).cast(LongType).as("span_start"),
+        (max(col("__s")) + n).cast(LongType).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Remove every [[duplicateSpans]] token range and reassemble the
+    * document — the executing half of the ExactSubstr screen (the Lee
+    * et al. recommendation: cut the repeated substring, keep the
+    * unique remainder; doc-level drop throws away the good half of a
+    * half-duplicated document).
+    *
+    * Scale shape: spans collapse to a per-doc array (spans per doc are
+    * few — they are MERGED maximal ranges), ride a broadcast-friendly
+    * equi-join back to the corpus, and the cut is a per-row
+    * index-aware `filter` over the token array — no range join, no
+    * second explode. Returns (id, clean_text, n_kept, n_dropped). */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__spans"), array().cast(
+          "array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("__spans"))
+      .select(col(idCol),
+        filter(col("__toks"), (t, i) =>
+          !exists(col("__spans"), sp =>
+            i >= sp("span_start") && i < sp("span_end"))).as("__keep"),
+        size(col("__toks")).as("__n"))
+      .select(col(idCol),
+        array_join(col("__keep"), " ").as("clean_text"),
+        size(col("__keep")).cast(LongType).as("n_kept"),
+        (col("__n") - size(col("__keep"))).cast(LongType).as("n_dropped"))
+  }
+
   /** Incremental (ingest-time) dedup: keep the batch rows whose key is
     * new — first within the batch itself AND absent from the accumulated
     * corpus keys. Append the survivors' keys back to the store to advance

@@ -423,6 +423,55 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("", 0L, 1L)))
   }
 
+  test("duplicateSpans: cross-doc + within-doc windows merge into maximal spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"), // windows 0,1 shared with doc 2
+      (2L, "yesterday the cat sat on a rug"), // windows 1,2 shared with doc 1
+      (3L, "totally unique words here only now"), // no duplicate windows
+      (4L, "x y z w x y z")) // within-doc repeat of 'x y z' at 0 and 4
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 1: dup windows at s=0 ('the cat sat') and s=1 ('cat sat on')
+    // overlap → ONE span [0,4); doc 2 the same content at s=1,2 → [1,5);
+    // doc 4: 'x y z' at s=0 and s=4, gap at 3 → TWO spans [0,3) [4,7)
+    assert(got == Set(
+      (1L, 0L, 4L, 4L), (2L, 1L, 5L, 4L),
+      (4L, 0L, 3L, 3L), (4L, 4L, 7L, 3L)), got.toString)
+  }
+
+  test("duplicateSpans: contiguous (non-overlapping) windows merge too") {
+    import spark.implicits._
+    // 'a b c' (s=0) and 'd e f' (s=3) both duplicated: spans [0,3) and
+    // [3,6) touch → the island rule (new span only when s > running
+    // end) merges them into [0,6), the union either way
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c q q q"), (3L, "q d e f q q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 6L)), got.toString)
+  }
+
+  test("stripDuplicateSpans cuts the span, keeps the unique remainder") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "yesterday the cat sat on a rug"),
+      (3L, "totally unique words here only now"),
+      (4L, "x y z w x y z")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("the mat today", 3L, 4L)))
+    assert(got(2L) == (("yesterday a rug", 3L, 4L)))
+    assert(got(3L) == (("totally unique words here only now", 6L, 0L)))
+    assert(got(4L) == (("w", 1L, 6L))) // both 'x y z' copies cut
+  }
+
   test("frequent-paragraph strip drops every copy past the cap, keeps the rest") {
     import spark.implicits._
     val sep = "\n\n"
