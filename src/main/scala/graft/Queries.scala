@@ -697,6 +697,13 @@ object Queries {
       Dedup.stripDuplicateSpans(substrWrapped(s, dir), "doc_id", "wtext",
         n = 8, minCount = 2)),
 
+    "q_x_substr_first" -> ((s, dir) =>
+      // Lee et al. dedup proper: the globally FIRST occurrence of each
+      // duplicated window survives (one doc keeps the boilerplate tail),
+      // every later copy's span is cut.
+      Dedup.stripDuplicateSpans(substrWrapped(s, dir), "doc_id", "wtext",
+        n = 8, minCount = 2, keepFirst = true)),
+
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -3575,6 +3582,63 @@ object Queries {
         |  SELECT doc_id, s FROM (
         |    SELECT doc_id, s, count(*) OVER (PARTITION BY key) AS cnt FROM k)
         |  WHERE cnt >= 2),
+        |i AS (
+        |  SELECT doc_id, s,
+        |    max(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM d),
+        |j AS (
+        |  SELECT doc_id, s,
+        |    sum(CASE WHEN run_end IS NULL OR s > run_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM i),
+        |spans AS MATERIALIZED (
+        |  SELECT doc_id, min(s) AS span_start, max(s) + 8 AS span_end
+        |  FROM j GROUP BY doc_id, island),
+        |p0 AS (
+        |  SELECT doc_id, list_transform(string_split(wtext, ' '),
+        |    (tk, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := tk))
+        |    AS ps
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+        |  FROM (SELECT doc_id, unnest(ps) AS u FROM p0)),
+        |m AS (
+        |  SELECT p.doc_id, p.pos, any_value(p.tok) AS tok,
+        |    count(sp.span_start) AS hits
+        |  FROM p LEFT JOIN spans sp
+        |    ON p.doc_id = sp.doc_id
+        |      AND p.pos >= sp.span_start AND p.pos < sp.span_end
+        |  GROUP BY p.doc_id, p.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+        |    FILTER (WHERE hits = 0), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE hits = 0) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_dropped
+        |FROM m GROUP BY doc_id""".stripMargin,
+
+    // keep-first variant: row_number over (doc, start) spares the
+    // globally first occurrence, later copies mark
+    "q_x_substr_first" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    ' subscribe to our newsletter for updates and special offers today'
+        |    AS wtext
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(wtext, ' ') AS toks FROM w),
+        |w0 AS (
+        |  SELECT doc_id, unnest(range(0, len(toks) - 7)) AS s, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |k AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    md5(array_to_string(list_slice(toks, s + 1, s + 8), ' ')) AS key
+        |  FROM w0),
+        |d AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY key) AS cnt,
+        |      row_number() OVER (PARTITION BY key ORDER BY doc_id, s) AS rn
+        |    FROM k)
+        |  WHERE cnt >= 2 AND rn >= 2),
         |i AS (
         |  SELECT doc_id, s,
         |    max(s + 8) OVER (PARTITION BY doc_id ORDER BY s

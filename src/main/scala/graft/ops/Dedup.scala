@@ -132,9 +132,17 @@ object Dedup {
     * replays exactly.
     *
     * Returns (id, span_start, span_end, span_tokens): merged token-index
-    * spans [span_start, span_end), one row per maximal duplicate span. */
+    * spans [span_start, span_end), one row per maximal duplicate span.
+    *
+    * `keepFirst=false` (default) marks EVERY occurrence of a duplicated
+    * window — the boilerplate-removal semantic (a repeated span ships
+    * zero copies, like [[stripFrequentParagraphs]]); `keepFirst=true`
+    * is the Lee et al. dedup proper: the globally FIRST occurrence (by
+    * (doc, start)) goes unmarked and survives the strip, every later
+    * copy is cut — the [[dedupParagraphs]] rule at substring grain. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2L): DataFrame = {
+      n: Int, minCount: Long = 2L,
+      keepFirst: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, "window size must be positive")
     val wins = df
@@ -148,8 +156,13 @@ object Dedup {
         md5(array_join(slice(col("__toks"), col("__s") + 1, lit(n)), " "))
           .as("__key"))
     val byKey = Window.partitionBy(col("__key"))
-    val dup = wins.withColumn("__cnt", count(lit(1)).over(byKey))
-      .filter(col("__cnt") >= minCount)
+    val counted = wins.withColumn("__cnt", count(lit(1)).over(byKey))
+    val dup =
+      if (keepFirst)
+        counted.withColumn("__rn", row_number().over(
+            byKey.orderBy(col("__id"), col("__s"))))
+          .filter(col("__cnt") >= minCount && col("__rn") >= 2)
+      else counted.filter(col("__cnt") >= minCount)
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("__s"))
     val runEnd = max(col("__s") + n)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -176,8 +189,9 @@ object Dedup {
     * index-aware `filter` over the token array — no range join, no
     * second explode. Returns (id, clean_text, n_kept, n_dropped). */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2L): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, n, minCount)
+      n: Int, minCount: Long = 2L,
+      keepFirst: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n, minCount, keepFirst)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

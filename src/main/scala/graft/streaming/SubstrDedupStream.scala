@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Streaming exact-substring dedup — the stream twin of
+  * [[graft.ops.Dedup.stripDuplicateSpans]] with `keepFirst=true`,
+  * completing the dedup stream family (exact keys: [[StreamDedup]];
+  * embeddings: [[SemDedupStream]]; paragraphs: [[ParaDedupStream]];
+  * signatures: [[MinHashDedupStream]]; n-token substrings: this).
+  *
+  * Per micro-batch of (id, text): every `n`-token window whose md5 key
+  * was seen in an EARLIER batch (the accumulated corpus) or earlier in
+  * this batch (first occurrence by (doc, start) wins) marks its token
+  * range; per doc the marked windows merge gaps-and-islands into
+  * maximal spans, which are cut before reassembly. The batch's
+  * first-seen window keys append to the corpus — keys of the INPUT
+  * text, so a future repeat of any n-gram this stream has ever seen is
+  * cut even if its first carrier was itself partially stripped (the
+  * batch operator's global-window rule under batch order).
+  *
+  * State is a (key, batch_id, lineage) parquet table via the shared
+  * [[StreamStore]] protocol: replay-exactly-once by the
+  * strictly-earlier-batch visibility filter, fresh-checkpoint restarts
+  * via lineage scoping, crash-safe compaction over AtomicDir —
+  * identical guarantees to ParaDedupStream, one code path.
+  *
+  * Scale shape: the window explode is batch-token-linear; the
+  * seen-lookup joins the BATCH's keys (micro-batch sized) against the
+  * key store — hold the store key-bucketed at corpus scale so the
+  * probe partition-prunes; the island merge and reassembly shuffle
+  * only the batch. Executors hold nothing between triggers.
+  */
+final class SubstrDedupStream(spark: SparkSession, storePath: String,
+    idCol: String, textCol: String, n: Int,
+    lineage: String = "default") {
+  require(n > 0, "window size must be positive")
+
+  private var batchesSeen = 0L
+  private var tokensKept = 0L
+  private var tokensDropped = 0L
+
+  /** Totals since construction: (batches, tokens kept, tokens cut). */
+  def stats: (Long, Long, Long) = (batchesSeen, tokensKept, tokensDropped)
+
+  private val store = new StreamStore(spark, storePath, lineage)
+
+  /** The `foreachBatch` body: returns (id, clean_text, n_kept,
+    * n_dropped) with the batch's new window keys already appended. The
+    * result rides a deferred localCheckpoint — call
+    * `graft.core.Metrics.drainUnpersist()` after sinking it. */
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    val toks = batch
+      .select(col(idCol).as("__id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+      .localCheckpoint()
+    try {
+      val wins = toks.filter(size(col("__toks")) >= n)
+        .select(col("__id"),
+          explode(sequence(lit(0), size(col("__toks")) - n)).as("__s"),
+          col("__toks"))
+        .select(col("__id"), col("__s"),
+          md5(array_join(slice(col("__toks"), col("__s") + 1, lit(n)),
+            " ")).as("__key"))
+        .localCheckpoint()
+      try {
+        val seen = store.visible(batchId)
+          .map(_.select(col("key").as("__key")).distinct()
+            .withColumn("__corpus", lit(true)))
+          .getOrElse(spark.range(0).select(lit("").as("__key"),
+            lit(true).as("__corpus")))
+        // corpus-seen marks; within batch the first (doc, start)
+        // occurrence of a NEW key survives, later copies mark
+        val byKey = Window.partitionBy(col("__key"))
+          .orderBy(col("__id"), col("__s"))
+        val joined = wins.join(seen, Seq("__key"), "left")
+          .withColumn("__rn", row_number().over(byKey))
+          .localCheckpoint()
+        try {
+          val dup = joined
+            .filter(col("__corpus").isNotNull || col("__rn") >= 2)
+          val byDoc = Window.partitionBy(col("__id")).orderBy(col("__s"))
+          val runEnd = max(col("__s") + n)
+            .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+          val spans = dup
+            .withColumn("__new",
+              when(runEnd.isNull || col("__s") > runEnd, 1L).otherwise(0L))
+            .withColumn("__island", sum(col("__new")).over(byDoc))
+            .groupBy(col("__id"), col("__island"))
+            .agg(min(col("__s")).cast(LongType).as("span_start"),
+              (max(col("__s")) + n).cast(LongType).as("span_end"))
+            .groupBy(col("__id"))
+            .agg(collect_list(struct(col("span_start"), col("span_end")))
+              .as("__spans"))
+          val out = toks.join(spans, Seq("__id"), "left")
+            .select(col("__id"), col("__toks"),
+              coalesce(col("__spans"), array().cast(
+                "array<struct<span_start:bigint,span_end:bigint>>"))
+                .as("__spans"))
+            .select(col("__id"),
+              filter(col("__toks"), (t, i) =>
+                !exists(col("__spans"), sp =>
+                  i >= sp("span_start") && i < sp("span_end")))
+                .as("__keep"),
+              size(col("__toks")).as("__n"))
+            .select(col("__id").as(idCol),
+              array_join(col("__keep"), " ").as("clean_text"),
+              size(col("__keep")).cast(LongType).as("n_kept"),
+              (col("__n") - size(col("__keep"))).cast(LongType)
+                .as("n_dropped"))
+            .localCheckpoint()
+          // the caller still reads `out` — release via the deferred pool
+          graft.core.Metrics.deferUnpersist(out)
+          // advance the corpus: this batch's first-seen keys (absent
+          // from the visible store; the rn=1 row is the representative)
+          store.append(joined
+            .filter(col("__corpus").isNull && col("__rn") === 1)
+            .select(col("__key").as("key")), batchId)
+          val (k, d) = {
+            val r = out.agg(sum("n_kept"), sum("n_dropped")).head()
+            (if (r.isNullAt(0)) 0L else r.getLong(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1))
+          }
+          batchesSeen += 1; tokensKept += k; tokensDropped += d
+          out
+        } finally joined.unpersist()
+      } finally wins.unpersist()
+    } finally toks.unpersist()
+  }
+
+  /** Fold replay-duplicated keys (min batch_id per (key, lineage) — the
+    * earliest introduction) via the shared [[StreamStore]]. */
+  def compact(): Unit = store.compact(
+    _.groupBy("key", "lineage").agg(min("batch_id").as("batch_id")))
+}

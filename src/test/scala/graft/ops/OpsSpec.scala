@@ -456,6 +456,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 6L)), got.toString)
   }
 
+  test("duplicateSpans keepFirst: globally first occurrence survives, later copies marked") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "yesterday the cat sat on a rug"),
+      (4L, "x y z w x y z")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3,
+        keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 wrote every shared window first (smaller doc id) → unmarked;
+    // doc 2's copies at s=1,2 merge to [1,5); doc 4's second 'x y z'
+    // (s=4) is marked, the s=0 original survives
+    assert(got == Set((2L, 1L, 5L), (4L, 4L, 7L)), got.toString)
+    val stripped = Dedup.stripDuplicateSpans(docs, "doc_id", "text",
+        n = 3, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(1L) == "the cat sat on the mat today") // untouched
+    assert(stripped(2L) == "yesterday a rug")
+    assert(stripped(4L) == "x y z w")
+  }
+
   test("stripDuplicateSpans cuts the span, keeps the unique remainder") {
     import spark.implicits._
     val docs = Seq(

@@ -67,6 +67,25 @@ class DedupStreamCrashMatrixSpec extends SparkSpec {
       assert(after(3L) == ((s"three", 1L, 1L)))
     }
 
+  for (crash <- Seq("before", "between", "after"))
+    test(s"substr: compact crash $crash the swap renames — corpus survives") {
+      val dir = Files.createTempDirectory(s"subcrash_$crash")
+        .toString + "/keys"
+      val s = new SubstrDedupStream(spark, dir, "doc_id", "text", n = 3)
+      s.processBatch(
+        Seq((1L, "shared boiler plate words")).toDF("doc_id", "text"), 0L)
+        .collect()
+      strand(dir, crash)
+      val got = s.processBatch(
+        Seq((2L, "xx shared boiler plate yy")).toDF("doc_id", "text"), 1L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(2L) == "xx yy",
+        s"crash-$crash store must not forget the screened corpus")
+      s.compact()
+      assert(!fs.exists(new Path(dir + "__old")), "trash must be gone")
+      graft.core.Metrics.drainUnpersist()
+    }
+
   // two sentences long enough to shingle (n=3 words), identical text =
   // jaccard 1 → always a candidate pair at any banding
   private val textA =
