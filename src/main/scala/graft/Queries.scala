@@ -704,6 +704,16 @@ object Queries {
       Dedup.stripDuplicateSpans(substrWrapped(s, dir), "doc_id", "wtext",
         n = 8, minCount = 2, keepFirst = true)),
 
+    "q_x_decontam" -> ((s, dir) =>
+      // span-level eval decontamination: every 50th doc's text IS the
+      // benchmark, so those docs (and any doc sharing an 8-gram with
+      // them) lose exactly the colliding spans — surgical, not
+      // doc-level drop. Benchmark keys broadcast; corpus probe is a
+      // semi-join on the exploded windows.
+      Dedup.decontaminate(docs(s, dir), "doc_id", "text",
+        docs(s, dir).filter(col("doc_id") % 50 === 0).select(col("text")),
+        "text", n = 8)),
+
     // ================= similarity search ================================
     "q_x_ann_cosine" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -3657,6 +3667,63 @@ object Queries {
         |    (tk, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := tk))
         |    AS ps
         |  FROM w),
+        |p AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+        |  FROM (SELECT doc_id, unnest(ps) AS u FROM p0)),
+        |m AS (
+        |  SELECT p.doc_id, p.pos, any_value(p.tok) AS tok,
+        |    count(sp.span_start) AS hits
+        |  FROM p LEFT JOIN spans sp
+        |    ON p.doc_id = sp.doc_id
+        |      AND p.pos >= sp.span_start AND p.pos < sp.span_end
+        |  GROUP BY p.doc_id, p.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+        |    FILTER (WHERE hits = 0), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE hits = 0) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_dropped
+        |FROM m GROUP BY doc_id""".stripMargin,
+
+    // span-level decontamination: corpus windows colliding with the
+    // benchmark key set (every 50th doc's text) mark, merge, and cut
+    "q_x_decontam" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT string_split(coalesce(text, ''), ' ') AS toks
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bk AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(list_slice(toks, s + 1, s + 8), ' ')) AS key
+        |  FROM (SELECT toks, unnest(range(0, len(toks) - 7)) AS s
+        |        FROM b WHERE len(toks) >= 8)),
+        |t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+        |      FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, unnest(range(0, len(toks) - 7)) AS s, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |k AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    md5(array_to_string(list_slice(toks, s + 1, s + 8), ' ')) AS key
+        |  FROM w0),
+        |d AS (
+        |  SELECT doc_id, s FROM k WHERE key IN (SELECT key FROM bk)),
+        |i AS (
+        |  SELECT doc_id, s,
+        |    max(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM d),
+        |j AS (
+        |  SELECT doc_id, s,
+        |    sum(CASE WHEN run_end IS NULL OR s > run_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM i),
+        |spans AS MATERIALIZED (
+        |  SELECT doc_id, min(s) AS span_start, max(s) + 8 AS span_end
+        |  FROM j GROUP BY doc_id, island),
+        |p0 AS (
+        |  SELECT doc_id, list_transform(string_split(coalesce(text, ''), ' '),
+        |    (tk, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := tk))
+        |    AS ps
+        |  FROM documents),
         |p AS (
         |  SELECT doc_id, u.pos AS pos, u.tok AS tok
         |  FROM (SELECT doc_id, unnest(ps) AS u FROM p0)),

@@ -140,13 +140,12 @@ object Dedup {
     * is the Lee et al. dedup proper: the globally FIRST occurrence (by
     * (doc, start)) goes unmarked and survives the strip, every later
     * copy is cut — the [[dedupParagraphs]] rule at substring grain. */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2L,
-      keepFirst: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(n > 0, "window size must be positive")
-    val wins = df
-      .select(col(idCol).as("__id"),
+  /** (\_\_id, \_\_s, \_\_key) window rows: md5 of the n single-space
+    * tokens starting at 0-based token index \_\_s. The shared front of
+    * the exact-substring family. */
+  private def windowKeys(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
         split(coalesce(col(textCol), lit("")), " ").as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("__id"),
@@ -155,18 +154,16 @@ object Dedup {
       .select(col("__id"), col("__s"),
         md5(array_join(slice(col("__toks"), col("__s") + 1, lit(n)), " "))
           .as("__key"))
-    val byKey = Window.partitionBy(col("__key"))
-    val counted = wins.withColumn("__cnt", count(lit(1)).over(byKey))
-    val dup =
-      if (keepFirst)
-        counted.withColumn("__rn", row_number().over(
-            byKey.orderBy(col("__id"), col("__s"))))
-          .filter(col("__cnt") >= minCount && col("__rn") >= 2)
-      else counted.filter(col("__cnt") >= minCount)
+
+  /** Merge marked windows (\_\_id, \_\_s) into maximal per-doc spans —
+    * the gaps-and-islands tail shared by every span variant. */
+  private def mergeIslands(marked: DataFrame, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("__s"))
     val runEnd = max(col("__s") + n)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    dup
+    marked
       .withColumn("__new",
         when(runEnd.isNull || col("__s") > runEnd, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__new")).over(byDoc))
@@ -177,21 +174,12 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
-  /** Remove every [[duplicateSpans]] token range and reassemble the
-    * document — the executing half of the ExactSubstr screen (the Lee
-    * et al. recommendation: cut the repeated substring, keep the
-    * unique remainder; doc-level drop throws away the good half of a
-    * half-duplicated document).
-    *
-    * Scale shape: spans collapse to a per-doc array (spans per doc are
-    * few — they are MERGED maximal ranges), ride a broadcast-friendly
-    * equi-join back to the corpus, and the cut is a per-row
-    * index-aware `filter` over the token array — no range join, no
-    * second explode. Returns (id, clean_text, n_kept, n_dropped). */
-  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2L,
-      keepFirst: Boolean = false): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, n, minCount, keepFirst)
+  /** Cut every span row (idCol, span_start, span_end) out of the
+    * corpus and reassemble — spans collapse to a per-doc array and the
+    * cut is an index-aware token filter, no range join. */
+  private def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      spanRows: DataFrame): DataFrame = {
+    val spans = spanRows
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
@@ -212,6 +200,76 @@ object Dedup {
         size(col("__keep")).cast(LongType).as("n_kept"),
         (col("__n") - size(col("__keep"))).cast(LongType).as("n_dropped"))
   }
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L,
+      keepFirst: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "window size must be positive")
+    val wins = windowKeys(df, idCol, textCol, n)
+    val byKey = Window.partitionBy(col("__key"))
+    val counted = wins.withColumn("__cnt", count(lit(1)).over(byKey))
+    val dup =
+      if (keepFirst)
+        counted.withColumn("__rn", row_number().over(
+            byKey.orderBy(col("__id"), col("__s"))))
+          .filter(col("__cnt") >= minCount && col("__rn") >= 2)
+      else counted.filter(col("__cnt") >= minCount)
+    mergeIslands(dup, idCol, n)
+  }
+
+  /** Remove every [[duplicateSpans]] token range and reassemble the
+    * document — the executing half of the ExactSubstr screen (the Lee
+    * et al. recommendation: cut the repeated substring, keep the
+    * unique remainder; doc-level drop throws away the good half of a
+    * half-duplicated document).
+    *
+    * Scale shape: spans collapse to a per-doc array (spans per doc are
+    * few — they are MERGED maximal ranges), ride a broadcast-friendly
+    * equi-join back to the corpus, and the cut is a per-row
+    * index-aware `filter` over the token array — no range join, no
+    * second explode. Returns (id, clean_text, n_kept, n_dropped). */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L,
+      keepFirst: Boolean = false): DataFrame =
+    cutSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, n, minCount, keepFirst))
+
+  /** Span-level benchmark decontamination — the surgical form of
+    * [[contamination]]: instead of flagging whole documents, mark the
+    * exact token ranges whose `n`-token window also occurs in the
+    * benchmark/eval set, merge them to maximal spans (the
+    * [[duplicateSpans]] machinery), and CUT them — remove the colliding
+    * span rather than discard a document whose one quoted sentence
+    * leaks an eval answer.
+    *
+    * Scale shape: the benchmark is the SMALL side by construction
+    * (eval sets are MBs against a 100 TB corpus) — its distinct window
+    * keys broadcast, so the corpus-side probe is a broadcast semi-join
+    * on the already-exploded windows; the island merge and reassembly
+    * shuffle only span-bearing docs. Returns (id, span_start,
+    * span_end, span_tokens). */
+  def decontaminateSpans(corpus: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchTextCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "window size must be positive")
+    val benchKeys = windowKeys(
+        benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, n)
+      .select("__key").distinct()
+    val marked = windowKeys(corpus, idCol, textCol, n)
+      .join(broadcast(benchKeys), Seq("__key"), "left_semi")
+    mergeIslands(marked, idCol, n)
+  }
+
+  /** The executing half of [[decontaminateSpans]]: cut every
+    * benchmark-colliding span, reassemble the remainder. Returns
+    * (id, clean_text, n_kept, n_dropped). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    cutSpans(corpus, idCol, textCol,
+      decontaminateSpans(corpus, idCol, textCol, benchmark,
+        benchTextCol, n))
 
   /** Incremental (ingest-time) dedup: keep the batch rows whose key is
     * new — first within the batch itself AND absent from the accumulated

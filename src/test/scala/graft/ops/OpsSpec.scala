@@ -493,6 +493,26 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (("w", 1L, 6L))) // both 'x y z' copies cut
   }
 
+  test("decontaminate cuts benchmark-colliding spans, not documents") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "intro words then the secret eval answer is here plus more context"),
+      (2L, "clean document with no overlap at all")).toDF("doc_id", "text")
+    val bench = Seq("the secret eval answer is here").toDF("btext")
+    // n=4: doc 1's windows at s=3,4,5 match benchmark windows → one
+    // merged span [3,9); the document SURVIVES minus the leaked span
+    val spans = Dedup.decontaminateSpans(corpus, "doc_id", "text",
+        bench, "btext", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 3L, 9L)), spans.toString)
+    val got = Dedup.decontaminate(corpus, "doc_id", "text",
+        bench, "btext", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("intro words then plus more context", 6L, 6L)))
+    assert(got(2L) == (("clean document with no overlap at all", 7L, 0L)))
+  }
+
   test("frequent-paragraph strip drops every copy past the cap, keeps the rest") {
     import spark.implicits._
     val sep = "\n\n"
