@@ -719,6 +719,57 @@ object Bench {
         (-1.0, 0L, 0L, 0L)
     } }
 
+    // Streaming exact-substring dedup e2e: documents (wrapped with the
+    // shared boilerplate tail, so every batch carries real cross-batch
+    // duplicate 8-token windows) through SubstrDedupStream's
+    // foreachBatch body. docs/s = documents screened per second.
+    val (subSec, subDocs, subKept, subDropped) =
+      section("substr") { try {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{coalesce, col, concat, lit}
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_substr").toString
+        val docsAll = Tables.read(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            concat(coalesce(col("text"), lit("")),
+              lit(" subscribe to our newsletter for updates and special" +
+                " offers today")).as("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val nB = 5
+        val per = math.max(1, docsAll.length / nB)
+        val batches = docsAll.grouped(per).toSeq
+        val s = new graft.streaming.SubstrDedupStream(spark, dir + "/keys",
+          "doc_id", "text", n = 8)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .option("checkpointLocation", dir + "/_ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            s.processBatch(b, id).write
+              .mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(dir + "/out")
+            graft.core.Metrics.drainUnpersist()
+          }
+          .start()
+        val sec = try time {
+          batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        } finally {
+          q.stop()
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(dir))
+        }
+        val (_, kept, dropped) = s.stats
+        (sec, docsAll.length.toLong, kept, dropped)
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] substring dedup stream bench failed: ${e.getMessage}")
+          (-1.0, 0L, 0L, 0L)
+      } }
+
     // Streaming trending freshness: events through the DailyRollup
     // update-mode agg + replace-by-key upsert, with a decayed trending
     // read AFTER EVERY trigger (the freshness contract — scores reflect
@@ -923,6 +974,10 @@ object Bench {
       "para_stream_docs_per_sec" -> eps2(paraSec, paraDocs).toString,
       "para_stream_kept" -> paraKept.toString,
       "para_stream_dropped" -> paraDropped.toString,
+      "substr_stream_sec" -> subSec.toString,
+      "substr_stream_docs_per_sec" -> eps2(subSec, subDocs).toString,
+      "substr_stream_tokens_kept" -> subKept.toString,
+      "substr_stream_tokens_dropped" -> subDropped.toString,
       "trending_rollup_sec" -> trSec.toString,
       "trending_rollup_events_per_sec" -> eps2(trSec, trEvents).toString,
       "trending_read_sec_per_query" ->

@@ -1343,6 +1343,23 @@ object Queries {
       Pq.sq8TopK(codes, "vec_id", "codes", m, q, topK = 20)
     }),
 
+    "q_x_ann_sq8_many" -> ((s, dir) => {
+      // batched SQ8 serving transport: one codes scan answers a 3-query
+      // batch (the query batch rides the plan as a generated literal);
+      // per-query results equal sq8TopK — here the TRANSPORT itself is
+      // value-oracle-checked, the q_x_ann_pq_many discipline.
+      import graft.ops.Pq
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") <= 2)
+        .select("vec_id", "embedding").collect()
+        .sortBy(_.getLong(0))
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+      val m = Pq.sq8Train(emb, "embedding")
+      val codes = Pq.sq8Encode(emb, "vec_id", "embedding", m)
+      Pq.sq8TopKMany(codes, "vec_id", "codes", m, qs, topK = 10)
+    }),
+
     "q_x_ivf_drift" -> ((s, dir) => {
       // retrain trigger: occupancy drift of a "new batch" (every 10th
       // vector by id — a deterministic, scale-free 10% slice re-assigned
@@ -2856,6 +2873,47 @@ object Queries {
         |  FROM vh, q)
         |SELECT vec_id, est_cosine FROM s
         |ORDER BY est_cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    // batched SQ8 transport: same train/encode/estimate replay, three
+    // queries served from ONE scan, window top-10 per query
+    "q_x_ann_sq8_many" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |mm AS (
+        |  SELECT j.range AS pos,
+        |    min(e[CAST(j.range + 1 AS INT)]) AS mn,
+        |    max(e[CAST(j.range + 1 AS INT)]) AS mx
+        |  FROM v, range(64) j GROUP BY j.range),
+        |ms AS (
+        |  SELECT list(mn ORDER BY pos) AS mns,
+        |    list((mx - mn) / 255.0 ORDER BY pos) AS scs
+        |  FROM mm),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id <= 2),
+        |vh AS (
+        |  SELECT v.vec_id,
+        |    list_transform(range(1, 65), j ->
+        |      ms.mns[CAST(j AS INT)] + ms.scs[CAST(j AS INT)] *
+        |        CASE WHEN ms.scs[CAST(j AS INT)] > 0
+        |          THEN least(255, greatest(0,
+        |            CAST(floor((v.e[CAST(j AS INT)] - ms.mns[CAST(j AS INT)])
+        |              / ms.scs[CAST(j AS INT)] + 0.5) AS INT)))
+        |          ELSE 0 END) AS vhat
+        |  FROM v, ms),
+        |s AS (
+        |  SELECT q.query_id, vh.vec_id,
+        |    CASE WHEN sqrt(list_inner_product(vhat, vhat))
+        |            * sqrt(list_inner_product(qe, qe)) > 0
+        |      THEN list_inner_product(vhat, qe)
+        |           / (sqrt(list_inner_product(vhat, vhat))
+        |              * sqrt(list_inner_product(qe, qe)))
+        |      ELSE 0.0 END AS est_cosine
+        |  FROM vh, q),
+        |r AS (
+        |  SELECT query_id, vec_id, est_cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY est_cosine DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id, vec_id, est_cosine FROM r WHERE rn <= 10""".stripMargin,
 
     // retrain-trigger drift: replayed training + assignment give both
     // distributions; the per-cell statistic is histogramDrift's
