@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
 final class MinHashDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String,
     n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-    estThreshold: Double = 0.5, lineage: String = "default") {
+    estThreshold: Double = 0.5, lineage: String = "default",
+    compactEvery: Int = 0) {
 
   private var batchesSeen = 0L
   private var kept = 0L
@@ -91,6 +92,9 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
           Dedup.minHashSignaturesPortable(survivors, idCol, textCol, n,
             numHashes).select(col("id"), col("sig")), batchId)
         batchesSeen += 1; kept += nKept; dropped += total - nKept
+        // cadenced maintenance (the SemDedupStream discipline): folding
+        // bounds the per-trigger probe's file listing, decisions unchanged
+        if (compactEvery > 0 && batchesSeen % compactEvery == 0) compact()
         survivors
       } finally pairs.unpersist()
     } finally batch.unpersist()

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 final class ParaDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, sep: String = "\n\n",
-    lineage: String = "default") {
+    lineage: String = "default", compactEvery: Int = 0) {
 
   private var batchesSeen = 0L
   private var parasKept = 0L
@@ -106,6 +106,9 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
           if (r.isNullAt(1)) 0L else r.getLong(1))
       }
       batchesSeen += 1; parasKept += k; parasDropped += d
+      // cadenced maintenance (the SemDedupStream discipline): folding
+      // bounds the per-trigger probe's file listing, decisions unchanged
+      if (compactEvery > 0 && batchesSeen % compactEvery == 0) compact()
       out
     } finally marked.unpersist()
   }

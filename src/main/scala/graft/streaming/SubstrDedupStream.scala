@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.LongType
   */
 final class SubstrDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, n: Int,
-    lineage: String = "default") {
+    lineage: String = "default", compactEvery: Int = 0) {
   require(n > 0, "window size must be positive")
 
   private var batchesSeen = 0L
@@ -124,6 +124,12 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
               if (r.isNullAt(1)) 0L else r.getLong(1))
           }
           batchesSeen += 1; tokensKept += k; tokensDropped += d
+          // cadenced maintenance (the SemDedupStream discipline): every
+          // append adds a store file, so a resident stream accumulates
+          // small files — folding keeps the per-trigger probe's listing
+          // and scan bounded without changing any decision
+          if (compactEvery > 0 && batchesSeen % compactEvery == 0)
+            compact()
           out
         } finally joined.unpersist()
       } finally wins.unpersist()

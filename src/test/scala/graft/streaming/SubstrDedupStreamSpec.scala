@@ -77,6 +77,25 @@ class SubstrDedupStreamSpec extends SparkSpec {
       "run-a's corpus must survive the lineage restart")
   }
 
+  test("cadenced compaction folds the store mid-stream, decisions unchanged") {
+    val dir = Files.createTempDirectory("substream5").toString + "/keys"
+    val s = new SubstrDedupStream(spark, dir, "doc_id", "text", n = 3,
+      compactEvery = 2)
+    dump(s.processBatch(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), 0L))
+    // batch 1 trips the cadence: the store folds right after the append
+    dump(s.processBatch(
+      Seq((2L, "epsilon zeta eta theta")).toDF("doc_id", "text"), 1L))
+    graft.core.Metrics.drainUnpersist()
+    val keys = spark.read.parquet(dir)
+    assert(keys.count() == keys.select("key").distinct().count())
+    // the folded store still screens batch-0 content
+    val got = dump(s.processBatch(
+      Seq((3L, "xx alpha beta gamma yy")).toDF("doc_id", "text"), 2L))
+    graft.core.Metrics.drainUnpersist()
+    assert(got(3L) == (("xx yy", 2L, 3L)))
+  }
+
   test("live MemoryStream e2e through foreachBatch") {
     val dir = Files.createTempDirectory("substream4").toString
     val s = new SubstrDedupStream(spark, dir + "/keys", "doc_id", "text", 3)
