@@ -452,6 +452,15 @@ object Queries {
       Dedup.sourceOverlap(rd(s, dir, "documents"), "source", "text",
         n = 3)),
 
+    "q_x_kmv_overlap" -> ((s, dir) =>
+      // the 100 TB twin of q_x_source_overlap: per source-pair Jaccard
+      // ESTIMATE from bottom-k (KMV) sketches of the distinct 3-gram
+      // shingle hashes — corpus reduces to ≤ k longs per source before
+      // any pair math; sketch is md5-portable so the oracle replays the
+      // estimator bit-for-bit, not just row counts
+      Dedup.kmvSourceOverlap(rd(s, dir, "documents"), "source", "text",
+        n = 3, k = 64)),
+
     "q_x_template_groups" -> ((s, dir) =>
       // template-farm detection: md5 of the line-length skeleton groups
       // structurally identical pages whose slot text differs
@@ -3387,6 +3396,60 @@ object Queries {
         |FROM common
         |JOIN sizes sa ON sa.src = src_a
         |JOIN sizes sb ON sb.src = src_b""".stripMargin,
+
+    "q_x_kmv_overlap" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source AS src,
+        |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |    FROM docs WHERE len(w) >= 3)),
+        |botk AS (
+        |  SELECT src, h FROM (
+        |    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+        |    FROM sh)
+        |  WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT src FROM botk),
+        |pairs AS (
+        |  SELECT a.src AS src_a, b.src AS src_b
+        |  FROM srcs a JOIN srcs b ON a.src < b.src),
+        |uh AS (
+        |  SELECT p.src_a, p.src_b, bk.h
+        |  FROM pairs p JOIN botk bk ON bk.src = p.src_a OR bk.src = p.src_b
+        |  GROUP BY 1, 2, 3),
+        |thr AS (
+        |  SELECT src_a, src_b,
+        |    least(64, max(cnt)) AS keff,
+        |    max(CASE WHEN rn = least(64, cnt) THEN h END) AS tau
+        |  FROM (
+        |    SELECT src_a, src_b, h,
+        |      row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn,
+        |      count(*) OVER (PARTITION BY src_a, src_b) AS cnt
+        |    FROM uh)
+        |  GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT p.src_a, p.src_b, ba.h
+        |  FROM pairs p
+        |  JOIN botk ba ON ba.src = p.src_a
+        |  JOIN botk bb ON bb.src = p.src_b AND bb.h = ba.h),
+        |x AS (
+        |  SELECT i.src_a, i.src_b, count(*)::BIGINT AS common
+        |  FROM ix i JOIN thr t ON t.src_a = i.src_a AND t.src_b = i.src_b
+        |  WHERE i.h <= t.tau
+        |  GROUP BY 1, 2)
+        |SELECT t.src_a, t.src_b,
+        |  CAST(t.keff AS BIGINT) AS kmv_k,
+        |  t.tau AS kmv_tau,
+        |  coalesce(x.common, 0)::BIGINT AS kmv_common,
+        |  round(CAST(coalesce(x.common, 0) AS DOUBLE) /
+        |    CAST(t.keff AS DOUBLE), 4) AS kmv_jaccard
+        |FROM thr t
+        |LEFT JOIN x ON x.src_a = t.src_a AND x.src_b = t.src_b""".stripMargin,
 
     "q_x_template_groups" ->
       """WITH fp AS (

@@ -621,6 +621,79 @@ object Dedup {
           .as("overlap"))
   }
 
+  /** KMV-sketch source overlap: the bounded-state 100 TB path for
+    * [[sourceOverlap]]. Exact overlap shuffles EVERY distinct (source,
+    * shingle) pair — O(corpus shingles) rows through the wire; here each
+    * source is first reduced to a [[graft.functions.KmvSketchAgg]]
+    * bottom-k sketch of its distinct shingle hashes (map-side partials
+    * bound the shuffle to ≤ k longs per mapper per source), and all
+    * pair math runs on the ≤ |sources| × k-long sketch frame — a
+    * driver-negligible epilogue regardless of corpus size.
+    *
+    * Per pair: τ = k-th smallest of the DISTINCT union of the two
+    * sketches (below τ both sets are exactly known), x = |{h ∈ A_k ∩
+    * B_k : h ≤ τ}|, Jaccard ≈ x / k_eff (Beyer et al., SIGMOD'07).
+    * Pairs are derived from ONE collected struct array (the same
+    * transform/slice enumeration [[sourceOverlap]] uses) — no
+    * self-join, no cartesian.
+    *
+    * Hashes are [[graft.functions.Portable.h60]], so the whole sketch —
+    * not just row counts — replays bit-for-bit on a DuckDB oracle
+    * (`row_number() OVER (PARTITION BY src ORDER BY h) <= k`).
+    *
+    * Output: (src_a, src_b, kmv_k BIGINT, kmv_tau BIGINT, kmv_common
+    * BIGINT, kmv_jaccard DOUBLE) for every unordered source pair. */
+  def kmvSourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sk = spread(df.select(col(sourceCol).as("src"),
+        col(textCol).as("__t")))
+      .select(col("src"),
+        explode(shinglesFromWords(
+          TextOps.tokens(TextOps.normalized(col("__t"))), n)).as("__sh"))
+      .select(col("src"),
+        graft.functions.Portable.h60(col("__sh")).as("__h"))
+      .groupBy("src")
+      .agg(graft.functions.KmvAggExprs.kmvFromHashes(col("__h"), k)
+        .as("kmv"))
+    // one row holding every source's sketch (bounded by |sources|);
+    // sort_array fixes pair order so src_a < src_b deterministically
+    val pairs = sk
+      .agg(sort_array(collect_list(struct(col("src"), col("kmv"))))
+        .as("__all"))
+      .select(explode(expr(
+        "flatten(transform(__all, (x, i) -> " +
+          "transform(slice(__all, i + 2, size(__all)), " +
+          "y -> struct(x.src as src_a, x.kmv as kmv_a, " +
+          "y.src as src_b, y.kmv as kmv_b))))")).as("__p"))
+      .select(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"),
+        col("__p.kmv_a").as("__a"), col("__p.kmv_b").as("__b"))
+    val merged = array_sort(array_union(col("__a"), col("__b")))
+    pairs
+      .withColumn("__u", merged)
+      .withColumn("__keff",
+        least(lit(k.toLong), size(col("__u")).cast(LongType)))
+      .withColumn("__tau", expr("element_at(__u, CAST(__keff AS INT))"))
+      .withColumn("__x",
+        size(filter(array_intersect(col("__a"), col("__b")),
+          h => h <= col("__tau"))).cast(LongType))
+      .select(col("src_a"), col("src_b"),
+        col("__keff").as("kmv_k"), col("__tau").as("kmv_tau"),
+        col("__x").as("kmv_common"),
+        round(col("__x").cast(DoubleType) /
+          col("__keff").cast(DoubleType), 4).as("kmv_jaccard"))
+  }
+
+  /** KMV union-cardinality estimate for a sorted bottom-k sketch column:
+    * (|sketch| − 1) · 2^60 / max(sketch) — the classic k-th-minimum
+    * estimator over the h60 hash space. Exposed for composition (e.g.
+    * distinct-shingle counts per source without a distinct shuffle);
+    * estimator math, so specs gate it by relative error, not an oracle. */
+  def kmvCardinality(sketch: Column): Column =
+    when(size(sketch) > 1,
+      (size(sketch).cast(DoubleType) - 1.0) * math.pow(2.0, 60) /
+        element_at(sketch, size(sketch)).cast(DoubleType))
+      .otherwise(lit(0.0))
+
   /** MinHash signature: for each of `numHashes` seeds, the min hash over
     * the document's shingles — per-row expression form (reference shape;
     * see [[minHashSignatures]] for the at-scale aggregate form). */
