@@ -47,6 +47,46 @@ object SketchStream {
       .toDF("g", "hll")
   }
 
+  /** Per-group streaming KMV (bottom-k) sketch: emits (g, kmv) with the
+    * group's k smallest distinct h60 hashes as of each trigger — the
+    * streaming twin of [[graft.functions.KmvAggExprs.kmvFromHashes]].
+    *
+    * State is ≤ 8·k bytes per group regardless of stream length, and
+    * bottom-k over sets is associative, commutative, and idempotent, so
+    * the emission after any prefix of triggers equals the batch sketch
+    * over the same prefix, and re-merging any subset of a group's
+    * emissions (at-least-once replay) still yields the final sketch —
+    * the same replay-safety argument as [[hllByKey]]. Downstream,
+    * pairs of emitted sketches feed the same τ-threshold overlap math
+    * as `Dedup.kmvSourceOverlap` (live cross-source overlap tiles). */
+  def kmvByKey(df: DataFrame, groupCol: String, key: Column, k: Int)
+      : DataFrame = {
+    require(k > 0, s"kmv sketch needs k > 0, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+        col(groupCol).cast(StringType).as("_1"),
+        Portable.h60(key).as("_2"))
+      .as[(String, Long)]
+    prepared.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) { case (g, rows, state) =>
+        var set = scala.collection.immutable.TreeSet.empty[Long] ++
+          state.getOption.getOrElse(Array.empty[Long])
+        rows.foreach { case (_, h) =>
+          if (set.size < k) set += h
+          else if (h < set.lastKey) {
+            set += h
+            if (set.size > k) set -= set.lastKey
+          }
+        }
+        val arr = set.toArray // ascending
+        state.update(arr)
+        (g, arr.toSeq)
+      }
+      .toDF("g", "kmv")
+  }
+
   /** Convenience: attach the fixed-point estimate to a sketch stream's
     * output (or any sketch table). */
   def withEstimate(sketches: DataFrame, p: Int = Sketches.DefaultP)

@@ -50,4 +50,38 @@ class SketchStreamSpec extends SparkSpec {
       assert(math.abs(est("b") - 80) / 80.0 < 0.4, est("b"))
     } finally q.stop()
   }
+
+  test("streaming KMV == batch KMV over the same prefix; replay-merge safe") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = SketchStream.kmvByKey(
+      mem.toDF().toDF("g", "k"), "g", col("k"), k = 16)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("kmvstream").start()
+    try {
+      mem.addData((1 to 300).map(i => ("a", s"x$i")) ++
+        (1 to 40).map(i => ("b", s"y$i")): _*)
+      q.processAllAvailable()
+      // overlap across triggers: redelivered keys must not change sketches
+      mem.addData((150 to 500).map(i => ("a", s"x$i")) ++
+        (1 to 40).map(i => ("b", s"y$i")): _*)
+      q.processAllAvailable()
+
+      val emissions = spark.sql("SELECT g, kmv FROM kmvstream")
+      val batchDf = ((1 to 500).map(i => ("a", s"x$i")) ++
+        (1 to 40).map(i => ("b", s"y$i"))).toDF("g", "k")
+      val expect = batchDf
+        .groupBy("g")
+        .agg(graft.functions.KmvAggExprs.kmvFromHashes(
+          graft.functions.Portable.h60(col("k")), 16).as("kmv"))
+        .as[(String, Seq[Long])].collect().toMap
+      // the LAST emission per group equals the batch sketch
+      val last = emissions.groupBy("g")
+        .agg(graft.functions.KmvAggExprs.kmvUnion(col("kmv"), 16).as("kmv"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(last == expect)
+      // sketches are bounded at k even though group a saw 500 distincts
+      assert(expect("a").size == 16 && expect("b").size == 16)
+    } finally q.stop()
+  }
 }
