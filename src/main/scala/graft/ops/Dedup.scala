@@ -667,20 +667,34 @@ object Dedup {
           "y.src as src_b, y.kmv as kmv_b))))")).as("__p"))
       .select(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"),
         col("__p.kmv_a").as("__a"), col("__p.kmv_b").as("__b"))
-    val merged = array_sort(array_union(col("__a"), col("__b")))
     pairs
-      .withColumn("__u", merged)
-      .withColumn("__keff",
-        least(lit(k.toLong), size(col("__u")).cast(LongType)))
-      .withColumn("__tau", expr("element_at(__u, CAST(__keff AS INT))"))
-      .withColumn("__x",
-        size(filter(array_intersect(col("__a"), col("__b")),
-          h => h <= col("__tau"))).cast(LongType))
+      .withColumn("__st", kmvPairStats(col("__a"), col("__b"), k))
       .select(col("src_a"), col("src_b"),
-        col("__keff").as("kmv_k"), col("__tau").as("kmv_tau"),
-        col("__x").as("kmv_common"),
-        round(col("__x").cast(DoubleType) /
-          col("__keff").cast(DoubleType), 4).as("kmv_jaccard"))
+        col("__st.kmv_k").as("kmv_k"), col("__st.kmv_tau").as("kmv_tau"),
+        col("__st.kmv_common").as("kmv_common"),
+        col("__st.kmv_jaccard").as("kmv_jaccard"))
+  }
+
+  /** Pair overlap math over two bottom-k sketch columns as a single
+    * struct expression — the reusable tail of [[kmvSourceOverlap]], so
+    * any sketch pairing (e.g. `SketchStream.kmvByKey` emissions joined
+    * across groups for a live overlap tile) computes the identical
+    * estimator. Returns struct(kmv_k, kmv_tau, kmv_common,
+    * kmv_jaccard); two empty sketches yield (0, null, 0, 0.0). */
+  def kmvPairStats(a: Column, b: Column, k: Int): Column = {
+    val u = array_sort(array_union(a, b))
+    val keff = least(lit(k.toLong), size(u).cast(LongType))
+    // get() is 0-based, so this is the keff-th smallest; guarded —
+    // element_at-style indexing rejects index 0 on empty unions
+    val tau = when(keff > 0,
+      get(u, (keff - 1).cast(IntegerType))).otherwise(lit(null))
+    val x = size(filter(array_intersect(a, b), h => h <= tau))
+      .cast(LongType)
+    struct(keff.as("kmv_k"), tau.cast(LongType).as("kmv_tau"),
+      x.as("kmv_common"),
+      when(keff > 0,
+        round(x.cast(DoubleType) / keff.cast(DoubleType), 4))
+        .otherwise(lit(0.0)).as("kmv_jaccard"))
   }
 
   /** KMV union-cardinality estimate for a sorted bottom-k sketch column:

@@ -82,6 +82,23 @@ class SketchStreamSpec extends SparkSpec {
       assert(last == expect)
       // sketches are bounded at k even though group a saw 500 distincts
       assert(expect("a").size == 16 && expect("b").size == 16)
+
+      // live overlap tile: pairing the stream's final sketches through
+      // kmvPairStats equals the batch overlap over the same data —
+      // groups share no keys, so the estimate must be exactly 0; a
+      // self-pair must be exactly 1
+      val fin = last.toSeq.toDF("g", "kmv")
+      val aSk = fin.filter(col("g") === "a").select(col("kmv").as("ka"))
+      val bSk = fin.filter(col("g") === "b").select(col("kmv").as("kb"))
+      val tile = aSk.crossJoin(bSk)
+        .select(graft.ops.Dedup.kmvPairStats(
+          col("ka"), col("kb"), 16).as("st"))
+        .select("st.kmv_jaccard").as[Double].head
+      assert(tile == 0.0)
+      val self = aSk.select(graft.ops.Dedup.kmvPairStats(
+          col("ka"), col("ka"), 16).as("st"))
+        .select("st.kmv_jaccard").as[Double].head
+      assert(self == 1.0)
     } finally q.stop()
   }
 }
