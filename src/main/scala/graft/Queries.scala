@@ -1287,6 +1287,22 @@ object Queries {
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
+    "q_x_ann_filtered" -> ((s, dir) => {
+      // filtered vector search: top-k under a metadata predicate
+      // (label = 3, ~10% selective) over the SAME persisted index —
+      // the filter column rides the index partitions, so the plan is
+      // still prune → filter → TakeOrdered with no base-table join;
+      // nprobe widened 2 → 4 per the selectivity rule in the scaladoc
+      import graft.ops.Ivf
+      val q = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val idx = IndexStore.annIvf(s, dir)
+      Ivf.probeFiltered(s, idx.path, "vec_id", "embedding", q, k = 20,
+          pred = col("label") === 3, nprobe = 4)
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
     "q_x_ann_ivfpq_pruned" -> ((s, dir) => {
       // IVF-PQ over a persisted index: cells are partition directories,
       // rows carry ONLY the m code ints (no vectors on disk — the 32x
@@ -2525,6 +2541,32 @@ object Queries {
        |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Filtered-ANN oracle: the [[ivfOracleSql]] replay with the probe
+    * list widened to 4 and a label semi-filter on the candidates —
+    * mirrors probeFiltered's prune → filter → exact re-rank. */
+  private val annFilteredOracleSql: String = {
+    s"""WITH $ivfTrainCtes,
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |pd AS (
+       |  SELECT c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)])
+       |             * (c.c[CAST(j AS INT)] - q.qe[CAST(j AS INT)]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM c2 c, q),
+       |probes AS (SELECT cell FROM pd ORDER BY d2, cell LIMIT 4),
+       |${ivfAssignBlock("af", "c2", " WHERE v.vec_id <> 0")},
+       |scored AS (
+       |  SELECT af.vec_id,
+       |    CASE WHEN sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(q.qe, q.qe)) > 0
+       |         THEN list_inner_product(af.e, q.qe) / (sqrt(list_inner_product(af.e, af.e)) * sqrt(list_inner_product(q.qe, q.qe)))
+       |         ELSE 0.0 END AS cosine_sim
+       |  FROM af, q WHERE af.cell IN (SELECT cell FROM probes)
+       |    AND af.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3))
+       |SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   // within-cell exact-cosine pair CTE over the final assignment `af` —
   // the same nrm-product-then-divide arithmetic the Spark side codegens
   private val semdedupPairsCte: String =
@@ -2957,6 +2999,7 @@ object Queries {
     // so they share the oracle — the value check then PROVES the
     // partition-pruned probe loses nothing.
     "q_x_ann_ivf_pruned" -> ivfOracleSql,
+    "q_x_ann_filtered" -> annFilteredOracleSql,
     "q_x_ann_ivfpq_pruned" -> ivfPqOracleSql,
     "q_x_ann_ivfpq_refined" -> ivfPqRefinedOracleSql,
     "q_x_ann_ivfadc" -> ivfAdcOracleSql,

@@ -357,6 +357,33 @@ object Ivf {
     Similarity.bruteForceTopK(pruned, idCol, vecCol, query, k)
   }
 
+  /** Filtered ANN over an [[index]]ed corpus — top-k under a metadata
+    * predicate (the "vector search with filters" retrieval shape: top-k
+    * passages from ONE source/license/language). The predicate applies
+    * to columns STORED IN the index ([[index]] keeps every input column
+    * beside the vectors), so this stays single-scan: partition-prune to
+    * the probed cells, filter, exact re-rank — no join back to a base
+    * table at query time.
+    *
+    * Probe-width rule (pre- vs post-filtering): a predicate of
+    * selectivity s thins every cell ~s×, so at the unfiltered nprobe
+    * the candidate pool shrinks ~s× and recall follows. Widen to
+    * ~nprobe/s (capped at the cell count) to restore the candidate
+    * volume — e.g. a 10%-selective label filter at served nprobe=2
+    * wants nprobe≈20 for equal-candidate recall, or accept the
+    * measured trade at smaller widths. The caller picks `nprobe`;
+    * selectivity is known from the index's column stats. */
+  def probeFiltered(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Array[Double], k: Int, pred: Column,
+      nprobe: Int): DataFrame = {
+    val model = loadModel(spark, path)
+    val probes = model.nearest(query, nprobe)
+    val pruned = spark.read.parquet(path)
+      .filter(col(CellCol).isin(probes: _*))
+      .filter(pred)
+    Similarity.bruteForceTopK(pruned, idCol, vecCol, query, k)
+  }
+
   /** Retrain trigger — makes the "re-train + re-index when drift
     * accumulates" maintenance promise OPERATIONAL: occupancy drift
     * between the stored index's cell distribution and a new batch

@@ -74,6 +74,51 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("probeFiltered: predicate applies inside the pruned scan; widening restores recall") {
+    // vectors with a metadata column: even ids are label A, odd label B
+    val labeled = ((0 until 20).map(i =>
+      (i.toLong, Array(10f + (i % 5) * 0.1f, (i % 3) * 0.1f),
+        if (i % 2 == 0) "A" else "B")) ++
+      (20 until 40).map(i =>
+        (i.toLong, Array((i % 3) * 0.1f, 10f + (i % 5) * 0.1f),
+          if (i % 2 == 0) "A" else "B")))
+      .toDF("vec_id", "embedding", "label")
+    val m = Ivf.train(labeled, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fidx").toString + "/idx"
+    Ivf.index(labeled, "embedding", m, path)
+    val q = Array(10.0, 0.0)
+    val got = Ivf.probeFiltered(spark, path, "vec_id", "embedding", q,
+      k = 5, pred = col("label") === "A", nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // equals brute force restricted to the probed cell AND the label
+    val cellOf = Ivf.assign(labeled, "embedding", m)
+      .select("vec_id", "__cluster").as[(Long, Int)].collect().toMap
+    val probedCell = m.nearest(q, 1).head
+    val expect = Similarity.bruteForceTopK(
+        labeled.filter(col("label") === "A")
+          .filter(col("vec_id").isin(
+            cellOf.filter(_._2 == probedCell).keys.toSeq: _*)),
+        "vec_id", "embedding", q, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == expect)
+    // every result satisfies the predicate (even ids only)
+    assert(got.forall(_ % 2 == 0), got.toString)
+    // the predicate rides the pruned scan — no join in the plan
+    val plan = Ivf.probeFiltered(spark, path, "vec_id", "embedding", q,
+      k = 5, pred = col("label") === "A", nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+    // widening: nprobe=2 sees at least as many label-A candidates as
+    // nprobe=1 (the selectivity rule's mechanism)
+    val n1 = Ivf.probeFiltered(spark, path, "vec_id", "embedding", q,
+      k = 100, pred = col("label") === "A", nprobe = 1).count()
+    val n2 = Ivf.probeFiltered(spark, path, "vec_id", "embedding", q,
+      k = 100, pred = col("label") === "A", nprobe = 2).count()
+    assert(n2 > n1, s"widening did not grow candidates: $n1 vs $n2")
+  }
+
   test("probeMany == per-query probe, one scan for the whole batch") {
     val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
     val path = java.nio.file.Files
