@@ -505,7 +505,25 @@ object Ivf {
     * batch instead of multiplying by it. */
   def probeMany(spark: SparkSession, path: String, idCol: String,
       vecCol: String, queries: Seq[(Long, Array[Double])], k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4): DataFrame =
+    probeManyCore(spark, path, idCol, vecCol, queries, k, nprobe, None)
+
+  /** [[probeMany]] under a metadata predicate — the batched serving form
+    * of [[probeFiltered]]: one pruned scan for the whole query batch,
+    * the filter applied to the scan BEFORE the routing join (predicate
+    * pushdown into the cell directories), per-query top-k among the
+    * survivors. The probe-widening rule of [[probeFiltered]] applies
+    * per query: size `nprobe` to the predicate's selectivity. */
+  def probeManyFiltered(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, queries: Seq[(Long, Array[Double])], k: Int,
+      pred: Column, nprobe: Int = 4): DataFrame =
+    probeManyCore(spark, path, idCol, vecCol, queries, k, nprobe,
+      Some(pred))
+
+  private def probeManyCore(spark: SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
+      pred: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val model = loadModel(spark, path)
@@ -513,8 +531,9 @@ object Ivf {
       model.nearest(q, nprobe).map(c => (qid, c, q.toSeq))
     }.toDF("query_id", "__qcell", "__qvec")
     val cells = routes.select("__qcell").as[Int].collect().distinct.toSeq
-    val pruned = spark.read.parquet(path)
+    val pruned0 = spark.read.parquet(path)
       .filter(col(CellCol).isin(cells: _*))
+    val pruned = pred.fold(pruned0)(pruned0.filter)
     val scored = pruned.join(broadcast(routes),
         col(CellCol) === col("__qcell"))
       .select(col("query_id"), col(idCol),

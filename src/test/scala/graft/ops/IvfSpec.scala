@@ -119,6 +119,33 @@ class IvfSpec extends SparkSpec {
     assert(n2 > n1, s"widening did not grow candidates: $n1 vs $n2")
   }
 
+  test("probeManyFiltered == per-query probeFiltered; unfiltered path unchanged") {
+    val labeled = ((0 until 20).map(i =>
+      (i.toLong, Array(10f + (i % 5) * 0.1f, (i % 3) * 0.1f),
+        if (i % 2 == 0) "A" else "B")) ++
+      (20 until 40).map(i =>
+        (i.toLong, Array((i % 3) * 0.1f, 10f + (i % 5) * 0.1f),
+          if (i % 2 == 0) "A" else "B")))
+      .toDF("vec_id", "embedding", "label")
+    val m = Ivf.train(labeled, "vec_id", "embedding", k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fmany").toString + "/idx"
+    Ivf.index(labeled, "embedding", m, path)
+    val qs = Seq(100L -> Array(10.0, 0.0), 101L -> Array(0.0, 10.0))
+    val batch = Ivf.probeManyFiltered(spark, path, "vec_id", "embedding",
+        qs, k = 4, pred = col("label") === "A", nprobe = 1)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    qs.foreach { case (qid, q) =>
+      val single = Ivf.probeFiltered(spark, path, "vec_id", "embedding",
+          q, k = 4, pred = col("label") === "A", nprobe = 1)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batch(qid) == single, s"query $qid batch != single")
+      assert(batch(qid).forall(_ % 2 == 0))
+    }
+  }
+
   test("probeMany == per-query probe, one scan for the whole batch") {
     val m = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
     val path = java.nio.file.Files
