@@ -538,6 +538,15 @@ object Queries {
       Dedup.minHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 32, estThreshold = 0.15)),
 
+    "q_x_lsh_editverify" -> ((s, dir) =>
+      // generate-then-verify near-dup: banded MinHash candidates, then an
+      // EXACT clamped edit-distance check per pair — the codegen'd
+      // levenshtein(limit) early-exits pairs provably past the budget.
+      // Candidates bear the O(len²) cost, never the corpus cross product.
+      Dedup.editVerifiedPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, estThreshold = 0.3,
+        minEditSim = 0.4, maxChars = 400)),
+
     "q_x_minhash_incr" -> ((s, dir) => {
       // ingest-time NEAR-dup: corpus (id <= 400) signatures persisted to
       // the warehouse ONCE per session ([[IndexStore]]); the new batch
@@ -2104,6 +2113,31 @@ object Queries {
   }
 
   private val minhashOracleSql: String = minhashOracleSqlFor(64, 16, 0.3)
+
+  /** q_x_lsh_editverify: the minhash candidate CTE, then the exact
+    * clamped-prefix edit similarity per pair. DuckDB computes the FULL
+    * levenshtein (no early exit), which is equivalent: the Spark limit
+    * ceil((1−τ)·maxChars) only rejects pairs whose similarity is
+    * provably below τ on clamped lengths ≤ maxChars. */
+  private val editVerifyOracleSql: String = {
+    val (minEditSim, maxChars) = (0.4, 400)
+    s"""WITH mh AS (
+       |$minhashOracleSql
+       |),
+       |t AS (
+       |  SELECT doc_id, substr(coalesce(text, ''), 1, $maxChars) AS t
+       |  FROM documents)
+       |SELECT id_a, id_b, est_jaccard, edit_sim FROM (
+       |  SELECT mh.id_a, mh.id_b, mh.est_jaccard,
+       |    CASE WHEN greatest(length(ta.t), length(tb.t)) = 0 THEN 1.0
+       |         ELSE 1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+       |              / CAST(greatest(length(ta.t), length(tb.t)) AS DOUBLE)
+       |    END AS edit_sim
+       |  FROM mh
+       |  JOIN t ta ON ta.doc_id = mh.id_a
+       |  JOIN t tb ON tb.doc_id = mh.id_b)
+       |WHERE edit_sim >= $minEditSim""".stripMargin
+  }
 
   private val simhashOracleSql: String = {
     import graft.functions.Portable
@@ -3927,6 +3961,7 @@ object Queries {
     // side") — per-document signatures make stored and recomputed
     // signatures identical, which is what this value check proves
     "q_x_minhash_incr" -> (minhashOracleSql + " AND id_b > 400"),
+    "q_x_lsh_editverify" -> editVerifyOracleSql,
     "q_x_ann_lsh" -> annLshOracleSql,
 
     // connected components of the near-dup pair graph: min reachable id

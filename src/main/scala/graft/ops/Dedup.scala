@@ -828,6 +828,49 @@ object Dedup {
       sig => explode(portableBandKeys(sig, bands, numHashes / bands)))
   }
 
+  /** Two-stage near-dup: MinHash+LSH candidate generation followed by an
+    * EXACT edit-distance verification of each candidate pair — the
+    * generate-then-verify shape (Xiao et al., Ed-Join, VLDB'08): the
+    * O(len²) distance runs on the banded candidate set, never a corpus
+    * cross product. Texts are clamped to `maxChars` before the distance,
+    * which (a) bounds the per-pair cost and (b) yields a CONSTANT
+    * early-exit threshold for the codegen'd `levenshtein(l, r, limit)`
+    * variant: a pair whose distance exceeds (1−minEditSim)·maxChars can
+    * never reach `minEditSim` on the clamped lengths, so the short-
+    * circuit rejects exactly the pairs the final filter would.
+    *
+    * Plan: the candidate frame (small, post-banding) joins the clamped
+    * corpus text twice on id — AQE picks broadcast when candidates fit;
+    * the distance itself is a codegen'd binary expression, no UDF.
+    * Output: (id_a, id_b, est_jaccard, edit_sim), edit_sim ∈ [0,1]
+    * computed on the clamped prefixes. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.3, minEditSim: Double = 0.8,
+      maxChars: Int = 1000): DataFrame = {
+    require(minEditSim >= 0.0 && minEditSim <= 1.0,
+      s"minEditSim=$minEditSim must be in [0,1]")
+    require(maxChars > 0, s"maxChars=$maxChars must be positive")
+    val cand = minHashCandidatesPortable(
+      df, idCol, textCol, n, numHashes, bands, estThreshold)
+    val txt = df.select(col(idCol).as("id"),
+      substring(coalesce(col(textCol), lit("")), 1, maxChars).as("t"))
+    val limit = math.ceil((1.0 - minEditSim) * maxChars).toInt
+    val maxLen = greatest(length(col("__ta")), length(col("__tb")))
+    val editSim = when(maxLen === 0, lit(1.0))
+      .otherwise(lit(1.0) -
+        col("__d").cast(DoubleType) / maxLen.cast(DoubleType))
+    cand
+      .join(txt.select(col("id").as("id_a"), col("t").as("__ta")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("t").as("__tb")), "id_b")
+      .withColumn("__d", levenshtein(col("__ta"), col("__tb"), limit))
+      // −1 = the early exit fired: distance provably past the budget
+      .filter(col("__d") >= 0)
+      .withColumn("edit_sim", editSim)
+      .filter(col("edit_sim") >= minEditSim)
+      .select("id_a", "id_b", "est_jaccard", "edit_sim")
+  }
+
   /** The md5-family signatures of [[minHashCandidatesPortable]] as a
     * standalone (id, sig) frame — the unit a warehouse PERSISTS so later
     * batches dedup against stored signatures instead of recomputing the

@@ -268,6 +268,47 @@ class DedupSpec extends SparkSpec {
       "only the identical pair shares any shingle")
   }
 
+  test("editVerifiedPairs: exact edit check prunes LSH candidates") {
+    // candidates at est>=0.3: (1,2) dog/cat, (1,3) case-only, (2,3).
+    // raw-text edit sims: 1-3 ≈ 0.977 (one char), 1-2 ≈ 0.93 (3 chars),
+    // 2-3 ≈ 0.907 — a 0.95 floor keeps exactly the case-only pair
+    val strict = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      estThreshold = 0.3, minEditSim = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 3L)))
+    val loose = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      estThreshold = 0.3, minEditSim = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // verified pairs carry the candidate stage's estimate unchanged
+    val cand = Dedup.minHashCandidatesPortable(docs, "doc_id", "text",
+      estThreshold = 0.3)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val verified = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      estThreshold = 0.3, minEditSim = 0.9)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verified.subsetOf(cand))
+  }
+
+  test("editVerifiedPairs clamps to maxChars before the distance") {
+    // same first 8 chars, divergent tails: clamped prefixes are equal,
+    // so the pair verifies at similarity exactly 1.0
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg zz")).toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(d, "doc_id", "text",
+      estThreshold = 0.3, minEditSim = 0.99, maxChars = 8)
+      .select("id_a", "id_b", "edit_sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+    // full texts differ (distance 2 of 23) — without the clamp the same
+    // floor rejects the pair, proving the distance ran on the prefix
+    assert(Dedup.editVerifiedPairs(d, "doc_id", "text",
+      estThreshold = 0.3, minEditSim = 0.99).count() == 0)
+  }
+
   test("banding rejects non-dividing band counts (degenerate cross join)") {
     intercept[IllegalArgumentException] {
       Dedup.lshBandKeys(col("sig"), bands = 7, numHashes = 64)
