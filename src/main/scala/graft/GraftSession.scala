@@ -29,6 +29,20 @@ object GraftSession {
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 
+  /** Streaming-state confs for state that outgrows executor heap:
+    * Spark's RocksDB state store (per-user/per-key state lands on
+    * executor-local disk, not heap) with changelog checkpointing (per
+    * trigger only the CHANGED keys ship to the checkpoint, not a full
+    * snapshot — the difference between O(delta) and O(state) commit cost
+    * once state is large). Apply via `extra` on [[builder]], or
+    * per-session with `spark.conf.set` before the query starts. */
+  val rocksdbStateConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   def create(master: String = "local[*]"): SparkSession = {
     val s = builder(master).getOrCreate()
     GraftExtensions.register(s) // idempotent; covers pre-existing sessions

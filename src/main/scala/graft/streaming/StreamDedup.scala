@@ -14,12 +14,20 @@ import org.apache.spark.sql.DataFrame
   *    primitive for at-least-once sources (Kafka redeliveries, retried
   *    producers) where duplicates arrive CLOSE to the original.
   *
-  *  - against-all-history dedup cannot bound state in the stream engine by
-  *    definition; the scalable shape is `foreachBatch` +
+  *  - against-all-history dedup keeps one state entry per distinct key
+  *    forever — unboundable by definition. Two scalable shapes:
+  *    [[againstHistoryStateful]] keeps the key set in the ENGINE's state
+  *    store — on the RocksDB provider
+  *    ([[graft.GraftSession.rocksdbStateConfs]]) state lives on
+  *    executor-local disk with O(delta) changelog commits, so per-trigger
+  *    cost tracks the BATCH, not the accumulated history (measured:
+  *    `tools.StateBench`); or `foreachBatch` +
   *    [[graft.ops.Dedup.incremental]] over a PK-bucketed corpus store
   *    ([[graft.warehouse.BucketedCatalog]]), where the anti-join
-  *    partition-prunes to the micro-batch's buckets instead of holding the
-  *    corpus's keys in executor memory.
+  *    partition-prunes to the micro-batch's buckets — the right shape when
+  *    the key corpus must ALSO be a queryable table, at the cost of a
+  *    store probe that grows with corpus size
+  *    ([[graft.tools.StoreGrowth]] measures that growth).
   */
 object StreamDedup {
 
@@ -30,6 +38,19 @@ object StreamDedup {
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Against-ALL-history exact dedup inside the stream engine: the first
+    * row per `keys` value EVER seen is emitted, every later one dropped.
+    * State is the distinct-key set and never expires — run it on the
+    * RocksDB provider ([[graft.GraftSession.rocksdbStateConfs]]) so that
+    * set lives on executor-local disk rather than heap; with changelog
+    * checkpointing each commit ships only the trigger's new keys. State
+    * shards by `HashPartitioning(keys)` across
+    * `spark.sql.shuffle.partitions` tasks — size that conf for the KEY
+    * CARDINALITY (it is fixed at the first start of a stateful query),
+    * not the batch size. */
+  def againstHistoryStateful(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
 
   /** `foreachBatch` body for against-all-history dedup with the bloom
     * fast path ([[graft.ops.Dedup.bloomGate]]): rows the sketch marks

@@ -49,6 +49,33 @@ class RocksDbStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("against-history dedup: cross-trigger state, both providers agree") {
+    def run(s: org.apache.spark.sql.SparkSession, name: String) = {
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import ctx.sparkSession.implicits._
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamDedup.againstHistoryStateful(
+        mem.toDF().toDF("id", "k"), Seq("k"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        mem.addData((1L, "a"), (2L, "a"), (3L, "b"))
+        q.processAllAvailable()
+        // trigger 2: a and b are history now — only c is new
+        mem.addData((4L, "a"), (5L, "c"), (6L, "b"))
+        q.processAllAvailable()
+        // trigger 3: nothing new at all
+        mem.addData((7L, "c"), (8L, "a"))
+        q.processAllAvailable()
+        s.sql(s"SELECT k FROM $name").as[String].collect().toSeq.sorted
+      } finally q.stop()
+    }
+    val onRocks = run(rocks, "rockshist")
+    assert(onRocks == Seq("a", "b", "c"),
+      "exactly one survivor per key across ALL triggers")
+    assert(onRocks == run(spark, "heaphist"))
+  }
+
   test("sessionizer on RocksDB matches the default-provider run") {
     def run(s: org.apache.spark.sql.SparkSession, name: String) = {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
