@@ -882,6 +882,14 @@ object Queries {
       Sampling.stratified(rd(s, dir, "documents"), Seq("lang"), "doc_id", 20)
         .select(col("lang"), col("doc_id"), col("rk").cast(LongType).as("rk"))),
 
+    "q_x_neyman_sample" -> ((s, dir) =>
+      // variance-optimal audit sample: 120 reviews split across sources
+      // ∝ N_h·σ_h of doc length, drawn by deterministic hash rank
+      Sampling.neymanSample(rd(s, dir, "documents"), "source", "n_chars",
+          "doc_id", 120L)
+        .select(col("source"), col("doc_id"),
+          col("rk").cast(LongType).as("rk"), col("quota"))),
+
     "q_x_weighted_sample" -> ((s, dir) =>
       // Efraimidis–Spirakis weighted sample w/o replacement, weight =
       // doc length; hash-derived u makes the draw engine-replayable and
@@ -4201,6 +4209,48 @@ object Queries {
          |               doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 20""".stripMargin,
+
+    // Neyman allocation: weight = sqrt(n·Σx² − (Σx)²) = N_h·σ_h with an
+    // EXACT int64 radicand (one IEEE sqrt both engines round alike),
+    // then the temperatureMix integer largest-remainder split, capped
+    // at stratum size; the draw is the stratified hash-rank idiom
+    "q_x_neyman_sample" ->
+      s"""WITH st AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n_chars) AS BIGINT) AS s,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n,
+         |    CAST(floor(sqrt(CAST(n * q - s * s AS DOUBLE)) * 1000)
+         |      AS BIGINT) AS sw
+         |  FROM st),
+         |t AS (SELECT *, sum(sw) OVER () AS W FROM w),
+         |a AS (
+         |  SELECT source, n, sw, W,
+         |    CASE WHEN W > 0 THEN (120 * sw) // W ELSE 0 END AS alloc,
+         |    CASE WHEN W > 0 THEN 120 * sw - ((120 * sw) // W) * W
+         |         ELSE 0 END AS rem
+         |  FROM t),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         |    sum(alloc) OVER () AS atot
+         |  FROM a),
+         |qta AS (
+         |  SELECT source,
+         |    least(CAST(CASE WHEN W > 0
+         |      THEN alloc + CASE WHEN rk <= 120 - atot THEN 1 ELSE 0 END
+         |      ELSE 0 END AS BIGINT), n) AS quota
+         |  FROM r),
+         |d AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.Portable.h60Sql(
+               "'audit:' || CAST(doc_id AS VARCHAR)")},
+         |               doc_id) AS rk
+         |  FROM documents)
+         |SELECT d.source, d.doc_id, d.rk, qta.quota
+         |FROM d JOIN qta USING (source) WHERE d.rk <= qta.quota""".stripMargin,
 
     "q_x_weighted_sample" ->
       s"""SELECT doc_id, n_chars FROM documents

@@ -294,4 +294,82 @@ object Sampling {
       .fold(default)(_.otherwise(default))
     df.filter(h < thresh)
   }
+
+  /** Neyman (variance-optimal) allocation of an audit/labeling budget
+    * across strata (Neyman 1934; Cochran, "Sampling Techniques" §5.5):
+    * sampling n_h ∝ N_h·σ_h minimizes the variance of the stratified
+    * estimate at fixed total n — the rule for "how many docs per source
+    * must a human review to bound the corpus quality estimate". Uniform
+    * per-stratum quotas over-sample homogeneous strata; Neyman spends
+    * the budget where the metric actually varies.
+    *
+    * Exact-arithmetic discipline (the [[temperatureMix]] cross-engine
+    * float-sum trap): N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — the radicand is
+    * EXACT int64 from one count/sum/sum-of-squares aggregate, so the
+    * weight is a single correctly-rounded IEEE sqrt both engines agree
+    * on bit-for-bit; weights scale to integer milli-units and the
+    * split is 64-bit largest-remainder math with no order-dependent
+    * float accumulation. Caller bound: N_h·Σx² must stay under 2^53
+    * (exact DOUBLE conversion) — e.g. 1e9 rows of values ≤ 3000.
+    *
+    * Allocations are capped at the stratum size AFTER the largest-
+    * remainder split (Neyman can ask for more rows than a small, noisy
+    * stratum has; the surplus is NOT redistributed — one pass,
+    * replayable). All-constant strata (every weight 0) allocate 0
+    * everywhere, like [[temperatureMix]]'s W=0 rule.
+    *
+    * Runs as one corpus aggregate down to O(strata) rows; the windows
+    * after it scan the strata table, never the corpus. Output:
+    * (strataCol, n, quota). */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val v = col(valueCol).cast("long")
+    val st = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"),
+        sum(v * v).as("__q"))
+    val base = st
+      .withColumn("__sw",
+        floor(sqrt((col("n") * col("__q") - col("__s") * col("__s"))
+          .cast("double")) * 1000).cast("long"))
+      .withColumn("__W", sum(col("__sw")).over(Window.partitionBy()))
+      .withColumn("__alloc",
+        when(col("__W") > 0, expr(s"($budget * __sw) div __W"))
+          .otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__W") > 0,
+          lit(budget) * col("__sw") - col("__alloc") * col("__W"))
+          .otherwise(lit(0L)))
+    base
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(strataCol).asc)))
+      .withColumn("__atot", sum(col("__alloc")).over(Window.partitionBy()))
+      .select(col(strataCol), col("n"),
+        least(
+          when(col("__W") > 0,
+            col("__alloc") +
+              when(col("__rk") <= lit(budget) - col("__atot"), 1L)
+                .otherwise(0L))
+            .otherwise(lit(0L)),
+          col("n")).as("quota"))
+  }
+
+  /** The executing half of [[neymanAllocation]]: draw each stratum's
+    * quota as the hash-smallest rows ([[stratified]]'s deterministic
+    * draw — same rows on any cluster size, any engine). One corpus
+    * aggregate for the quotas (O(strata) rows, broadcast back), one
+    * strata-keyed shuffle for the ranked draw. Output: the sampled
+    * rows as (strataCol, idCol, valueCol, rk, quota). */
+  def neymanSample(df: DataFrame, strataCol: String, valueCol: String,
+      idCol: String, budget: Long, salt: String = "audit"): DataFrame = {
+    val quotas = neymanAllocation(df, strataCol, valueCol, budget)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Portable.h60(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), col(idCol))
+    df.select(col(strataCol), col(idCol), col(valueCol))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas.select(col(strataCol), col("quota"))),
+        Seq(strataCol))
+      .filter(col("rk") <= col("quota"))
+  }
 }

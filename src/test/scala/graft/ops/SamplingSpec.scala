@@ -195,6 +195,55 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("neymanAllocation: budget goes where the variance is") {
+    // three strata, 50 rows each: constant (sd 0), mild spread, wild
+    // spread — Neyman must rank quotas wild > mild > constant(=0)
+    val rows = (1 to 50).flatMap { i =>
+      Seq(("const", i.toLong, 100L), ("mild", i.toLong, 95L + (i % 11)),
+        ("wild", i.toLong, (i % 2) * 400L))
+    }.toDF("src", "id", "v")
+    val q = Sampling.neymanAllocation(rows, "src", "v", 30L)
+      .as[(String, Long, Long)].collect().toMap2.view.mapValues(_._2).toMap
+    assert(q("const") == 0L, s"zero-variance stratum must get 0: $q")
+    assert(q("wild") > q("mild"), s"variance must attract budget: $q")
+    assert(q.values.sum <= 30L, s"never over budget: $q")
+    assert(q.values.sum >= 29L, // only the n-cap may strand budget
+      s"largest remainder spends the budget: $q")
+  }
+
+  test("neymanAllocation: quota capped at stratum size; all-constant -> all zero") {
+    val rows = (1 to 40).map(i =>
+      (if (i <= 4) "tiny" else "big", i.toLong,
+        if (i <= 4) (i % 2) * 1000L else 50L + (i % 3))).toDF("src", "id", "v")
+    // tiny has 4 rows but enormous variance: Neyman wants >> 4, cap holds
+    val q = Sampling.neymanAllocation(rows, "src", "v", 20L)
+      .as[(String, Long, Long)].collect().toMap2
+    assert(q("tiny")._2 <= q("tiny")._1, s"quota <= n: $q")
+    assert(q("tiny")._2 == 4L, s"cap binds for the tiny wild stratum: $q")
+    val const = (1 to 20).map(i => ("a" + i % 2, i.toLong, 7L))
+      .toDF("src", "id", "v")
+    val z = Sampling.neymanAllocation(const, "src", "v", 10L)
+      .as[(String, Long, Long)].collect().toMap2.view.mapValues(_._2).toMap
+    assert(z.values.forall(_ == 0L), s"W=0 rule: $z")
+  }
+
+  test("neymanSample: draws exactly the quota, partitioning-invariant") {
+    val rows = (1 to 120).map(i =>
+      (if (i % 2 == 0) "even" else "odd", i.toLong,
+        (i % 7) * 10L)).toDF("src", "id", "v")
+    val quotas = Sampling.neymanAllocation(rows, "src", "v", 24L)
+      .as[(String, Long, Long)].collect().toMap2.view.mapValues(_._2).toMap
+    val drawn = Sampling.neymanSample(rows, "src", "v", "id", 24L)
+    val bySrc = drawn.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc == quotas.filter(_._2 > 0),
+      s"per-stratum draw == quota: $bySrc vs $quotas")
+    val a = Sampling.neymanSample(rows.repartition(17), "src", "v", "id", 24L)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.neymanSample(rows.coalesce(1), "src", "v", "id", 24L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "deterministic draw on any partitioning")
+  }
+
   private implicit class Triples(rows: Array[(String, Long, Long)]) {
     def toMap2: Map[String, (Long, Long)] =
       rows.map { case (k, a, b) => k -> (a, b) }.toMap
