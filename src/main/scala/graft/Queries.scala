@@ -890,6 +890,28 @@ object Queries {
         .select(col("source"), col("doc_id"),
           col("rk").cast(LongType).as("rk"), col("quota"))),
 
+    "q_x_mojibake" -> ((s, dir) => {
+      // encoding-damage screen on deterministically damaged text (the
+      // media-round-trip pattern: synthesize the defect, detect+repair
+      // it on the real operator path) — docs ≡0 (mod 3) get Latin-1
+      // mojibake, ≡1 get CP1252 punctuation damage plus a replacement
+      // char, ≡2 stay clean
+      val t = coalesce(col("text"), lit(""))
+      val damaged =
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            replace(t, lit("e"), lit("Ã©")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(replace(t, lit("a"), lit("â€™")), lit(" �")))
+          .otherwise(t)
+      val dd = rd(s, dir, "documents").select(col("doc_id"),
+        damaged.as("__t"))
+      val sig = TextOps.mojibakeColumns(col("__t"))
+      dd.select(col("doc_id") +:
+        sig.map { case (n, c) => c.as(n) } :+
+        length(TextOps.repairMojibake(col("__t"))).cast(LongType)
+          .as("repaired_chars"): _*)
+    }),
+
     "q_x_weighted_sample" -> ((s, dir) =>
       // Efraimidis–Spirakis weighted sample w/o replacement, weight =
       // doc length; hash-derived u makes the draw engine-replayable and
@@ -4251,6 +4273,33 @@ object Queries {
          |  FROM documents)
          |SELECT d.source, d.doc_id, d.rk, qta.quota
          |FROM d JOIN qta USING (source) WHERE d.rk <= qta.quota""".stripMargin,
+
+    // mojibake screen: detector + repair generated from the SAME
+    // MojibakeMap the engine uses (substring-count arithmetic, no
+    // regex, so both dialects compute identical integers)
+    "q_x_mojibake" -> {
+      def occ(seq: String) =
+        s"((length(d) - length(replace(d, '$seq', ''))) // ${seq.length})"
+      val nMoji = graft.ops.TextOps.MojibakeMap
+        .map { case (bad, _) => occ(bad) }.mkString("\n|    + ")
+      val repair = graft.ops.TextOps.MojibakeMap.sortBy(-_._1.length)
+        .foldLeft("d") { case (acc, (bad, good)) =>
+          s"replace($acc, '$bad', '${good.replace("'", "''")}')"
+        }
+      s"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         |dmg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN replace(t, 'e', 'Ã©')
+         |         WHEN doc_id % 3 = 1 THEN replace(t, 'a', 'â€™') || ' �'
+         |         ELSE t END AS d
+         |  FROM base)
+         |SELECT doc_id,
+         |  CAST($nMoji AS BIGINT) AS n_mojibake,
+         |  CAST(${occ("�")} AS BIGINT) AS n_replacement,
+         |  ($nMoji > 0 OR ${occ("�")} > 0) AS is_damaged,
+         |  CAST(length($repair) AS BIGINT) AS repaired_chars
+         |FROM dmg""".stripMargin
+    },
 
     "q_x_weighted_sample" ->
       s"""SELECT doc_id, n_chars FROM documents

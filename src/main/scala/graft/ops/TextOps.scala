@@ -650,4 +650,49 @@ object TextOps {
       .select(col("term_a"), col("term_b"), col("pair_count"),
         round(col("__s"), 4).as("score"))
   }
+
+  /** Mojibake table: the UTF-8 byte sequences of common non-ASCII chars
+    * mis-decoded as Latin-1/CP1252 — the classic double-encoding damage
+    * web crawls carry (the screen ftfy exists for; Caswell et al. 2020
+    * "Language ID in the Wild" reports encoding damage as a top crawl-
+    * quality defect). Keyed by the DAMAGED sequence; value = the
+    * original char. Two-char entries are Latin-1-page mis-decodes
+    * (é → "Ã©"), three-char entries are CP1252 punctuation (’ → "â€™");
+    * U+FFFD marks bytes already lost to a replacement-char decode. */
+  val MojibakeMap: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã§" -> "ç",
+    "â€™" -> "'", "â€œ" -> "\"", "â€“" -> "-", "Â°" -> "°", "Â·" -> "·")
+
+  /** Count of occurrences of `seq` in `text` — substring arithmetic
+    * (length delta / pattern length), NOT regex, so any SQL engine
+    * computes the identical integer with no dialect risk. */
+  def occurrences(text: Column, seq: String): Column =
+    ((length(text) - length(replace(text, lit(seq), lit("")))) /
+      lit(seq.length)).cast(LongType)
+
+  /** Per-row encoding-damage signals: `n_mojibake` (total occurrences
+    * of [[MojibakeMap]] damage sequences), `n_replacement` (U+FFFD
+    * chars — bytes unrecoverably lost upstream), `is_damaged`. Pure
+    * codegen'd column expressions — the screen runs inside the scan
+    * stage at 100 TB, no shuffle, no UDF. */
+  def mojibakeColumns(text: Column): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    val n = MojibakeMap.map { case (bad, _) => occurrences(t, bad) }
+      .reduce(_ + _)
+    val repl = occurrences(t, "�")
+    Seq("n_mojibake" -> n, "n_replacement" -> repl,
+      "is_damaged" -> (n > 0 || repl > 0))
+  }
+
+  /** Repair [[MojibakeMap]] damage by longest-first chained replace
+    * (three-char CP1252 artifacts before two-char Latin-1 ones, so
+    * "â€™" never half-matches after an inner pair is rewritten).
+    * Replacement chars are NOT touched — those bytes are gone; route
+    * `n_replacement > 0` rows to quarantine instead. Deterministic,
+    * engine-portable, single codegen'd expression chain. */
+  def repairMojibake(text: Column): Column =
+    MojibakeMap.sortBy(-_._1.length).foldLeft(coalesce(text, lit(""))) {
+      case (acc, (bad, good)) => replace(acc, lit(bad), lit(good))
+    }
 }
