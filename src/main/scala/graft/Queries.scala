@@ -890,6 +890,12 @@ object Queries {
         .select(col("source"), col("doc_id"),
           col("rk").cast(LongType).as("rk"), col("quota"))),
 
+    "q_x_winnow" -> ((s, dir) =>
+      // MOSS winnowing sketch (k=3 grams, w=4 windows): any shared run
+      // of >= 6 tokens between two docs shares a fingerprint
+      Dedup.winnowFingerprints(rd(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4)),
+
     "q_x_mojibake" -> ((s, dir) => {
       // encoding-damage screen on deterministically damaged text (the
       // media-round-trip pattern: synthesize the defect, detect+repair
@@ -4273,6 +4279,32 @@ object Queries {
          |  FROM documents)
          |SELECT d.source, d.doc_id, d.rk, qta.quota
          |FROM d JOIN qta USING (source) WHERE d.rk <= qta.quota""".stripMargin,
+
+    // winnowing: positional trigram h60 hashes, min over each window
+    // of 4 consecutive gram hashes (full trailing windows; short docs
+    // keep position 1), distinct — bit-for-bit the engine's sketch
+    "q_x_winnow" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    string_split_regex(${normSql("text")}, '\\s+') AS w
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> struct_pack(p := i,
+         |      g := w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         |  FROM docs WHERE len(w) >= 3),
+         |g AS (
+         |  SELECT doc_id, s.p AS p,
+         |    ${graft.functions.Portable.h60Sql("s.g")} AS h
+         |  FROM u),
+         |s AS (
+         |  SELECT doc_id, p,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM g)
+         |SELECT DISTINCT doc_id, fp FROM s
+         |WHERE p + 3 <= n OR p = 1""".stripMargin,
 
     // mojibake screen: detector + repair generated from the SAME
     // MojibakeMap the engine uses (substring-count arithmetic, no

@@ -708,6 +708,53 @@ object Dedup {
         element_at(sketch, size(sketch)).cast(DoubleType))
       .otherwise(lit(0.0))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    * k-token gram, slide a window over each w consecutive gram hashes,
+    * keep each window's MINIMUM. The guarantee that makes it the
+    * standard plagiarism/quote-detection sketch: any run of at least
+    * w+k−1 tokens shared by two documents shares at least one selected
+    * fingerprint (every length-(w+k−1) match spans a full window, and
+    * both documents pick that window's minimum), while only ~2/(w+1)
+    * of gram hashes survive — a positional, locality-guaranteed
+    * complement to MinHash (whole-doc similarity, no position) and
+    * [[duplicateSpans]] (exact substrings only, no sketch).
+    *
+    * Docs with fewer than w grams keep position 1's truncated-window
+    * minimum (one fingerprint), so no non-empty document sketches to
+    * nothing. Spark-first shape: one explode (corpus-token-linear),
+    * one doc-keyed window pass (bounded ROWS frame — nothing
+    * materializes beyond the per-partition sort), distinct on the
+    * selected (id, fp) pairs. All integer [[Portable.h60]] math — an
+    * SQL oracle replays the sketch bit-for-bit. Output: distinct
+    * (idCol, fp LONG). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "gram size must be positive")
+    require(w > 0, "window size must be positive")
+    val toks = TextOps.tokens(TextOps.normalized(col(textCol)))
+    val grams = df.select(col(idCol).as("__id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("__id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (k - 1)))
+          .as("__p"))
+      .select(col("__id"), col("__p"),
+        graft.functions.Portable.h60(concat_ws(" ",
+          (0 until k).map(j => element_at(col("__toks"),
+            col("__p") + j)): _*)).as("__h"))
+    val byDoc = Window.partitionBy(col("__id"))
+    val fp = min(col("__h")).over(
+      byDoc.orderBy(col("__p")).rowsBetween(Window.currentRow, w - 1))
+    grams
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__fp", fp)
+      // positions with a FULL trailing window; short docs keep p=1
+      .filter(col("__p") + (w - 1) <= col("__n") || col("__p") === 1)
+      .select(col("__id").as(idCol), col("__fp").as("fp"))
+      .distinct()
+  }
+
   /** MinHash signature: for each of `numHashes` seeds, the min hash over
     * the document's shingles — per-row expression form (reference shape;
     * see [[minHashSignatures]] for the at-scale aggregate form). */
