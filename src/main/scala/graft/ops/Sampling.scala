@@ -316,7 +316,11 @@ object Sampling {
     * remainder split (Neyman can ask for more rows than a small, noisy
     * stratum has; the surplus is NOT redistributed — one pass,
     * replayable). All-constant strata (every weight 0) allocate 0
-    * everywhere, like [[temperatureMix]]'s W=0 rule.
+    * everywhere, like [[temperatureMix]]'s W=0 rule. NULL values
+    * contribute 0 to both sums while still counting toward n (standard
+    * SQL aggregation) — the radicand stays non-negative (n only grows
+    * past the Cauchy–Schwarz bound), reading a null-heavy stratum as
+    * higher-spread, which is the conservative direction for an audit.
     *
     * Runs as one corpus aggregate down to O(strata) rows; the windows
     * after it scan the strata table, never the corpus. Output:

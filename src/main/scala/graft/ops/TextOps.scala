@@ -667,9 +667,11 @@ object TextOps {
   /** Count of occurrences of `seq` in `text` — substring arithmetic
     * (length delta / pattern length), NOT regex, so any SQL engine
     * computes the identical integer with no dialect risk. */
-  def occurrences(text: Column, seq: String): Column =
+  def occurrences(text: Column, seq: String): Column = {
+    require(seq.nonEmpty, "occurrences needs a non-empty pattern")
     ((length(text) - length(replace(text, lit(seq), lit("")))) /
       lit(seq.length)).cast(LongType)
+  }
 
   /** Per-row encoding-damage signals: `n_mojibake` (total occurrences
     * of [[MojibakeMap]] damage sequences), `n_replacement` (U+FFFD

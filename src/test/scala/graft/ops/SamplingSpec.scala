@@ -227,6 +227,17 @@ class SamplingSpec extends SparkSpec {
     assert(z.values.forall(_ == 0L), s"W=0 rule: $z")
   }
 
+  test("neymanAllocation: null values never break the radicand") {
+    // nulls contribute 0 to sums but count toward n — Cauchy–Schwarz
+    // keeps n·Σx²−(Σx)² >= 0, so sqrt never sees a negative
+    val rows = Seq(("a", 1L, Some(10L)), ("a", 2L, None), ("a", 3L, None),
+      ("b", 4L, Some(5L)), ("b", 5L, Some(9L))).toDF("src", "id", "v")
+    val q = Sampling.neymanAllocation(rows, "src", "v", 4L)
+      .as[(String, Long, Long)].collect().toMap2.view.mapValues(_._2).toMap
+    assert(q.values.forall(x => x >= 0L), s"quotas defined under nulls: $q")
+    assert(q.values.sum <= 4L)
+  }
+
   test("neymanSample: draws exactly the quota, partitioning-invariant") {
     val rows = (1 to 120).map(i =>
       (if (i % 2 == 0) "even" else "odd", i.toLong,
