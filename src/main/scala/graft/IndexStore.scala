@@ -78,6 +78,21 @@ object IndexStore {
       }
     })
 
+  /** Corpus winnowing fingerprints (docs <= 400 — the same persisted-
+    * corpus split minhashSigs uses) for the incremental quote-detection
+    * probe. At deployment scale this build also caps fingerprint
+    * frequency (see [[graft.ops.Dedup.winnowIncremental]]); the
+    * test-corpus build stores all fps. */
+  def winnowFps(s: SparkSession, dir: String): Built =
+    cache.getOrElseUpdate(("winnow_fps", dir), {
+      val d = Dedup.spread(Tables.read(s, dir, "documents"))
+      timed(scratch("winnow_fps", dir)) { p =>
+        Dedup.winnowFingerprints(
+            d.filter(col("doc_id") <= 400), "doc_id", "text", k = 3, w = 4)
+          .write.mode("overwrite").parquet(p)
+      }
+    })
+
   /** Build seconds per kind for the given sf dir — keyed per (kind, dir)
     * internally, so a JVM that builds the same kind for two scales never
     * cross-attributes their build times. */

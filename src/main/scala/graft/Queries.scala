@@ -896,6 +896,25 @@ object Queries {
       Dedup.winnowFingerprints(rd(s, dir, "documents"), "doc_id", "text",
         k = 3, w = 4)),
 
+    "q_x_winsorize" -> ((s, dir) =>
+      // robust clamp of doc length to each source's [p5, p95]
+      // nearest-rank band — the outlier screen before budget math
+      CorpusStats.winsorize(rd(s, dir, "documents"), Seq("source"),
+          "n_chars", 0.05, 0.95)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast(LongType).as("n_chars"),
+          col("lo"), col("hi"), col("v_wins"))),
+
+    "q_x_winnow_incr" -> ((s, dir) => {
+      // ingest-time quote detection: corpus (id <= 400) fingerprints
+      // persisted once per session; the new batch (id > 400) probes the
+      // STORE — batch fps broadcast, the corpus side never shuffles
+      val store = IndexStore.winnowFps(s, dir)
+      Dedup.winnowIncremental(
+        docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
+        s.read.parquet(store.path), k = 3, w = 4, minShared = 2L)
+    }),
+
     "q_x_mojibake" -> ((s, dir) => {
       // encoding-damage screen on deterministically damaged text (the
       // media-round-trip pattern: synthesize the defect, detect+repair
@@ -2106,6 +2125,35 @@ object Queries {
 
   private def normSql(textExpr: String): String =
     s"trim(regexp_replace(lower(coalesce($textExpr, '')), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+
+  /** Winnowing fingerprint CTE chain (k=3, w=4) over `documents`
+    * filtered by `pred`, CTE names prefixed with `px` so two chains
+    * (corpus + batch) compose in one query; ends with `${px}fp` =
+    * (doc_id, fp). Mirrors [[graft.ops.Dedup.winnowFingerprints]]
+    * bit-for-bit. */
+  private def winnowChainSql(px: String, pred: String): String =
+    s"""${px}docs AS (
+       |  SELECT doc_id,
+       |    string_split_regex(${normSql("text")}, '\\s+') AS w
+       |  FROM documents WHERE $pred),
+       |${px}u AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |    i -> struct_pack(p := i,
+       |      g := w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |  FROM ${px}docs WHERE len(w) >= 3),
+       |${px}g AS (
+       |  SELECT doc_id, s.p AS p,
+       |    ${graft.functions.Portable.h60Sql("s.g")} AS h
+       |  FROM ${px}u),
+       |${px}m AS (
+       |  SELECT doc_id, p,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM ${px}g),
+       |${px}fp AS (
+       |  SELECT DISTINCT doc_id, fp FROM ${px}m
+       |  WHERE p + 3 <= n OR p = 1)""".stripMargin
 
   private def minhashOracleSqlFor(numHashes: Int, bands: Int,
       est: Double): String = {
@@ -4280,31 +4328,47 @@ object Queries {
          |SELECT d.source, d.doc_id, d.rk, qta.quota
          |FROM d JOIN qta USING (source) WHERE d.rk <= qta.quota""".stripMargin,
 
+    // winsorize: nearest-rank bounds (value at rank ceil(p*n)) — rank
+    // selection, not interpolation, so both engines pick the same bound
+    "q_x_winsorize" ->
+      """WITH b AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |w AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn <= ceil(n * 0.05) THEN n_chars END)
+        |      OVER (PARTITION BY source) AS lo0,
+        |    max(CASE WHEN rn <= ceil(n * 0.95) THEN n_chars END)
+        |      OVER (PARTITION BY source) AS hi0,
+        |    min(n_chars) OVER (PARTITION BY source) AS mn,
+        |    max(n_chars) OVER (PARTITION BY source) AS mx
+        |  FROM b)
+        |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(coalesce(lo0, mn) AS BIGINT) AS lo,
+        |  CAST(coalesce(hi0, mx) AS BIGINT) AS hi,
+        |  CAST(least(greatest(n_chars, coalesce(lo0, mn)),
+        |    coalesce(hi0, mx)) AS BIGINT) AS v_wins
+        |FROM w""".stripMargin,
+
     // winnowing: positional trigram h60 hashes, min over each window
     // of 4 consecutive gram hashes (full trailing windows; short docs
     // keep position 1), distinct — bit-for-bit the engine's sketch
     "q_x_winnow" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id,
-         |    string_split_regex(${normSql("text")}, '\\s+') AS w
-         |  FROM documents),
-         |u AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-         |    i -> struct_pack(p := i,
-         |      g := w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-         |  FROM docs WHERE len(w) >= 3),
-         |g AS (
-         |  SELECT doc_id, s.p AS p,
-         |    ${graft.functions.Portable.h60Sql("s.g")} AS h
-         |  FROM u),
-         |s AS (
-         |  SELECT doc_id, p,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY p
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         |    count(*) OVER (PARTITION BY doc_id) AS n
-         |  FROM g)
-         |SELECT DISTINCT doc_id, fp FROM s
-         |WHERE p + 3 <= n OR p = 1""".stripMargin,
+      s"""WITH ${winnowChainSql("w_", "TRUE")}
+         |SELECT doc_id, fp FROM w_fp""".stripMargin,
+
+    // incremental winnow: corpus and batch fp chains from the SAME
+    // template, joined on fp, pair-counted — the stored-probe semantics
+    "q_x_winnow_incr" ->
+      s"""WITH ${winnowChainSql("c", "doc_id <= 400")},
+         |${winnowChainSql("b", "doc_id > 400")}
+         |SELECT b.doc_id AS id_new, c.doc_id AS id_corpus,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM cfp c JOIN bfp b USING (fp)
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // mojibake screen: detector + repair generated from the SAME
     // MojibakeMap the engine uses (substring-count arithmetic, no

@@ -166,4 +166,45 @@ object CorpusStats {
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionAll _)
   }
+
+  /** Per-group winsorization — clamp a numeric column to its group's
+    * [pLow, pHigh] nearest-rank percentile bounds (Tukey's robust
+    * pre-screen: a handful of mega-documents otherwise dominate token
+    * budgets, mean-based quality gates, and mixture weights; dropping
+    * them discards signal, clamping keeps the row at a sane magnitude).
+    *
+    * Nearest-rank (not interpolated) on purpose: bound = the ⌈p·n⌉-th
+    * smallest VALUE in the group — pure integer rank math over a sort,
+    * so any SQL engine reproduces the exact bound (interpolated
+    * percentile definitions differ across engines; rank selection
+    * cannot). p·n is one IEEE multiply on an exact-integer n, ceil'd —
+    * identical everywhere.
+    *
+    * One group-keyed shuffle: rank + count + both conditional-max
+    * bounds ride the SAME window sort (no self-join, no second pass).
+    * Ties in the value order don't matter — the selected BOUND is a
+    * value at a rank, identical under any tie permutation. Output: the
+    * input row plus (lo, hi, v_wins). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh,
+      s"need 0 <= pLow <= pHigh <= 1, got [$pLow, $pHigh]")
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val byV = grp.orderBy(col(valueCol))
+    val v = col(valueCol).cast(LongType)
+    val rn = row_number().over(byV)
+    val n = count(lit(1)).over(grp)
+    df.withColumn("__rn", rn).withColumn("__n", n)
+      .withColumn("lo", max(when(
+        col("__rn") <= ceil(col("__n") * pLow), v)).over(grp))
+      .withColumn("hi", max(when(
+        col("__rn") <= ceil(col("__n") * pHigh), v)).over(grp))
+      // p=0 selects rank 0 = nothing: an empty lower bound clamps at
+      // the group minimum (no-op), an empty upper at the maximum
+      .withColumn("lo", coalesce(col("lo"), min(v).over(grp)))
+      .withColumn("hi", coalesce(col("hi"), max(v).over(grp)))
+      .withColumn("v_wins", least(greatest(v, col("lo")), col("hi")))
+      .drop("__rn", "__n")
+  }
 }

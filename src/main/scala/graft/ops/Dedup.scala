@@ -755,6 +755,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Ingest-time quote/plagiarism detection against a PERSISTED
+    * [[winnowFingerprints]] store — the winnowing member of the
+    * incremental-dedup family (exact keys, MinHash signatures, SemDedup
+    * cells all have one): winnow the new batch, probe the stored
+    * (fp, doc) table, and report batch×corpus doc pairs sharing at
+    * least `minShared` fingerprints — each shared fingerprint witnesses
+    * a shared token run, so the pair list is positional evidence, not
+    * just a similarity score.
+    *
+    * Scale shape: the batch side is micro-batch-sized, so its
+    * fingerprints BROADCAST into the stored-table join — the corpus
+    * store (100 TB-side) never shuffles; the group-by runs on matched
+    * pairs only. Deployment rule for boilerplate: a fingerprint shared
+    * by M corpus docs fans each batch hit to M rows, so cap fp
+    * frequency AT STORE BUILD (drop fps above ~50 carriers — they
+    * witness template text, not quotation; same reasoning as
+    * [[stripFrequentParagraphs]]). Output: (id_new, id_corpus,
+    * shared_fps), batch self-pairs excluded by construction. */
+  def winnowIncremental(batch: DataFrame, idCol: String, textCol: String,
+      storedFps: DataFrame, k: Int, w: Int,
+      minShared: Long = 2L): DataFrame = {
+    require(minShared > 0, "minShared must be positive")
+    val bFps = winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("__nid"), col("fp"))
+    storedFps.select(col(idCol).as("__oid"), col("fp"))
+      .join(broadcast(bFps), "fp")
+      .filter(col("__oid") =!= col("__nid"))
+      .groupBy(col("__nid").as("id_new"), col("__oid").as("id_corpus"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** MinHash signature: for each of `numHashes` seeds, the min hash over
     * the document's shingles — per-row expression form (reference shape;
     * see [[minHashSignatures]] for the at-scale aggregate form). */

@@ -304,4 +304,39 @@ class AssignDistSpec extends SparkSpec {
     assert(got(1L) == ((0, 2.0)))  // (1,1) -> origin: 1+1
     assert(got(2L) == ((1, 5.0)))  // (9,2) -> (10,0): 1+4
   }
+
+  test("winsorize: nearest-rank bounds, outliers clamped, body untouched") {
+    // group g: values 1..20 -> p5 rank ceil(1)=1 -> lo=1,
+    // p95 rank ceil(19)=19 -> hi=19; 20 clamps to 19, rest unchanged
+    val df = (1 to 20).map(i => ("g", i.toLong, i.toLong))
+      .toDF("src", "id", "v")
+    val got = CorpusStats.winsorize(df, Seq("src"), "v", 0.05, 0.95)
+      .select("v", "lo", "hi", "v_wins")
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(got.values.map(_._1).toSet == Set(1L) &&
+      got.values.map(_._2).toSet == Set(19L), s"bounds: $got")
+    assert(got(20L)._3 == 19L, "top outlier clamps to hi")
+    assert((1 to 19).forall(i => got(i.toLong)._3 == i.toLong),
+      "body values pass through")
+  }
+
+  test("winsorize: degenerate percentiles and single-row groups") {
+    val df = Seq(("a", 1L, 7L), ("b", 2L, 3L), ("b", 3L, 100L))
+      .toDF("src", "id", "v")
+    // p=[0,1]: lo falls back to group min (rank 0 selects nothing),
+    // hi = max -> nothing clamps
+    val full = CorpusStats.winsorize(df, Seq("src"), "v", 0.0, 1.0)
+      .select("v", "v_wins").as[(Long, Long)].collect()
+    assert(full.forall { case (v, w) => v == w }, full.mkString(","))
+    // single-row group: every bound is the value itself
+    val one = CorpusStats.winsorize(df.filter($"src" === "a"),
+      Seq("src"), "v", 0.05, 0.95)
+      .select("lo", "hi", "v_wins").as[(Long, Long, Long)].head()
+    assert(one == ((7L, 7L, 7L)))
+  }
+
+  private implicit class Quads(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map { case (v, lo, hi, w) => v -> (lo, hi, w) }.toMap
+  }
 }

@@ -42,6 +42,24 @@ class WinnowSpec extends SparkSpec {
     assert(empty.count() == 0, "fewer than k tokens -> no grams, no fps")
   }
 
+  test("winnowIncremental: a quoting batch doc is caught; strangers are not") {
+    // 12 shared tokens = two disjoint w+k-1 runs -> >= 2 shared fps
+    val quote = (1 to 12).map("q" + _).mkString(" ")
+    val corpus = Seq(
+      (1L, s"corpus opening $quote corpus closing words"),
+      (2L, (1 to 20).map("c" + _).mkString(" "))).toDF("id", "t")
+    val stored = Dedup.winnowFingerprints(corpus, "id", "t", 3, 4)
+    val batch = Seq(
+      (10L, s"batch intro $quote batch outro"),
+      (11L, (1 to 20).map("z" + _).mkString(" "))).toDF("id", "t")
+    val got = Dedup.winnowIncremental(batch, "id", "t", stored, 3, 4, 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.exists(r => r._1 == 10L && r._2 == 1L && r._3 >= 2L),
+      s"quote must be detected with >= 2 shared fps: $got")
+    assert(!got.exists(_._1 == 11L), s"stranger must not pair: $got")
+    assert(!got.exists(_._2 == 2L), s"unrelated corpus doc silent: $got")
+  }
+
   test("deterministic on any partitioning") {
     val docs = (1 to 30).map(i =>
       (i.toLong, (1 to 40).map(j => "w" + (i * j % 17)).mkString(" ")))
