@@ -915,6 +915,19 @@ object Queries {
         s.read.parquet(store.path), k = 3, w = 4, minShared = 2L)
     }),
 
+    "q_x_qnorm" -> ((s, dir) =>
+      // within-source quantile calibration: one gate threshold means
+      // "top X% of every source" regardless of score distributions
+      CorpusStats.quantileNormalize(rd(s, dir, "documents"),
+          Seq("source"), "n_chars")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast(LongType).as("n_chars"), col("q_norm"))),
+
+    "q_x_interleave" -> ((s, dir) =>
+      // deterministic balanced write order for the training mix
+      Sampling.interleave(rd(s, dir, "documents"), "source", "doc_id")
+        .select(col("source"), col("doc_id"), col("pos"))),
+
     "q_x_mojibake" -> ((s, dir) => {
       // encoding-damage screen on deterministically damaged text (the
       // media-round-trip pattern: synthesize the defect, detect+repair
@@ -4352,6 +4365,38 @@ object Queries {
         |  CAST(least(greatest(n_chars, coalesce(lo0, mn)),
         |    coalesce(hi0, mx)) AS BIGINT) AS v_wins
         |FROM w""".stripMargin,
+
+    // rank-based quantile normalization: min-rank ties (rank(), no
+    // tiebreak column) so equal values share q on every engine
+    "q_x_qnorm" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN n > 1
+        |    THEN round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+        |    ELSE 0.5 END AS q_norm
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)""".stripMargin,
+
+    // balanced interleave: source index from the distinct-sources
+    // frame, per-source hash rank, pos = (rk-1)*nS + si
+    "q_x_interleave" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |    row_number() OVER (ORDER BY source) - 1 AS si,
+         |    count(*) OVER () AS ns
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.Portable.h60Sql(
+               "'interleave:' || CAST(doc_id AS VARCHAR)")},
+         |               doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.source, r.doc_id,
+         |  CAST((r.rk - 1) * s.ns + s.si AS BIGINT) AS pos
+         |FROM r JOIN s USING (source)""".stripMargin,
 
     // winnowing: positional trigram h60 hashes, min over each window
     // of 4 consecutive gram hashes (full trailing windows; short docs

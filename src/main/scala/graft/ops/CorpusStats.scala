@@ -207,4 +207,32 @@ object CorpusStats {
       .withColumn("v_wins", least(greatest(v, col("lo")), col("hi")))
       .drop("__rn", "__n")
   }
+
+  /** Per-group rank-based quantile normalization: q = (rank−1)/(n−1)
+    * ∈ [0,1], where rank is the MIN rank of the value in its group
+    * (`rank()` — ties share a rank, so equal values get equal q with
+    * no tiebreak column and no cross-engine order dependence).
+    * Single-member groups sit at 0.5.
+    *
+    * The cross-source calibration step quality gates need: an absolute
+    * "keep score ≥ 0.7" threshold means different things on different
+    * sources (a clean-encyclopedia score distribution sits far above a
+    * web crawl's); normalizing to within-source quantiles makes ONE
+    * gate mean "the top 30% of every source". Exact integer rank math
+    * plus one final division — engine-portable. One group-keyed window
+    * sort; adds `q_norm`. */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val rk = rank().over(grp.orderBy(col(valueCol)))
+    val n = count(lit(1)).over(grp)
+    df.withColumn("__rk", rk).withColumn("__n", n)
+      .withColumn("q_norm",
+        when(col("__n") > 1,
+          round((col("__rk") - 1).cast(DoubleType) /
+            (col("__n") - 1).cast(DoubleType), 6))
+          .otherwise(lit(0.5)))
+      .drop("__rk", "__n")
+  }
 }

@@ -358,6 +358,37 @@ object Sampling {
           col("n")).as("quota"))
   }
 
+  /** Deterministic balanced interleave — the write order for a mixed
+    * training set: position = (rank within source by content hash) ×
+    * nSources + sourceIndex, so a reader consuming positions in order
+    * sees sources round-robin (no 10M-doc run of one crawl at the
+    * front, which distorts early-training gradients) and the SAME
+    * order on any cluster size, any engine, any rerun — `orderBy(rand)`
+    * can promise neither.
+    *
+    * Scale shape: the source index comes from an O(sources) distinct
+    * frame (its window sorts sources, not the corpus) broadcast back;
+    * rows take one strata-keyed shuffle for the per-source hash rank.
+    * Positions are unique but NOT dense when sources are uneven (a
+    * drained source leaves its residue-class slots empty — harmless
+    * for ordering, and density would cost a global sort). Output: the
+    * input plus `pos`. */
+  def interleave(df: DataFrame, sourceCol: String, idCol: String,
+      salt: String = "interleave"): DataFrame = {
+    val srcIdx = df.select(col(sourceCol)).distinct()
+      .withColumn("__si", row_number().over(
+        Window.orderBy(col(sourceCol))) - 1)
+      .withColumn("__ns", count(lit(1)).over(Window.partitionBy()))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Portable.h60(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), col(idCol))
+    df.join(broadcast(srcIdx), Seq(sourceCol))
+      .withColumn("pos",
+        (row_number().over(w).cast("long") - 1L) * col("__ns") +
+          col("__si"))
+      .drop("__si", "__ns")
+  }
+
   /** The executing half of [[neymanAllocation]]: draw each stratum's
     * quota as the hash-smallest rows ([[stratified]]'s deterministic
     * draw — same rows on any cluster size, any engine). One corpus

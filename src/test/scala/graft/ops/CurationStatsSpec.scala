@@ -335,6 +335,19 @@ class AssignDistSpec extends SparkSpec {
     assert(one == ((7L, 7L, 7L)))
   }
 
+  test("quantileNormalize: [0,1] band, tie-stable, singleton at 0.5") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 20L),
+      ("g", 4L, 40L), ("g", 5L, 50L), ("solo", 6L, 99L))
+      .toDF("src", "id", "v")
+    val got = CorpusStats.quantileNormalize(df, Seq("src"), "v")
+      .select("id", "q_norm").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(5L) == 1.0, s"extremes pin 0 and 1: $got")
+    assert(got(2L) == got(3L), s"equal values share q (min-rank ties): $got")
+    assert(got(2L) == 0.25, s"tied pair sits at min rank 2 -> 0.25: $got")
+    assert(got(4L) == 0.75, s"rank above a tie still counts both: $got")
+    assert(got(6L) == 0.5, "single-member group sits mid-scale")
+  }
+
   private implicit class Quads(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (v, lo, hi, w) => v -> (lo, hi, w) }.toMap

@@ -227,6 +227,25 @@ class SamplingSpec extends SparkSpec {
     assert(z.values.forall(_ == 0L), s"W=0 rule: $z")
   }
 
+  test("interleave: round-robin positions, unique, partitioning-invariant") {
+    val rows = (1 to 90).map(i =>
+      (Seq("a", "b", "c")(i % 3), i.toLong)).toDF("src", "id")
+    val got = Sampling.interleave(rows, "src", "id")
+      .select("src", "pos").as[(String, Long)].collect().toSeq
+    assert(got.map(_._2).distinct.size == 90, "positions unique")
+    // residue class encodes the source: balanced round-robin by design
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2 % 3).toSet)
+    assert(bySrc.values.forall(_.size == 1), s"one residue per source")
+    assert(bySrc.values.flatten.toSet == Set(0L, 1L, 2L))
+    // the first nSources positions are one doc from each source
+    assert(got.filter(_._2 < 3).map(_._1).toSet == Set("a", "b", "c"))
+    val again = Sampling.interleave(rows.repartition(11), "src", "id")
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    val once = Sampling.interleave(rows.coalesce(1), "src", "id")
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    assert(again == once, "same order on any partitioning")
+  }
+
   test("neymanAllocation: null values never break the radicand") {
     // nulls contribute 0 to sums but count toward n — Cauchy–Schwarz
     // keeps n·Σx²−(Σx)² >= 0, so sqrt never sees a negative
