@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming quote/contamination detection — the stream twin of
+  * [[graft.ops.Dedup.winnowIncremental]], the sixth member of the dedup
+  * stream family (exact keys: [[StreamDedup]]; embeddings:
+  * [[SemDedupStream]]; paragraphs: [[ParaDedupStream]]; signatures:
+  * [[MinHashDedupStream]]; substrings: [[SubstrDedupStream]]; winnowed
+  * fingerprints: this). Each micro-batch of (id, text) emits the doc
+  * pairs sharing at least `minShared` winnowing fingerprints with the
+  * accumulated corpus OR with earlier docs in the same batch — each
+  * shared fingerprint witnesses a shared ≥ w+k−1-token run, so an
+  * emission is positional quote evidence at ingest time (eval-set
+  * contamination alerts, attribution checks), not just a similarity
+  * score.
+  *
+  * State is a (fp, doc, batch_id, lineage) parquet table via the shared
+  * [[StreamStore]] protocol — the same replay-exactly-once visibility
+  * filter (decisions consult only strictly-earlier batches of the same
+  * lineage, so an at-least-once foreachBatch replay reproduces
+  * identical pairs), fresh-checkpoint lineage adoption, and crash-safe
+  * AtomicDir compaction the family's crash-matrix spec pins; this
+  * class adds no store calls beyond the shared protocol.
+  *
+  * Scale shape: the batch's fingerprints are micro-batch-sized and
+  * BROADCAST into the store probe — the corpus side never shuffles
+  * (hold it fp-bucketed at scale so the probe partition-prunes); the
+  * pair group-by runs on matched rows only. Boilerplate governance is
+  * the [[graft.ops.Dedup.winnowIncremental]] rule: cap fp frequency at
+  * [[compact]] time (a fingerprint carried by M corpus docs fans each
+  * batch hit M ways). Doc ids are normalized to LONG in the store.
+  */
+final class WinnowQuoteStream(spark: SparkSession, storePath: String,
+    idCol: String, textCol: String, k: Int, w: Int,
+    minShared: Long = 2L, lineage: String = "default",
+    compactEvery: Int = 0) {
+  require(minShared > 0, "minShared must be positive")
+
+  private var batchesSeen = 0L
+  private var pairsFound = 0L
+  private var fpsStored = 0L
+
+  /** Totals since construction: (batches, quote pairs, fps stored). */
+  def stats: (Long, Long, Long) = (batchesSeen, pairsFound, fpsStored)
+
+  private val store = new StreamStore(spark, storePath, lineage)
+
+  /** The `foreachBatch` body: returns (id_new, id_corpus, shared_fps)
+    * quote pairs for the batch — id_corpus is a stored doc, or the
+    * earlier (smaller-id) doc for a within-batch pair — with the
+    * batch's fingerprints already appended. The result rides a
+    * deferred localCheckpoint: call
+    * `graft.core.Metrics.drainUnpersist()` after sinking it. */
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    val bFps = Dedup.winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("__nid"), col("fp"))
+      .localCheckpoint()
+    try {
+      val corpus = store.visible(batchId)
+        .map(_.select(col("doc").as("__oid"), col("fp")))
+        .getOrElse(spark.range(0)
+          .select(col("id").as("__oid"), col("id").as("fp")))
+      val cross = corpus.join(broadcast(bFps), "fp")
+        .select(col("__nid").as("id_new"), col("__oid").as("id_corpus"))
+      // within-batch: the smaller id plays corpus (first-wins), each
+      // unordered pair counted once
+      val a = bFps.select(col("__nid").as("__a"), col("fp"))
+      val b = bFps.select(col("__nid").as("__b"), col("fp"))
+      val within = a.join(b, "fp").filter(col("__a") < col("__b"))
+        .select(col("__b").as("id_new"), col("__a").as("id_corpus"))
+      val out = cross.unionByName(within)
+        .groupBy("id_new", "id_corpus")
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared)
+        .localCheckpoint()
+      graft.core.Metrics.deferUnpersist(out)
+      store.append(bFps.select(col("__nid").as("doc"), col("fp")),
+        batchId)
+      batchesSeen += 1
+      pairsFound += out.count()
+      fpsStored += bFps.count()
+      if (compactEvery > 0 && batchesSeen % compactEvery == 0) compact()
+      out
+    } finally bFps.unpersist()
+  }
+
+  /** Fold replay duplicates: one row per (fp, doc, lineage) at its MIN
+    * batch_id — the earliest introduction, preserving every later
+    * batch's pair decisions. At deployment scale this is also where
+    * the boilerplate fp-frequency cap applies. */
+  def compact(): Unit = store.compact(
+    _.groupBy("fp", "doc", "lineage").agg(min("batch_id").as("batch_id")))
+}
