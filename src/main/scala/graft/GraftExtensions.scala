@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // interval theta-join -> banded equi-join (kills BNLJ/cartesian plans)
     ext.injectOptimizerRule(_ => graft.plans.BandedIntervalJoin)
+    // plans GroupRunningAgg (two-pass distributed rank local pass)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }
 
@@ -102,5 +104,9 @@ object GraftExtensions {
         .contains(graft.plans.BandedIntervalJoin))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.BandedIntervalJoin)
+    // planner.strategies covers both the extensions path and
+    // experimental.extraStrategies — one check guards both install routes
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies ++= Seq(graft.plans.GraftStrategy)
   }
 }

@@ -879,7 +879,10 @@ object Queries {
     "q_x_stratified" -> ((s, dir) =>
       // 20 docs per language, selected by deterministic hash order —
       // reproducible on any cluster size / engine
-      Sampling.stratified(rd(s, dir, "documents"), Seq("lang"), "doc_id", 20)
+      // pre-select: GroupRunningAgg is a pruning boundary — the scan
+      // must not read `text` for a rank-only query
+      Sampling.stratified(rd(s, dir, "documents").select("lang", "doc_id"),
+          Seq("lang"), "doc_id", 20)
         .select(col("lang"), col("doc_id"), col("rk").cast(LongType).as("rk"))),
 
     "q_x_neyman_sample" -> ((s, dir) =>
@@ -899,8 +902,9 @@ object Queries {
     "q_x_winsorize" -> ((s, dir) =>
       // robust clamp of doc length to each source's [p5, p95]
       // nearest-rank band — the outlier screen before budget math
-      CorpusStats.winsorize(rd(s, dir, "documents"), Seq("source"),
-          "n_chars", 0.05, 0.95)
+      CorpusStats.winsorize(
+          rd(s, dir, "documents").select("source", "doc_id", "n_chars"),
+          Seq("source"), "n_chars", 0.05, 0.95)
         .select(col("source"), col("doc_id"),
           col("n_chars").cast(LongType).as("n_chars"),
           col("lo"), col("hi"), col("v_wins"))),
@@ -918,14 +922,16 @@ object Queries {
     "q_x_qnorm" -> ((s, dir) =>
       // within-source quantile calibration: one gate threshold means
       // "top X% of every source" regardless of score distributions
-      CorpusStats.quantileNormalize(rd(s, dir, "documents"),
+      CorpusStats.quantileNormalize(
+          rd(s, dir, "documents").select("source", "doc_id", "n_chars"),
           Seq("source"), "n_chars")
         .select(col("source"), col("doc_id"),
           col("n_chars").cast(LongType).as("n_chars"), col("q_norm"))),
 
     "q_x_interleave" -> ((s, dir) =>
       // deterministic balanced write order for the training mix
-      Sampling.interleave(rd(s, dir, "documents"), "source", "doc_id")
+      Sampling.interleave(rd(s, dir, "documents").select("source", "doc_id"),
+          "source", "doc_id")
         .select(col("source"), col("doc_id"), col("pos"))),
 
     "q_x_mojibake" -> ((s, dir) => {

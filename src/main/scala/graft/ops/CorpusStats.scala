@@ -180,32 +180,42 @@ object CorpusStats {
     * cannot). p·n is one IEEE multiply on an exact-integer n, ceil'd —
     * identical everywhere.
     *
-    * One group-keyed shuffle: rank + count + both conditional-max
-    * bounds ride the SAME window sort (no self-join, no second pass).
-    * Ties in the value order don't matter — the selected BOUND is a
-    * value at a rank, identical under any tie permutation. Output: the
-    * input row plus (lo, hi, v_wins). */
+    * Scale shape (the bounds-only two-pass plan): ranks come from
+    * [[Ranks.grouped]] — range-partitioned two-pass rank, never a
+    * per-group single-reducer sort — then ONE partial-aggregated pass
+    * reduces the ranked frame to an O(groups) bounds table
+    * (`max(v where rn <= ⌈p·n⌉)` = the ⌈p·n⌉-th smallest value), which
+    * broadcast-joins back. No corpus-wide window at all. Ties in the
+    * value order don't matter — the selected BOUND is a value at a
+    * rank, identical under any tie permutation, so the arbitrary
+    * two-pass tie order is harmless. Output: the input row plus
+    * (lo, hi, v_wins). */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
       pLow: Double, pHigh: Double): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh,
       s"need 0 <= pLow <= pHigh <= 1, got [$pLow, $pHigh]")
-    val grp = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-    val byV = grp.orderBy(col(valueCol))
     val v = col(valueCol).cast(LongType)
-    val rn = row_number().over(byV)
-    val n = count(lit(1)).over(grp)
-    df.withColumn("__rn", rn).withColumn("__n", n)
-      .withColumn("lo", max(when(
-        col("__rn") <= ceil(col("__n") * pLow), v)).over(grp))
-      .withColumn("hi", max(when(
-        col("__rn") <= ceil(col("__n") * pHigh), v)).over(grp))
-      // p=0 selects rank 0 = nothing: an empty lower bound clamps at
-      // the group minimum (no-op), an empty upper at the maximum
-      .withColumn("lo", coalesce(col("lo"), min(v).over(grp)))
-      .withColumn("hi", coalesce(col("hi"), max(v).over(grp)))
+    val ranked = Ranks.grouped(df, groupCols, Seq(col(valueCol)),
+      rankCol = Some("__rn"), totalCountCol = Some("__n"))
+    val bounds = ranked.groupBy(groupCols.map(col): _*)
+      .agg(
+        // p=0 selects rank 0 = nothing: an empty lower bound clamps at
+        // the group minimum (no-op), an empty upper at the maximum
+        coalesce(max(when(col("__rn") <= ceil(col("__n") * pLow), v)),
+          min(v)).as("__lo"),
+        coalesce(max(when(col("__rn") <= ceil(col("__n") * pHigh), v)),
+          max(v)).as("__hi"))
+    val bSel = bounds.select(
+      (groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__bg$i") } :+
+        col("__lo")) :+ col("__hi"): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"__bg$i") }.reduce(_ && _)
+    ranked.drop("__rn", "__n").join(broadcast(bSel), cond)
+      .withColumn("lo", col("__lo"))
+      .withColumn("hi", col("__hi"))
       .withColumn("v_wins", least(greatest(v, col("lo")), col("hi")))
-      .drop("__rn", "__n")
+      .drop((groupCols.indices.map(i => s"__bg$i") ++
+        Seq("__lo", "__hi")): _*)
   }
 
   /** Per-group rank-based quantile normalization: q = (rank−1)/(n−1)
@@ -219,20 +229,36 @@ object CorpusStats {
     * sources (a clean-encyclopedia score distribution sits far above a
     * web crawl's); normalizing to within-source quantiles makes ONE
     * gate mean "the top 30% of every source". Exact integer rank math
-    * plus one final division — engine-portable. One group-keyed window
-    * sort; adds `q_norm`. */
+    * plus one final division — engine-portable. Adds `q_norm`.
+    *
+    * Scale shape: one partial-aggregated corpus reduce to the distinct
+    * (group, value) frame with counts, then [[Ranks.grouped]]'s
+    * two-pass running sum over THAT frame (cumulative count of smaller
+    * values = the SQL `rank()` minus one — ties collapse into one
+    * value-frame row, so min-rank semantics are exact by construction),
+    * then one shuffle join back on (group, value). No corpus-wide
+    * window; the value frame is bounded by distinct values per group,
+    * and the join keys are finer than the group key, so neither side
+    * has a single-reducer task. */
   def quantileNormalize(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
-    val grp = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-    val rk = rank().over(grp.orderBy(col(valueCol)))
-    val n = count(lit(1)).over(grp)
-    df.withColumn("__rk", rk).withColumn("__n", n)
-      .withColumn("q_norm",
+    val vc = df.groupBy((groupCols.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val ranked = Ranks.grouped(vc, groupCols, Seq(col(valueCol)),
+      rankCol = None,
+      sums = Seq(Ranks.RunSum(col("__c"), "__cum",
+        totalCol = Some("__n"))))
+    val qmap = ranked.select(
+      (groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__qg$i") } :+
+        col(valueCol).as("__qv")) :+
         when(col("__n") > 1,
-          round((col("__rk") - 1).cast(DoubleType) /
+          round((col("__cum") - col("__c")).cast(DoubleType) /
             (col("__n") - 1).cast(DoubleType), 6))
-          .otherwise(lit(0.5)))
-      .drop("__rk", "__n")
+          .otherwise(lit(0.5)).as("q_norm"): _*)
+    val cond = (groupCols.zipWithIndex.map { case (g, i) =>
+      col(g) <=> col(s"__qg$i") } :+ (col(valueCol) <=> col("__qv")))
+      .reduce(_ && _)
+    df.join(qmap, cond)
+      .drop((groupCols.indices.map(i => s"__qg$i") :+ "__qv"): _*)
   }
 }

@@ -15,16 +15,19 @@ object Sampling {
 
   /** Top-`perStratum` rows per stratum, ordered by the md5-derived
     * [[Portable.h60]] of the id (a uniform deterministic shuffle), ties
-    * broken by the id itself. One shuffle on the strata columns; the
-    * window is bounded per stratum so nothing materializes beyond the
-    * per-partition sort. Adds `rk` (1-based rank within the stratum).
-    */
+    * broken by the id itself. Adds `rk` (1-based rank within the
+    * stratum, LongType).
+    *
+    * Scale shape: [[Ranks.grouped]] two-pass rank — range-partitioned on
+    * (strata, hash), never a per-stratum single-reducer sort; with the
+    * total (hash, id) order the rank equals the window `row_number`
+    * exactly, so oracles replay it unchanged. */
   def stratified(df: DataFrame, strata: Seq[String], idCol: String,
-      perStratum: Int): DataFrame = {
-    val w = Window.partitionBy(strata.map(col): _*)
-      .orderBy(Portable.h60(col(idCol).cast("string")), col(idCol))
-    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= perStratum)
-  }
+      perStratum: Int): DataFrame =
+    Ranks.grouped(df, strata,
+        Seq(Portable.h60(col(idCol).cast("string")), col(idCol)),
+        rankCol = Some("rk"))
+      .filter(col("rk") <= perStratum)
 
   /** Keep rows whose id hashes into `keep` of `buckets` residue classes —
     * a deterministic Bernoulli(keep/buckets) sample that is stable under
@@ -139,18 +142,21 @@ object Sampling {
     * [[stratified]] (count) and [[weightedKeep]] (row-wise Bernoulli)
     * can't express the target.
     *
-    * One shuffle on the group columns; the running sum is a bounded
-    * per-group window on that same shuffle. Deterministic on any cluster
-    * size / engine (hash order, not arrival order). Adds `cum_tokens`
-    * (the running total INCLUDING the row). */
+    * Deterministic on any cluster size / engine (hash order, not arrival
+    * order). Adds `cum_tokens` (the running total INCLUDING the row).
+    *
+    * Scale shape: [[Ranks.grouped]] two-pass running sum — the corpus is
+    * range-partitioned on (group, hash) and each partition's running
+    * sums get broadcast offsets added; no per-group single-reducer
+    * window at any group cardinality. */
   def tokenBudget(df: DataFrame, groupCols: Seq[String], idCol: String,
       tokenCol: String, budget: Long, salt: String = "budget"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(Portable.h60(concat(lit(salt + ":"),
-        col(idCol).cast("string"))), col(idCol))
-    df.withColumn("cum_tokens",
-        sum(col(tokenCol).cast("long")).over(w))
+    Ranks.grouped(df, groupCols,
+        Seq(Portable.h60(concat(lit(salt + ":"),
+          col(idCol).cast("string"))), col(idCol)),
+        rankCol = None,
+        sums = Seq(Ranks.RunSum(col(tokenCol), "cum_tokens")))
       .filter(col("cum_tokens") - col(tokenCol).cast("long") < budget)
   }
 
@@ -259,16 +265,18 @@ object Sampling {
     * frame (groupCol + a `quota` column) instead of one global constant;
     * the quota side is O(groups) so AQE broadcasts it. Same greedy
     * overshoot rule: the admitting row may cross the line, nothing
-    * after it does. */
+    * after it does. Running sum is the [[Ranks.grouped]] two-pass shape
+    * (see [[tokenBudget]]); the quota join rides the ranged frame. */
   def tokenBudgetByQuota(df: DataFrame, groupCol: String, idCol: String,
       tokenCol: String, quotas: DataFrame,
       salt: String = "budget"): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(Portable.h60(concat(lit(salt + ":"),
-        col(idCol).cast("string"))), col(idCol))
-    df.join(quotas.select(col(groupCol), col("quota")), Seq(groupCol))
-      .withColumn("cum_tokens",
-        sum(col(tokenCol).cast("long")).over(w))
+    Ranks.grouped(df, Seq(groupCol),
+        Seq(Portable.h60(concat(lit(salt + ":"),
+          col(idCol).cast("string"))), col(idCol)),
+        rankCol = None,
+        sums = Seq(Ranks.RunSum(col(tokenCol), "cum_tokens")))
+      .join(broadcast(quotas.select(col(groupCol), col("quota"))),
+        Seq(groupCol))
       .filter(col("cum_tokens") - col(tokenCol).cast("long") < col("quota"))
   }
 
@@ -367,42 +375,52 @@ object Sampling {
     * can promise neither.
     *
     * Scale shape: the source index comes from an O(sources) distinct
-    * frame (its window sorts sources, not the corpus) broadcast back;
-    * rows take one strata-keyed shuffle for the per-source hash rank.
+    * frame broadcast back — its single-task index window is bounded by
+    * [[InterleaveSourceCap]] (enforced at runtime with `raise_error`:
+    * sources are provenance labels, tens to thousands; a million-value
+    * "source" column means the wrong column was passed and the empty-
+    * partitionBy window would otherwise become a silent single-reducer
+    * sort). The per-source rank is the [[Ranks.grouped]] two-pass shape
+    * — range-partitioned, never a per-source single-reducer sort.
     * Positions are unique but NOT dense when sources are uneven (a
     * drained source leaves its residue-class slots empty — harmless
     * for ordering, and density would cost a global sort). Output: the
     * input plus `pos`. */
+  val InterleaveSourceCap = 100000
+
   def interleave(df: DataFrame, sourceCol: String, idCol: String,
       salt: String = "interleave"): DataFrame = {
     val srcIdx = df.select(col(sourceCol)).distinct()
-      .withColumn("__si", row_number().over(
-        Window.orderBy(col(sourceCol))) - 1)
       .withColumn("__ns", count(lit(1)).over(Window.partitionBy()))
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(Portable.h60(concat(lit(salt + ":"),
-        col(idCol).cast("string"))), col(idCol))
-    df.join(broadcast(srcIdx), Seq(sourceCol))
-      .withColumn("pos",
-        (row_number().over(w).cast("long") - 1L) * col("__ns") +
-          col("__si"))
-      .drop("__si", "__ns")
+      .withColumn("__si",
+        when(col("__ns") > InterleaveSourceCap, raise_error(concat(
+          lit(s"interleave: source cardinality exceeds $InterleaveSourceCap (got "),
+          col("__ns"), lit(s") — is '$sourceCol' really a provenance label?"))))
+          .otherwise(row_number().over(Window.orderBy(col(sourceCol))) - 1))
+    Ranks.grouped(df, Seq(sourceCol),
+        Seq(Portable.h60(concat(lit(salt + ":"),
+          col(idCol).cast("string"))), col(idCol)),
+        rankCol = Some("__rk"))
+      .join(broadcast(srcIdx), Seq(sourceCol))
+      .withColumn("pos", (col("__rk") - 1L) * col("__ns") + col("__si"))
+      .drop("__si", "__ns", "__rk")
   }
 
   /** The executing half of [[neymanAllocation]]: draw each stratum's
     * quota as the hash-smallest rows ([[stratified]]'s deterministic
     * draw — same rows on any cluster size, any engine). One corpus
-    * aggregate for the quotas (O(strata) rows, broadcast back), one
-    * strata-keyed shuffle for the ranked draw. Output: the sampled
-    * rows as (strataCol, idCol, valueCol, rk, quota). */
+    * aggregate for the quotas (O(strata) rows, broadcast back); the
+    * ranked draw is the [[Ranks.grouped]] two-pass shape — range-
+    * partitioned, never a per-stratum single-reducer sort. Output: the
+    * sampled rows as (strataCol, idCol, valueCol, rk, quota). */
   def neymanSample(df: DataFrame, strataCol: String, valueCol: String,
       idCol: String, budget: Long, salt: String = "audit"): DataFrame = {
     val quotas = neymanAllocation(df, strataCol, valueCol, budget)
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(Portable.h60(concat(lit(salt + ":"),
-        col(idCol).cast("string"))), col(idCol))
-    df.select(col(strataCol), col(idCol), col(valueCol))
-      .withColumn("rk", row_number().over(w))
+    Ranks.grouped(df.select(col(strataCol), col(idCol), col(valueCol)),
+        Seq(strataCol),
+        Seq(Portable.h60(concat(lit(salt + ":"),
+          col(idCol).cast("string"))), col(idCol)),
+        rankCol = Some("rk"))
       .join(broadcast(quotas.select(col(strataCol), col("quota"))),
         Seq(strataCol))
       .filter(col("rk") <= col("quota"))

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.Portable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parity proof for the two-pass distributed rank against the window form
+  * it replaces (VERDICT r12 #1): identical rank / running-sum values on
+  * skewed, tied, null-grouped, and repartitioned inputs — plus the plan
+  * property the rewrite exists for: a RANGE exchange and no hash-by-group
+  * corpus exchange. */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed: "web" has 700 rows, "ref" 30, "tiny" 3; null group too
+  private def corpus: DataFrame = {
+    val rows = (1 to 700).map(i => (s"w$i", "web", i % 13 + 1L)) ++
+      (1 to 30).map(i => (s"r$i", "ref", i % 7 + 1L)) ++
+      (1 to 3).map(i => (s"t$i", "tiny", 5L)) ++
+      Seq(("n1", null, 2L), ("n2", null, 9L))
+    rows.toDF("id", "source", "w")
+  }
+
+  private def windowRank(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Portable.h60(col("id")), col("id"))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("w")).over(w))
+  }
+
+  private def twoPass(df: DataFrame, parts: Int = 0): DataFrame =
+    Ranks.grouped(df, Seq("source"),
+      Seq(Portable.h60(col("id")), col("id")),
+      rankCol = Some("rk"),
+      sums = Seq(Ranks.RunSum(col("w"), "cum", totalCol = Some("wtot"))),
+      totalCountCol = Some("n"),
+      numPartitions = parts)
+
+  test("rank and running sum match the window form exactly") {
+    val want = windowRank(corpus).select("id", "rk", "cum")
+      .as[(String, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val got = twoPass(corpus).select("id", "rk", "cum")
+      .as[(String, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("totals: per-group row count and weight sum on every row") {
+    val got = twoPass(corpus).select("source", "n", "wtot")
+      .distinct().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("web")._1 == 700 && got("ref")._1 == 30)
+    assert(got("tiny") == ((3L, 15L)))
+    assert(got("NULL")._1 == 2 && got("NULL")._2 == 11L)
+  }
+
+  test("invariant to input partitioning and partition count") {
+    val a = twoPass(corpus.repartition(17), parts = 3)
+      .select("id", "rk", "cum").as[(String, Long, Long)].collect().toSet
+    val b = twoPass(corpus.coalesce(1), parts = 11)
+      .select("id", "rk", "cum").as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("ties: ranks are a valid permutation consistent with the key order") {
+    // order by w alone — heavy ties; rank set must be 1..n per group and
+    // ranks must be monotone in w
+    val got = Ranks.grouped(corpus, Seq("source"), Seq(col("w")),
+        rankCol = Some("rk"))
+      .select("source", "w", "rk")
+      .collect().map(r => (Option(r.getString(0)).getOrElse("NULL"),
+        r.getLong(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+      val byRank = rs.sortBy(_._3).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("plan: one range exchange, no hash-by-group corpus exchange") {
+    val plan = twoPass(corpus).queryExecution.sparkPlan
+    val txt = plan.toString
+    // corpus range exchange feeding the local pass
+    assert(txt.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$txt")
+    assert(txt.contains("GroupRunningAgg"))
+    // hash exchanges on group-only keys are legal ONLY over the tiny
+    // stats frame (below: a HashAggregate keyed by the partition id) —
+    // a group hash of the CORPUS is the single-reducer shape this
+    // primitive replaces
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val offenders = plan.collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("__gr_pid") &&
+            !e.outputPartitioning.toString.contains("rangepartitioning") &&
+            e.child.collect {
+              case a: BaseAggregateExec
+                  if a.groupingExpressions.exists(
+                    _.toString.contains("__gr_pid")) => a
+            }.isEmpty => e
+    }
+    assert(offenders.isEmpty,
+      s"corpus-wide group hash exchange found:\n${offenders.mkString("\n")}")
+  }
+}

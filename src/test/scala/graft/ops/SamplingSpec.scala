@@ -15,8 +15,8 @@ class SamplingSpec extends SparkSpec {
     val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(byLang == Map("en" -> 10L, "de" -> 10L, "fr" -> 10L))
     val ranks = got.filter(col("lang") === "en")
-      .select("rk").as[Int].collect().toSeq.sorted
-    assert(ranks == (1 to 10))
+      .select("rk").as[Long].collect().toSeq.sorted
+    assert(ranks == (1L to 10L))
     // cap above stratum size keeps the whole stratum
     val all = Sampling.stratified(corpus, Seq("lang"), "id", 1000)
     assert(all.count() == 200)
