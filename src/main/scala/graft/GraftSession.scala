@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   *  - shuffle partitions sized to the cluster, not the 200 default;
   *  - 128 MiB scan splits (`maxPartitionBytes`) — parquet-friendly;
   *  - UTC session timezone (temporal conversions assume it);
+  *  - RocksDB streaming state + changelog checkpointing BY DEFAULT
+  *    (measured, `tools.StateBench`: equal trigger wall, 709 vs
+  *    58–175 MiB resident at 3.6M keys — at 100 TB key counts the
+  *    heap provider is an OOM, so unbounded-state operators like
+  *    [[graft.streaming.StreamDedup.againstHistoryStateful]] must not
+  *    depend on the caller remembering a conf);
   *  - graft SQL functions registered.
   */
 object GraftSession {
@@ -26,16 +32,24 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-    extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    (defaults ++ extra).foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v) }
   }
+
+  /** Default conf map applied by [[builder]] beyond the literal configs
+    * above (callers override any entry via `extra`). Spec-pinned so the
+    * RocksDB-state default cannot silently regress
+    * (`RocksDbStateSpec`). */
+  def defaults: Map[String, String] = rocksdbStateConfs
 
   /** Streaming-state confs for state that outgrows executor heap:
     * Spark's RocksDB state store (per-user/per-key state lands on
     * executor-local disk, not heap) with changelog checkpointing (per
     * trigger only the CHANGED keys ship to the checkpoint, not a full
     * snapshot — the difference between O(delta) and O(state) commit cost
-    * once state is large). Apply via `extra` on [[builder]], or
-    * per-session with `spark.conf.set` before the query starts. */
+    * once state is large). The [[builder]] DEFAULT since round 13;
+    * override via `extra` (e.g. to A/B the heap provider, as
+    * `tools.StateBench` does on plain sessions). */
   val rocksdbStateConfs: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
       ("org.apache.spark.sql.execution.streaming.state." +

@@ -942,6 +942,11 @@ object Dedup {
     cand
       .join(txt.select(col("id").as("id_a"), col("t").as("__ta")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("t").as("__tb")), "id_b")
+      // Ed-Join's length prefilter: |len(a)−len(b)| is a lower bound on
+      // the edit distance, so pairs past the budget can never reach
+      // minEditSim — a one-expression guard that prunes exactly the
+      // pairs the early exit would otherwise pay O(len·limit) to reject
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= limit)
       .withColumn("__d", levenshtein(col("__ta"), col("__tb"), limit))
       // −1 = the early exit fired: distance provably past the budget
       .filter(col("__d") >= 0)

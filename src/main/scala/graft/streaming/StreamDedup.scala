@@ -41,9 +41,12 @@ object StreamDedup {
 
   /** Against-ALL-history exact dedup inside the stream engine: the first
     * row per `keys` value EVER seen is emitted, every later one dropped.
-    * State is the distinct-key set and never expires — run it on the
-    * RocksDB provider ([[graft.GraftSession.rocksdbStateConfs]]) so that
-    * set lives on executor-local disk rather than heap; with changelog
+    * State is the distinct-key set and never expires — it REQUIRES the
+    * RocksDB provider ([[graft.GraftSession.rocksdbStateConfs]], the
+    * [[graft.GraftSession.builder]] DEFAULT) so that set lives on
+    * executor-local disk rather than heap (measured `tools.StateBench`:
+    * equal trigger wall, 709 vs 58–175 MiB resident at 3.6M keys — the
+    * heap provider is the next OOM at 100 TB key counts); with changelog
     * checkpointing each commit ships only the trigger's new keys. State
     * shards by `HashPartitioning(keys)` across
     * `spark.sql.shuffle.partitions` tasks — size that conf for the KEY

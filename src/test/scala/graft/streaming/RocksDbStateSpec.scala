@@ -76,6 +76,18 @@ class RocksDbStateSpec extends SparkSpec {
     assert(onRocks == run(spark, "heaphist"))
   }
 
+  test("GraftSession defaults to RocksDB state + changelog checkpointing") {
+    // the engine-session default (VERDICT r12 #8): unbounded-state
+    // operators (againstHistoryStateful) must not depend on the caller
+    // remembering a conf — the builder ships the provider, and heap is
+    // the explicit opt-OUT via `extra`
+    val d = graft.GraftSession.defaults
+    assert(d("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    assert(d("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled") == "true")
+  }
+
   test("sessionizer on RocksDB matches the default-provider run") {
     def run(s: org.apache.spark.sql.SparkSession, name: String) = {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
