@@ -175,17 +175,53 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "2.5").toDouble
     val totalBudget =
       sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_SEC", "90").toDouble
+    // Reviewed composite-budget entries (the Expand-allowlist pattern):
+    // a chained multi-stage pipeline is k solo queries in ONE entry —
+    // its stages are budget-checked individually by their solo twins
+    // (mojibake, dedup_keep, contamination, qnorm, quota_trim,
+    // interleave), and its wall is stage-COUNT-bound (measured: a 4×
+    // corpus slice moves it < 10%), so the composite carries a
+    // multiplier instead of hiding behind an exemption.
+    val compositeBudgetX: Map[String, Double] = Map("q_x_pipeline" -> 2.0)
+    def budgetOf(n: String): Double =
+      queryBudget * compositeBudgetX.getOrElse(n, 1.0)
     val budgetViolations: Seq[String] =
       if (!sfDir.contains("sf0.1")) Seq.empty // budgets are sf0.1-calibrated
       else (if (total > totalBudget) Seq(f"total:$total%.1f")
             else Seq.empty) ++
-        results.toSeq.filter(_._2 > queryBudget).sortBy(-_._2)
+        results.toSeq.filter { case (n, s) => s > budgetOf(n) }
+          .sortBy(-_._2)
           .map { case (n, s) => f"$n:$s%.2f" }
     val canaryEnd = canarySec()
     // JSON null when either measurement failed — a -1.0 sentinel would
     // read as a plausible small negative delta and hide the failure
     val canaryDeltaPct: String = deltaPct(canaryStart, canaryEnd)
     lastCanary = canaryEnd
+
+    // Window-normalized reporting (VERDICT r12 #3): this host's windows
+    // drift ±15%/hour, so a slow-window seal used to need a detached-
+    // worktree A/B to prove "same code, slow host". The canary's
+    // catalog-bracket mean divided by a pinned mid-band reference
+    // (calibrated from the r11/r12 seals' canary records; env-
+    // overridable when the box changes) gives the window factor; the
+    // adjusted wall = raw ÷ factor self-reports the same-code estimate.
+    // Budget thresholds stay on RAW — a real regression on a fast
+    // window must still trip — the adjusted values ride ALONGSIDE.
+    val canaryRef =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_REF_SEC", "0.065").toDouble
+    val canaryWindowFactor: Double =
+      if (canaryStart > 0 && canaryEnd > 0 && canaryRef > 0)
+        ((canaryStart + canaryEnd) / 2.0) / canaryRef
+      else -1.0
+    val totalWindowAdjusted: Double =
+      if (canaryWindowFactor > 0) total / canaryWindowFactor else -1.0
+    val budgetViolationsAdjusted: Seq[String] =
+      if (canaryWindowFactor <= 0) Seq.empty
+      else budgetViolations.map { v =>
+        val i = v.lastIndexOf(':')
+        val adj = v.substring(i + 1).toDouble / canaryWindowFactor
+        f"${v.substring(0, i)}:$adj%.2f"
+      }
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
     // through envelope transform → hash mask → SCD-1 merge.
@@ -910,6 +946,15 @@ object Bench {
       "canary_start_sec" -> canaryStart.toString,
       "canary_end_sec" -> canaryEnd.toString,
       "canary_delta_pct" -> canaryDeltaPct,
+      "canary_ref_sec" -> canaryRef.toString,
+      "canary_window_factor" ->
+        (if (canaryWindowFactor > 0) canaryWindowFactor.toString
+         else "null"),
+      "total_window_adjusted" ->
+        (if (totalWindowAdjusted > 0) totalWindowAdjusted.toString
+         else "null"),
+      "budget_violations_window_adjusted" -> budgetViolationsAdjusted
+        .map("\"" + _ + "\"").mkString("[", ",", "]"),
       "canary_post_cdc_sec" -> canaryPostCdc.toString,
       "canary_cdc_delta_pct" -> deltaPct(canaryEnd, canaryPostCdc),
       "canary_post_skew_sec" -> canaryPostSkew.toString,

@@ -414,7 +414,7 @@ object Queries {
       val d = rd(s, dir, "documents")
         .select(col("doc_id"), expr("n_chars div 100").as("bucket"))
       graft.ops.CorpusStats.histogramDrift(
-        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 4 === 0),
         d.filter(col("doc_id") % 2 === 1), "bucket")
     }),
 
@@ -1010,6 +1010,74 @@ object Queries {
           "n_chars", quotas)
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("quota"), col("cum_tokens"))
+    }),
+
+    "q_x_pipeline" -> ((s, dir) => {
+      // END-TO-END curation pipeline as ONE oracle-checked query
+      // (VERDICT r12 #5): clean → exact dedup → decontaminate →
+      // quality-gate (within-source quantile) → fair-share quota trim →
+      // balanced interleave, each stage consuming the previous stage's
+      // SURVIVORS — the composition the per-stage oracles cannot check
+      // (a stage-order or column-contract regression changes the final
+      // rows/positions even when every stage is individually correct).
+      import graft.ops.{CorpusStats, Dedup, Sampling, TextOps}
+      // 1 CLEAN: deterministic damage (docs ≡0 mod 3), then repair —
+      // the media-round-trip pattern: synthesize the defect, run the
+      // real repair path
+      val t0 = coalesce(col("text"), lit(""))
+      val damaged = when(pmod(col("doc_id"), lit(3)) === 0,
+        replace(t0, lit("e"), lit("Ã©"))).otherwise(t0)
+      // the cleaned frame feeds FIVE downstream branches (fingerprint,
+      // dedup join, benchmark, corpus shingles, lengths) — checkpoint it
+      // once (the repo's reuse pattern: at 100 TB this is the persisted
+      // intermediate every multi-stage pipeline materializes between
+      // stages anyway)
+      val cleaned = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          col("source"), TextOps.repairMojibake(damaged).as("t"))
+        .localCheckpoint()
+      graft.core.Metrics.deferUnpersist(cleaned)
+      // 2 DEDUP: keep the min-id doc per normalized fingerprint
+      val deduped = Dedup.exactKeep(
+        cleaned.withColumn("fp", TextOps.fingerprint(col("t"))),
+        Seq("fp"), "doc_id")
+      // 3 DECONTAMINATE: doc-level gate against the stand-in eval set
+      // (every 50th doc's CLEANED text) — any shared 3-gram drops the
+      // doc, including the eval docs themselves (they self-hit)
+      val bench = cleaned.filter(col("doc_id") % 50 === 0).select(col("t"))
+      val conta = Dedup.contamination(deduped, "doc_id", "t",
+        bench, "t", n = 3, minHits = 1)
+      // stage outputs past this point are SLIM (ids + lengths, no text)
+      // and each feeds 2–3 downstream branches — materialize at the
+      // seams (the alternative re-executes the shingle explode once per
+      // reference: measured 8.5 s chained vs 2.3 s as solo stages)
+      val kept = deduped.join(
+          conta.filter(!col("contaminated")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          length(col("t")).cast(LongType).as("n_chars"))
+        .localCheckpoint()
+      graft.core.Metrics.deferUnpersist(kept)
+      // 4 QUALITY GATE: within-source quantile on the CLEANED length;
+      // one threshold = "top 80% of every source"
+      val gated = CorpusStats.quantileNormalize(kept, Seq("source"),
+          "n_chars")
+        .filter(col("q_norm") >= 0.2)
+        .localCheckpoint()
+      graft.core.Metrics.deferUnpersist(gated)
+      // 5 QUOTA: waterfill the survivors' char mass against one global
+      // budget, then greedy-trim each source to ITS quota
+      val counts = gated.groupBy("source").agg(sum("n_chars").as("c"))
+      val quotas = Sampling.fairShareQuota(counts, "source", "c", 30000L)
+        .select(col("source"), col("quota"))
+      val trimmed = Sampling.tokenBudgetByQuota(gated, "source", "doc_id",
+          "n_chars", quotas)
+        .localCheckpoint()
+      graft.core.Metrics.deferUnpersist(trimmed)
+      // 6 INTERLEAVE: deterministic balanced write order of the final mix
+      Sampling.interleave(trimmed, "source", "doc_id")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("q_norm"), col("cum_tokens"), col("quota"), col("pos"))
     }),
 
     "q_x_scd2_asof" -> ((s, dir) => {
@@ -3516,7 +3584,7 @@ object Queries {
         |b AS (SELECT bucket, count(*)::BIGINT AS n_b FROM d
         |      WHERE doc_id % 2 = 1 GROUP BY 1),
         |ta AS (SELECT greatest(1, count(*))::BIGINT AS t FROM d
-        |       WHERE doc_id % 2 = 0),
+        |       WHERE doc_id % 4 = 0),
         |tb AS (SELECT greatest(1, count(*))::BIGINT AS t FROM d
         |       WHERE doc_id % 2 = 1),
         |j AS (
@@ -4505,6 +4573,111 @@ object Queries {
          |SELECT t.source, doc_id, n_chars, quota, cum_tokens
          |FROM t JOIN q ON q.source = t.source
          |WHERE cum_tokens - n_chars < quota""".stripMargin,
+
+    // full-chain pipeline replay: every stage in ONE statement so a
+    // stage-order / column-contract regression fails the hash compare
+    "q_x_pipeline" -> {
+      val repair = graft.ops.TextOps.MojibakeMap.sortBy(-_._1.length)
+        .foldLeft("d") { case (acc, (bad, good)) =>
+          s"replace($acc, '$bad', '${good.replace("'", "''")}')"
+        }
+      def norm(x: String) =
+        s"trim(regexp_replace(lower($x), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+      s"""WITH base AS (
+         |  SELECT doc_id, source, coalesce(text, '') AS t0 FROM documents),
+         |dmg AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN replace(t0, 'e', 'Ã©')
+         |         ELSE t0 END AS d
+         |  FROM base),
+         |clean AS MATERIALIZED (
+         |  SELECT doc_id, source, $repair AS t FROM dmg),
+         |fp AS (
+         |  SELECT doc_id, source, t, md5(${norm("t")}) AS fp FROM clean),
+         |dd AS MATERIALIZED (
+         |  SELECT doc_id, source, t FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fp)),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(${norm("t")}, '\\s+') AS w
+         |  FROM dd),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+         |  FROM w WHERE len(w) >= 3),
+         |bw AS (
+         |  SELECT string_split_regex(${norm("t")}, '\\s+') AS w
+         |  FROM clean WHERE doc_id % 50 = 0),
+         |bsh AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+         |  FROM bw WHERE len(w) >= 3),
+         |hits AS (SELECT DISTINCT doc_id FROM sh JOIN bsh USING (shingle)),
+         |kept AS MATERIALIZED (
+         |  SELECT doc_id, source, length(t)::BIGINT AS n_chars FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         |scored AS (
+         |  SELECT doc_id, source, n_chars,
+         |    rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM kept),
+         |gated AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source, n_chars,
+         |      CASE WHEN n > 1
+         |        THEN round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+         |        ELSE 0.5 END AS q_norm
+         |    FROM scored)
+         |  WHERE q_norm >= 0.2),
+         |cnt AS (SELECT source, sum(n_chars)::BIGINT AS c
+         |        FROM gated GROUP BY 1),
+         |fl AS (
+         |  SELECT source, c,
+         |    row_number() OVER (ORDER BY c ASC, source ASC) AS i,
+         |    sum(c) OVER (ORDER BY c ASC, source ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         |    count(*) OVER () AS n
+         |  FROM cnt),
+         |f2 AS (SELECT *,
+         |    (c * (n - i + 1) + (prefix - c)) <= 30000 AS funded FROM fl),
+         |sc AS (SELECT count(*) FILTER (WHERE funded)::BIGINT AS j,
+         |         coalesce(sum(c) FILTER (WHERE funded), 0)::BIGINT
+         |           AS fundedsum,
+         |         count(*)::BIGINT AS n
+         |       FROM f2),
+         |q AS (
+         |  SELECT source,
+         |    CASE WHEN funded THEN c
+         |         ELSE (SELECT CASE WHEN n = j THEN 0
+         |                      ELSE (30000 - fundedsum) // (n - j) END
+         |               FROM sc) END AS quota
+         |  FROM f2),
+         |tb AS (
+         |  SELECT g.source, doc_id, n_chars, q_norm,
+         |    CAST(sum(n_chars) OVER (PARTITION BY g.source
+         |      ORDER BY ${graft.functions.Portable.h60Sql(
+             "'budget:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM gated g),
+         |trimmed AS MATERIALIZED (
+         |  SELECT tb.*, q.quota FROM tb JOIN q ON q.source = tb.source
+         |  WHERE cum_tokens - n_chars < quota),
+         |si AS (
+         |  SELECT source,
+         |    row_number() OVER (ORDER BY source) - 1 AS si,
+         |    count(*) OVER () AS ns
+         |  FROM (SELECT DISTINCT source FROM trimmed)),
+         |r AS (
+         |  SELECT source, doc_id, n_chars, q_norm, cum_tokens, quota,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.Portable.h60Sql(
+             "'interleave:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM trimmed)
+         |SELECT r.source, doc_id, n_chars, q_norm, cum_tokens, quota,
+         |  CAST((rk - 1) * ns + si AS BIGINT) AS pos
+         |FROM r JOIN si ON si.source = r.source""".stripMargin
+    },
 
     "q_x_scd2_asof" ->
       s"""WITH stage AS (

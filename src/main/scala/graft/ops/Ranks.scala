@@ -118,10 +118,15 @@ object Ranks {
     val local = Shims.ofRows(spark, node)
 
     // stats pass: per-(partition, group) count/sums — map-side combined,
-    // O(numPartitions × |groups|) rows; shares the range exchange
+    // O(numPartitions × |groups|) rows. Aggregating over the NODE's
+    // output (not `ranged`) matters: the node is a pruning boundary, so
+    // both branches keep byte-identical children below it and the range
+    // exchange is REUSED — the corpus is scanned and shuffled once, not
+    // once per branch (ColumnPruning would otherwise specialize the two
+    // exchanges apart and defeat ReuseExchange).
     val statAggs = count(lit(1)).as("__gr_c") +:
       wNames.map(nm => sum(col(nm)).as(nm + "_t"))
-    val stats = ranged.groupBy((col(Pid) +: gs): _*)
+    val stats = local.groupBy((col(Pid) +: gs): _*)
       .agg(statAggs.head, statAggs.tail: _*)
 
     // cumulative offsets per group by partition id — a window over the
