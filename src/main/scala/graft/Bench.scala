@@ -806,6 +806,50 @@ object Bench {
           (-1.0, 0L, 0L, 0L)
       } }
 
+    // Streaming winnow quote detection e2e (VERDICT r12 #4): documents
+    // through WinnowQuoteStream.processBatch, default cadence AND a
+    // big-batch twin (the family protocol: 3x fewer triggers, ~3.3x the
+    // batch — the r12 default-cadence row was trigger-overhead-bound at
+    // ~0.9 s/trigger flat, so the big run pins the asymptotic docs/s
+    // and the store-probe term).
+    def winnowRun(nTriggers: Int, tag: String): (Double, Long, Long) =
+      try {
+        import org.apache.spark.sql.functions.{col, pmod, lit}
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_bench_winnow_$tag").toString
+        val docsW = Tables.read(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val nDocs = docsW.count()
+        val st = new graft.streaming.WinnowQuoteStream(spark,
+          dir + "/fps", "doc_id", "text", k = 3, w = 4, minShared = 2L,
+          compactEvery = 4)
+        var pairs = 0L
+        val sec = try time {
+          (0 until nTriggers).foreach { b =>
+            pairs += st.processBatch(
+              docsW.filter(pmod(col("doc_id"), lit(nTriggers)) === b),
+              b.toLong).count()
+            graft.core.Metrics.drainUnpersist()
+          }
+        } finally {
+          docsW.unpersist()
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(dir))
+        }
+        (sec, nDocs, pairs)
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] winnow stream bench ($tag) failed: ${e.getMessage}")
+          (-1.0, 0L, 0L)
+      }
+    val (winSec, winDocs, winPairs) =
+      section("winnow")(winnowRun(6, "std"))
+    val (winBigSec, winBigDocs, winBigPairs) =
+      section("winnow_big")(winnowRun(2, "big"))
+
     // Streaming trending freshness: events through the DailyRollup
     // update-mode agg + replace-by-key upsert, with a decayed trending
     // read AFTER EVERY trigger (the freshness contract — scores reflect
@@ -1023,6 +1067,13 @@ object Bench {
       "substr_stream_docs_per_sec" -> eps2(subSec, subDocs).toString,
       "substr_stream_tokens_kept" -> subKept.toString,
       "substr_stream_tokens_dropped" -> subDropped.toString,
+      "winnow_stream_sec" -> winSec.toString,
+      "winnow_stream_docs_per_sec" -> eps2(winSec, winDocs).toString,
+      "winnow_stream_pairs" -> winPairs.toString,
+      "winnow_stream_big_sec" -> winBigSec.toString,
+      "winnow_stream_big_docs_per_sec" ->
+        eps2(winBigSec, winBigDocs).toString,
+      "winnow_stream_big_pairs" -> winBigPairs.toString,
       "trending_rollup_sec" -> trSec.toString,
       "trending_rollup_events_per_sec" -> eps2(trSec, trEvents).toString,
       "trending_read_sec_per_query" ->

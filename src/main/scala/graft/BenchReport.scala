@@ -47,6 +47,7 @@ object BenchReport {
     "stream_events_per_sec_bucketed_big", "stream_events_per_sec_mor_big",
     "semdedup_stream_events_per_sec", "semdedup_stream_big_events_per_sec",
     "para_stream_docs_per_sec", "substr_stream_docs_per_sec",
+    "winnow_stream_docs_per_sec", "winnow_stream_big_docs_per_sec",
     "trending_rollup_events_per_sec", "trending_read_sec_per_query",
     "sf")
 
