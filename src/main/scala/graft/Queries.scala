@@ -1012,6 +1012,28 @@ object Queries {
           col("quota"), col("cum_tokens"))
     }),
 
+    "q_x_exact_deciles" -> ((s, dir) => {
+      // EXACT corpus-wide deciles of doc length — the two-pass GLOBAL
+      // rank (Ranks.grouped with no group columns): range-partition on
+      // the value, local ranks, broadcast offsets. The classic
+      // distributed order statistic — approxQuantile trades accuracy,
+      // a global Window.orderBy ships the corpus to ONE task; this
+      // plan's only corpus movement is one range exchange. Rank target
+      // (n·d + 9) div 10 is pure integer math both engines replay.
+      val ranked = graft.ops.Ranks.grouped(
+        rd(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Nil, Seq(col("n_chars"), col("doc_id")),
+        rankCol = Some("rk"), totalCountCol = Some("__n"))
+      val isTarget = (1 to 9)
+        .map(i => col("rk") === expr(s"(__n * $i + 9) div 10"))
+        .reduce(_ || _)
+      ranked.filter(isTarget)
+        .withColumn("decile", explode(array((1 to 9).map(lit): _*)))
+        .filter(col("rk") === expr("(__n * decile + 9) div 10"))
+        .select(col("decile").cast(LongType).as("decile"),
+          col("n_chars").cast(LongType).as("value"))
+    }),
+
     "q_x_pipeline" -> ((s, dir) => {
       // END-TO-END curation pipeline as ONE oracle-checked query
       // (VERDICT r12 #5): clean → exact dedup → decontaminate →
@@ -4573,6 +4595,17 @@ object Queries {
          |SELECT t.source, doc_id, n_chars, quota, cum_tokens
          |FROM t JOIN q ON q.source = t.source
          |WHERE cum_tokens - n_chars < quota""".stripMargin,
+
+    // exact global order statistic: row_number over the full corpus
+    "q_x_exact_deciles" ->
+      """WITH r AS (
+        |  SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT d AS decile, CAST(n_chars AS BIGINT) AS value
+        |FROM r, (SELECT unnest(range(1, 10)) AS d)
+        |WHERE rk = (n * d + 9) // 10""".stripMargin,
 
     // full-chain pipeline replay: every stage in ONE statement so a
     // stage-order / column-contract regression fails the hash compare

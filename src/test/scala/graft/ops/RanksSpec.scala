@@ -80,6 +80,20 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("global rank (no group columns) equals the global row_number") {
+    val want = corpus
+      .withColumn("grk", row_number().over(
+        Window.orderBy(col("w"), col("id"))).cast("long"))
+      .select("id", "grk").as[(String, Long)].collect().toMap
+    val got = Ranks.grouped(corpus.repartition(5), Nil,
+        Seq(col("w"), col("id")), rankCol = Some("grk"),
+        totalCountCol = Some("n"), numPartitions = 7)
+      .select("id", "grk", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(x => x._1 -> x._2).toMap == want)
+    assert(got.forall(_._3 == 735L))
+  }
+
   test("plan: one range exchange, no hash-by-group corpus exchange") {
     val plan = twoPass(corpus).queryExecution.sparkPlan
     val txt = plan.toString
