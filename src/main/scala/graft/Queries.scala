@@ -1837,9 +1837,11 @@ object Queries {
       // bit-for-bit. The users table is tiny after the first aggregate.
       val counts = rd(s, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("c"), col("user_id"))
-      counts
-        .withColumn("rk", row_number().over(w).cast(LongType))
+      // global rank via the two-pass primitive: the users frame is an
+      // AGGREGATE but not bounded (1e9 users at 100 TB) — an empty-
+      // partitionBy window would single-task it
+      graft.ops.Ranks.grouped(counts, Nil,
+          Seq(col("c"), col("user_id")), rankCol = Some("rk"))
         .agg(count(lit(1)).as("n"), sum(col("c")).as("total"),
           sum(col("rk") * col("c")).as("rankmass"))
         .select(col("n"), col("total"),
@@ -2017,17 +2019,33 @@ object Queries {
         (lit(horizon) - max(col("ts"))).as("recency_us"),
         count(lit(1)).as("frequency"),
         round(sum(col("value")), 4).as("monetary"))
-      val seg = prof
-        .withColumn("r", ntile(5).over(
-          Window.orderBy(col("recency_us").desc, col("user_id"))))
-        .withColumn("f", ntile(5).over(
-          Window.orderBy(col("frequency"), col("user_id"))))
-        .withColumn("m", ntile(5).over(
-          Window.orderBy(col("monetary"), col("user_id"))))
+      // quintiles from the two-pass GLOBAL rank (the users frame is an
+      // aggregate but unbounded — empty-partitionBy ntile single-tasks
+      // it): ntile(k) in pure integer math from (rank, n) — the first
+      // n mod k buckets carry floor(n/k)+1 rows, the rest floor(n/k);
+      // total (value, user) order makes the buckets exactly the window
+      // ntile's, so the oracle replays with native ntile.
+      def nt(rk: String): Column =
+        when(expr(s"$rk <= (__n % 5) * ((__n div 5) + 1)"),
+          expr(s"($rk - 1) div ((__n div 5) + 1) + 1"))
+          .otherwise(expr(
+            s"(__n % 5) + ($rk - 1 - (__n % 5) * ((__n div 5) + 1)) " +
+              "div (__n div 5) + 1"))
+      // descending recency = ascending (−recency); the key stays integral
+      val seg = Seq[(String, Column)](
+        "__rk_r" -> (-col("recency_us")),
+        "__rk_f" -> col("frequency"),
+        "__rk_m" -> col("monetary"))
+        .foldLeft(prof) { case (df, (rkName, key)) =>
+          graft.ops.Ranks.grouped(df, Nil, Seq(key, col("user_id")),
+            rankCol = Some(rkName),
+            totalCountCol = if (rkName == "__rk_r") Some("__n") else None)
+        }
       seg.select(col("user_id"), col("recency_us"), col("frequency"),
         col("monetary"),
-        concat(col("r").cast(StringType), col("f").cast(StringType),
-          col("m").cast(StringType)).as("segment"))
+        concat(nt("__rk_r").cast(StringType),
+          nt("__rk_f").cast(StringType),
+          nt("__rk_m").cast(StringType)).as("segment"))
     }),
 
     "q_x_attribution" -> ((s, dir) => {

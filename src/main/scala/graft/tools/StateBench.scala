@@ -21,11 +21,15 @@ import org.apache.spark.sql.streaming.OutputMode
   * Companion to [[StoreGrowth]], which measures the same growth shape
   * for the foreachBatch + StreamStore (queryable-table) alternative.
   *
-  * Usage: `runMain graft.tools.StateBench [triggers] [keysPerBatch]` */
+  * Usage: `runMain graft.tools.StateBench [triggers] [keysPerBatch] [both|heap|rocks]`
+  * (provider filter: at 10× the r12 key count the heap provider's
+  * linear residency crosses executor OOM territory — `rocks` measures
+  * the r13 DEFAULT provider alone at scales heap cannot complete). */
 object StateBench {
   def main(args: Array[String]): Unit = {
     val nTriggers = if (args.length > 0) args(0).toInt else 24
     val perBatch = if (args.length > 1) args(1).toInt else 20000
+    val providers = if (args.length > 2) args(2) else "both"
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-state-bench")
       .config("spark.sql.shuffle.partitions", 32)
@@ -33,7 +37,8 @@ object StateBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(confs: Map[String, String]): Seq[(Int, Long, Long, Double)] = {
+    def run(confs: Map[String, String], nTriggers: Int = nTriggers,
+        perBatch: Int = perBatch): Seq[(Int, Long, Long, Double)] = {
       val s = spark.newSession()
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       implicit val ctx: SQLContext = s.sqlContext
@@ -64,9 +69,12 @@ object StateBench {
     }
 
     // one throwaway pass so JIT/classloading doesn't read as growth
-    run(Map.empty)
-    val heap = run(Map.empty)
-    val rocks = run(graft.GraftSession.rocksdbStateConfs)
+    // (small — warm-up is JVM state, not provider state)
+    run(Map.empty, nTriggers = 4, perBatch = math.min(perBatch, 20000))
+    val heap = if (providers == "rocks") Seq.empty
+      else run(Map.empty)
+    val rocks = if (providers == "heap") Seq.empty
+      else run(graft.GraftSession.rocksdbStateConfs)
     def fmt(rows: Seq[(Int, Long, Long, Double)]): String =
       rows.filter(r => r._1 % 4 == 3)
         .map(r => f"| ${r._1 + 1} | ${r._2} | ${r._3 / 1048576.0}%.1f | ${r._4}%.2f |")
