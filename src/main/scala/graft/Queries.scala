@@ -885,6 +885,14 @@ object Queries {
           Seq("lang"), "doc_id", 20)
         .select(col("lang"), col("doc_id"), col("rk").cast(LongType).as("rk"))),
 
+    "q_x_stratified_topk" -> ((s, dir) =>
+      // the small-k fast path: identical rows to q_x_stratified, but as
+      // a bounded map-side top-k aggregate — ≤ k (hash, id) pairs per
+      // (mapper, stratum) cross the wire instead of the corpus
+      Sampling.stratifiedTopK(
+        rd(s, dir, "documents").select("lang", "doc_id"),
+        Seq("lang"), "doc_id", 20)),
+
     "q_x_neyman_sample" -> ((s, dir) =>
       // variance-optimal audit sample: 120 reviews split across sources
       // ∝ N_h·σ_h of doc length, drawn by deterministic hash rank
@@ -4403,6 +4411,17 @@ object Queries {
          |  ELSE 0.0 END AS dup_bigram_frac
          |FROM tok""".stripMargin
     },
+
+    // identical ranking law to q_x_stratified — the ENGINE plan differs
+    // (bounded aggregate vs two-pass rank), the result must not
+    "q_x_stratified_topk" ->
+      s"""SELECT lang, doc_id, rk FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${graft.functions.Portable.h60Sql("CAST(doc_id AS VARCHAR)")},
+         |               doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20""".stripMargin,
 
     "q_x_stratified" ->
       s"""SELECT lang, doc_id, rk FROM (

@@ -29,6 +29,31 @@ object Sampling {
         rankCol = Some("rk"))
       .filter(col("rk") <= perStratum)
 
+  /** Small-k fast-path twin of [[stratified]]: the SAME deterministic
+    * draw (the k hash-smallest ids per stratum, ties by id) computed as
+    * a bounded map-side aggregate ([[graft.functions.TopKAggExprs]])
+    * instead of a corpus rank — each mapper ships at most k (hash, id)
+    * pairs per stratum through the shuffle, O(partitions × strata × k)
+    * wire bytes where the two-pass rank range-shuffles the corpus.
+    * The aggregate-vs-sort crossover: use this for small k (draws,
+    * top-k per source); use [[stratified]] when the rank of EVERY row
+    * is needed or k is large. Requires a long-castable id. Output:
+    * (strata…, idCol LONG, rk LONG) — row-equal to [[stratified]] at
+    * the same k (`SamplingSpec` asserts it). */
+  def stratifiedTopK(df: DataFrame, strata: Seq[String], idCol: String,
+      perStratum: Int): DataFrame = {
+    import graft.functions.TopKAggExprs
+    val h = Portable.h60(col(idCol).cast("string"))
+    df.groupBy(strata.map(col): _*)
+      .agg(TopKAggExprs.topKPairs(h, col(idCol).cast("long"),
+        perStratum).as("__tk"))
+      .select(strata.map(col) :+
+        posexplode(col("__tk")).as(Seq("__pos", "__pair")): _*)
+      .select(strata.map(col) ++ Seq(
+        col("__pair.v").as(idCol),
+        (col("__pos") + 1).cast("long").as("rk")): _*)
+  }
+
   /** Keep rows whose id hashes into `keep` of `buckets` residue classes —
     * a deterministic Bernoulli(keep/buckets) sample that is stable under
     * corpus growth (a row's fate never depends on other rows; no shuffle,

@@ -22,6 +22,27 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == 200)
   }
 
+  test("stratifiedTopK: row-equal to stratified, bounded-agg plan") {
+    val a = Sampling.stratified(corpus, Seq("lang"), "id", 10)
+      .select("lang", "id", "rk").as[(String, Long, Long)].collect().toSet
+    val b = Sampling.stratifiedTopK(corpus.repartition(9), Seq("lang"),
+        "id", 10)
+      .select("lang", "id", "rk").as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+    // the plan is a partial-aggregated top-k, not a corpus rank: an
+    // ObjectHashAggregate pair with NO range exchange and NO window
+    val plan = Sampling.stratifiedTopK(corpus, Seq("lang"), "id", 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("topkpairsagg") || plan.contains("TopKPairsAgg")
+      || plan.toLowerCase.contains("objecthashaggregate"),
+      s"expected a bounded aggregate plan:\n$plan")
+    assert(!plan.contains("rangepartitioning") && !plan.contains("Window"),
+      s"top-k fast path must not rank the corpus:\n$plan")
+    // cap above stratum size keeps whole strata, ranks dense
+    val all = Sampling.stratifiedTopK(corpus, Seq("lang"), "id", 1000)
+    assert(all.count() == 200)
+  }
+
   test("stratified is partitioning-invariant (deterministic shuffle)") {
     val a = Sampling.stratified(corpus.repartition(13), Seq("lang"), "id", 5)
       .select("id").as[Long].collect().toSet
