@@ -27,9 +27,14 @@ object PlanAudit {
         val p = qe.executedPlan.toString
         val simple = qe.explainString(
           org.apache.spark.sql.execution.SimpleMode)
+        val rangeEx = count(p, "Exchange rangepartitioning")
         val exchanges = count(p, "Exchange hashpartitioning") +
-          count(p, "Exchange rangepartitioning") +
-          count(p, "Exchange RoundRobinPartitioning")
+          rangeEx + count(p, "Exchange RoundRobinPartitioning")
+        // Window operators remaining in the plan: after the r13 two-pass
+        // rank rewrite these must only be the BOUNDED frames (offset
+        // tables, O(groups) allocation math, top-k-limited results) —
+        // a corpus-keyed Window is the single-reducer-per-group shape
+        val windows = count(p, "Window \\[")
         val bcast = count(p, "BroadcastExchange")
         val smj = count(p, "SortMergeJoin")
         val bhj = count(p, "BroadcastHashJoin")
@@ -46,9 +51,9 @@ object PlanAudit {
         // Expand nodes (multi-distinct / grouping sets): row-amplifying
         // map-side — gated by CatalogPlanInvariantsSpec's allowlist
         val expand = if (p.contains("Expand")) "YES" else "-"
-        f"| $n | $exchanges | $bcast | $bhj/$smj | $cartesian | $expand | $codegen | $prunedCell |"
+        f"| $n | $exchanges | $rangeEx | $windows | $bcast | $bhj/$smj | $cartesian | $expand | $codegen | $prunedCell |"
       } catch {
-        case e: Throwable => s"| $n | err: ${e.getClass.getSimpleName} |||||||"
+        case e: Throwable => s"| $n | err: ${e.getClass.getSimpleName} |||||||||"
       }
     }
 
@@ -103,9 +108,14 @@ object PlanAudit {
         |probes (q_x_ann_*_pruned) must show one. `expand` flags Expand
         |nodes (multi-distinct / grouping sets — row-amplifying); only the
         |allowlisted intentional ones (q_x_rollup, q_x_unpivot) may show it.
+        |`range` counts rangepartitioning exchanges (the r13 two-pass rank
+        |signature); `windows` counts Window operators left in the plan —
+        |post-rewrite these are only BOUNDED frames (O(groups) offset and
+        |allocation tables, top-k-limited results), never a corpus keyed
+        |by provenance.
         |
-        || query | shuffles | broadcasts | BHJ/SMJ | cartesian | expand | codegen spans | pruned scans |
-        ||---|---|---|---|---|---|---|---|
+        || query | shuffles | range | windows | broadcasts | BHJ/SMJ | cartesian | expand | codegen spans | pruned scans |
+        ||---|---|---|---|---|---|---|---|---|---|
         |""".stripMargin + rows.mkString("\n") + "\n" + lutSection
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
       out.getBytes("UTF-8"))
