@@ -414,7 +414,7 @@ object Queries {
       val d = rd(s, dir, "documents")
         .select(col("doc_id"), expr("n_chars div 100").as("bucket"))
       graft.ops.CorpusStats.histogramDrift(
-        d.filter(col("doc_id") % 4 === 0),
+        d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 === 1), "bucket")
     }),
 
@@ -3632,7 +3632,7 @@ object Queries {
         |b AS (SELECT bucket, count(*)::BIGINT AS n_b FROM d
         |      WHERE doc_id % 2 = 1 GROUP BY 1),
         |ta AS (SELECT greatest(1, count(*))::BIGINT AS t FROM d
-        |       WHERE doc_id % 4 = 0),
+        |       WHERE doc_id % 2 = 0),
         |tb AS (SELECT greatest(1, count(*))::BIGINT AS t FROM d
         |       WHERE doc_id % 2 = 1),
         |j AS (

@@ -96,11 +96,23 @@ object Ranks {
         s.expr.cast(if (s.isLong) LongType else DoubleType)) }
 
     val gs = groupCols.map(col)
-    // explicit numPartitions: user-specified repartitions are exempt from
-    // AQE coalescing, so the partition ids the two branches see agree
+    // The ranged+pid frame MUST be materialized once: the local pass and
+    // the stats pass both consume it, and two independent executions of
+    // a repartitionByRange are NOT guaranteed the same boundaries —
+    // RangePartitioner re-samples imbalanced input partitions with an
+    // rdd.id-SEEDED RNG, so pids can disagree between executions
+    // (observed at sf0.1: dropped rows and q_norm > 1 from offset
+    // mismatch; invisible at sf0.01 where the reservoir sample
+    // suffices). localCheckpoint freezes the pid column in data both
+    // branches read — at scale this is the slim projected frame
+    // (callers pre-select), cached on executor disk like the shuffle
+    // files themselves. Explicit numPartitions additionally exempts the
+    // exchange from AQE coalescing.
     val ranged = base
       .repartitionByRange(n, (gs ++ okNames.map(col)): _*)
       .withColumn(Pid, spark_partition_id())
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(ranged)
 
     // local pass: zero-shuffle custom operator over the range exchange
     val analyzed = Shims.analyzed(ranged)
