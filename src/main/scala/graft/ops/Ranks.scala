@@ -96,22 +96,26 @@ object Ranks {
         s.expr.cast(if (s.isLong) LongType else DoubleType)) }
 
     val gs = groupCols.map(col)
-    // The ranged+pid frame MUST be materialized once: the local pass and
-    // the stats pass both consume it, and two independent executions of
-    // a repartitionByRange are NOT guaranteed the same boundaries —
-    // RangePartitioner re-samples imbalanced input partitions with an
-    // rdd.id-SEEDED RNG, so pids can disagree between executions
-    // (observed at sf0.1: dropped rows and q_norm > 1 from offset
-    // mismatch; invisible at sf0.01 where the reservoir sample
-    // suffices). localCheckpoint freezes the pid column in data both
-    // branches read — at scale this is the slim projected frame
-    // (callers pre-select), cached on executor disk like the shuffle
-    // files themselves. Explicit numPartitions additionally exempts the
-    // exchange from AQE coalescing.
+    // The ranged+pid frame MUST be computed through ONE exchange
+    // instance: the local pass and the stats pass both consume it, and
+    // two independently-planned repartitionByRange exchanges are NOT
+    // guaranteed the same boundaries — RangePartitioner re-samples
+    // imbalanced input partitions with an rdd.id-SEEDED RNG, so pids
+    // can disagree between executions (observed at sf0.1: dropped rows
+    // and q_norm > 1 from offset mismatch; invisible at sf0.01 where
+    // the reservoir sample suffices). persist() pins ONE
+    // InMemoryRelation shared by both branches; boundaries are computed
+    // once per exchange instance (ShuffleExchangeExec builds its
+    // partitioner once), and an eviction recompute re-reads the same
+    // shuffle id — so pids stay consistent even without cache
+    // residency. Lazy (no extra job), lineage stays visible to the
+    // plan audit, and the cached bytes are the slim projected frame
+    // (callers pre-select). Explicit numPartitions additionally exempts
+    // the exchange from AQE coalescing.
     val ranged = base
       .repartitionByRange(n, (gs ++ okNames.map(col)): _*)
       .withColumn(Pid, spark_partition_id())
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Metrics.deferUnpersist(ranged)
 
     // local pass: zero-shuffle custom operator over the range exchange
