@@ -109,7 +109,11 @@ object PlanAudit {
         |nodes (multi-distinct / grouping sets — row-amplifying); only the
         |allowlisted intentional ones (q_x_rollup, q_x_unpivot) may show it.
         |`range` counts rangepartitioning exchanges (the r13 two-pass rank
-        |signature); `windows` counts Window operators left in the plan —
+        |signature); counts are TEXT counts, so a persisted frame's plan
+        |(InMemoryRelation innerChildren — Ranks.grouped pins one) prints
+        |under every consumer and chained-rank queries (rfm) read inflated:
+        |at runtime each cached frame computes ONCE. `windows` counts
+        |Window operators left in the plan —
         |post-rewrite these are only BOUNDED frames (O(groups) offset and
         |allocation tables, top-k-limited results), never a corpus keyed
         |by provenance.
