@@ -1020,6 +1020,14 @@ object Queries {
           col("quota"), col("cum_tokens"))
     }),
 
+    "q_x_grouped_quantiles" -> ((s, dir) =>
+      // per-source exact nearest-rank quantile report of doc length —
+      // rank selection over the two-pass rank; the exact twin of
+      // approx_percentile with no per-group single-reducer sort
+      graft.ops.CorpusStats.groupedQuantiles(
+        rd(s, dir, "documents").select("source", "n_chars"),
+        Seq("source"), "n_chars", Seq(0.1, 0.5, 0.9, 0.99))),
+
     "q_x_exact_deciles" -> ((s, dir) => {
       // EXACT corpus-wide deciles of doc length — the two-pass GLOBAL
       // rank (Ranks.grouped with no group columns): range-partition on
@@ -4632,6 +4640,18 @@ object Queries {
          |SELECT t.source, doc_id, n_chars, quota, cum_tokens
          |FROM t JOIN q ON q.source = t.source
          |WHERE cum_tokens - n_chars < quota""".stripMargin,
+
+    // per-group nearest-rank quantiles: value at rank ceil(p*n)
+    "q_x_grouped_quantiles" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, p, CAST(n_chars AS BIGINT) AS value
+        |FROM r, (SELECT unnest([0.1, 0.5, 0.9, 0.99]::DOUBLE[]) AS p)
+        |WHERE rn = ceil(n * p)""".stripMargin,
 
     // exact global order statistic: row_number over the full corpus
     "q_x_exact_deciles" ->

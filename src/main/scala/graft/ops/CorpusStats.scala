@@ -218,6 +218,32 @@ object CorpusStats {
         Seq("__lo", "__hi")): _*)
   }
 
+  /** Per-group EXACT nearest-rank quantiles — the corpus-shape report
+    * (p10/p50/p90/p99 of doc length per source) behind mixture and
+    * budget decisions. Nearest-rank like [[winsorize]]: the p-quantile
+    * is the VALUE at rank ⌈p·n⌉ in the group — rank selection over the
+    * two-pass distributed rank ([[Ranks.grouped]] — no per-group
+    * single-reducer sort, unlike `percentile` / a group window), so any
+    * SQL engine reproduces the exact member value (interpolating
+    * definitions differ across engines; rank selection cannot).
+    * `approx_percentile` is the cheaper-but-inexact alternative; this
+    * is the exact twin at one range exchange. Output: one row per
+    * (group, p) — (groupCols…, p, value). Requires every p ∈ (0, 1]. */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"every p must be in (0,1], got $ps")
+    val ranked = Ranks.grouped(df, groupCols, Seq(col(valueCol)),
+      rankCol = Some("__rn"), totalCountCol = Some("__n"))
+    val isTarget = ps.map(p => col("__rn") === ceil(col("__n") * p))
+      .reduce(_ || _)
+    ranked.filter(isTarget)
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__rn") === ceil(col("__n") * col("p")))
+      .select(groupCols.map(col) ++ Seq(col("p"),
+        col(valueCol).cast(LongType).as("value")): _*)
+  }
+
   /** Per-group rank-based quantile normalization: q = (rank−1)/(n−1)
     * ∈ [0,1], where rank is the MIN rank of the value in its group
     * (`rank()` — ties share a rank, so equal values get equal q with

@@ -93,6 +93,24 @@ class Round13PropertySpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantiles == value at ceil(p*n) of the sorted group") {
+    for (trial <- 1 to 3) {
+      val rows = corpus(2 + rnd.nextInt(3), 4 + rnd.nextInt(10))
+      val df = rows.toDF("id", "g", "w")
+      val ps = Seq(0.25, 0.5, 0.75, 1.0)
+      val got = CorpusStats.groupedQuantiles(df, Seq("g"), "w", ps)
+        .select("g", "p", "value").as[(String, Double, Long)]
+        .collect().toSet
+      graft.core.Metrics.drainUnpersist()
+      val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val sorted = rs.map(_._3).sorted
+        ps.map(p => (g, p,
+          sorted(math.ceil(p * sorted.size).toInt - 1)))
+      }.toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("ntile-from-rank == window ntile on random frames incl. n < k") {
     for (trial <- 1 to 4) {
       val n = 1 + rnd.nextInt(37)
