@@ -1020,6 +1020,40 @@ object Queries {
           col("quota"), col("cum_tokens"))
     }),
 
+    "q_x_dataset_card" -> ((s, dir) => {
+      // the per-source dataset card: docs, char mass, exact dup rate,
+      // language count, and the p50 length — one slim projection, four
+      // O(sources) aggregate frames broadcast-joined. Each distinct
+      // count is its OWN pre-aggregate (the profiler/funnel replan
+      // rule: multi-distinct in one agg plans an Expand that copies
+      // every row per distinct set).
+      import graft.ops.{CorpusStats, TextOps}
+      val base = rd(s, dir, "documents").select(col("source"),
+        col("lang"), col("n_chars"),
+        TextOps.fingerprint(col("text")).as("__fp"))
+        .localCheckpoint()
+      graft.core.Metrics.deferUnpersist(base)
+      val mass = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(LongType)).as("total_chars"))
+      val fps = base.select("source", "__fp").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      val langs = base.select("source", "lang").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_langs"))
+      val p50 = CorpusStats.groupedQuantiles(
+          base.select("source", "n_chars"), Seq("source"), "n_chars",
+          Seq(0.5))
+        .select(col("source"), col("value").as("p50_chars"))
+      mass.join(broadcast(fps), Seq("source"))
+        .join(broadcast(langs), Seq("source"))
+        .join(broadcast(p50), Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_docs").cast(DoubleType), 6).as("dup_rate"),
+          col("n_langs"), col("p50_chars"))
+    }),
+
     "q_x_grouped_quantiles" -> ((s, dir) =>
       // per-source exact nearest-rank quantile report of doc length —
       // rank selection over the two-pass rank; the exact twin of
@@ -4640,6 +4674,32 @@ object Queries {
          |SELECT t.source, doc_id, n_chars, quota, cum_tokens
          |FROM t JOIN q ON q.source = t.source
          |WHERE cum_tokens - n_chars < quota""".stripMargin,
+
+    // per-source card: every stat from the same slim projection
+    "q_x_dataset_card" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT source, lang, n_chars,
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |mass AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |           sum(n_chars)::BIGINT AS total_chars
+        |         FROM base GROUP BY 1),
+        |fps AS (SELECT source, count(*)::BIGINT AS n_distinct
+        |        FROM (SELECT DISTINCT source, fp FROM base) GROUP BY 1),
+        |langs AS (SELECT source, count(*)::BIGINT AS n_langs
+        |          FROM (SELECT DISTINCT source, lang FROM base) GROUP BY 1),
+        |r AS (SELECT source, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM base),
+        |p50 AS (SELECT source, CAST(n_chars AS BIGINT) AS p50_chars
+        |        FROM r WHERE rn = ceil(n * 0.5))
+        |SELECT source, n_docs, total_chars, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  n_langs, p50_chars
+        |FROM mass JOIN fps USING (source) JOIN langs USING (source)
+        |  JOIN p50 USING (source)""".stripMargin,
 
     // per-group nearest-rank quantiles: value at rank ceil(p*n)
     "q_x_grouped_quantiles" ->
