@@ -82,6 +82,23 @@ object RankBench {
         f"window_sec=$wSec%.2f twopass_sec=$tSec%.2f " +
         f"speedup=${wSec / tSec}%.2fx")
     }
+
+    // the small-k fast path at the same scale: rank-all-then-filter vs
+    // the bounded map-side top-k aggregate (k pairs per mapper per
+    // group on the wire instead of the corpus)
+    val dfb = corpus(skewed = false)
+    val k = 20
+    val rankAll = best {
+      graft.ops.Sampling.stratified(dfb.select("g", "id"), Seq("g"),
+        "id", k).write.format("noop").mode("overwrite").save()
+      graft.core.Metrics.drainUnpersist()
+    }
+    val topK = best {
+      graft.ops.Sampling.stratifiedTopK(dfb.select("g", "id"), Seq("g"),
+        "id", k).write.format("noop").mode("overwrite").save()
+    }
+    println(f"RANKBENCH topk k=$k rows=$nRows rank_all_sec=$rankAll%.2f " +
+      f"topk_agg_sec=$topK%.2f speedup=${rankAll / topK}%.2fx")
     spark.stop()
   }
 }
