@@ -2087,7 +2087,18 @@ object Queries {
         "__rk_f" -> col("frequency"),
         "__rk_m" -> col("monetary"))
         .foldLeft(prof) { case (df, (rkName, key)) =>
-          graft.ops.Ranks.grouped(df, Nil, Seq(key, col("user_id")),
+          // checkpoint the slim per-user frame between chained ranks:
+          // each rank's boundary sample AND main pass re-execute their
+          // input plan (the r14 rank has no pinned cache — VERDICT r13
+          // #3), so an unchained three-rank fold re-runs rank 1 four
+          // times; materializing the seam (the pipeline-stage pattern)
+          // keeps the chain linear. The frame is one row per user —
+          // bounded by user cardinality, not corpus size.
+          // lazy: the rank's boundary-sample job materializes the seam
+          // (an eager checkpoint would add a whole extra job per rank)
+          val seam = df.localCheckpoint(false)
+          graft.core.Metrics.deferUnpersist(seam)
+          graft.ops.Ranks.grouped(seam, Nil, Seq(key, col("user_id")),
             rankCol = Some(rkName),
             totalCountCol = if (rkName == "__rk_r") Some("__n") else None)
         }

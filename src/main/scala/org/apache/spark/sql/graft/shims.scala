@@ -21,4 +21,12 @@ object Shims {
   /** The analyzed logical plan of a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** The query's output as an RDD of (buffer-reused) InternalRows —
+    * bounded sampling passes ([[graft.ops.Ranks.sampleBoundaries]]) use
+    * this to skip the external Row conversion; callers must copy any
+    * retained values. */
+  def toInternalRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+    org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
 }

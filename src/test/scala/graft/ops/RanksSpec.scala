@@ -94,23 +94,35 @@ class RanksSpec extends SparkSpec {
     assert(got.forall(_._3 == 735L))
   }
 
-  test("plan: one range exchange, no hash-by-group corpus exchange") {
-    val plan = twoPass(corpus).queryExecution.sparkPlan
+  test("plan: one deterministic bucket exchange, no hash-by-group corpus " +
+      "exchange, no pinned materialization") {
+    // repartition first: over a bare LocalRelation the optimizer folds
+    // the bucket projection into the LocalTableScan and hides it
+    val plan = twoPass(corpus.repartition(2)).queryExecution.sparkPlan
     val txt = plan.toString
-    // corpus range exchange feeding the local pass
-    assert(txt.contains("rangepartitioning"),
-      s"expected a range exchange in:\n$txt")
+    // corpus exchange keyed on the routing token of the deterministic
+    // range_bucket id (the r14 redesign: explicit boundaries, no
+    // RangePartitioner sampling, no persist)
+    assert(txt.contains("hashpartitioning(__gr_rt"),
+      s"expected the __gr_rt bucket-routing exchange in:\n$txt")
+    assert(txt.contains("range_bucket"),
+      s"expected the range_bucket expression in:\n$txt")
     assert(txt.contains("GroupRunningAgg"))
+    // the r13 persist is gone: determinism is structural now
+    assert(!txt.contains("InMemoryRelation") &&
+      !txt.contains("InMemoryTableScan"),
+      s"rank plan must not pin a cached corpus:\n$txt")
     // hash exchanges on group-only keys are legal ONLY over the tiny
-    // stats frame (below: a HashAggregate keyed by the partition id) —
+    // stats frame (below: a HashAggregate keyed by the bucket id) —
     // a group hash of the CORPUS is the single-reducer shape this
     // primitive replaces
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val offenders = plan.collect {
       case e: ShuffleExchangeExec
-          if !e.outputPartitioning.toString.contains("__gr_pid") &&
-            !e.outputPartitioning.toString.contains("rangepartitioning") &&
+          if !e.outputPartitioning.toString.contains("__gr_rt") &&
+            !e.outputPartitioning.toString.contains("__gr_pid") &&
+            !e.outputPartitioning.toString.contains("RoundRobin") &&
             e.child.collect {
               case a: BaseAggregateExec
                   if a.groupingExpressions.exists(
@@ -119,5 +131,37 @@ class RanksSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"corpus-wide group hash exchange found:\n${offenders.mkString("\n")}")
+  }
+
+  test("routing tokens invert Spark's shuffle hash: bucket b lands in " +
+      "physical partition b") {
+    // pins the murmur3(seed 42) + pmod contract routingTokens relies on;
+    // a Spark-side hash change degrades balance only (correctness is
+    // placement-independent), and this test is the tripwire
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    for (n <- Seq(1, 7, 32)) {
+      val toks = Ranks.routingTokens(n)
+      assert(toks.length == n)
+      toks.zipWithIndex.foreach { case (t, b) =>
+        val pid = Pmod(Murmur3Hash(Seq(Literal(t)), 42),
+          Literal(n)).eval(null).asInstanceOf[Int]
+        assert(pid == b, s"token $t for bucket $b routed to $pid (n=$n)")
+      }
+    }
+  }
+
+  test("boundary determinism: bucket ids agree across independent " +
+      "evaluations of the same frame") {
+    // the r13 silent-corruption shape: two branches disagreeing on the
+    // row→partition map. With explicit boundaries the bucket id is a
+    // pure function of the row — evaluate the SAME ranked pipeline
+    // twice from scratch and require identical (id, rk) maps.
+    val a = twoPass(corpus.repartition(13), parts = 5)
+      .select("id", "rk", "cum").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val b = twoPass(corpus.repartition(3), parts = 5)
+      .select("id", "rk", "cum").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b)
   }
 }
