@@ -129,27 +129,64 @@ object Bench {
     // canary sample bracketing the catalog loop (pairs with canary_end)
     val canaryStart = canarySec()
 
-    val runsByQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // per-run failure isolation: a transient failure on run k must not
-      // discard the other runs' measurements (min over the successes)
-      val secs = (1 to nRuns).map { i =>
-        try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
-            -1.0
-        } finally
-          // queries that localCheckpoint intermediates (minhash ingest)
-          // defer the unpersist; freeing per run keeps nRuns+1 executions
-          // from pinning that many checkpoint copies for the session
-          graft.core.Metrics.drainUnpersist()
+    // The catalog runs in canary-bracketed CHUNKS through the same
+    // section harness the post-catalog sections use (VERDICT r13 #1:
+    // the r13 normalization brackets SECTIONS, so a single-query host
+    // excursion inside the ~90 s catalog — the official artifact's
+    // minhash pair at 5.5× its three-seal local value — could not
+    // self-adjudicate). A skewed chunk gets the harness's ONE automatic
+    // rerun and every per-query result takes the MIN across ALL
+    // executions, so a host spike heals itself where possible; where it
+    // can't, the chunk's skewed flag and bracket factor ride the
+    // artifact per-violation (budget_violations_detail), so a flag
+    // carries its own adjudication evidence. Budgets still evaluate on
+    // RAW values.
+    val chunkSize =
+      sys.env.getOrElse("SPARK_GRAFT_CATALOG_CHUNK", "15").toInt
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catChunks =
+      if (chunkSize > 0) allQueries.grouped(chunkSize).toSeq
+      else Seq(allQueries)
+    val runsAcc = scala.collection.mutable.LinkedHashMap[
+      String, (Double, Double)]()
+    val chunkOf = scala.collection.mutable.HashMap[String, String]()
+    lastCanary = canaryStart
+    catChunks.zipWithIndex.foreach { case (chunk, ci) =>
+      val cname = f"catalog_$ci%02d"
+      chunk.foreach { case (n, _) => chunkOf(n) = cname }
+      section(cname) {
+        chunk.foreach { case (name, fn) =>
+          // per-run failure isolation: a transient failure on run k must
+          // not discard the other runs' measurements (min over successes)
+          val secs = (1 to nRuns).map { i =>
+            try time(fn(spark, sfDir).write.format("noop")
+              .mode("overwrite").save())
+            catch {
+              case e: Throwable =>
+                System.err.println(
+                  s"[bench] $name run $i failed: ${e.getMessage}")
+                -1.0
+            } finally
+              // queries that localCheckpoint intermediates (minhash
+              // ingest) defer the unpersist; freeing per run keeps
+              // nRuns+1 executions from pinning that many checkpoint
+              // copies for the session
+              graft.core.Metrics.drainUnpersist()
+          }
+          val good = secs.filter(_ >= 0)
+          val prev = runsAcc.get(name)
+          // cold = first SUCCESSFUL run of the FIRST pass (a -1 sentinel
+          // would corrupt the cold-vs-min warm-up gap when run 1 fails
+          // transiently; a chunk rerun must not overwrite it)
+          val cold = prev.map(_._1).filter(_ >= 0)
+            .orElse(good.headOption).getOrElse(-1.0)
+          val mn = (prev.map(_._2).filter(_ >= 0).toSeq ++ good)
+            .minOption.getOrElse(-1.0)
+          runsAcc(name) = (cold, mn)
+        }
       }
-      val good = secs.filter(_ >= 0)
-      // cold = first SUCCESSFUL run (a -1 sentinel would corrupt the
-      // cold-vs-min warm-up gap when run 1 fails transiently)
-      name -> (good.headOption.getOrElse(-1.0),
-        if (good.nonEmpty) good.min else -1.0)
     }
+    val runsByQuery = runsAcc.toSeq
     val results = runsByQuery.map { case (n, cm) => n -> cm._2 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -215,12 +252,39 @@ object Bench {
       else -1.0
     val totalWindowAdjusted: Double =
       if (canaryWindowFactor > 0) total / canaryWindowFactor else -1.0
+    // Per-violation window factor: a catalog query adjusts by ITS
+    // chunk's canary bracket (the local window it actually ran in),
+    // anything else (the total) by the whole-catalog factor. VERDICT
+    // r13 #6: each flag carries raw + adjusted + its chunk's skew
+    // verdict, so the artifact self-classifies window-caused flags; the
+    // seal checklist keys off adjusted for those while still failing
+    // raw flags on mid-band windows.
+    def windowFactorFor(name: String): Double =
+      chunkOf.get(name)
+        .flatMap(cn => sectionMetas.find(_.name == cn))
+        .map(m => ((m.canaryBefore + m.canaryAfter) / 2.0) / canaryRef)
+        .filter(_ > 0)
+        .getOrElse(canaryWindowFactor)
     val budgetViolationsAdjusted: Seq[String] =
       if (canaryWindowFactor <= 0) Seq.empty
       else budgetViolations.map { v =>
         val i = v.lastIndexOf(':')
-        val adj = v.substring(i + 1).toDouble / canaryWindowFactor
-        f"${v.substring(0, i)}:$adj%.2f"
+        val name = v.substring(0, i)
+        val adj = v.substring(i + 1).toDouble / windowFactorFor(name)
+        f"$name:$adj%.2f"
+      }
+    val budgetViolationsDetail: Seq[String] =
+      if (canaryWindowFactor <= 0) Seq.empty
+      else budgetViolations.map { v =>
+        val i = v.lastIndexOf(':')
+        val name = v.substring(0, i)
+        val raw = v.substring(i + 1).toDouble
+        val f = windowFactorFor(name)
+        val chunk = chunkOf.getOrElse(name, "-")
+        val skewed = sectionMetas.find(_.name == chunk)
+          .exists(_.skewed)
+        f"$name:raw=$raw%.2f,adj=${raw / f}%.2f,factor=$f%.3f," +
+          s"chunk=$chunk,chunk_skewed=$skewed"
       }
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
@@ -999,6 +1063,9 @@ object Bench {
          else "null"),
       "budget_violations_window_adjusted" -> budgetViolationsAdjusted
         .map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "budget_violations_detail" -> budgetViolationsDetail
+        .map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "catalog_chunk_size" -> chunkSize.toString,
       "canary_post_cdc_sec" -> canaryPostCdc.toString,
       "canary_cdc_delta_pct" -> deltaPct(canaryEnd, canaryPostCdc),
       "canary_post_skew_sec" -> canaryPostSkew.toString,
@@ -1010,6 +1077,8 @@ object Bench {
       "sections" -> sectionsJson,
       "sections_rerun" -> sectionNames(_.rerun),
       "sections_skewed" -> sectionNames(_.skewed),
+      "sections_rerun_n" -> sectionMetas.count(_.rerun).toString,
+      "sections_skewed_n" -> sectionMetas.count(_.skewed).toString,
       "index_build_sec" -> buildJson,
       "index_build_total_sec" -> indexBuilds.values.sum.toString,
       "cdc_merge_sec" -> cdcSec.toString,

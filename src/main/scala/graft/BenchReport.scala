@@ -38,7 +38,10 @@ object BenchReport {
     // actual drift signal) stay on the line
     "canary_cdc_delta_pct", "canary_skew_delta_pct",
     "canary_store_delta_pct", "canary_stream_delta_pct",
-    "sections_rerun", "sections_skewed",
+    // r14: catalog chunking grew the section list from 10 to 22+ names;
+    // the name arrays moved file-only (BENCH.json `sections_rerun` /
+    // `sections_skewed` / per-section metas) and the line carries counts
+    "sections_rerun_n", "sections_skewed_n",
     "index_build_total_sec",
     "cdc_merge_sec", "cdc_events_per_sec", "cdc_events",
     "cdc_zipf_events_per_sec", "cdc_skew_uniform_events_per_sec",

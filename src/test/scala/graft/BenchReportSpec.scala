@@ -35,7 +35,8 @@ class BenchReportSpec extends AnyFunSuite {
       case k @ "store_merge_sec" => k -> storeMap
       case k @ ("sections_rerun" | "sections_skewed") => k -> allSections
       case k @ ("bench_runs" | "queries_n" | "queries_failed_n" |
-        "budget_violations_n" | "cdc_events") => k -> "999999"
+        "budget_violations_n" | "sections_rerun_n" |
+        "sections_skewed_n" | "cdc_events") => k -> "999999"
       case k @ "budget_worst" =>
         k -> ("\"" + "q_x_" + "a" * 36 + ":99999.99\"")
       case k => k -> wideDouble
