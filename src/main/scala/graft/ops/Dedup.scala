@@ -337,21 +337,29 @@ object Dedup {
     * Makes Language Models Better"): high dup_frac = the document is
     * mostly boilerplate shared across the corpus.
     *
-    * Scale: explode distinct shingles ONCE, take the document frequency
-    * as a count over the shingle window (one exchange on the shingle
-    * key — the separate count-then-join-back formulation explodes and
-    * shuffles the shingle stream twice), then one per-doc aggregation.
-    * Shingle-frequency skew is inherent (that's the signal) and lands on
-    * single window partitions exactly as it would on groupBy reducers.
-    * Zero-shingle docs come back with dup_frac 0 via the id left join. */
+    * Scale: explode distinct shingles, reduce to a per-shingle document
+    * frequency with a MAP-SIDE-COMBINED `groupBy(shingle).count` (a hot
+    * boilerplate gram collapses to one row per input partition before
+    * the exchange), then equi-join the frequency back onto the shingle
+    * stream — AQE broadcasts the frequency frame when the vocabulary is
+    * small and can skew-split the SMJ when it is not — then one per-doc
+    * aggregation. The r13 form counted via
+    * `count over Window.partitionBy(shingle)` (one exchange instead of
+    * two) — ShingleBench measured the crossover (BENCHNOTES r14): the
+    * window wins ~1.2× balanced, but under hot-shingle skew every
+    * occurrence of the hot gram BUFFERS on one window task and the
+    * degradation is scale-amplified (99%-hot: 1.4× slower at 20M rows,
+    * 4.2× at 80M, a single-task stall at corpus scale — and a window can
+    * never be skew-split). The aggregate+join form is the one that
+    * survives 100 TB; shingles are distinct per doc, so a plain count
+    * per shingle IS its document frequency (countDistinct would add an
+    * Expand for nothing). Zero-shingle docs come back with dup_frac 0
+    * via the id left join. */
   def crossDocShingleFrac(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = explodedShingles(df, idCol, textCol, n)
-    // shingles are distinct per doc, so a plain count per shingle IS its
-    // document frequency (countDistinct would add an Expand for nothing)
-    val withDf = sh.withColumn("__df",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val withDf = sh.join(dfs, Seq("shingle"))
     val perDoc = withDf
       .groupBy("id").agg(
         count(lit(1)).as("n_shingles"),
