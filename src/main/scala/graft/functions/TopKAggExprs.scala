@@ -29,7 +29,11 @@ import org.apache.spark.sql.types._
   * ascending array<struct<k,long v,long>> — a valid per-group result
   * ANY engine replays with `row_number() OVER (ORDER BY key, payload)
   * <= k` (both columns in the order ⇒ total order ⇒ exact parity).
-  * Null keys/payloads are skipped (SQL aggregate discipline).
+  * Null keys/payloads are skipped (SQL aggregate discipline) and
+  * duplicate (key, payload) pairs collapse in the TreeSet — BOTH diverge
+  * from `row_number` semantics, so callers that promise rank parity must
+  * guard ids non-null and distinct
+  * ([[graft.ops.Sampling.stratifiedTopK]] raises on null/non-castable).
   */
 final case class TopKPairsAgg(
     key: Expression,

@@ -37,15 +37,28 @@ object Sampling {
     * wire bytes where the two-pass rank range-shuffles the corpus.
     * The aggregate-vs-sort crossover: use this for small k (draws,
     * top-k per source); use [[stratified]] when the rank of EVERY row
-    * is needed or k is large. Requires a long-castable id. Output:
-    * (strata…, idCol LONG, rk LONG) — row-equal to [[stratified]] at
-    * the same k (`SamplingSpec` asserts it). */
+    * is needed or k is large. Requires a NON-NULL long-castable id —
+    * enforced with `raise_error` below (ADVICE r13: the aggregate
+    * SKIPS null pairs per SQL discipline while [[stratified]] ranks
+    * null ids first, so a nullable or non-castable id would silently
+    * break the row-equality contract instead of failing loudly) — and
+    * DISTINCT ids within a stratum (duplicate (hash, id) pairs collapse
+    * in the bounded TreeSet where `row_number` ranks both copies; ids
+    * are primary keys at every call site, asserting corpus-wide
+    * distinctness would cost the shuffle this fast path exists to
+    * avoid). Output: (strata…, idCol LONG, rk LONG) — row-equal to
+    * [[stratified]] at the same k (`SamplingSpec` asserts it). */
   def stratifiedTopK(df: DataFrame, strata: Seq[String], idCol: String,
       perStratum: Int): DataFrame = {
     import graft.functions.TopKAggExprs
     val h = Portable.h60(col(idCol).cast("string"))
+    val idL = when(col(idCol).cast("long").isNotNull,
+      col(idCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"stratifiedTopK: null or non-long-castable $idCol: "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
     df.groupBy(strata.map(col): _*)
-      .agg(TopKAggExprs.topKPairs(h, col(idCol).cast("long"),
+      .agg(TopKAggExprs.topKPairs(h, idL,
         perStratum).as("__tk"))
       .select(strata.map(col) :+
         posexplode(col("__tk")).as(Seq("__pos", "__pair")): _*)

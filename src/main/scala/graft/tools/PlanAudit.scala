@@ -53,7 +53,10 @@ object PlanAudit {
         val expand = if (p.contains("Expand")) "YES" else "-"
         f"| $n | $exchanges | $rangeEx | $windows | $bcast | $bhj/$smj | $cartesian | $expand | $codegen | $prunedCell |"
       } catch {
-        case e: Throwable => s"| $n | err: ${e.getClass.getSimpleName} |||||||||"
+        // one filler cell per metric column (9 after the error cell) so a
+        // failed-to-plan query still renders as a valid 10-column row
+        case e: Throwable =>
+          s"| $n | err: ${e.getClass.getSimpleName} " + ("| - " * 8) + "|"
       }
     }
 
