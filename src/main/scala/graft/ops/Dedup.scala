@@ -46,35 +46,41 @@ object Dedup {
     *
     * Returns (doc_id, clean_text, n_kept, n_dropped).
     *
-    * Scale shape: explode is linear; the winner decision is ONE hash
-    * shuffle on md5(paragraph) (a window min over the hash group — the
-    * same shape as [[exact]], no self-join); reassembly is one shuffle
-    * back on the doc id with an in-group sort. Both keys are bounded
-    * (hash, id) — no skew beyond a pathological mega-duplicated
-    * paragraph, which the window handles as a single reducer group of
-    * (id,pos) pairs, never materializing pairwise combinations. */
+    * Scale shape: explode is linear; the winner decision is a map-side-
+    * combined `min(struct(id, pos))` per paragraph hash joined back
+    * onto the occurrence stream — only (hash, id, pos) triples cross
+    * the winner shuffle (the paragraph TEXT stays on the probe side),
+    * and a mega-duplicated boilerplate paragraph collapses to one row
+    * per input partition before the exchange. The r13 form ranked with
+    * `row_number over Window.partitionBy(md5(para))`, which ships and
+    * BUFFERS every occurrence of a hot paragraph (text included) on one
+    * window task — the superlinear hot-key degradation ShingleBench
+    * measured (BENCHNOTES r14); (id, pos) is unique per occurrence, so
+    * the min struct IS the window's rank-1 row. Reassembly is one
+    * shuffle back on the doc id. */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = df
       .select(col(idCol).as("__id"),
         posexplode(split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(sep))))
       .select(col("__id"), col("pos").cast(LongType).as("__pos"),
         col("col").as("__para"))
-    val w = Window.partitionBy(md5(col("__para")))
-      .orderBy(col("__id"), col("__pos"))
-    val decided = paras
-      .withColumn("__rank", row_number().over(w))
+      .withColumn("__h", md5(col("__para")))
+    val winners = paras.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    val decided = paras.join(winners, Seq("__h"))
+      .withColumn("__is1",
+        struct(col("__id"), col("__pos")) === col("__w"))
     decided
       .groupBy(col("__id").as(idCol))
       .agg(
         array_join(transform(
-          array_sort(collect_list(when(col("__rank") === 1,
+          array_sort(collect_list(when(col("__is1"),
             struct(col("__pos"), col("__para"))))),
           s => s("__para")), sep).as("clean_text"),
-        sum(when(col("__rank") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__rank") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+        sum(when(col("__is1"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__is1"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
   /** Boilerplate strip by corpus frequency — [[dedupParagraphs]]'s
@@ -85,19 +91,20 @@ object Dedup {
     * still ship one copy of "All rights reserved" per corpus — this
     * ships zero), keep everything else, reassemble in order.
     *
-    * Same two-shuffle shape as [[dedupParagraphs]] with the window min
-    * replaced by a count over the paragraph-hash group. */
+    * Same shape as [[dedupParagraphs]] with the winner min replaced by
+    * a map-side-combined count per paragraph hash (joined back — never
+    * a hash-keyed window; see dedupParagraphs' hot-key note). */
   def stripFrequentParagraphs(df: DataFrame, idCol: String,
       textCol: String, sep: String = "\n\n", maxFreq: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = df
       .select(col(idCol).as("__id"),
         posexplode(split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(sep))))
       .select(col("__id"), col("pos").cast(LongType).as("__pos"),
         col("col").as("__para"))
-    val w = Window.partitionBy(md5(col("__para")))
-    paras.withColumn("__freq", count(lit(1)).over(w))
+      .withColumn("__h", md5(col("__para")))
+    val freqs = paras.groupBy("__h").agg(count(lit(1)).as("__freq"))
+    paras.join(freqs, Seq("__h"))
       .groupBy(col("__id").as(idCol))
       .agg(
         array_join(transform(
@@ -204,16 +211,27 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minCount: Long = 2L,
       keepFirst: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0, "window size must be positive")
     val wins = windowKeys(df, idCol, textCol, n)
-    val byKey = Window.partitionBy(col("__key"))
-    val counted = wins.withColumn("__cnt", count(lit(1)).over(byKey))
+    // per-key occurrence count via map-side-combined groupBy + join —
+    // not `count over Window.partitionBy(__key)`: a hot boilerplate
+    // window key buffers all its occurrences on ONE window task, and
+    // the degradation is scale-amplified (ShingleBench, BENCHNOTES
+    // r14: 4.2× at 80M rows under 99%-hot; a window can never be
+    // AQE-skew-split, the join can). keepFirst needs no per-key
+    // row_number: the single survivor is the min (id, start) pair,
+    // one more column in the same aggregate.
+    val aggs = count(lit(1)).as("__cnt") +:
+      (if (keepFirst)
+        Seq(min(struct(col("__id"), col("__s"))).as("__first"))
+      else Nil)
+    val perKey = wins.groupBy("__key").agg(aggs.head, aggs.tail: _*)
+    val counted = wins.join(perKey, Seq("__key"))
     val dup =
       if (keepFirst)
-        counted.withColumn("__rn", row_number().over(
-            byKey.orderBy(col("__id"), col("__s"))))
-          .filter(col("__cnt") >= minCount && col("__rn") >= 2)
+        counted.filter(col("__cnt") >= minCount &&
+          !(struct(col("__id"), col("__s")) === col("__first")))
+          .drop("__first")
       else counted.filter(col("__cnt") >= minCount)
     mergeIslands(dup, idCol, n)
   }
