@@ -27,9 +27,15 @@ object PlanAudit {
         val p = qe.executedPlan.toString
         val simple = qe.explainString(
           org.apache.spark.sql.execution.SimpleMode)
-        val rangeEx = count(p, "Exchange rangepartitioning")
+        // range-structured exchanges: classic rangepartitioning PLUS the
+        // r14 two-pass-rank signature — a deterministic range_bucket id
+        // routed through a hashpartitioning(__gr_rt) exchange (explicit
+        // boundaries instead of RangePartitioner sampling; Ranks.scala)
+        val rangeEx = count(p, "Exchange rangepartitioning") +
+          count(p, "Exchange hashpartitioning\\(__gr_rt")
         val exchanges = count(p, "Exchange hashpartitioning") +
-          rangeEx + count(p, "Exchange RoundRobinPartitioning")
+          count(p, "Exchange rangepartitioning") +
+          count(p, "Exchange RoundRobinPartitioning")
         // Window operators remaining in the plan: after the r13 two-pass
         // rank rewrite these must only be the BOUNDED frames (offset
         // tables, O(groups) allocation math, top-k-limited results) —
@@ -111,15 +117,18 @@ object PlanAudit {
         |probes (q_x_ann_*_pruned) must show one. `expand` flags Expand
         |nodes (multi-distinct / grouping sets — row-amplifying); only the
         |allowlisted intentional ones (q_x_rollup, q_x_unpivot) may show it.
-        |`range` counts rangepartitioning exchanges (the r13 two-pass rank
-        |signature); counts are TEXT counts, so a persisted frame's plan
-        |(InMemoryRelation innerChildren — Ranks.grouped pins one) prints
-        |under every consumer and chained-rank queries (rfm) read inflated:
-        |at runtime each cached frame computes ONCE. `windows` counts
-        |Window operators left in the plan —
-        |post-rewrite these are only BOUNDED frames (O(groups) offset and
+        |`range` counts range-structured exchanges: classic
+        |rangepartitioning plus the r14 two-pass-rank signature — a
+        |deterministic `range_bucket` id (explicit driver-sampled
+        |boundaries, no RangePartitioner re-sampling, no pinned persist)
+        |routed through a `hashpartitioning(__gr_rt)` exchange. Rank plans
+        |carry NO InMemoryRelation since r14, so chained-rank counts are
+        |real plan counts. `windows` counts Window operators left in the
+        |plan — these are only BOUNDED frames (O(groups) offset and
         |allocation tables, top-k-limited results), never a corpus keyed
-        |by provenance.
+        |by provenance or content hash (the r14 sweep also moved the
+        |shingle-df, window-key, and paragraph-hash counts off windows
+        |onto map-side-combined aggregates — ShingleBench, BENCHNOTES).
         |
         || query | shuffles | range | windows | broadcasts | BHJ/SMJ | cartesian | expand | codegen spans | pruned scans |
         ||---|---|---|---|---|---|---|---|---|---|
