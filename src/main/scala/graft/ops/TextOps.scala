@@ -556,16 +556,23 @@ object TextOps {
 
   /** Template-farm detection: group documents by [[templateFingerprint]]
     * and keep groups of at least `minDocs`. Returns (id, template_id,
-    * n_docs) for every member of a detected template group; one
-    * fingerprint shuffle, group sizes via a window on the same
-    * partitioning. */
+    * n_docs) for every member of a detected template group. Group sizes
+    * come from a map-side-combined `groupBy(template_id).count` joined
+    * back — not a template-keyed window: a detected farm is BY
+    * DEFINITION a hot key (millions of pages, one skeleton), and a
+    * window would buffer the whole farm on one task (the ShingleBench
+    * crossover, BENCHNOTES r14); the count collapses to one row per
+    * input partition before its exchange and the join can broadcast or
+    * AQE-skew-split. */
   def templateGroups(df: DataFrame, idCol: String, textCol: String,
       minDocs: Long = 2): DataFrame = {
-    val w = Window.partitionBy(col("template_id"))
-    df.select(col(idCol),
-        templateFingerprint(col(textCol)).as("template_id"))
-      .withColumn("n_docs", count(lit(1)).over(w))
+    val fps = df.select(col(idCol),
+      templateFingerprint(col(textCol)).as("template_id"))
+    val sizes = fps.groupBy("template_id")
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+    fps.join(sizes, Seq("template_id"))
+      .select(col(idCol), col("template_id"), col("n_docs"))
   }
 
   /** Per-group length-outlier flags by EXACT discrete percentiles: a row

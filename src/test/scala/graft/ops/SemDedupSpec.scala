@@ -170,6 +170,16 @@ class SemDedupSpec extends SparkSpec {
     assert(s1.collect().toSet == s2.collect().toSet)
     val perCell = s1.groupBy("cell").count().as[(Long, Long)].collect().toMap
     assert(perCell.values.forall(_ == 5) && perCell.size == 2)
+    // plan pin: the per-cell window is only scale-safe because Spark's
+    // InferWindowGroupLimit turns row_number + `rk <= k` into a partial
+    // pre-shuffle top-k (WindowGroupLimit) — each mapper ships at most
+    // perCell rows per cell, so a dense cell never buffers whole on one
+    // window task. If this assertion fires, the rewrite regressed to
+    // the unbounded window and cellSample needs the agg+join treatment
+    // (BENCHNOTES r14 shingle crossover).
+    assert(s1.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "cellSample must plan a pre-shuffle WindowGroupLimit")
   }
 
   test("incrementalAgainstIndex == pairs restricted to batch x corpus") {
