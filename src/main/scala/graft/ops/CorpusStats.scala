@@ -268,8 +268,14 @@ object CorpusStats {
     * has a single-reducer task. */
   def quantileNormalize(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
+    // lazy seam: the rank's boundary-sample pass and its main pass both
+    // consume this AGGREGATE — unmaterialized, the groupBy would run
+    // twice (the r14 rank samples explicitly; rfm's chained-rank
+    // pattern). The frame is bounded by distinct (group, value) pairs.
     val vc = df.groupBy((groupCols.map(col) :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    graft.core.Metrics.deferUnpersist(vc)
     val ranked = Ranks.grouped(vc, groupCols, Seq(col(valueCol)),
       rankCol = None,
       sums = Seq(Ranks.RunSum(col("__c"), "__cum",
