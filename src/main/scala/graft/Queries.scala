@@ -518,6 +518,24 @@ object Queries {
         .select(col("id").as("doc_id"), col("n_hits"),
           col("contaminated").cast(LongType).as("contaminated"))),
 
+    "q_x_dsir_weights" -> ((s, dir) =>
+      // DSIR importance weights (Xie et al. 2023): hashed-bigram target/
+      // source ratios in pure BIGINT arithmetic (the rational twin of
+      // the paper's log-likelihood — same orderings, bit-exact replay);
+      // target = the contamination queries' benchmark stand-in. Bucket
+      // counts are map-side-combined aggregates; the O(1024) ratio
+      // table broadcasts.
+      graft.ops.Dsir.weights(docs(s, dir), "doc_id", "text",
+        rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text")),
+
+    "q_x_dsir_select" -> ((s, dir) =>
+      // importance SELECTION on top of the weights: the 50 most
+      // target-like docs by length-free score — total (avg_ratio desc,
+      // id) order, plans as TakeOrderedAndProject
+      graft.ops.Dsir.select(docs(s, dir), "doc_id", "text",
+        rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text",
+        k = 50)),
+
     "q_x_chunk" -> ((s, dir) =>
       // token-window chunking (40-token windows, 8-token overlap) — the
       // downstream of q_x_pack's oversize flag; pure per-row explode
@@ -3370,6 +3388,67 @@ object Queries {
         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
         |  CAST(coalesce(h.n_hits, 0) >= 1 AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // DSIR (hashed-bigram importance): pure BIGINT ratio arithmetic —
+    // (t_b+1)*1e6 // (s_b+1) per 1024-bucket, summed per doc. Bucket =
+    // h60(bigram) % 1024 (h60 is non-negative, so % == pmod). Target =
+    // doc_id % 50 = 0 (the contamination stand-in eval set).
+    "q_x_dsir_weights" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM d0 WHERE len(w) >= 2)),
+        |cb AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+        |sb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cb GROUP BY 1),
+        |tb AS (SELECT b, count(*)::BIGINT AS t FROM bi
+        |       WHERE doc_id % 50 = 0 GROUP BY 1),
+        |ratio AS (
+        |  SELECT b, (coalesce(t, 0) + 1) * 1000000 // (coalesce(s, 0) + 1) AS r
+        |  FROM sb FULL OUTER JOIN tb USING (b)),
+        |wt AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c * r) AS BIGINT) AS weight
+        |  FROM cb JOIN ratio USING (b) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(weight, 0) AS weight,
+        |  CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+        |       THEN weight // n_bigrams ELSE 0 END AS BIGINT) AS avg_ratio
+        |FROM documents d LEFT JOIN wt USING (doc_id)""".stripMargin,
+
+    "q_x_dsir_select" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM d0 WHERE len(w) >= 2)),
+        |cb AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+        |sb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cb GROUP BY 1),
+        |tb AS (SELECT b, count(*)::BIGINT AS t FROM bi
+        |       WHERE doc_id % 50 = 0 GROUP BY 1),
+        |ratio AS (
+        |  SELECT b, (coalesce(t, 0) + 1) * 1000000 // (coalesce(s, 0) + 1) AS r
+        |  FROM sb FULL OUTER JOIN tb USING (b)),
+        |wt AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c * r) AS BIGINT) AS weight
+        |  FROM cb JOIN ratio USING (b) GROUP BY 1),
+        |full_w AS (
+        |  SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |    coalesce(weight, 0) AS weight,
+        |    CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+        |         THEN weight // n_bigrams ELSE 0 END AS BIGINT) AS avg_ratio
+        |  FROM documents d LEFT JOIN wt USING (doc_id))
+        |SELECT doc_id, n_bigrams, weight, avg_ratio FROM full_w
+        |ORDER BY avg_ratio DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     // chunk k covers tokens [k*32+1, k*32+40] (1-based, stride 32 =
     // budget 40 − overlap 8); trailing chunk clamps; blank text → no rows

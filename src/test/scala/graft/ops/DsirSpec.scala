@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+
+/** Semantics of the DSIR importance weights (hashed-bigram linear-ratio
+  * variant): hand-computed weights on a tiny corpus, target-affinity
+  * ordering, zero-bigram handling, and the broadcast-ratio plan shape. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target-speak: "alpha beta" bigrams; crawl-speak: "noise words"
+  private def corpus = Seq(
+    (1L, "alpha beta alpha beta alpha beta"), // pure target-speak
+    (2L, "noise words noise words noise words"), // pure crawl-speak
+    (3L, "alpha beta noise words"), // mixed
+    (4L, ""), // no bigrams
+    (5L, "single")) // one token — no bigrams
+    .toDF("doc_id", "text")
+
+  private def target = Seq(
+    (100L, "alpha beta alpha beta")).toDF("doc_id", "text")
+
+  test("weights: hand-computed on a tiny corpus") {
+    val got = Dsir.weights(corpus, "doc_id", "text", target, "text",
+        buckets = 1024, scale = 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bucket ids of the involved bigrams
+    def b(s: String) = Math.floorMod(Portable.h60(s), 1024L)
+    // corpus bigram occurrences per bucket (docs 1,2,3):
+    //   "alpha beta"×(3+1)=4, "beta alpha"×2, "noise words"×(3+1)=4,
+    //   "words noise"×2, "beta noise"×1
+    val s = Map(b("alpha beta") -> 4L, b("beta alpha") -> 2L,
+      b("noise words") -> 4L, b("words noise") -> 2L,
+      b("beta noise") -> 1L).withDefaultValue(0L)
+    // target: "alpha beta"×2, "beta alpha"×1
+    val t = Map(b("alpha beta") -> 2L, b("beta alpha") -> 1L)
+      .withDefaultValue(0L)
+    def r(bk: Long) = (t(bk) + 1L) * 1000000L / (s(bk) + 1L)
+    val w1 = 3 * r(b("alpha beta")) + 2 * r(b("beta alpha"))
+    val w2 = 3 * r(b("noise words")) + 2 * r(b("words noise"))
+    val w3 = r(b("alpha beta")) + r(b("beta noise")) + r(b("noise words"))
+    assert(got(1L) == ((5L, w1, w1 / 5)))
+    assert(got(2L) == ((5L, w2, w2 / 5)))
+    assert(got(3L) == ((3L, w3, w3 / 3)))
+    assert(got(4L) == ((0L, 0L, 0L)) && got(5L) == ((0L, 0L, 0L)))
+    // the point of the operator: target-speak outranks crawl-speak
+    assert(got(1L)._3 > got(3L)._3 && got(3L)._3 > got(2L)._3)
+  }
+
+  test("select: top-k by (avg_ratio desc, id) with a bounded-sort plan") {
+    val sel = Dsir.select(corpus, "doc_id", "text", target, "text", k = 2)
+    assert(sel.select("doc_id").as[Long].collect().toSeq == Seq(1L, 3L))
+    assert(sel.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "selection must plan a bounded per-partition top-k, not a global sort")
+  }
+
+  test("plan: ratio table broadcasts; no window operators") {
+    val plan = Dsir.weights(corpus, "doc_id", "text", target, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"expected the O(buckets) ratio table to broadcast:\n$plan")
+    assert(!plan.contains("Window ["),
+      s"dsir must not plan a window:\n$plan")
+  }
+}
