@@ -536,6 +536,20 @@ object Queries {
         rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text",
         k = 50)),
 
+    "q_x_c4_clean" -> ((s, dir) => {
+      // C4 line-level cleaning (Raffel et al. 2020): plant line
+      // structure first (sentence boundaries → newlines — the pii_scrub
+      // planted-defect pattern; the fixture text is single-line) so the
+      // per-line filters actually split and drop. clean_text rides as
+      // its md5 — the value check without megabyte rows.
+      val lined = rd(s, dir, "documents").select(col("doc_id"),
+        replace(col("text"), lit(". "), lit(".\n")).as("lt"))
+      TextOps.c4Clean(lined, "doc_id", "lt")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines"), col("n_kept"), col("n_sentences"),
+          col("keep_page").cast(LongType).as("keep_page"))
+    }),
+
     "q_x_chunk" -> ((s, dir) =>
       // token-window chunking (40-token windows, 8-token overlap) — the
       // downstream of q_x_pack's oversize flag; pure per-row explode
@@ -3449,6 +3463,42 @@ object Queries {
         |  FROM documents d LEFT JOIN wt USING (doc_id))
         |SELECT doc_id, n_bigrams, weight, avg_ratio FROM full_w
         |ORDER BY avg_ratio DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "q_x_c4_clean" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    replace(coalesce(text, ''), '. ', '.' || chr(10)) AS lt
+        |  FROM documents),
+        |lx AS (
+        |  SELECT doc_id, lt, string_split(lt, chr(10)) AS ls FROM lined),
+        |k AS (
+        |  SELECT doc_id, lt, len(ls) AS n_lines,
+        |    list_filter(ls, l ->
+        |      (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
+        |       ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"')) AND
+        |      len(string_split_regex(trim(l), '\s+')) >= 3 AND
+        |      NOT contains(lower(l), 'javascript')) AS keptl
+        |  FROM lx),
+        |c AS (
+        |  SELECT doc_id, lt, n_lines, len(keptl) AS n_kept,
+        |    -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        |    coalesce(array_to_string(keptl, chr(10)), '') AS clean_text
+        |  FROM k),
+        |s AS (
+        |  SELECT doc_id, lt, n_lines, n_kept, clean_text,
+        |    (length(clean_text) - length(replace(clean_text, '.', ''))) +
+        |    (length(clean_text) - length(replace(clean_text, '!', ''))) +
+        |    (length(clean_text) - length(replace(clean_text, '?', '')))
+        |      AS n_sentences
+        |  FROM c)
+        |SELECT doc_id, md5(clean_text) AS clean_md5,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_sentences >= 5 AND
+        |    NOT contains(lower(lt), 'lorem ipsum') AND
+        |    NOT contains(lt, '{') AS BIGINT) AS keep_page
+        |FROM s""".stripMargin,
 
     // chunk k covers tokens [k*32+1, k*32+40] (1-based, stride 32 =
     // budget 40 − overlap 8); trailing chunk clamps; blank text → no rows

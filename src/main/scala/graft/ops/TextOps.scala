@@ -554,6 +554,53 @@ object TextOps {
       split(coalesce(text, lit("")), "\n", -1),
       l => length(l).cast(StringType)), ","))
 
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2, the "Colossal
+    * Clean Crawled Corpus" rules) — the line-granularity complement to
+    * the word-level [[gopherColumns]] battery: keep a line only if it
+    * ends in terminal punctuation (. ! ? "), has at least `minWords`
+    * words, and does not mention "javascript"; flag the PAGE for drop
+    * when it contains "lorem ipsum" or a curly brace (code), or when
+    * the cleaned text carries fewer than `minSentences` sentence
+    * terminators. (C4's fourth rule — corpus-level three-sentence-span
+    * dedup — is [[graft.ops.Dedup.removeRepeatedSpans]]'s job, not a
+    * per-row one.)
+    *
+    * Everything is string ops on literals — no regex subtleties to
+    * drift cross-engine, no tokenizer, NO shuffle: one codegen'd
+    * projection per row, the same zero-exchange shape as [[gopherColumns]].
+    * Returns (id, clean_text, n_lines, n_kept, n_sentences, keep_page). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val keepLine = (l: Column) => {
+      val r = rtrim(l)
+      (endswith(r, lit(".")) || endswith(r, lit("!")) ||
+        endswith(r, lit("?")) || endswith(r, lit("\""))) &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !contains(lower(l), lit("javascript"))
+    }
+    val kept = filter(lines, keepLine)
+    def occurrences(s: Column, ch: String): Column =
+      (char_length(s) - char_length(replace(s, lit(ch), lit(""))))
+        .cast(LongType)
+    df.select(col(idCol),
+        array_join(kept, "\n").as("clean_text"),
+        size(lines).cast(LongType).as("n_lines"),
+        size(kept).cast(LongType).as("n_kept"),
+        coalesce(col(textCol), lit("")).as("__raw"))
+      .withColumn("n_sentences",
+        occurrences(col("clean_text"), ".") +
+          occurrences(col("clean_text"), "!") +
+          occurrences(col("clean_text"), "?"))
+      .withColumn("keep_page",
+        col("n_sentences") >= minSentences &&
+          // lorem/brace are RAW-page signals (C4 drops the page even
+          // when the offending line would also fail the line filter)
+          !contains(lower(col("__raw")), lit("lorem ipsum")) &&
+          !contains(col("__raw"), lit("{")))
+      .drop("__raw")
+  }
+
   /** Template-farm detection: group documents by [[templateFingerprint]]
     * and keep groups of at least `minDocs`. Returns (id, template_id,
     * n_docs) for every member of a detected template group. Group sizes

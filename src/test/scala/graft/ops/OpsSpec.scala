@@ -190,6 +190,33 @@ class TextOpsSpec extends SparkSpec {
     assert(b == Seq((7L, 7L, false)))
   }
 
+  test("c4Clean: line rules, page flags, degenerate docs") {
+    val docs = Seq(
+      // 6 good lines (5 sentence terminators — the quote line adds
+      // none) → all kept, page kept
+      (1L, "one two three.\nfour five six!\nseven eight nine?\n" +
+        "ten eleven twelve.\nthe quote line ends \"\nlast good line."),
+      // line filters: no terminal punct / short / javascript mention
+      (2L, "no terminal punct here\nok.\nenable javascript to view this.\n" +
+        "tiny."),
+      (3L, "lorem ipsum dolor sit amet. " * 6), // raw-page lorem flag
+      (4L, "var x = { a: 1 }. " * 6), // raw-page brace flag
+      (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.c4Clean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L)._3 == 6L && got(1L)._4 == 5L && got(1L)._5,
+      s"all six lines keep, five sentences, page keeps: ${got(1L)}")
+    // doc 2: only "ok." fails minWords(3); "enable javascript…" fails the
+    // javascript rule; "no terminal punct here" fails punct; "tiny." short
+    assert(got(2L)._1 == "" && got(2L)._3 == 0L && !got(2L)._5)
+    assert(!got(3L)._5 && !got(4L)._5, "lorem/brace pages drop")
+    assert(got(5L) == (("", 1L, 0L, 0L, false)))
+    assert(got(6L) == (("", 1L, 0L, 0L, false)))
+  }
+
   test("profileColumns: nulls, distinct, min/max per column in one pass") {
     import spark.implicits._
     val df = Seq(
