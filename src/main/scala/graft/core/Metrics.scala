@@ -168,7 +168,23 @@ object Metrics {
     pendingUnpersist.get() += df
 
   /** Free all checkpoints deferred on this thread (call after the batch's
-    * terminal action). */
+    * terminal action).
+    *
+    * PUBLIC CONTRACT (ADVICE r13): several library entry points
+    * checkpoint slim intermediates for reuse — chained ranks
+    * (`q_x_rfm`'s seams), `CorpusStats.quantileNormalize`'s value-count
+    * frame, `Search.bm25TopK`'s term stats, `Dedup.minHash*`'s batch
+    * signatures, the dedup streams' per-trigger survivors — and defer
+    * the unpersist to this THREAD-LOCAL queue so the caller's terminal
+    * action still sees the cache. A long-lived application that calls
+    * those ops must invoke `drainUnpersist()` on the SAME thread after
+    * each batch's terminal action, or the checkpoint blocks accumulate
+    * for the session lifetime (`graft.Bench`/`graft.Verify` drain per
+    * query; the streaming wrappers document it per sink). The queue is
+    * deliberately not auto-drained by a listener: a query-completion
+    * hook cannot know whether the caller still holds the frame for a
+    * second action. Since r14 the two-pass rank itself pins NOTHING —
+    * this queue only ever holds caller-visible checkpoint frames. */
   def drainUnpersist(): Unit = {
     val buf = pendingUnpersist.get()
     buf.foreach(_.unpersist())
