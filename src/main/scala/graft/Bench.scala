@@ -114,6 +114,7 @@ object Bench {
     tryBuild("annIvf")(IndexStore.annIvf(spark, sfDir))
     tryBuild("annIvfPq")(IndexStore.annIvfPq(spark, sfDir))
     tryBuild("minhashSigs")(IndexStore.minhashSigs(spark, sfDir))
+    tryBuild("dsirRatios")(IndexStore.dsirRatios(spark, sfDir))
     val indexBuilds: Map[String, Double] = IndexStore.buildSecs(sfDir)
 
     // Per-query MIN over nRuns executions: the first execution pays Catalyst

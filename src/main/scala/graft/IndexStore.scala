@@ -78,6 +78,24 @@ object IndexStore {
       }
     })
 
+  /** DSIR bucket-ratio table (bounded: O(1024) rows) over the FULL
+    * documents corpus against the benchmark stand-in target
+    * (doc_id % 50 = 0) — the persistable statistics
+    * [[graft.ops.Dsir.weightsWithRatios]] scores ingest batches against
+    * with zero corpus work. Full-corpus build on purpose: the
+    * incremental query value-checks as a restriction of
+    * `q_x_dsir_weights`. */
+  def dsirRatios(s: SparkSession, dir: String): Built =
+    cache.getOrElseUpdate(("dsir_ratios", dir), {
+      val d = Dedup.spread(Tables.read(s, dir, "documents"))
+      timed(scratch("dsir_ratios", dir)) { p =>
+        graft.ops.Dsir.ratioTable(d, "doc_id", "text",
+            Tables.read(s, dir, "documents")
+              .filter(col("doc_id") % 50 === 0), "text")
+          .write.mode("overwrite").parquet(p)
+      }
+    })
+
   /** Corpus winnowing fingerprints (docs <= 400 — the same persisted-
     * corpus split minhashSigs uses) for the incremental quote-detection
     * probe. At deployment scale this build also caps fingerprint

@@ -536,6 +536,19 @@ object Queries {
         rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text",
         k = 50)),
 
+    "q_x_dsir_incr" -> ((s, dir) => {
+      // ingest-time importance scoring: the bounded bucket-ratio table
+      // is persisted ONCE per session (IndexStore, the minhash_incr
+      // pattern); the new batch (doc_id > 400) scores against the
+      // STORED statistics — corpus and target never re-read, the ratio
+      // frame broadcasts. Value-checks as q_x_dsir_weights restricted
+      // to the batch ids (the store was built over the full corpus).
+      val store = IndexStore.dsirRatios(s, dir)
+      graft.ops.Dsir.weightsWithRatios(
+        docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
+        s.read.parquet(store.path))
+    }),
+
     "q_x_c4_clean" -> ((s, dir) => {
       // C4 line-level cleaning (Raffel et al. 2020): plant line
       // structure first (sentence boundaries → newlines — the pii_scrub
@@ -3463,6 +3476,37 @@ object Queries {
         |  FROM documents d LEFT JOIN wt USING (doc_id))
         |SELECT doc_id, n_bigrams, weight, avg_ratio FROM full_w
         |ORDER BY avg_ratio DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // the incremental twin: identical ratio math over the FULL corpus
+    // (what the store froze), final scoring restricted to the batch
+    "q_x_dsir_incr" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM d0 WHERE len(w) >= 2)),
+        |cb AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+        |sb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cb GROUP BY 1),
+        |tb AS (SELECT b, count(*)::BIGINT AS t FROM bi
+        |       WHERE doc_id % 50 = 0 GROUP BY 1),
+        |ratio AS (
+        |  SELECT b, (coalesce(t, 0) + 1) * 1000000 // (coalesce(s, 0) + 1) AS r
+        |  FROM sb FULL OUTER JOIN tb USING (b)),
+        |wt AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c * r) AS BIGINT) AS weight
+        |  FROM cb JOIN ratio USING (b)
+        |  WHERE doc_id > 400 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(weight, 0) AS weight,
+        |  CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+        |       THEN weight // n_bigrams ELSE 0 END AS BIGINT) AS avg_ratio
+        |FROM (SELECT doc_id FROM documents WHERE doc_id > 400) d
+        |LEFT JOIN wt USING (doc_id)""".stripMargin,
 
     "q_x_c4_clean" ->
       """WITH lined AS (

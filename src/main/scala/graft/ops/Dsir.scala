@@ -58,41 +58,65 @@ object Dsir {
     * hash ([[Portable.h60]]), integer arithmetic throughout. */
   def weights(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      buckets: Int = 1024, scale: Long = 1000000L): DataFrame = {
-    require(buckets > 0 && scale > 0, "need buckets > 0 and scale > 0")
-    val bucket = (bg: Column) => pmod(Portable.h60(bg), lit(buckets))
+      buckets: Int = 1024, scale: Long = 1000000L): DataFrame =
+    weightsWithRatios(corpus, idCol, textCol,
+      ratioTable(corpus, idCol, textCol, target, targetTextCol,
+        buckets, scale), buckets, scale)
 
-    // per-(doc, bucket) counts — the only corpus-sized aggregate, and
-    // its key is (id, bucket): high-cardinality, map-side combined
-    val docBuckets = corpus
-      .select(col(idCol).as("__id"), explode(bigrams(col(textCol))).as("__bg"))
-      .select(col("__id"), bucket(col("__bg")).as("__b"))
+  /** Per-(doc, bucket) hashed-bigram counts — the only corpus-sized
+    * aggregate; its key is (id, bucket): high-cardinality, map-side
+    * combined. */
+  private def docBucketCounts(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(bigrams(col(textCol))).as("__bg"))
+      .select(col("__id"),
+        pmod(Portable.h60(col("__bg")), lit(buckets)).as("__b"))
       .groupBy("__id", "__b").agg(count(lit(1)).as("__c"))
 
-    // bounded frames: per-bucket totals for source and target
-    val sb = docBuckets.groupBy("__b").agg(sum(col("__c")).as("__s"))
+  /** The O(buckets) ratio table (__b, __r) — the BOUNDED, persistable
+    * artifact of the operator: once a warehouse stores it, every later
+    * ingest batch scores against the frozen corpus/target statistics
+    * with ZERO corpus work ([[weightsWithRatios]] — the
+    * minhash-incremental pattern). Outer on the source side so buckets
+    * seen only in the target still score (s_b = 0 → max ratio).
+    * `div`, not `/`: Spark's `/` on BIGINT goes through DOUBLE, which
+    * silently loses integer precision past 2^53 — div stays integral. */
+  def ratioTable(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024, scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, "need buckets > 0 and scale > 0")
+    val sb = docBucketCounts(corpus, idCol, textCol, buckets)
+      .groupBy("__b").agg(sum(col("__c")).as("__s"))
     val tb = target
       .select(explode(bigrams(col(targetTextCol))).as("__bg"))
-      .select(bucket(col("__bg")).as("__b"))
+      .select(pmod(Portable.h60(col("__bg")), lit(buckets)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__t"))
-
-    // ratio table: O(buckets) rows; outer on the source side so buckets
-    // seen only in the target still score (s_b = 0 → max ratio)
-    // `div`, not `/`: Spark's `/` on BIGINT goes through DOUBLE, which
-    // silently loses integer precision past 2^53 — div stays integral
-    val ratio = sb.join(tb, Seq("__b"), "full_outer")
+    sb.join(tb, Seq("__b"), "full_outer")
       .select(col("__b"),
         expr(s"((coalesce(__t, 0L) + 1L) * ${scale}L) div " +
           "(coalesce(__s, 0L) + 1L)").as("__r"))
+  }
 
-    val perDoc = docBuckets.join(broadcast(ratio), Seq("__b"))
+  /** Score `batch` against a prebuilt [[ratioTable]] — the ingest-time
+    * path: one explode + map-side aggregate over the BATCH only, one
+    * broadcast of the bounded ratio frame; the corpus and target are
+    * never re-read. A bucket absent from the stored table was empty in
+    * BOTH corpus and target at build time, so its ratio is
+    * (0+1)·scale div (0+1) = scale — the left join's coalesce supplies
+    * exactly that. */
+  def weightsWithRatios(batch: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, buckets: Int = 1024,
+      scale: Long = 1000000L): DataFrame = {
+    val perDoc = docBucketCounts(batch, idCol, textCol, buckets)
+      .join(broadcast(ratios), Seq("__b"), "left")
+      .withColumn("__r", coalesce(col("__r"), lit(scale)))
       .groupBy("__id").agg(
         sum(col("__c")).as("n_bigrams"),
         sum(col("__c") * col("__r")).as("weight"))
-
     // ids are primary keys at every call site (the crossDocShingleFrac
     // zero-row-docs pattern) — the left join restores bigram-less docs
-    corpus.select(col(idCol))
+    batch.select(col(idCol))
       .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -35,6 +35,8 @@ object QueryBench {
     // timed runs (the indexed queries time the probe, not the build)
     try graft.IndexStore.minhashSigs(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.IndexStore.dsirRatios(spark, sfDir)
+    catch { case _: Throwable => () }
     try graft.IndexStore.annIvf(spark, sfDir)
     catch { case _: Throwable => () }
     try graft.IndexStore.annIvfPq(spark, sfDir)

@@ -58,6 +58,33 @@ class DsirSpec extends SparkSpec {
       "selection must plan a bounded per-partition top-k, not a global sort")
   }
 
+  test("weightsWithRatios == weights restricted to the batch; unseen " +
+      "buckets score the smoothed floor") {
+    val ratios = Dsir.ratioTable(corpus, "doc_id", "text", target, "text")
+    // incremental scoring of a corpus subset against the frozen table
+    // equals the batch-mode rows for those ids
+    val batch = corpus.filter(col("doc_id") >= 3)
+    val got = Dsir.weightsWithRatios(batch, "doc_id", "text", ratios)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = Dsir.weights(corpus, "doc_id", "text", target, "text")
+      .filter(col("doc_id") >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    // a NEW doc whose bigrams were never seen at build time: every
+    // bucket misses the table and scores (0+1)*scale div (0+1) = scale
+    val novel = Seq((99L, "zzzq wwwk zzzq")).toDF("doc_id", "text")
+    val nw = Dsir.weightsWithRatios(novel, "doc_id", "text", ratios)
+      .collect().head
+    assert(nw.getLong(1) == 2L)
+    // both bigrams may or may not collide with built buckets; the
+    // avg_ratio must be >= the minimum table ratio and the weight
+    // consistent with n_bigrams * avg within integer-div slack
+    assert(nw.getLong(2) >= nw.getLong(1) * 1L &&
+      nw.getLong(3) == nw.getLong(2) / nw.getLong(1))
+  }
+
   test("plan: ratio table broadcasts; no window operators") {
     val plan = Dsir.weights(corpus, "doc_id", "text", target, "text")
       .queryExecution.executedPlan.toString
