@@ -962,18 +962,43 @@ object Dedup {
       substring(coalesce(col(textCol), lit("")), 1, maxChars).as("t"))
     val limit = math.ceil((1.0 - minEditSim) * maxChars).toInt
     val maxLen = greatest(length(col("__ta")), length(col("__tb")))
+    // per-pair DP budget: the final filter keeps d ≤ (1−τ)·maxLen, so a
+    // budget of ⌈(1−τ)·maxLen⌉+1 (the +1 absorbs the double-division
+    // rounding of edit_sim at the boundary) rejects exactly the pairs the
+    // similarity filter would — and is far tighter than the constant
+    // ⌈(1−τ)·maxChars⌉ for short pairs, shrinking the banded DP's O(n·t)
+    val perPair = least(lit(limit),
+      (ceil((lit(1.0) - lit(minEditSim)) * maxLen.cast(DoubleType)) +
+        lit(1)).cast("int"))
     val editSim = when(maxLen === 0, lit(1.0))
       .otherwise(lit(1.0) -
         col("__d").cast(DoubleType) / maxLen.cast(DoubleType))
+    val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
     cand
+      // the verify stage is CPU-bound on few, fat rows; AQE coalesces the
+      // small candidate frame to one partition, and because Catalyst
+      // pushes the verify filters into the text-join stage, the whole DP
+      // would run serially there. An explicit-N round-robin repartition
+      // (which AQE never re-coalesces, and which sits BELOW the joins so
+      // no filter can sink past it) spreads the join+verify stage across
+      // every core — pair rows are independent, balance is perfect by
+      // construction.
+      .repartition(shufflePartitions)
       .join(txt.select(col("id").as("id_a"), col("t").as("__ta")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("t").as("__tb")), "id_b")
-      // Ed-Join's length prefilter: |len(a)−len(b)| is a lower bound on
-      // the edit distance, so pairs past the budget can never reach
-      // minEditSim — a one-expression guard that prunes exactly the
-      // pairs the early exit would otherwise pay O(len·limit) to reject
+      // Ed-Join-style verify-stage pruning, cheapest first (Xiao et al.
+      // VLDB'08 reference/pkg has no counterpart — public literature):
+      // 1. length filter: |len(a)−len(b)| ≤ budget (one subtraction);
+      // 2. counting filter [[graft.functions.EditLowerBound]]: a one-pass
+      //    histogram bound ed ≥ max(Δchars, ⌈L1/2⌉) — O(n) vs the DP's
+      //    O(n·t) — removes most non-duplicate candidates before the DP;
+      // 3. banded DP with the PER-PAIR budget, not the maxChars constant.
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= limit)
-      .withColumn("__d", levenshtein(col("__ta"), col("__tb"), limit))
+      .withColumn("__t", perPair)
+      .filter(graft.functions.TextExprs
+        .editLowerBound(col("__ta"), col("__tb")) <= col("__t"))
+      .withColumn("__d", graft.functions.TextExprs
+        .levenshteinThreshold(col("__ta"), col("__tb"), col("__t")))
       // −1 = the early exit fired: distance provably past the budget
       .filter(col("__d") >= 0)
       .withColumn("edit_sim", editSim)
