@@ -68,9 +68,13 @@ object Bench {
     // flag so the round artifact ships its own discount notice).
     // Bodies are rerun-safe: each creates and removes its own temp
     // dirs, and failures already resolve to sentinel values in-body.
+    // canaryBefore2 = the RERUN's own leading canary (-1 when no rerun):
+    // per-query mins usually come from the clean rerun, so the rerun's
+    // bracket — not the skewed first pass's — is the window that actually
+    // produced the reported number (ADVICE r14). Both brackets ship.
     final case class SectionMeta(name: String, startMs: Long, endMs: Long,
       canaryBefore: Double, canaryAfter: Double, rerun: Boolean,
-      skewed: Boolean)
+      skewed: Boolean, canaryBefore2: Double = -1.0)
     val sectionMetas = scala.collection.mutable.ArrayBuffer[SectionMeta]()
     val rerunPct =
       sys.env.getOrElse("SPARK_GRAFT_SECTION_RERUN_PCT", "15").toDouble
@@ -89,7 +93,8 @@ object Bench {
         end = System.currentTimeMillis()
         c = canarySec()
         sectionMetas += SectionMeta(name, t0, end, lastCanary, c,
-          rerun = true, skewed = skewedAt(before2, c))
+          rerun = true, skewed = skewedAt(before2, c),
+          canaryBefore2 = before2)
       } else
         sectionMetas += SectionMeta(name, t0, end, lastCanary, c,
           rerun = false, skewed = false)
@@ -251,21 +256,42 @@ object Bench {
       if (canaryStart > 0 && canaryEnd > 0 && canaryRef > 0)
         ((canaryStart + canaryEnd) / 2.0) / canaryRef
       else -1.0
-    val totalWindowAdjusted: Double =
-      if (canaryWindowFactor > 0) total / canaryWindowFactor else -1.0
     // Per-violation window factor: a catalog query adjusts by ITS
     // chunk's canary bracket (the local window it actually ran in),
     // anything else (the total) by the whole-catalog factor. VERDICT
     // r13 #6: each flag carries raw + adjusted + its chunk's skew
     // verdict, so the artifact self-classifies window-caused flags; the
     // seal checklist keys off adjusted for those while still failing
-    // raw flags on mid-band windows.
+    // raw flags on mid-band windows. For RERUN chunks the factor comes
+    // from the rerun's OWN bracket (canaryBefore2/after) — the window
+    // that produced the reported min — not the skewed first pass's.
     def windowFactorFor(name: String): Double =
       chunkOf.get(name)
         .flatMap(cn => sectionMetas.find(_.name == cn))
-        .map(m => ((m.canaryBefore + m.canaryAfter) / 2.0) / canaryRef)
+        .map { m =>
+          val before =
+            if (m.rerun && m.canaryBefore2 > 0) m.canaryBefore2
+            else m.canaryBefore
+          ((before + m.canaryAfter) / 2.0) / canaryRef
+        }
         .filter(_ > 0)
         .getOrElse(canaryWindowFactor)
+    // Adjusted TOTAL = the SUM of per-query chunk-adjusted times, not
+    // raw ÷ one global factor (VERDICT r14 #1: a single linear factor
+    // over-corrects past ~1.3 — the r14 official artifact's 62.7 s
+    // "adjusted" on a factor-1.75 window sat far below the mid-band
+    // seals' 85–87 s band; the per-CHUNK factors stayed credible
+    // because they are local). Each query divides by its own chunk's
+    // bracket factor, so an excursion discounts only the chunk it hit.
+    val totalWindowAdjusted: Double =
+      if (canaryWindowFactor <= 0) -1.0
+      else results.filter(_._2 >= 0)
+        .map { case (n, s) => s / windowFactorFor(n) }.sum
+    // Extreme-window self-notice: past this point the LINEAR canary
+    // model itself is suspect (measured r14: global factors 1.5+ over-
+    // corrected totals by ~20%); the artifact says so instead of
+    // shipping a confident wrong number.
+    val windowFactorExtreme: Boolean = canaryWindowFactor > 1.3
     val budgetViolationsAdjusted: Seq[String] =
       if (canaryWindowFactor <= 0) Seq.empty
       else budgetViolations.map { v =>
@@ -1013,6 +1039,8 @@ object Bench {
         ",\"end_ms\":" + m.endMs +
         ",\"canary_before_sec\":" + m.canaryBefore +
         ",\"canary_after_sec\":" + m.canaryAfter +
+        (if (m.rerun) ",\"canary_before2_sec\":" + m.canaryBefore2
+         else "") +
         ",\"rerun\":" + m.rerun + ",\"skewed\":" + m.skewed + "}"
     }.mkString("{", ",", "}")
     def sectionNames(p: SectionMeta => Boolean): String =
@@ -1062,6 +1090,7 @@ object Bench {
       "total_window_adjusted" ->
         (if (totalWindowAdjusted > 0) totalWindowAdjusted.toString
          else "null"),
+      "window_factor_extreme" -> windowFactorExtreme.toString,
       "budget_violations_window_adjusted" -> budgetViolationsAdjusted
         .map("\"" + _ + "\"").mkString("[", ",", "]"),
       "budget_violations_detail" -> budgetViolationsDetail

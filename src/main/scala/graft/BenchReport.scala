@@ -32,7 +32,11 @@ object BenchReport {
     "canary_query",
     "canary_pre_build_sec", "canary_build_delta_pct",
     "canary_start_sec", "canary_end_sec", "canary_delta_pct",
+    // r15: total_window_adjusted is the SUM of per-chunk-adjusted query
+    // times (one global linear factor over-corrects past ~1.3);
+    // window_factor_extreme says when even that linear model is suspect
     "canary_window_factor", "total_window_adjusted",
+    "window_factor_extreme",
     // r13: the four canary_post_*_sec absolutes moved file-only to fund
     // the window-factor fields — their *_delta_pct companions (the
     // actual drift signal) stay on the line

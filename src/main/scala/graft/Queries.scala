@@ -549,6 +549,15 @@ object Queries {
         s.read.parquet(store.path))
     }),
 
+    "q_x_dsir_resample" -> ((s, dir) =>
+      // importance RESAMPLING (the paper's actual draw): deterministic
+      // Efraimidis–Spirakis weighted sample w/o replacement over
+      // avg_ratio — p ∝ weight, so high-ratio docs are likely, not
+      // certain; hash-derived u makes the draw engine-replayable.
+      graft.ops.Dsir.resample(docs(s, dir), "doc_id", "text",
+        rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text",
+        k = 50)),
+
     "q_x_c4_clean" -> ((s, dir) => {
       // C4 line-level cleaning (Raffel et al. 2020): plant line
       // structure first (sentence boundaries → newlines — the pii_scrub
@@ -3507,6 +3516,44 @@ object Queries {
         |       THEN weight // n_bigrams ELSE 0 END AS BIGINT) AS avg_ratio
         |FROM (SELECT doc_id FROM documents WHERE doc_id > 400) d
         |LEFT JOIN wt USING (doc_id)""".stripMargin,
+
+    // the resampling twin: identical weight math, then the
+    // Efraimidis–Spirakis draw (the q_x_weighted_sample idiom) with
+    // weight = avg_ratio and salt 'dsir'
+    "q_x_dsir_resample" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(coalesce(text, '')), '[^\\p{L}\\p{N}]+', ' ', 'g')), '\\s+') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM d0 WHERE len(w) >= 2)),
+        |cb AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+        |sb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cb GROUP BY 1),
+        |tb AS (SELECT b, count(*)::BIGINT AS t FROM bi
+        |       WHERE doc_id % 50 = 0 GROUP BY 1),
+        |ratio AS (
+        |  SELECT b, (coalesce(t, 0) + 1) * 1000000 // (coalesce(s, 0) + 1) AS r
+        |  FROM sb FULL OUTER JOIN tb USING (b)),
+        |wt AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c * r) AS BIGINT) AS weight
+        |  FROM cb JOIN ratio USING (b) GROUP BY 1),
+        |full_w AS (
+        |  SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |    coalesce(weight, 0) AS weight,
+        |    CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+        |         THEN weight // n_bigrams ELSE 0 END AS BIGINT) AS avg_ratio
+        |  FROM documents d LEFT JOIN wt USING (doc_id))
+        |SELECT doc_id, n_bigrams, weight, avg_ratio FROM full_w
+        |WHERE CAST(avg_ratio AS DOUBLE) > 0
+        |ORDER BY ln((CAST(${graft.functions.Portable.h60Sql(
+             "'dsir:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+        |    / ${graft.ops.Sampling.H60Space})
+        |  / CAST(avg_ratio AS DOUBLE) DESC, doc_id
+        |LIMIT 50""".stripMargin,
 
     "q_x_c4_clean" ->
       """WITH lined AS (

@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * from_json use) — no CodegenFallback.
   */
 case class RangeBucket(keys: Seq[Expression],
-    boundaries: Array[Array[Any]]) extends Expression {
+    bounds: RangeBoundaries) extends Expression {
+
+  def boundaries: Array[Array[Any]] = bounds.rows
 
   override def children: Seq[Expression] = keys
   override def dataType: DataType = IntegerType
@@ -73,6 +75,25 @@ case class RangeBucket(keys: Seq[Expression],
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): RangeBucket =
     copy(keys = newChildren)
+}
+
+/** Boundary rows with STRUCTURAL equality (deepEquals/deepHashCode).
+  * A bare `Array[Array[Any]]` in a case-class expression compares by
+  * reference, so two semantically identical [[RangeBucket]] instances
+  * would never be `semanticEquals` — silently defeating exchange reuse
+  * and common-subexpression elimination if callers ever stopped sharing
+  * the single instance `Ranks.grouped` builds (ADVICE r14). */
+final class RangeBoundaries(val rows: Array[Array[Any]])
+    extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case b: RangeBoundaries =>
+      java.util.Arrays.deepEquals(
+        rows.asInstanceOf[Array[AnyRef]], b.rows.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.deepHashCode(rows.asInstanceOf[Array[AnyRef]])
+  override def toString: String = s"RangeBoundaries(${rows.length} rows)"
 }
 
 /** The shared search/compare kernel: lexicographic tuple comparison with

@@ -46,6 +46,15 @@ object Dedup {
     *
     * Returns (doc_id, clean_text, n_kept, n_dropped).
     *
+    * PRECONDITION: `idCol` must be unique (a primary key, like every
+    * per-document operator here — stratifiedTopK documents the same
+    * assumption). With duplicate ids the winner decision `row ==
+    * min(struct(id, pos))` marks EVERY row tying the min as a winner
+    * (the r13 window form picked one arbitrarily), and the per-id
+    * reassembly below merges the duplicates' paragraphs into one output
+    * row — the operator's output is ill-defined under duplicate ids in
+    * either form, so callers must dedup ids first (exact `dedup`).
+    *
     * Scale shape: explode is linear; the winner decision is a map-side-
     * combined `min(struct(id, pos))` per paragraph hash joined back
     * onto the occurrence stream — only (hash, id, pos) triples cross
@@ -208,6 +217,11 @@ object Dedup {
         (col("__n") - size(col("__keep"))).cast(LongType).as("n_dropped"))
   }
 
+  /** PRECONDITION (keepFirst): `idCol` must be unique — with duplicate
+    * ids, duplicate (id, start) pairs all tie `min(struct(id, start))`
+    * and are ALL spared as "the first occurrence" (the window form
+    * spared exactly one, arbitrarily). Same contract as
+    * [[dedupParagraphs]]; dedup ids before calling. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minCount: Long = 2L,
       keepFirst: Boolean = false): DataFrame = {

@@ -132,8 +132,31 @@ object Dsir {
     * bounded per-partition top-k, never a global sort. */
   def select(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, k: Int,
-      buckets: Int = 1024): DataFrame =
-    weights(corpus, idCol, textCol, target, targetTextCol, buckets)
+      buckets: Int = 1024, scale: Long = 1000000L): DataFrame =
+    weights(corpus, idCol, textCol, target, targetTextCol, buckets, scale)
       .orderBy(col("avg_ratio").desc, col(idCol).asc)
       .limit(k)
+
+  /** Importance RESAMPLING — the paper's actual draw (arXiv:2302.03169
+    * §2: sample proportionally to the importance weights, don't take
+    * the top mass): a deterministic Efraimidis–Spirakis weighted
+    * sample without replacement over `avg_ratio`
+    * ([[Sampling.weightedTopK]] — key = ln(u)/w with u hash-derived
+    * from the id, so the draw is a pure projection any engine
+    * replays). Versus [[select]], high-weight documents are LIKELY,
+    * not certain — the diversity-preserving behavior the paper argues
+    * for (top-mass selection collapses onto near-duplicates of the
+    * target). Documents with avg_ratio ≤ 0 (no bigrams) are never
+    * drawn, as p ∝ w requires.
+    *
+    * Scale shape: the weights pass unchanged + one scan with
+    * per-partition top-k heaps (TakeOrderedAndProject) — no extra
+    * corpus shuffle over [[weights]]. */
+  def resample(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      buckets: Int = 1024, scale: Long = 1000000L,
+      salt: String = "dsir"): DataFrame =
+    Sampling.weightedTopK(
+      weights(corpus, idCol, textCol, target, targetTextCol, buckets, scale),
+      idCol, "avg_ratio", k, salt)
 }

@@ -131,7 +131,8 @@ object Ranks {
     // shuffle — but is now purely a performance property).
     val bounds = sampleBoundaries(base.select(keyNames.map(col): _*), n)
     val bucket = Shims.column(RangeBucket(
-      keyNames.map(nm => Shims.expression(col(nm))), bounds))
+      keyNames.map(nm => Shims.expression(col(nm))),
+      new graft.functions.RangeBoundaries(bounds)))
 
     // identity bucket→partition routing: repartition(n, expr) hashes,
     // so shuffling on the bucket id directly would collide buckets

@@ -36,7 +36,9 @@ object ShingleBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = nRows / 50 // ~50 shingle occurrences per document
+    // ~50 shingle occurrences per document; floor at 1 so a tiny nRows
+    // never makes `col("id") % docs` a modulo-by-zero (ADVICE r14)
+    val docs = math.max(1L, nRows / 50)
     // (tag, hot shingle count, per-mille of the stream that is hot):
     // skew90/5 is the crawl-boilerplate case; skew99/1 is the worst
     // case — ONE navbar gram in ~every document, the single-task

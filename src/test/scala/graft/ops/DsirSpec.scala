@@ -93,4 +93,34 @@ class DsirSpec extends SparkSpec {
     assert(!plan.contains("Window ["),
       s"dsir must not plan a window:\n$plan")
   }
+
+  test("resample: p ∝ avg_ratio draw — k rows, zero-weight docs never " +
+      "drawn, selection is a weighted sample (not the top mass)") {
+    val drawn = Dsir.resample(corpus, "doc_id", "text", target, "text",
+      k = 3).collect()
+    assert(drawn.length == 3)
+    assert(drawn.forall(_.getLong(3) > 0)) // avg_ratio > 0 only
+    // determinism: same seed-salt, same draw
+    val again = Dsir.resample(corpus, "doc_id", "text", target, "text",
+      k = 3).collect().map(_.getLong(0)).toSeq
+    assert(again == drawn.map(_.getLong(0)).toSeq)
+    // a different salt decorrelates the draw (new u per id); with equal
+    // weights the orders may still coincide, so only require validity
+    val salted = Dsir.resample(corpus, "doc_id", "text", target, "text",
+      k = 3, salt = "other").collect()
+    assert(salted.length == 3 && salted.forall(_.getLong(3) > 0))
+  }
+
+  test("select threads scale through to weights (signature consistency)") {
+    // with a different scale the top-k SET can only be computed
+    // consistently if select passes scale down — compare against the
+    // manual compose at the same scale
+    val viaSelect = Dsir.select(corpus, "doc_id", "text", target, "text",
+      k = 2, scale = 500L).collect().map(_.getLong(0)).toSeq
+    val manual = Dsir.weights(corpus, "doc_id", "text", target, "text",
+      scale = 500L)
+      .orderBy(col("avg_ratio").desc, col("doc_id").asc).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSelect == manual)
+  }
 }

@@ -164,4 +164,25 @@ class RanksSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(a == b)
   }
+
+  test("RangeBucket has structural equality: independent instances over " +
+      "equal boundaries are semanticEquals (exchange-reuse safe)") {
+    import graft.functions.{RangeBoundaries, RangeBucket}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    def mk() = RangeBucket(
+      Seq(AttributeReference("k", LongType)(
+        org.apache.spark.sql.catalyst.expressions.ExprId(7))),
+      new RangeBoundaries(Array(Array[Any](1L), Array[Any](5L))))
+    assert(mk() == mk())                       // case-class equality
+    assert(mk().semanticEquals(mk()))          // canonicalized equality
+    val other = mk().copy(bounds =
+      new RangeBoundaries(Array(Array[Any](2L))))
+    assert(mk() != other)
+    // and the searcher still buckets through the wrapper
+    assert(mk().bounds.rows.length == 2)
+    val lit = RangeBucket(Seq(Literal(3L)),
+      new RangeBoundaries(Array(Array[Any](1L), Array[Any](5L))))
+    assert(lit.eval(null) == 1) // one boundary <= 3
+  }
 }
