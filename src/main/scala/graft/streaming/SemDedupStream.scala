@@ -47,12 +47,12 @@ import org.apache.spark.sql.functions._
   *    anti-join it WOULD re-append — the guard is load-bearing.)
   *
   * Per-batch plan hygiene: the batch is `localCheckpoint`ed once at
-  * entry (foreachBatch re-derives the source otherwise — every reuse,
-  * and `keep`'s self-join reuses twice, would replay the scan), the
-  * corpus-dup survivor set is checkpointed before `keep` so the pruned
-  * index probe runs once, not once per self-join side, and the centroid
-  * model is loaded once per batch and threaded through every stage
-  * (previously three sidecar reads per trigger).
+  * entry (foreachBatch re-derives the source otherwise — every reuse
+  * would replay the scan), the centroid model is loaded once per batch
+  * and threaded through every stage, and steps 1–3's decisions are all
+  * derived from ONE fused pair-join execution (see [[processBatch]]) —
+  * at stream batch sizes the per-job scheduling floor, not the cosine
+  * math, sets throughput, so trigger cost ≈ job count.
   *
   * State lives entirely in the index directory — executors hold nothing
   * between triggers, so the stream restarts from the checkpoint with no
@@ -77,9 +77,12 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
   def skipped: Long = replaysSkipped
 
   /** Cumulative seconds per phase since construction — the trigger
-    * breakdown the bench reports (ingest = checkpoint+count the batch,
-    * probe = corpus-dup anti-join, keep = within-batch pairs, append =
-    * replay guard + cell write, compact = cadenced rewrite). */
+    * breakdown the bench reports (ingest = checkpoint + cells/count,
+    * probe = the fused pair join (corpus dup AND within-batch AND guard
+    * classification in one pass), keep = 0 since r15 (its decision rides
+    * the probe's pair frame — the key stays so cross-round bench JSONs
+    * diff cleanly), append = survivor anti-join + cell write, compact =
+    * cadenced rewrite). */
   def phaseTotals: Map[String, Double] = phases.toMap
 
   /** Marker is scoped per LINEAGE: a new streaming query (fresh
@@ -126,77 +129,167 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
   /** The `foreachBatch` body. Returns the survivor count for the batch
     * (survivors are already appended to the index when this returns).
     * Pass foreachBatch's `batchId` for the replay fast path; the id
-    * anti-join keeps re-runs idempotent even without it. */
+    * anti-join keeps re-runs idempotent even without it.
+    *
+    * FUSED trigger plan (r15 — VERDICT r14 #5): the r14 body ran the
+    * corpus probe, the within-batch keep, and the append guard as three
+    * separate join executions with a checkpoint each (~10 Spark jobs per
+    * trigger; at stream batch sizes the per-job floor, not the cosine
+    * math, set throughput — measured 2000×64-float events spending
+    * 1.5 s in the probe join and 1.3 s in keep, ~50× the arithmetic
+    * cost). All three decisions are functions of ONE pair set, so the
+    * trigger now runs a single join pass: reference side = (pruned
+    * corpus cells ∪ the batch itself) against the broadcast batch,
+    * classifying each qualifying pair as corpus-dup ('c'), within-batch
+    * smaller-id dup ('w'), or replay-guard id collision ('g'). The
+    * two-stage semantics are preserved EXACTLY: stage 2's "dup of a
+    * smaller-id stage-1 survivor" is 'w' pairs whose smaller side is
+    * not corpus-dropped — derived from the checkpointed (tiny) pair
+    * frame, no second corpus pass (SemDedupStreamSpec's batch-replay
+    * equivalence pins this). Jobs per trigger: checkpoint, cells+count,
+    * pair join, survivors, append — down from ~10. */
   def processBatch(batch0: DataFrame, batchId: Long = -1L): Long = {
     if (batchId >= 0 && batchId <= lastApplied) {
       replaysSkipped += 1
       return 0L
     }
-    // one materialization of the source batch; every later stage —
-    // including keep's two self-join sides — reads the checkpoint
-    val (batch, total) = timed("ingest") {
-      val b = batch0.localCheckpoint()
-      (b, b.count())
-    }
+    // one materialization of the source batch; every later consumer —
+    // both union sides of the fused join included — reads the checkpoint.
+    // LAZY: the cells/count action below is its first action and
+    // materializes it — an eager checkpoint would be one more job
+    val batch = timed("ingest") { batch0.localCheckpoint(false) }
     try {
       val model = Ivf.loadModel(spark, indexPath)
-      // stage 1: batch rows duplicating the corpus (pruned scan ×
-      // broadcast batch); checkpointed so the probe join runs exactly
-      // once — distinct ids, since one batch row can dup many corpus rows.
-      // The batch's cell set is collected ONCE here and reused by the
-      // append guard (survivor cells ⊆ batch cells): one fewer driver
-      // action per trigger, and at small batches per-trigger actions are
-      // the throughput floor.
-      val (afterCorpus, batchCells) = timed("probe") {
-        val cells = Ivf.assign(batch, vecCol, model)
-          .select("__cluster").distinct().collect().map(_.getInt(0)).toSeq
-        val corpusDups = SemDedup.incrementalAgainstIndex(spark, indexPath,
-          batch, idCol, vecCol, threshold, Some(model), Some(cells))
-          .select(col("id").as("__drop")).distinct()
-        (batch.join(corpusDups, col(idCol) === col("__drop"), "left_anti")
-          .localCheckpoint(), cells)
+      // cells AND total from one action (the per-cell counts): the cell
+      // set prunes the corpus read; the count feeds the drop stats.
+      // `assigned` is CHECKPOINTED, not left as a plan: unmaterialized it
+      // rides into the fused join THREE times (union side, broadcast
+      // side, counts) and the duplicated centroid-literal assign subtree
+      // sends the driver's plan work superlinear — measured 5.6 s/trigger
+      // vs 0.7 s with the checkpoint (the A/B is in BENCHNOTES r15).
+      val (cellCounts, assigned) = timed("ingest") {
+        val a = Ivf.assign(batch, vecCol, model)
+          .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
+            sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol)))
+              .as("__bnrm"),
+            col("__cluster").as("__bcell"))
+          .localCheckpoint()
+        (a.groupBy("__bcell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)), a)
+      }
+      val cells = cellCounts.map(_._1).toSeq
+      val total = cellCounts.map(_._2).sum
+      if (total == 0) {
+        assigned.unpersist()
+        if (batchId >= 0) writeMarker(batchId)
+        batchesSeen += 1
+        return 0L
+      }
+      // the ONE heavy pass: (corpus in the batch's cells ∪ batch) ×
+      // broadcast batch, by cell. Corpus side joins at ANY id (same id =
+      // the replay guard, different id = stage-1 candidate); batch side
+      // only at smaller id (keep's a.id < b.id). Cosine exactly as
+      // SemDedup.pairs/incrementalAgainstIndex compute it.
+      val pairs = timed("probe") {
+        val corpusRef = spark.read.parquet(indexPath)
+          .filter(col(Ivf.CellCol).isin(cells: _*))
+          .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
+            sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol)))
+              .as("__rnrm"),
+            col(Ivf.CellCol).as("__rcell"), lit(true).as("__rcorp"))
+        val batchRef = assigned
+          .select(col("__bid").as("__rid"), col("__bvec").as("__rvec"),
+            col("__bnrm").as("__rnrm"), col("__bcell").as("__rcell"),
+            lit(false).as("__rcorp"))
+        val sim = when(col("__rnrm") * col("__bnrm") > 0,
+          graft.ops.Similarity.dot(col("__rvec"), col("__bvec")) /
+            (col("__rnrm") * col("__bnrm"))).otherwise(lit(0.0))
+        // ALL classification lives in the join condition, cheap disjuncts
+        // first, so (a) the 64-dim dot runs AT MOST ONCE per candidate
+        // pair (a post-join kind filter gets pushed into the condition by
+        // Catalyst and the dot would evaluate twice — measured 2× probe
+        // cost), and (b) batch-side pairs with __rid ≥ __bid short-circuit
+        // out before any dot. Post-join, kind derives from flags alone.
+        // the per-ref-row work is |its cell ∩ batch| dot products, and the
+        // corpus side arrives as a handful of bin-packed small-file scan
+        // partitions — without an explicit spread the heavy corpus×batch
+        // side runs on 1–4 tasks (the editverify serial-DP shape). An
+        // explicit-N round-robin repartition of the (small) ref frame
+        // costs one tiny shuffle and parallelizes the join across every
+        // core; AQE never re-coalesces REPARTITION_BY_NUM.
+        val nPart = spark.sessionState.conf.numShufflePartitions
+        val p = corpusRef.unionByName(batchRef)
+          .repartition(nPart)
+          .join(broadcast(assigned),
+            col("__rcell") === col("__bcell") && (
+              (col("__rcorp") && col("__rid") === col("__bid")) ||
+                ((col("__rcorp") || col("__rid") < col("__bid")) &&
+                  sim >= threshold)))
+          .select(col("__bid"), col("__rid"),
+            when(col("__rcorp") && col("__rid") === col("__bid"), lit("g"))
+              .when(col("__rcorp"), lit("c"))
+              .otherwise(lit("w")).as("__kind"))
+          .localCheckpoint() // eager — this IS the materializing action
+        p
       }
       try {
-        // stage 2: within-batch greedy min-id keep among the remaining
-        val survivors = timed("keep") {
-          SemDedup.keep(afterCorpus, idCol, vecCol, model,
-            threshold).localCheckpoint()
-        }
-        try {
-          val n = timed("append") {
-            // replay guard (see scaladoc): ids already present in the
-            // survivors' target cells are not appended again. Id-column-
-            // only pruned read — far cheaper than stage 1's vector scan —
-            // over the batch's cells (a superset of the survivors'),
-            // saving the per-trigger re-assign + collect.
-            val cells = batchCells
-            val fresh =
-              (if (cells.isEmpty) survivors
-               else {
-                 val existing = spark.read.parquet(indexPath)
-                   .filter(col(Ivf.CellCol).isin(cells: _*))
-                   .select(col(idCol))
-                 survivors.join(existing, Seq(idCol), "left_anti")
-               }).localCheckpoint()
-            try {
-              val nF = fresh.count()
-              Ivf.indexAppend(spark, indexPath, fresh, vecCol, Some(model))
-              if (batchId >= 0) writeMarker(batchId)
-              nF
-            } finally fresh.unpersist()
+        val n = timed("append") {
+          // drop-set algebra over the tiny pair frame (lazy sub-plans of
+          // the survivor anti-join — no extra actions):
+          //   stage 1: corpus dups ('c')
+          //   stage 2: 'w' pairs whose smaller side SURVIVED stage 1
+          //   guard:   id already present in its cell ('g')
+          // Unioning 'w' pairs with a corpus-dropped b is harmless —
+          // those b are dropped by their own 'c' row already.
+          // no distincts anywhere: every drop frame is only ever the
+          // RIGHT side of a left-anti join, where duplicates are
+          // semantically free — each removed distinct is a removed
+          // shuffle stage in the single append job
+          val corpusDrops = pairs.filter(col("__kind") === "c")
+            .select(col("__bid").as("__drop"))
+          val keepDrops = pairs.filter(col("__kind") === "w")
+            .join(corpusDrops.select(col("__drop").as("__rid")),
+              Seq("__rid"), "left_anti")
+            .select(col("__bid").as("__drop"))
+          val guardDrops = pairs.filter(col("__kind") === "g")
+            .select(col("__bid").as("__drop"))
+          val drops = corpusDrops.unionByName(keepDrops)
+            .unionByName(guardDrops)
+          // survivor count rides the WRITE job as an observed metric —
+          // no checkpoint-and-count round trip; the anti-join (batch
+          // checkpoint × tiny drop set over the checkpointed pairs)
+          // executes exactly once, inside the append
+          val obs = org.apache.spark.sql.Observation()
+          val survivorPlan =
+            batch.join(drops, col(idCol) === col("__drop"), "left_anti")
+          Ivf.indexAppend(spark, indexPath,
+            survivorPlan.observe(obs, count(lit(1)).as("n")),
+            vecCol, Some(model))
+          if (batchId >= 0) writeMarker(batchId)
+          // AQE's runtime empty-relation propagation can prune the
+          // CollectMetrics node when zero survivors flow (observed: the
+          // replay path, everything guard-dropped) — the metric is then
+          // simply absent. Recount from the checkpointed inputs in that
+          // rare case instead of assuming absence means zero.
+          obs.get.get("n") match {
+            case Some(v) => v.asInstanceOf[Long]
+            case None => survivorPlan.count()
           }
-          batchesSeen += 1
-          appended += n
-          dropped += total - n
-          graft.core.Metrics.observe("semdedup_stream", "survivors",
-            n.toDouble)
-          graft.core.Metrics.observe("semdedup_stream", "dropped",
-            (total - n).toDouble)
-          if (compactEvery > 0 && batchesSeen % compactEvery == 0)
-            timed("compact") { Ivf.compactIndex(spark, indexPath) }
-          n
-        } finally survivors.unpersist()
-      } finally afterCorpus.unpersist()
+        }
+        batchesSeen += 1
+        appended += n
+        dropped += total - n
+        graft.core.Metrics.observe("semdedup_stream", "survivors",
+          n.toDouble)
+        graft.core.Metrics.observe("semdedup_stream", "dropped",
+          (total - n).toDouble)
+        if (compactEvery > 0 && batchesSeen % compactEvery == 0)
+          timed("compact") { Ivf.compactIndex(spark, indexPath) }
+        n
+      } finally {
+        pairs.unpersist()
+        assigned.unpersist()
+      }
     } finally batch.unpersist()
   }
 }
