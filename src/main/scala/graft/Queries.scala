@@ -550,9 +550,9 @@ object Queries {
     }),
 
     "q_x_dsir_resample" -> ((s, dir) =>
-      // importance RESAMPLING (the paper's actual draw): deterministic
-      // Efraimidis–Spirakis weighted sample w/o replacement over
-      // avg_ratio — p ∝ weight, so high-ratio docs are likely, not
+      // importance RESAMPLING (the paper's actual draw): Gumbel-top-k
+      // over the exact micro-nat log-likelihood — p ∝ the paper's
+      // likelihood-ratio weight, so target-like docs are likely, not
       // certain; hash-derived u makes the draw engine-replayable.
       graft.ops.Dsir.resample(docs(s, dir), "doc_id", "text",
         rd(s, dir, "documents").filter(col("doc_id") % 50 === 0), "text",
@@ -3517,9 +3517,11 @@ object Queries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id > 400) d
         |LEFT JOIN wt USING (doc_id)""".stripMargin,
 
-    // the resampling twin: identical weight math, then the
-    // Efraimidis–Spirakis draw (the q_x_weighted_sample idiom) with
-    // weight = avg_ratio and salt 'dsir'
+    // the resampling twin: the paper's log-likelihood in exact BIGINT
+    // micro-nats (floor(ln((t+1)/(s+1))·1e6) per bucket — one scalar ln
+    // each engine computes identically; the SUM is integer, so no
+    // reduction-order drift), then the Gumbel-top-k draw with
+    // hash-derived u and salt 'dsir'
     "q_x_dsir_resample" ->
       s"""WITH d0 AS (
         |  SELECT doc_id,
@@ -3534,25 +3536,27 @@ object Queries {
         |sb AS (SELECT b, CAST(sum(c) AS BIGINT) AS s FROM cb GROUP BY 1),
         |tb AS (SELECT b, count(*)::BIGINT AS t FROM bi
         |       WHERE doc_id % 50 = 0 GROUP BY 1),
-        |ratio AS (
-        |  SELECT b, (coalesce(t, 0) + 1) * 1000000 // (coalesce(s, 0) + 1) AS r
+        |lrt AS (
+        |  SELECT b, CAST(floor(ln(
+        |      CAST(coalesce(t, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(s, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lr
         |  FROM sb FULL OUTER JOIN tb USING (b)),
         |wt AS (
         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(c * r) AS BIGINT) AS weight
-        |  FROM cb JOIN ratio USING (b) GROUP BY 1),
+        |    CAST(sum(c * lr) AS BIGINT) AS logw_micro
+        |  FROM cb JOIN lrt USING (b) GROUP BY 1),
         |full_w AS (
         |  SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
-        |    coalesce(weight, 0) AS weight,
+        |    coalesce(logw_micro, 0) AS logw_micro,
         |    CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
-        |         THEN weight // n_bigrams ELSE 0 END AS BIGINT) AS avg_ratio
+        |         THEN coalesce(logw_micro, 0) // n_bigrams
+        |         ELSE 0 END AS BIGINT) AS avg_logw_micro
         |  FROM documents d LEFT JOIN wt USING (doc_id))
-        |SELECT doc_id, n_bigrams, weight, avg_ratio FROM full_w
-        |WHERE CAST(avg_ratio AS DOUBLE) > 0
-        |ORDER BY ln((CAST(${graft.functions.Portable.h60Sql(
-             "'dsir:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
-        |    / ${graft.ops.Sampling.H60Space})
-        |  / CAST(avg_ratio AS DOUBLE) DESC, doc_id
+        |SELECT doc_id, n_bigrams, logw_micro, avg_logw_micro FROM full_w
+        |ORDER BY CAST(avg_logw_micro AS DOUBLE) / 1000000.0
+        |  - ln(-ln((CAST(${graft.functions.Portable.h60Sql(
+             "'dsir:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+        |    / ${graft.ops.Sampling.H60Space})) DESC, doc_id
         |LIMIT 50""".stripMargin,
 
     "q_x_c4_clean" ->

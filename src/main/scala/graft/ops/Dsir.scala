@@ -137,26 +137,96 @@ object Dsir {
       .orderBy(col("avg_ratio").desc, col(idCol).asc)
       .limit(k)
 
+  /** Fixed-point LOG-ratio table (__b, __lr): `⌊ln((t_b+1)/(s_b+1))·10⁶⌋`
+    * as BIGINT micro-nats — the paper's per-bucket log-likelihood term,
+    * quantized so per-DOC sums are exact integer arithmetic (a double
+    * sum's value depends on reduction order and would never
+    * hash-compare across engines; the single per-bucket `ln` + `floor`
+    * is a deterministic scalar both engines compute identically — the
+    * q_x_weighted_sample precedent). Buckets absent from both corpora
+    * score ln(1/1) = 0, which is exactly what a missing row coalesces
+    * to downstream. */
+  def logRatioTable(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "need buckets > 0")
+    val sb = docBucketCounts(corpus, idCol, textCol, buckets)
+      .groupBy("__b").agg(sum(col("__c")).as("__s"))
+    val tb = target
+      .select(explode(bigrams(col(targetTextCol))).as("__bg"))
+      .select(pmod(Portable.h60(col("__bg")), lit(buckets)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__t"))
+    sb.join(tb, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        floor(log((coalesce(col("__t"), lit(0L)) + lit(1L))
+            .cast(DoubleType) /
+          (coalesce(col("__s"), lit(0L)) + lit(1L)).cast(DoubleType)) *
+          lit(1e6)).cast(LongType).as("__lr"))
+  }
+
   /** Importance RESAMPLING — the paper's actual draw (arXiv:2302.03169
-    * §2: sample proportionally to the importance weights, don't take
-    * the top mass): a deterministic Efraimidis–Spirakis weighted
-    * sample without replacement over `avg_ratio`
-    * ([[Sampling.weightedTopK]] — key = ln(u)/w with u hash-derived
-    * from the id, so the draw is a pure projection any engine
-    * replays). Versus [[select]], high-weight documents are LIKELY,
-    * not certain — the diversity-preserving behavior the paper argues
-    * for (top-mass selection collapses onto near-duplicates of the
-    * target). Documents with avg_ratio ≤ 0 (no bigrams) are never
-    * drawn, as p ∝ w requires.
+    * §2: sample ∝ the importance weight, don't take the top mass) as a
+    * deterministic Gumbel-top-k: w(doc) = Π_b ((t_b+1)/(s_b+1))^{c_b}
+    * is the paper's unnormalized likelihood ratio, so
+    * log w = Σ_b c_b·ln((t_b+1)/(s_b+1)) — accumulated EXACTLY as
+    * BIGINT micro-nats via [[logRatioTable]] — and the k largest
+    * `log w + Gumbel(u)` keys are precisely a p ∝ w sample without
+    * replacement (the Gumbel-max trick; u is hash-derived from the id,
+    * so any engine replays the draw to the row; the normalizer shifts
+    * every key equally and cancels). The r15 first cut drew over the
+    * LINEAR ratio sum `avg_ratio`, whose compressed dynamic range made
+    * the draw near-uniform (0/50 target members at sf0.1 vs select's
+    * 12/50) — the log-likelihood restores the paper's enrichment while
+    * keeping the diversity the top-mass select destroys.
     *
-    * Scale shape: the weights pass unchanged + one scan with
-    * per-partition top-k heaps (TakeOrderedAndProject) — no extra
-    * corpus shuffle over [[weights]]. */
+    * LENGTH NORMALIZATION: the paper scores fixed-size chunks; over
+    * variable-length documents the raw log-likelihood is dominated by
+    * the length term (every populated bucket carries ≈ ln(|target|/
+    * |corpus|), so log w ≈ that constant × n_bigrams — measured at
+    * sf0.1: the raw-weight draw picked short docs, 1/50 target members
+    * vs the top-mass select's 12/50). The draw therefore uses the
+    * PER-BIGRAM mean `logw_micro div n_bigrams` (exact integer div) —
+    * sampling ∝ the geometric-mean likelihood ratio, the standard
+    * per-token adaptation, length-free like [[weights]]' avg_ratio.
+    *
+    * Output: (idCol, n_bigrams, logw_micro, avg_logw_micro) — exact
+    * integer µnats; bigram-less documents carry the empty product's
+    * log w = 0 and legitimately participate.
+    *
+    * Scale shape: identical to [[weights]] (two explodes, map-side
+    * aggregates, one O(buckets) broadcast) + one scan with
+    * per-partition top-k heaps (TakeOrderedAndProject). */
   def resample(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, k: Int,
-      buckets: Int = 1024, scale: Long = 1000000L,
-      salt: String = "dsir"): DataFrame =
-    Sampling.weightedTopK(
-      weights(corpus, idCol, textCol, target, targetTextCol, buckets, scale),
-      idCol, "avg_ratio", k, salt)
+      buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val lr = logRatioTable(corpus, idCol, textCol, target, targetTextCol,
+      buckets)
+    val perDoc = docBucketCounts(corpus, idCol, textCol, buckets)
+      .join(broadcast(lr), Seq("__b"), "left")
+      .withColumn("__lr", coalesce(col("__lr"), lit(0L)))
+      .groupBy("__id").agg(
+        sum(col("__c")).as("n_bigrams"),
+        sum(col("__c") * col("__lr")).as("logw_micro"))
+    val scored = corpus.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+      .withColumn("avg_logw_micro",
+        when(col("n_bigrams") > 0,
+          expr("logw_micro div n_bigrams"))
+          .otherwise(lit(0L)).cast(LongType))
+    // u ∈ (0,1) strictly (the +0.5/2⁶⁰ midpoint — u = 1 would send the
+    // double-ln Gumbel to +∞); g = −ln(−ln u); key = mean log w + g
+    val u = (Portable.h60(concat(lit(salt + ":"), col(idCol).cast("string")))
+      .cast(DoubleType) + lit(0.5)) / lit(Sampling.H60Space)
+    val key = col("avg_logw_micro").cast(DoubleType) / lit(1e6) -
+      log(-log(u))
+    scored
+      .withColumn("__gkey", key)
+      .orderBy(col("__gkey").desc, col(idCol))
+      .limit(k)
+      .drop("__gkey")
+  }
 }

@@ -94,21 +94,56 @@ class DsirSpec extends SparkSpec {
       s"dsir must not plan a window:\n$plan")
   }
 
-  test("resample: p ∝ avg_ratio draw — k rows, zero-weight docs never " +
-      "drawn, selection is a weighted sample (not the top mass)") {
+  test("resample: Gumbel-top-k over exact micro-nat log-likelihood — " +
+      "k rows, deterministic, weight-sensitive") {
     val drawn = Dsir.resample(corpus, "doc_id", "text", target, "text",
       k = 3).collect()
     assert(drawn.length == 3)
-    assert(drawn.forall(_.getLong(3) > 0)) // avg_ratio > 0 only
     // determinism: same seed-salt, same draw
     val again = Dsir.resample(corpus, "doc_id", "text", target, "text",
       k = 3).collect().map(_.getLong(0)).toSeq
     assert(again == drawn.map(_.getLong(0)).toSeq)
-    // a different salt decorrelates the draw (new u per id); with equal
-    // weights the orders may still coincide, so only require validity
+    // a different salt redraws u per id; result is still a valid k-draw
     val salted = Dsir.resample(corpus, "doc_id", "text", target, "text",
       k = 3, salt = "other").collect()
-    assert(salted.length == 3 && salted.forall(_.getLong(3) > 0))
+    assert(salted.length == 3)
+    // weight-sensitivity: logw_micro = Σ c_b·⌊ln((t+1)/(s+1))·1e6⌋ must
+    // match a driver-side replay for every drawn row
+    val lr = Dsir.logRatioTable(corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lr.values.exists(_ != 0L)) // the table is non-trivial
+    drawn.foreach { r =>
+      assert(r.schema.fieldNames.toSeq ==
+        Seq("doc_id", "n_bigrams", "logw_micro", "avg_logw_micro"))
+      // the per-bigram mean is the exact truncating integer div
+      if (r.getLong(1) > 0)
+        assert(r.getLong(3) == r.getLong(2) / r.getLong(1))
+      else assert(r.getLong(3) == 0L)
+    }
+  }
+
+  test("resample enriches when importance weights actually differ " +
+      "(disjoint-vocabulary target)") {
+    // two languages with disjoint vocabularies: target-speak docs score
+    // avg log-ratio ≈ ln((t+1)/(s+1)) near 0; crawl-speak buckets have
+    // t = 0 → strongly negative. The gap (several nats) dwarfs the
+    // Gumbel noise (σ ≈ 1.28), so the draw must land on target-speak.
+    val big = ((1L to 10L).map(i => (i, "alpha beta gamma delta " * 5)) ++
+      (11L to 20L).map(i => (i, "noise words crawl junk " * 5)))
+      .toDF("doc_id", "text")
+    // a heavy target: t_b ≈ 50 per alpha bucket vs s_b ≈ 48 pushes the
+    // alpha/noise mean-log-ratio gap to ~3.9 nats — decisive vs Gumbel σ
+    val tgt = Seq((100L, "alpha beta gamma delta " * 50))
+      .toDF("doc_id", "text")
+    val drawn = Dsir.resample(big, "doc_id", "text", tgt, "text", k = 5)
+      .collect().map(_.getLong(0))
+    assert(drawn.count(_ <= 10L) >= 4,
+      s"expected a target-speak majority, got ${drawn.mkString(",")}")
+    // and on a FLAT-weight fixture (target = the corpus itself) the draw
+    // degenerates to the plain hash-uniform sample — p ∝ w with equal w
+    val flat = Dsir.resample(big, "doc_id", "text", big, "text", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flat.size == 5) // valid draw; both languages eligible
   }
 
   test("select threads scale through to weights (signature consistency)") {
