@@ -473,6 +473,29 @@ object Queries {
       TextOps.lengthOutliers(rd(s, dir, "documents"), Seq("source"),
         "doc_id", "n_chars")),
 
+    "q_x_mad_outliers" -> ((s, dir) =>
+      // robust spread-scaled screen (Hampel): |v − median| > 3·MAD —
+      // median/MAD are nearest-rank MEMBER values, so everything stays
+      // exact int64; immune where crawl blobs inflate a mean/σ gate
+      CorpusStats.madOutliers(rd(s, dir, "documents"), Seq("source"),
+          "doc_id", "n_chars")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast(LongType).as("n_chars"),
+          col("med"), col("mad"), col("is_outlier"))),
+
+    "q_x_k_anon" -> ((s, dir) => {
+      // k-anonymity export gate over the masking family's customer
+      // table: quasi-identifiers (nation, segment, balance band) must
+      // pin at least k=5 customers or the rows are suppressed
+      val c = rd(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"),
+        graft.mask.Privacy.generalizeNum(floor(col("c_acctbal")), 5000L)
+          .as("bal_band"))
+      graft.mask.Privacy.kAnonymize(c,
+        Seq("nation", "segment", "bal_band"), k = 5L)
+    }),
+
     "q_x_dup_clusters" -> ((s, dir) =>
       // pair graph → connected components → canonical representative per
       // duplicate cluster (min-label fixpoint; the recursive-CTE oracle
@@ -4054,6 +4077,56 @@ object Queries {
         |SELECT source, doc_id, n_chars, p_lo, p_hi,
         |  (n_chars < p_lo OR n_chars > p_hi) AS is_outlier
         |FROM b""".stripMargin,
+
+    // mad_outliers: median and MAD as nearest-rank MEMBER values (rank
+    // <= ceil(n/2) max — tie-insensitive like winsorize), everything
+    // downstream exact int64
+    "q_x_mad_outliers" ->
+      """WITH r1 AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |med AS (
+        |  SELECT source,
+        |    CAST(max(CASE WHEN rn <= ceil(n * 0.5) THEN n_chars END)
+        |      AS BIGINT) AS med
+        |  FROM r1 GROUP BY source),
+        |wm AS (
+        |  SELECT d.source, d.doc_id, d.n_chars, m.med,
+        |    abs(d.n_chars - m.med) AS ad
+        |  FROM documents d JOIN med m USING (source)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY ad)
+        |      AS rn2,
+        |    count(*) OVER (PARTITION BY source) AS n2
+        |  FROM wm),
+        |mad AS (
+        |  SELECT source,
+        |    CAST(max(CASE WHEN rn2 <= ceil(n2 * 0.5) THEN ad END)
+        |      AS BIGINT) AS mad
+        |  FROM r2 GROUP BY source)
+        |SELECT w.source, w.doc_id, w.n_chars, w.med, t.mad,
+        |  CAST(w.ad > 3 * t.mad AS BIGINT) AS is_outlier
+        |FROM wm w JOIN mad t USING (source)""".stripMargin,
+
+    // k_anon: suppression over (nation, segment, floor-banded balance);
+    // pmod-style band floor so negative balances band correctly
+    "q_x_k_anon" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal) AS BIGINT)
+        |      - ((CAST(floor(c_acctbal) AS BIGINT) % 5000 + 5000) % 5000)
+        |      AS bal_band
+        |  FROM customer),
+        |g AS (
+        |  SELECT nation, segment, bal_band,
+        |    count(*)::BIGINT AS k_group
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT c.nation, c.segment, c.bal_band, c.c_custkey, g.k_group
+        |FROM c JOIN g USING (nation, segment, bal_band)
+        |WHERE g.k_group >= 5""".stripMargin,
 
     "q_x_ann_cosine" ->
       """WITH q AS (

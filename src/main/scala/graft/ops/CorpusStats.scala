@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -292,5 +292,68 @@ object CorpusStats {
       .reduce(_ && _)
     df.join(qmap, cond)
       .drop((groupCols.indices.map(i => s"__qg$i") :+ "__qv"): _*)
+  }
+
+  /** Robust per-group outlier screen: median/MAD instead of mean/stddev
+    * (Hampel's rule; Leys et al. 2013, "Detecting outliers: do not use
+    * standard deviation around the mean, use absolute deviation around
+    * the median") — a handful of 100 MB crawl blobs inflate a mean/σ
+    * gate until nothing is an outlier; the median and MAD are immune to
+    * up to 50% contamination. Complements [[winsorize]]/`lengthOutliers`
+    * (quantile CUTS at fixed p) with a spread-scaled rule: flag
+    * |v − median| > cut·MAD.
+    *
+    * Exact-arithmetic discipline: both the median and the MAD are
+    * nearest-rank VALUES (rank ⌈n/2⌉ — member selection, not
+    * interpolation), so with a long-castable value every derived
+    * number — |v−med|, MAD, the cut·MAD comparison — is exact int64
+    * that any SQL engine replays bit-for-bit. Tie order inside the
+    * rank is irrelevant: the selected bound is identical under any tie
+    * permutation (the [[winsorize]] argument).
+    *
+    * Scale shape: two [[Ranks.grouped]] passes (values, then absolute
+    * deviations) — range-partitioned two-pass ranks, never a per-group
+    * single-reducer sort — each reduced to an O(groups) frame that
+    * broadcast-joins back. `valueCol` must be non-null (null rank
+    * order differs across engines).
+    *
+    * Output: input row + (med, mad, is_outlier ∈ {0,1} LongType). */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, cut: Int = 3): DataFrame = {
+    require(cut > 0, "cut must be positive")
+    val gs = groupCols.map(col)
+    val slim = df.select((gs :+ col(idCol)) :+ col(valueCol): _*)
+    val v = col(valueCol).cast(LongType)
+    def medianOf(in: DataFrame, c: Column, out: String): DataFrame =
+      Ranks.grouped(in, groupCols, Seq(c),
+          rankCol = Some("__rn"), totalCountCol = Some("__n"))
+        .groupBy(gs: _*)
+        .agg(max(when(col("__rn") <= ceil(col("__n") * 0.5),
+          c.cast(LongType))).as(out))
+    def bJoin(left: DataFrame, right: DataFrame, keep: Seq[String])
+        : DataFrame = {
+      val r = right.select(
+        groupCols.zipWithIndex.map { case (g, i) =>
+          col(g).as(s"__mg$i") } ++ keep.map(col): _*)
+      val cond = groupCols.zipWithIndex
+        .map { case (g, i) => col(g) <=> col(s"__mg$i") }.reduce(_ && _)
+      left.join(broadcast(r), cond)
+        .drop(groupCols.indices.map(i => s"__mg$i"): _*)
+    }
+    // chained-rank seam (the rfm/qnorm pattern): rank 2's boundary
+    // sample AND main pass both consume this frame — unmaterialized,
+    // the whole rank-1 pipeline would re-execute per consumer. Lazy:
+    // the sample pass is its first action and materializes it.
+    val withMed = bJoin(slim,
+        medianOf(slim, col(valueCol), "med"), Seq("med"))
+      .withColumn("__ad", abs(v - col("med")))
+      .localCheckpoint(false)
+    graft.core.Metrics.deferUnpersist(withMed)
+    val withMad = bJoin(withMed,
+      medianOf(withMed, col("__ad"), "mad"), Seq("mad"))
+    withMad
+      .withColumn("is_outlier",
+        (col("__ad") > lit(cut.toLong) * col("mad")).cast(LongType))
+      .drop("__ad")
   }
 }

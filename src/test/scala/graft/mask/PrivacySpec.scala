@@ -1,0 +1,44 @@
+package graft.mask
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Seq(
+    // (id, nation, segment) — group (1, "A") has 3 members, (2, "B") 1
+    (1L, 1, "A"), (2L, 1, "A"), (3L, 1, "A"),
+    (4L, 2, "B"),
+    (5L, 3, "C"), (6L, 3, "C")).toDF("id", "nation", "segment")
+
+  test("kAnonymize suppresses groups below k and attaches achieved k") {
+    val out = Privacy.kAnonymize(people, Seq("nation", "segment"), k = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("k_group"))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L)) // id 4 suppressed
+    assert(out(1L) == 3L && out(5L) == 2L)
+    // k = 1 releases everything; k above the max group releases nothing
+    assert(Privacy.kAnonymize(people, Seq("nation", "segment"), 1)
+      .count() == 6)
+    assert(Privacy.kAnonymize(people, Seq("nation", "segment"), 4)
+      .count() == 0)
+  }
+
+  test("kAnonymityReport: per-group release verdicts") {
+    val rep = Privacy.kAnonymityReport(people, Seq("nation"), k = 2)
+      .collect().map(r => r.getAs[Int]("nation") ->
+        ((r.getAs[Long]("k_group"), r.getAs[Long]("released")))).toMap
+    assert(rep(1) == ((3L, 1L)))
+    assert(rep(2) == ((1L, 0L)))
+    assert(rep(3) == ((2L, 1L)))
+  }
+
+  test("generalizeNum bands to the floor, negatives included") {
+    val got = Seq(0L, 37L, 4999L, 5000L, -1L, -4999L, -5000L, -5001L)
+      .toDF("v")
+      .select(Privacy.generalizeNum(col("v"), 5000L).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 0L, 5000L, -5000L, -5000L, -5000L, -10000L))
+  }
+}

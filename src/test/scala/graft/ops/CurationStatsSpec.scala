@@ -348,6 +348,30 @@ class AssignDistSpec extends SparkSpec {
     assert(got(6L) == 0.5, "single-member group sits mid-scale")
   }
 
+  test("madOutliers: hand-computed median/MAD, Hampel flag, exact int64") {
+    // group g: 1..9 plus a 1000 blob. n=10 -> median = value at rank 5
+    // = 5; deviations |v-5| = {4,3,2,1,0,1,2,3,4,995} sorted
+    // {0,1,1,2,2,3,3,4,4,995} -> MAD = value at rank 5 = 2; cut 3 ->
+    // flag |v-5| > 6: only the blob. A mean/σ gate would put the mean
+    // at ~104 and σ ~314 — the blob barely 3σ, the body all "normal".
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toLong)) :+
+      (("g", 10L, 1000L))).toDF("src", "id", "v")
+    val got = CorpusStats.madOutliers(df, Seq("src"), "id", "v")
+      .select("id", "med", "mad", "is_outlier")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, m, d, o) => id -> ((m, d, o)) }.toMap
+    assert(got.values.forall { case (m, d, _) => m == 5L && d == 2L })
+    assert(got(10L)._3 == 1L, "the blob is the outlier")
+    assert((1L to 9L).forall(got(_)._3 == 0L), "the body is not")
+    // all-equal group: MAD = 0 -> nothing exceeds 3*0 strictly... except
+    // any deviation > 0; with all values equal nothing is flagged
+    val eq = CorpusStats.madOutliers(
+      Seq(("e", 1L, 7L), ("e", 2L, 7L)).toDF("src", "id", "v"),
+      Seq("src"), "id", "v")
+      .select("is_outlier").as[Long].collect()
+    assert(eq.forall(_ == 0L))
+  }
+
   private implicit class Quads(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (v, lo, hi, w) => v -> (lo, hi, w) }.toMap
