@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // canary knob (Bench has the same one): set
+      // SPARK_GRAFT_CODEGEN_FALLBACK=false to turn silent
+      // interpreted-mode fallbacks into hard failures for a whole-
+      // catalog codegen sweep
+      .config("spark.sql.codegen.fallback",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_FALLBACK", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
