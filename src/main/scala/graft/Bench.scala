@@ -52,6 +52,28 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     def deltaPct(a: Double, b: Double): String =
       if (a > 0 && b > 0) (100.0 * (b - a) / a).toString else "null"
+    // Second canary of a DIFFERENT resource class (VERDICT r15 #3): the
+    // q_p4_date probe is CPU/scan-shaped and under-reads shuffle
+    // contention — r15's stated failure mode was "raw band narrow while
+    // the canary swings", i.e. a window the primary probe cannot see.
+    // This probe is a fixed two-exchange aggregate (groupBy suppkey →
+    // re-groupBy a derived bucket), so its wall is dominated by two
+    // shuffle write+fetch rounds. OBSERVATIONAL ONLY: section reruns and
+    // the adjusted totals stay keyed to the primary canary, budgets stay
+    // on RAW — the second factor rides the artifact per chunk so a
+    // degraded window self-classifies by resource type.
+    def canary2Sec(): Double =
+      try {
+        import org.apache.spark.sql.functions._
+        def run(): Unit = Tables.read(spark, sfDir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("__q"), count(lit(1)).as("__n"))
+          .groupBy(pmod(col("l_suppkey"), lit(64)).as("__b"))
+          .agg(sum(col("__q")).as("__sq"), sum(col("__n")).as("__sn"))
+          .write.format("noop").mode("overwrite").save()
+        run() // warm-up: pays the one-time codegen, not host state
+        (1 to 2).map(_ => time(run())).min
+      } catch { case _: Throwable => -1.0 }
     // bracket the index-build section: r8's minhash_sigs 128.9 s (vs
     // ~40 s typical) had no same-window control, so host contention vs a
     // build-path regression could not be told apart from the artifact
@@ -74,11 +96,15 @@ object Bench {
     // produced the reported number (ADVICE r14). Both brackets ship.
     final case class SectionMeta(name: String, startMs: Long, endMs: Long,
       canaryBefore: Double, canaryAfter: Double, rerun: Boolean,
-      skewed: Boolean, canaryBefore2: Double = -1.0)
+      skewed: Boolean, canaryBefore2: Double = -1.0,
+      shuffleBefore: Double = -1.0, shuffleAfter: Double = -1.0)
     val sectionMetas = scala.collection.mutable.ArrayBuffer[SectionMeta]()
     val rerunPct =
       sys.env.getOrElse("SPARK_GRAFT_SECTION_RERUN_PCT", "15").toDouble
     var lastCanary = canaryPreBuild
+    // the shuffle canary shares the boundary cadence but never triggers
+    // reruns; its "before" is the previous boundary's sample
+    var lastCanary2 = canary2Sec()
     def section[A](name: String)(body: => A): A = {
       def skewedAt(before: Double, after: Double): Boolean =
         before > 0 && after > 0 &&
@@ -87,18 +113,23 @@ object Bench {
       var res = body
       var end = System.currentTimeMillis()
       var c = canarySec()
+      var c2 = canary2Sec()
       if (rerunPct > 0 && skewedAt(lastCanary, c)) {
         val before2 = c
         res = body
         end = System.currentTimeMillis()
         c = canarySec()
+        c2 = canary2Sec()
         sectionMetas += SectionMeta(name, t0, end, lastCanary, c,
           rerun = true, skewed = skewedAt(before2, c),
-          canaryBefore2 = before2)
+          canaryBefore2 = before2,
+          shuffleBefore = lastCanary2, shuffleAfter = c2)
       } else
         sectionMetas += SectionMeta(name, t0, end, lastCanary, c,
-          rerun = false, skewed = false)
+          rerun = false, skewed = false,
+          shuffleBefore = lastCanary2, shuffleAfter = c2)
       lastCanary = c
+      lastCanary2 = c2
       res
     }
 
@@ -134,6 +165,7 @@ object Bench {
 
     // canary sample bracketing the catalog loop (pairs with canary_end)
     val canaryStart = canarySec()
+    val canary2Start = canary2Sec()
 
     // The catalog runs in canary-bracketed CHUNKS through the same
     // section harness the post-catalog sections use (VERDICT r13 #1:
@@ -157,6 +189,7 @@ object Bench {
       String, (Double, Double)]()
     val chunkOf = scala.collection.mutable.HashMap[String, String]()
     lastCanary = canaryStart
+    lastCanary2 = canary2Start
     catChunks.zipWithIndex.foreach { case (chunk, ci) =>
       val cname = f"catalog_$ci%02d"
       chunk.foreach { case (n, _) => chunkOf(n) = cname }
@@ -236,10 +269,12 @@ object Bench {
           .sortBy(-_._2)
           .map { case (n, s) => f"$n:$s%.2f" }
     val canaryEnd = canarySec()
+    val canary2End = canary2Sec()
     // JSON null when either measurement failed — a -1.0 sentinel would
     // read as a plausible small negative delta and hide the failure
     val canaryDeltaPct: String = deltaPct(canaryStart, canaryEnd)
     lastCanary = canaryEnd
+    lastCanary2 = canary2End
 
     // Window-normalized reporting (VERDICT r12 #3): this host's windows
     // drift ±15%/hour, so a slow-window seal used to need a detached-
@@ -276,6 +311,21 @@ object Bench {
         }
         .filter(_ > 0)
         .getOrElse(canaryWindowFactor)
+    // shuffle-canary analog, observational (never adjusts anything):
+    // ships per violation so "chunk CPU-canary ~1.0 but shuffle-canary
+    // high" — the seal-4 failure mode — is visible in the artifact
+    val canary2Ref =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY2_REF_SEC", "-1").toDouble
+    val canary2WindowFactor: Double =
+      if (canary2Start > 0 && canary2End > 0 && canary2Ref > 0)
+        ((canary2Start + canary2End) / 2.0) / canary2Ref
+      else -1.0
+    def windowFactor2For(name: String): Double =
+      chunkOf.get(name)
+        .flatMap(cn => sectionMetas.find(_.name == cn))
+        .map(m => ((m.shuffleBefore + m.shuffleAfter) / 2.0) / canary2Ref)
+        .filter(_ > 0)
+        .getOrElse(canary2WindowFactor)
     // Adjusted TOTAL = the SUM of per-query chunk-adjusted times, not
     // raw ÷ one global factor (VERDICT r14 #1: a single linear factor
     // over-corrects past ~1.3 — the r14 official artifact's 62.7 s
@@ -310,8 +360,10 @@ object Bench {
         val chunk = chunkOf.getOrElse(name, "-")
         val skewed = sectionMetas.find(_.name == chunk)
           .exists(_.skewed)
+        val f2 = windowFactor2For(name)
+        val f2s = if (f2 > 0) f"$f2%.3f" else "null"
         f"$name:raw=$raw%.2f,adj=${raw / f}%.2f,factor=$f%.3f," +
-          s"chunk=$chunk,chunk_skewed=$skewed"
+          s"factor_shuffle=$f2s,chunk=$chunk,chunk_skewed=$skewed"
       }
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
@@ -1041,6 +1093,8 @@ object Bench {
         ",\"canary_after_sec\":" + m.canaryAfter +
         (if (m.rerun) ",\"canary_before2_sec\":" + m.canaryBefore2
          else "") +
+        ",\"canary2_before_sec\":" + m.shuffleBefore +
+        ",\"canary2_after_sec\":" + m.shuffleAfter +
         ",\"rerun\":" + m.rerun + ",\"skewed\":" + m.skewed + "}"
     }.mkString("{", ",", "}")
     def sectionNames(p: SectionMeta => Boolean): String =
@@ -1089,6 +1143,14 @@ object Bench {
          else "null"),
       "total_window_adjusted" ->
         (if (totalWindowAdjusted > 0) totalWindowAdjusted.toString
+         else "null"),
+      "canary2_query" -> "\"shuffle2x_lineitem_suppkey\"",
+      "canary2_start_sec" -> canary2Start.toString,
+      "canary2_end_sec" -> canary2End.toString,
+      "canary2_delta_pct" -> deltaPct(canary2Start, canary2End),
+      "canary2_ref_sec" -> canary2Ref.toString,
+      "canary2_window_factor" ->
+        (if (canary2WindowFactor > 0) canary2WindowFactor.toString
          else "null"),
       "window_factor_extreme" -> windowFactorExtreme.toString,
       "budget_violations_window_adjusted" -> budgetViolationsAdjusted

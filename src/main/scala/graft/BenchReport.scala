@@ -37,6 +37,10 @@ object BenchReport {
     // window_factor_extreme says when even that linear model is suspect
     "canary_window_factor", "total_window_adjusted",
     "window_factor_extreme",
+    // r16: the shuffle-class second canary's whole-catalog factor rides
+    // the line (per-chunk brackets are file-only) — "CPU factor ~1.0 but
+    // shuffle factor high" is the contention type canary 1 cannot see
+    "canary2_window_factor",
     // r13: the four canary_post_*_sec absolutes moved file-only to fund
     // the window-factor fields — their *_delta_pct companions (the
     // actual drift signal) stay on the line

@@ -496,6 +496,19 @@ object Queries {
         Seq("nation", "segment", "bal_band"), k = 5L)
     }),
 
+    "q_x_l_diverse" -> ((s, dir) => {
+      // l-diversity gate: (nation, balance band) groups must pin ≥ k=5
+      // customers AND ≥ l=3 distinct market segments — the k-anonymous-
+      // but-homogeneous groups q_x_k_anon would release get suppressed
+      val c = rd(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"),
+        graft.mask.Privacy.generalizeNum(floor(col("c_acctbal")), 5000L)
+          .as("bal_band"))
+      graft.mask.Privacy.lDiversify(c, Seq("nation", "bal_band"),
+        "segment", k = 5L, l = 3L)
+    }),
+
     "q_x_dup_clusters" -> ((s, dir) =>
       // pair graph → connected components → canonical representative per
       // duplicate cluster (min-label fixpoint; the recursive-CTE oracle
@@ -4127,6 +4140,26 @@ object Queries {
         |SELECT c.nation, c.segment, c.bal_band, c.c_custkey, g.k_group
         |FROM c JOIN g USING (nation, segment, bal_band)
         |WHERE g.k_group >= 5""".stripMargin,
+
+    // l_diverse: quasi-groups (nation, bal_band) need >= 5 members AND
+    // >= 3 distinct segments; homogeneous k-anonymous groups suppressed
+    "q_x_l_diverse" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal) AS BIGINT)
+        |      - ((CAST(floor(c_acctbal) AS BIGINT) % 5000 + 5000) % 5000)
+        |      AS bal_band
+        |  FROM customer),
+        |g AS (
+        |  SELECT nation, bal_band,
+        |    count(*)::BIGINT AS k_group,
+        |    count(DISTINCT segment)::BIGINT AS l_distinct
+        |  FROM c GROUP BY 1, 2)
+        |SELECT c.nation, c.bal_band, c.c_custkey, c.segment,
+        |  g.k_group, g.l_distinct
+        |FROM c JOIN g USING (nation, bal_band)
+        |WHERE g.k_group >= 5 AND g.l_distinct >= 3""".stripMargin,
 
     "q_x_ann_cosine" ->
       """WITH q AS (

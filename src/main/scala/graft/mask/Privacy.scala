@@ -46,6 +46,31 @@ object Privacy {
       .withColumn("released", (col("k_group") >= k).cast(LongType))
   }
 
+  /** Distinct l-diversity on top of k-anonymity (Machanavajjhala et al.
+    * 2006, "l-diversity: privacy beyond k-anonymity"): the classic
+    * k-anonymity failure is the HOMOGENEOUS group — k indistinguishable
+    * rows that all share the sensitive value, so the attacker learns it
+    * without identifying anyone. A released row's quasi-group must have
+    * ≥ k members AND ≥ l distinct sensitive values; both achieved
+    * figures ride along as `k_group` / `l_distinct` for the audit.
+    *
+    * Same 100 TB shape as [[kAnonymize]] plus one distinct aggregate:
+    * Catalyst plans the `countDistinct` as a two-phase aggregate over
+    * (quasi…, sensitive) — still map-side-combined, no window. */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("k_group"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+    df.join(sizes, quasiCols)
+      .filter(col("k_group") >= k && col("l_distinct") >= l)
+  }
+
   /** Numeric generalization: bucket a fine-grained quasi value to its
     * band floor (`width`-sized bands — ages to decades, balances to
     * 1000s). The coarsening that trades resolution for group size

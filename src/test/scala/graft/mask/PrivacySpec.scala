@@ -34,6 +34,30 @@ class PrivacySpec extends SparkSpec {
     assert(rep(3) == ((2L, 1L)))
   }
 
+  test("lDiversify suppresses the homogeneous group k-anonymity leaks") {
+    // (id, nation, diagnosis): group nation=1 is 3-anonymous but UNIFORM
+    // in the sensitive column — kAnonymize releases it (the leak),
+    // lDiversify suppresses it; nation=3 is 2-anonymous AND 2-diverse.
+    val rows = Seq(
+      (1L, 1, "flu"), (2L, 1, "flu"), (3L, 1, "flu"),
+      (5L, 3, "flu"), (6L, 3, "cold")).toDF("id", "nation", "diagnosis")
+    assert(Privacy.kAnonymize(rows, Seq("nation"), k = 2)
+      .select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 5L, 6L)) // the leak: uniform group released
+    val out = Privacy.lDiversify(rows, Seq("nation"), "diagnosis",
+      k = 2, l = 2)
+    assert(out.select("id").as[Long].collect().toSet == Set(5L, 6L))
+    val r = out.filter(col("id") === 5L).head()
+    assert(r.getAs[Long]("k_group") == 2L)
+    assert(r.getAs[Long]("l_distinct") == 2L)
+    // l = 1 degrades to plain k-anonymity
+    assert(Privacy.lDiversify(rows, Seq("nation"), "diagnosis", 2, 1)
+      .count() == 5)
+    // sensitive column may not double as a quasi column
+    assertThrows[IllegalArgumentException](
+      Privacy.lDiversify(rows, Seq("diagnosis"), "diagnosis", 1, 1))
+  }
+
   test("generalizeNum bands to the floor, negatives included") {
     val got = Seq(0L, 37L, 4999L, 5000L, -1L, -4999L, -5000L, -5001L)
       .toDF("v")
