@@ -46,13 +46,20 @@ import org.apache.spark.sql.functions._
   *    means a replayed row never dedups against itself, so without the
   *    anti-join it WOULD re-append — the guard is load-bearing.)
   *
-  * Per-batch plan hygiene: the batch is `localCheckpoint`ed once at
-  * entry (foreachBatch re-derives the source otherwise — every reuse
-  * would replay the scan), the centroid model is loaded once per batch
-  * and threaded through every stage, and steps 1–3's decisions are all
-  * derived from ONE fused pair-join execution (see [[processBatch]]) —
-  * at stream batch sizes the per-job scheduling floor, not the cosine
-  * math, sets throughput, so trigger cost ≈ job count.
+  * Per-batch plan hygiene: ONE lazy `localCheckpoint` of the ASSIGNED
+  * batch (columns + norm + cell) materialized by the cells/count
+  * action — foreachBatch re-derives the source otherwise, and every
+  * later stage (fused join sides, survivor write) reads the checkpoint;
+  * the centroid model is loaded once per batch and threaded through
+  * every stage; steps 1–3's decisions are all derived from ONE fused
+  * pair-join execution (see [[processBatch]]); survivors write straight
+  * from the assigned frame (cell already computed — no re-assign). At
+  * stream batch sizes the per-job scheduling floor, not the cosine
+  * math, sets throughput, so trigger cost ≈ job count: r16 runs THREE
+  * actions per non-empty trigger (counts, pair join, append) vs r15's
+  * four and r14's ~10. Appended rows carry the batch's columns plus the
+  * `cell` partition column, exactly as [[graft.ops.Ivf.indexAppend]]
+  * writes them.
   *
   * State lives entirely in the index directory — executors hold nothing
   * between triggers, so the stream restarts from the checkpoint with no
@@ -60,7 +67,8 @@ import org.apache.spark.sql.functions._
   */
 final class SemDedupStream(spark: SparkSession, indexPath: String,
     idCol: String, vecCol: String, threshold: Double,
-    compactEvery: Int = 16, lineage: String = "default") {
+    compactEvery: Int = 16, lineage: String = "default",
+    driverPairCap: Int = SemDedupStream.DefaultDriverPairCap) {
 
   private var batchesSeen = 0L
   private var appended = 0L
@@ -146,36 +154,40 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
     * smaller-id stage-1 survivor" is 'w' pairs whose smaller side is
     * not corpus-dropped — derived from the checkpointed (tiny) pair
     * frame, no second corpus pass (SemDedupStreamSpec's batch-replay
-    * equivalence pins this). Jobs per trigger: checkpoint, cells+count,
-    * pair join, survivors, append — down from ~10. */
+    * equivalence pins this). Jobs per trigger: cells+count (materializes
+    * the assigned checkpoint), pair join, append — down from r15's four
+    * and r14's ~10. */
   def processBatch(batch0: DataFrame, batchId: Long = -1L): Long = {
     if (batchId >= 0 && batchId <= lastApplied) {
       replaysSkipped += 1
       return 0L
     }
-    // one materialization of the source batch; every later consumer —
-    // both union sides of the fused join included — reads the checkpoint.
-    // LAZY: the cells/count action below is its first action and
-    // materializes it — an eager checkpoint would be one more job
-    val batch = timed("ingest") { batch0.localCheckpoint(false) }
-    try {
+    {
       val model = Ivf.loadModel(spark, indexPath)
-      // cells AND total from one action (the per-cell counts): the cell
-      // set prunes the corpus read; the count feeds the drop stats.
-      // `assigned` is CHECKPOINTED, not left as a plan: unmaterialized it
-      // rides into the fused join THREE times (union side, broadcast
-      // side, counts) and the duplicated centroid-literal assign subtree
-      // sends the driver's plan work superlinear — measured 5.6 s/trigger
-      // vs 0.7 s with the checkpoint (the A/B is in BENCHNOTES r15).
-      val (cellCounts, assigned) = timed("ingest") {
-        val a = Ivf.assign(batch, vecCol, model)
-          .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
-            sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol)))
-              .as("__bnrm"),
-            col("__cluster").as("__bcell"))
-          .localCheckpoint()
-        (a.groupBy("__bcell").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)), a)
+      // ONE materialization carries everything downstream: batch columns
+      // + norm + cell, LAZILY checkpointed so the cells/count action
+      // below both materializes it and reads the streaming source exactly
+      // once. (r15 checkpointed the raw batch AND the assignment as two
+      // jobs; every post-probe consumer — the survivor anti-join
+      // included — only ever needs the ASSIGNED frame, so the raw-batch
+      // checkpoint was a whole job spent keeping columns nobody reads.
+      // The checkpoint itself stays load-bearing: unmaterialized, the
+      // centroid-literal assign subtree rides into the fused join three
+      // times and the driver's plan work goes superlinear — measured
+      // 5.6 s/trigger vs 0.7 s, BENCHNOTES r15.)
+      val assigned = timed("ingest") {
+        Ivf.assign(batch0, vecCol, model)
+          .withColumn("__bnrm",
+            sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol))))
+          .withColumnRenamed("__cluster", "__bcell")
+          .localCheckpoint(false)
+      }
+      // cells AND total from the one materializing action (per-cell
+      // counts): the cell set prunes the corpus read; the count feeds
+      // the drop stats.
+      val cellCounts = timed("ingest") {
+        assigned.groupBy("__bcell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
       }
       val cells = cellCounts.map(_._1).toSeq
       val total = cellCounts.map(_._2).sum
@@ -191,14 +203,28 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
       // only at smaller id (keep's a.id < b.id). Cosine exactly as
       // SemDedup.pairs/incrementalAgainstIndex compute it.
       val pairs = timed("probe") {
-        val corpusRef = spark.read.parquet(indexPath)
-          .filter(col(Ivf.CellCol).isin(cells: _*))
-          .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
-            sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol)))
-              .as("__rnrm"),
-            col(Ivf.CellCol).as("__rcell"), lit(true).as("__rcorp"))
+        // the corpus scan lists ONLY the batch's cell directories
+        // (explicit paths under basePath) instead of the whole index
+        // root: a resident stream's root listing grows with every append
+        // between compactions — and at 50k cells the probe must not pay
+        // an O(index) listing to read |batch cells| of them. Existence-
+        // filtered driver-side: a cell directory the index has never
+        // written is simply absent from the scan.
+        val fs = markerPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val present = cells.filter(c =>
+          fs.exists(new Path(indexPath, s"${Ivf.CellCol}=$c")))
+        val corpusRefOpt =
+          if (present.isEmpty) None
+          else Some(spark.read.option("basePath", indexPath)
+            .parquet(present.map(c =>
+              s"$indexPath/${Ivf.CellCol}=$c"): _*)
+            .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
+              sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol)))
+                .as("__rnrm"),
+              col(Ivf.CellCol).as("__rcell"), lit(true).as("__rcorp")))
         val batchRef = assigned
-          .select(col("__bid").as("__rid"), col("__bvec").as("__rvec"),
+          .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
             col("__bnrm").as("__rnrm"), col("__bcell").as("__rcell"),
             lit(false).as("__rcorp"))
         val sim = when(col("__rnrm") * col("__bnrm") > 0,
@@ -218,9 +244,12 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
         // costs one tiny shuffle and parallelizes the join across every
         // core; AQE never re-coalesces REPARTITION_BY_NUM.
         val nPart = spark.sessionState.conf.numShufflePartitions
-        val p = corpusRef.unionByName(batchRef)
+        val bcast = assigned.select(col(idCol).as("__bid"),
+          col(vecCol).as("__bvec"), col("__bnrm"), col("__bcell"))
+        val p = corpusRefOpt.map(_.unionByName(batchRef))
+          .getOrElse(batchRef)
           .repartition(nPart)
-          .join(broadcast(assigned),
+          .join(broadcast(bcast),
             col("__rcell") === col("__bcell") && (
               (col("__rcorp") && col("__rid") === col("__bid")) ||
                 ((col("__rcorp") || col("__rid") < col("__bid")) &&
@@ -234,47 +263,101 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
       }
       try {
         val n = timed("append") {
-          // drop-set algebra over the tiny pair frame (lazy sub-plans of
-          // the survivor anti-join — no extra actions):
+          // Drop-set semantics (identical r14→r16, pinned by the
+          // batch-replay equivalence spec):
           //   stage 1: corpus dups ('c')
           //   stage 2: 'w' pairs whose smaller side SURVIVED stage 1
           //   guard:   id already present in its cell ('g')
-          // Unioning 'w' pairs with a corpus-dropped b is harmless —
-          // those b are dropped by their own 'c' row already.
-          // no distincts anywhere: every drop frame is only ever the
-          // RIGHT side of a left-anti join, where duplicates are
-          // semantically free — each removed distinct is a removed
-          // shuffle stage in the single append job
-          val corpusDrops = pairs.filter(col("__kind") === "c")
-            .select(col("__bid").as("__drop"))
-          val keepDrops = pairs.filter(col("__kind") === "w")
-            .join(corpusDrops.select(col("__drop").as("__rid")),
-              Seq("__rid"), "left_anti")
-            .select(col("__bid").as("__drop"))
-          val guardDrops = pairs.filter(col("__kind") === "g")
-            .select(col("__bid").as("__drop"))
-          val drops = corpusDrops.unionByName(keepDrops)
-            .unionByName(guardDrops)
+          //
+          // The SET ALGEBRA runs on the DRIVER (r16): the pair frame is
+          // checkpointed and bounded by the batch's dup structure, and
+          // the r15 join-based algebra — plan-equivalent, lazy, "free" —
+          // measured ~0.6 s/trigger of pure AQE stage overhead: four
+          // ENSURE_REQUIREMENTS exchanges (two anti-joins + union +
+          // final anti-join) serialize into ~5 query stages of ~0.15 s
+          // scheduling/codegen floor each over a few THOUSAND cached
+          // rows (per-job table in BENCHNOTES r16; AppendProbe pins the
+          // bare write at ~0.3 s, the algebra-in-plan shape at ~1.0 s
+          // live). Collecting ≤ a few thousand (bid, rid, kind) rows and
+          // filtering with one InSet keeps the append a SINGLE stage:
+          // scan checkpoint → filter → 16-writer exchange → write.
+          // A batch whose pair frame exceeds the driver cap (adversarial
+          // all-dups batches — |pairs| is O(batch × matches), not
+          // O(batch)) falls back to the r15 distributed algebra.
+          val pairRows = pairs.limit(driverPairCap + 1).collect()
+          val survivorBase =
+            if (pairRows.length <= driverPairCap) {
+              val c = new scala.collection.mutable.HashSet[Long]
+              pairRows.foreach(r =>
+                if (r.getString(2) == "c") c += r.getLong(0))
+              val drop = new scala.collection.mutable.HashSet[Long]
+              drop ++= c
+              pairRows.foreach { r =>
+                r.getString(2) match {
+                  case "g" => drop += r.getLong(0)
+                  case "w" => if (!c.contains(r.getLong(1)))
+                    drop += r.getLong(0)
+                  case _ => ()
+                }
+              }
+              if (drop.isEmpty) assigned
+              else assigned.filter(!col(idCol)
+                .isInCollection(drop.toSeq))
+            } else {
+              // distributed fallback: no distincts anywhere — every
+              // drop frame is only ever the RIGHT side of a left-anti
+              // join, where duplicates are semantically free
+              val corpusDrops = pairs.filter(col("__kind") === "c")
+                .select(col("__bid").as("__drop"))
+              val keepDrops = pairs.filter(col("__kind") === "w")
+                .join(corpusDrops.select(col("__drop").as("__rid")),
+                  Seq("__rid"), "left_anti")
+                .select(col("__bid").as("__drop"))
+              val drops = corpusDrops.unionByName(keepDrops)
+                .unionByName(pairs.filter(col("__kind") === "g")
+                  .select(col("__bid").as("__drop")))
+              assigned.join(drops, col(idCol) === col("__drop"),
+                "left_anti")
+            }
           // survivor count rides the WRITE job as an observed metric —
-          // no checkpoint-and-count round trip; the anti-join (batch
-          // checkpoint × tiny drop set over the checkpointed pairs)
-          // executes exactly once, inside the append
+          // no checkpoint-and-count round trip. Survivors write STRAIGHT
+          // from the assigned checkpoint — cell already computed — where
+          // r15 routed them through Ivf.indexAppend, whose assign()
+          // re-ran the k×dim centroid-literal projection per trigger.
           val obs = org.apache.spark.sql.Observation()
-          val survivorPlan =
-            batch.join(drops, col(idCol) === col("__drop"), "left_anti")
-          Ivf.indexAppend(spark, indexPath,
-            survivorPlan.observe(obs, count(lit(1)).as("n")),
-            vecCol, Some(model))
+          val survivorPlan = survivorBase
+            .drop("__bnrm").withColumnRenamed("__bcell", Ivf.CellCol)
+          // hash-partition by cell into at most |batch cells| writers:
+          // one writer per cell (collisions merely co-locate two cells
+          // in one task), no 32-slot shuffle where most tasks are empty
+          val nWriters = math.max(1, math.min(cells.length,
+            spark.sessionState.conf.numShufflePartitions))
+          val tW0 = System.nanoTime()
+          if (sys.env.contains("SEMDEDUP_TRACE"))
+            System.err.println("[trace-plan] " + survivorPlan
+              .queryExecution.executedPlan.toString.take(4000))
+          survivorPlan.observe(obs, count(lit(1)).as("n"))
+            .repartition(nWriters, col(Ivf.CellCol))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy(Ivf.CellCol).parquet(indexPath)
+          val tW1 = System.nanoTime()
           if (batchId >= 0) writeMarker(batchId)
+          val tW2 = System.nanoTime()
+          if (sys.env.contains("SEMDEDUP_TRACE"))
+            System.err.println(f"[trace] write=${(tW1-tW0)/1e9}%.3f marker=${(tW2-tW1)/1e9}%.3f")
           // AQE's runtime empty-relation propagation can prune the
           // CollectMetrics node when zero survivors flow (observed: the
           // replay path, everything guard-dropped) — the metric is then
           // simply absent. Recount from the checkpointed inputs in that
           // rare case instead of assuming absence means zero.
-          obs.get.get("n") match {
+          val tW3 = System.nanoTime()
+          val nOut = obs.get.get("n") match {
             case Some(v) => v.asInstanceOf[Long]
             case None => survivorPlan.count()
           }
+          if (sys.env.contains("SEMDEDUP_TRACE"))
+            System.err.println(f"[trace] obsget=${(System.nanoTime()-tW3)/1e9}%.3f")
+          nOut
         }
         batchesSeen += 1
         appended += n
@@ -290,6 +373,15 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
         pairs.unpersist()
         assigned.unpersist()
       }
-    } finally batch.unpersist()
+    }
   }
+}
+
+object SemDedupStream {
+  /** Pair-frame rows above which the drop-set algebra stays distributed
+    * instead of collecting to the driver (~50 MB of (long,long,string)
+    * rows at the cap; typical stream batches produce a few thousand —
+    * |pairs| is O(batch × matches), so an adversarial all-dups batch
+    * can exceed any O(batch) bound and must not OOM the driver). */
+  val DefaultDriverPairCap: Int = 1 << 20
 }

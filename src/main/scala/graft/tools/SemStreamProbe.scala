@@ -130,6 +130,35 @@ object SemStreamProbe {
       spark.stop()
       return
     }
+    if (sys.env.contains("SEMPROBE_JOBS")) {
+      // per-job wall + task counts: which scheduled jobs compose each
+      // trigger phase (the floor is job count × per-job overhead)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            scala.collection.concurrent.TrieMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(j.jobId) = System.nanoTime()
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(j.jobId).foreach { t =>
+              System.err.println(
+                f"[job] id=${j.jobId} wall=${(System.nanoTime() - t) / 1e9}%.3f")
+            }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = s.stageInfo
+            val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+              yield (a - b) / 1e3).getOrElse(-1.0)
+            System.err.println(f"[stage] id=${i.stageId} " +
+              f"tasks=${i.numTasks} wall=$wall%.3f " +
+              f"taskSum=${i.taskMetrics.executorRunTime / 1e3}%.3f " +
+              f"name=${i.name.take(40)}")
+          }
+        })
+    }
     val s = new graft.streaming.SemDedupStream(spark, idxPath,
       "vec_id", "embedding", threshold = 0.9, compactEvery = 4)
     val t0 = System.nanoTime()

@@ -101,6 +101,31 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("distributed drop-algebra fallback == driver-side set algebra") {
+    // driverPairCap = 0 forces every batch down the distributed r15
+    // algebra; the default cap takes the driver-side InSet path — the
+    // two must decide identically (same survivors, same final index)
+    def run(cap: Int): (Seq[Long], Seq[Long]) = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"semstream_cap$cap").toString + "/idx"
+      seedIndex(tmp, Seq(1L -> vec(0, 0.0), 2L -> vec(5, 0.0)))
+      val s = new SemDedupStream(spark, tmp, "vec_id", "embedding",
+        threshold = 0.95, compactEvery = 0, driverPairCap = cap)
+      val counts = Seq(
+        Seq(10L -> vec(0, 0.015), 11L -> vec(2, 0.0),
+          12L -> vec(2, 0.01), 13L -> vec(2, 0.02)),
+        Seq(20L -> vec(2, 0.02), 21L -> vec(6, 0.0), 22L -> vec(5, 0.01)))
+        .map(b => s.processBatch(df(b)))
+      (counts, spark.read.parquet(tmp).select("vec_id").as[Long]
+        .collect().sorted.toSeq)
+    }
+    val (cDriver, idxDriver) = run(SemDedupStream.DefaultDriverPairCap)
+    val (cDist, idxDist) = run(0)
+    assert(cDriver == cDist)
+    assert(idxDriver == idxDist)
+    assert(cDriver == Seq(1L, 1L)) // 11 kept, then 21; 10/12/13/20/22 dup
+  }
+
   test("replayed batches are no-ops: marker fast path + id append guard") {
     val tmp = java.nio.file.Files
       .createTempDirectory("semstream4").toString + "/idx"
