@@ -258,7 +258,12 @@ object Bench {
     // interleave), and its wall is stage-COUNT-bound (measured: a 4×
     // corpus slice moves it < 10%), so the composite carries a
     // multiplier instead of hiding behind an exemption.
-    val compositeBudgetX: Map[String, Double] = Map("q_x_pipeline" -> 2.0)
+    // q_x_bpe_merges (r16): 64 strict-order BPE merges in ONE entry —
+    // 64 sequential data-dependent stages (each merge re-ranks the pair
+    // table); per-stage cost is budget-fine (0.074 s/merge, BpeSweep),
+    // the entry is stage-COUNT-bound exactly like the pipeline composite
+    val compositeBudgetX: Map[String, Double] =
+      Map("q_x_pipeline" -> 2.0, "q_x_bpe_merges" -> 2.0)
     def budgetOf(n: String): Double =
       queryBudget * compositeBudgetX.getOrElse(n, 1.0)
     val budgetViolations: Seq[String] =
@@ -314,8 +319,13 @@ object Bench {
     // shuffle-canary analog, observational (never adjusts anything):
     // ships per violation so "chunk CPU-canary ~1.0 but shuffle-canary
     // high" — the seal-4 failure mode — is visible in the artifact
+    // ref = the r16 epoch's clean-window median (46 samples, seal 1,
+    // CPU-canary factor 0.975): canary2 factor 1.0 means "r16 baseline",
+    // NOT r14's epoch — the r16 A/B showed the r14 BINARY runs ~19%
+    // slower on this epoch at the same CPU-canary reading, so no canary
+    // can bridge epochs; factors compare windows WITHIN one.
     val canary2Ref =
-      sys.env.getOrElse("SPARK_GRAFT_CANARY2_REF_SEC", "-1").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_CANARY2_REF_SEC", "0.16").toDouble
     val canary2WindowFactor: Double =
       if (canary2Start > 0 && canary2End > 0 && canary2Ref > 0)
         ((canary2Start + canary2End) / 2.0) / canary2Ref

@@ -1075,12 +1075,15 @@ object Queries {
           col("cum_tokens"))),
 
     "q_x_bpe_merges" -> ((s, dir) =>
-      // tokenizer training in-engine: 8 BPE merges learned from the
-      // corpus. One corpus pass builds the distinct-word frequency
-      // table; every iteration runs on THAT table (O(vocab), never
-      // O(corpus)) — the property that makes 10 merges over 100 TB one
-      // corpus aggregate plus 10 vocab-table passes
-      graft.ops.TextOps.bpeTrain(docs(s, dir), "text", merges = 8)),
+      // tokenizer training in-engine: 64 BPE merges learned from the
+      // corpus via the BATCHED trainer (r16) — one corpus pass builds
+      // the distinct-word frequency table, then each aggregate accepts
+      // a provably-strict-order PREFIX of its top candidates, so 64
+      // merges cost a handful of vocab-table passes instead of 64. The
+      // oracle replays the STRICT unrolled sequence — the hash match IS
+      // the batched==strict equivalence proof at corpus scale
+      graft.ops.TextOps.bpeTrainBatched(docs(s, dir), "text",
+        merges = 64)),
 
     "q_x_bpe_encode" -> ((s, dir) => {
       // the encode half: the 8 learned merges fold into one codegen'd
@@ -4977,7 +4980,7 @@ object Queries {
          |  FROM documents)
          |WHERE cum_tokens - n_chars < 8000""".stripMargin,
 
-    "q_x_bpe_merges" -> bpeOracleSql(8),
+    "q_x_bpe_merges" -> bpeOracleSql(64),
     "q_x_bpe_encode" -> bpeEncodeOracleSql(8),
 
     "q_x_quota_trim" ->

@@ -519,6 +519,139 @@ object TextOps {
         col("right_sym"), col("merged"), col("pair_count"))
   }
 
+  /** Batched BPE training — byte-identical OUTPUT to [[bpeTrain]]
+    * (strict argmax order), up to `batchN`× fewer driver round trips.
+    * The strict trainer's cost at tokenizer scale is the per-merge
+    * round trip (one aggregate action + one checkpoint per merge —
+    * 30k merges = 30k tiny jobs); this trainer collects the top
+    * `batchN` candidate pairs per aggregate and accepts a PREFIX of
+    * them per round, applying all accepted merges as one chained
+    * replace before re-aggregating.
+    *
+    * A candidate is accepted only while it is PROVABLY still the
+    * strict next argmax after the merges accepted before it:
+    *
+    *  - a candidate sharing a symbol with an accepted merge is skipped
+    *    this round (its count may have changed);
+    *  - the acceptance HAZARD is the max count over every not-accepted
+    *    candidate that shares a symbol with the accepted set (their old
+    *    counts upper-bound every pair the accepted merges changed or
+    *    created: a merge (a,b) only reduces (·,a)/(b,·) pairs and only
+    *    creates (·,ab)/(ab,·) pairs from them), plus — when the
+    *    aggregate was truncated at `batchN` — the last collected count
+    *    (an unseen pair's bound);
+    *  - the next candidate must STRICTLY exceed the hazard (an equal
+    *    count could tie and win on the (l, r) order rule), else the
+    *    round ends and the next aggregate re-ranks exactly.
+    *
+    * Rounds therefore accept many merges while the count curve is
+    * steep and symbol-disjoint (the zipf shape real corpora have) and
+    * degrade to one merge per round in the adversarial case — never
+    * diverging from [[bpeTrain]]'s sequence (BpeBatchSpec pins equality
+    * against the strict trainer; the DuckDB oracle replays the strict
+    * unrolled stages). */
+  def bpeTrainBatched(df: DataFrame, textCol: String, merges: Int,
+      batchN: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(batchN >= 1, s"batchN must be >= 1, got $batchN")
+    var words = df
+      .select(explode(tokens(normalized(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), ' ')").as("sym"), col("c"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var rounds = 0L
+    var sinceCkpt = 0
+    var lastCkpt = words
+    var exhausted = false
+    while (!exhausted && step <= merges) {
+      rounds += 1
+      val cand = words
+        .select(col("c"), split(col("sym"), " ").as("a"))
+        .select(col("c"), explode(expr(
+          "zip_with(slice(a, 1, greatest(size(a) - 1, 0)), " +
+            "slice(a, 2, greatest(size(a) - 1, 0)), " +
+            "(x, y) -> struct(x as l, y as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(batchN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) exhausted = true
+      else {
+        val truncated = cand.length == batchN
+        val lastPc = cand.last._3
+        val touched = scala.collection.mutable.Set.empty[String]
+        val acceptedIdx = scala.collection.mutable.Set.empty[Int]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var stop = false
+        var i = 0
+        while (!stop && i < cand.length &&
+            step + accepted.length <= merges) {
+          val (l, r, pc) = cand(i)
+          if (accepted.isEmpty) {
+            accepted += ((l, r, pc)); acceptedIdx += i
+            touched ++= Seq(l, r, l + r)
+          } else if (!touched.contains(l) && !touched.contains(r)) {
+            // hazard over the WHOLE candidate list, later entries
+            // included: an equal-count symbol-sharing pair below this
+            // one could, once changed into a created pair, tie and win
+            // the (l, r) order rule
+            val hazard = cand.indices.foldLeft(
+              if (truncated) lastPc else Long.MinValue) { (h, j) =>
+              val (jl, jr, jpc) = cand(j)
+              if (!acceptedIdx.contains(j) &&
+                  (touched.contains(jl) || touched.contains(jr)))
+                math.max(h, jpc)
+              else h
+            }
+            if (pc > hazard) {
+              accepted += ((l, r, pc)); acceptedIdx += i
+              touched ++= Seq(l, r, l + r)
+            } else stop = true
+          }
+          i += 1
+        }
+        accepted.foreach { case (l, r, pc) =>
+          out += ((step, l, r, l + r, pc)); step += 1
+        }
+        val symExpr = accepted.foldLeft("concat(' ', sym, ' ')") {
+          case (cur, (l, r, _)) =>
+            s"replace(replace($cur, ' $l $r ', ' $l$r '), " +
+              s"' $l $r ', ' $l$r ')"
+        }
+        // replace chains stay LAZY for up to 8 rounds before the next
+        // checkpoint: re-running ≤16 string replaces over the O(vocab)
+        // table inside the next aggregate is microseconds of executor
+        // CPU, while a per-round checkpoint is a whole scheduled job —
+        // at character-BPE acceptance rates (~1.5 merges/round, see
+        // BENCHNOTES r16) the checkpoint job WAS half the round cost
+        words = words.select(trim(expr(symExpr)).as("sym"), col("c"))
+        sinceCkpt += 1
+        if (sinceCkpt >= 8) {
+          val prev = lastCkpt
+          words = words.localCheckpoint()
+          lastCkpt = words
+          prev.unpersist()
+          sinceCkpt = 0
+        }
+      }
+    }
+    lastCkpt.unpersist()
+    // observability for the sweep harness: merges-per-aggregate is THE
+    // number that says whether batching pays at tokenizer scale
+    graft.core.Metrics.gauge("bpe_batched", "rounds", rounds.toDouble)
+    graft.core.Metrics.gauge("bpe_batched", "merges", out.length.toDouble)
+    out.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+      .select(col("step").cast(LongType).as("step"), col("left_sym"),
+        col("right_sym"), col("merged"), col("pair_count"))
+  }
+
   /** Apply a learned BPE merge table ([[bpeTrain]]'s output collected as
     * (left, right) in step order) and return per-document subword
     * stats: word count and subword count after all merges. Encoding is

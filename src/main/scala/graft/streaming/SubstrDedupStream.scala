@@ -52,10 +52,17 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
     * result rides a deferred localCheckpoint — call
     * `graft.core.Metrics.drainUnpersist()` after sinking it. */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    // LAZY checkpoint (r16, the SemDedupStream discipline): toks is
+    // consumed by the joined checkpoint below AND the reassembly join —
+    // the joined materialization is its first action and persists it,
+    // so the trigger spends no standalone job on it. The window explode
+    // (previously its own eager checkpoint) rides the same job: it has
+    // exactly one consumer, so materializing it separately only added a
+    // job to the trigger floor.
     val toks = batch
       .select(col(idCol).as("__id"),
         split(coalesce(col(textCol), lit("")), " ").as("__toks"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     try {
       val wins = toks.filter(size(col("__toks")) >= n)
         .select(col("__id"),
@@ -64,8 +71,7 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
         .select(col("__id"), col("__s"),
           md5(array_join(slice(col("__toks"), col("__s") + 1, lit(n)),
             " ")).as("__key"))
-        .localCheckpoint()
-      try {
+      locally {
         val seen = store.visible(batchId)
           .map(_.select(col("key").as("__key")).distinct()
             .withColumn("__corpus", lit(true)))
@@ -94,6 +100,10 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
             .groupBy(col("__id"))
             .agg(collect_list(struct(col("span_start"), col("span_end")))
               .as("__spans"))
+          // kept/dropped sums ride the checkpoint materialization as an
+          // observed metric instead of a separate aggregate job;
+          // getOrEmpty + recount covers the rare pruned-metrics case
+          val obs = org.apache.spark.sql.Observation()
           val out = toks.join(spans, Seq("__id"), "left")
             .select(col("__id"), col("__toks"),
               coalesce(col("__spans"), array().cast(
@@ -110,6 +120,8 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
               size(col("__keep")).cast(LongType).as("n_kept"),
               (col("__n") - size(col("__keep"))).cast(LongType)
                 .as("n_dropped"))
+            .observe(obs, sum(col("n_kept")).as("k"),
+              sum(col("n_dropped")).as("d"))
             .localCheckpoint()
           // the caller still reads `out` — release via the deferred pool
           graft.core.Metrics.deferUnpersist(out)
@@ -118,11 +130,12 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
           store.append(joined
             .filter(col("__corpus").isNull && col("__rn") === 1)
             .select(col("__key").as("key")), batchId)
-          val (k, d) = {
-            val r = out.agg(sum("n_kept"), sum("n_dropped")).head()
-            (if (r.isNullAt(0)) 0L else r.getLong(0),
-              if (r.isNullAt(1)) 0L else r.getLong(1))
-          }
+          lazy val recount = out.agg(sum("n_kept"), sum("n_dropped"))
+            .head()
+          val k = Observed.long(obs, "k")(
+            if (recount.isNullAt(0)) 0L else recount.getLong(0))
+          val d = Observed.long(obs, "d")(
+            if (recount.isNullAt(1)) 0L else recount.getLong(1))
           batchesSeen += 1; tokensKept += k; tokensDropped += d
           // cadenced maintenance (the SemDedupStream discipline): every
           // append adds a store file, so a resident stream accumulates
@@ -132,7 +145,7 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
             compact()
           out
         } finally joined.unpersist()
-      } finally wins.unpersist()
+      }
     } finally toks.unpersist()
   }
 

@@ -55,8 +55,15 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
     * deferred localCheckpoint: call
     * `graft.core.Metrics.drainUnpersist()` after sinking it. */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    // fp count rides the checkpoint materialization as an observed
+    // metric (r16): the r15 body paid two standalone count jobs per
+    // trigger (bFps, out) on top of its three real actions — at stream
+    // batch sizes the per-job floor sets throughput, so each removed
+    // action is throughput (the SemDedupStream finding)
+    val bObs = org.apache.spark.sql.Observation()
     val bFps = Dedup.winnowFingerprints(batch, idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("__nid"), col("fp"))
+      .observe(bObs, count(lit(1)).as("n"))
       .localCheckpoint()
     try {
       val corpus = store.visible(batchId)
@@ -71,17 +78,19 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
       val b = bFps.select(col("__nid").as("__b"), col("fp"))
       val within = a.join(b, "fp").filter(col("__a") < col("__b"))
         .select(col("__b").as("id_new"), col("__a").as("id_corpus"))
+      val oObs = org.apache.spark.sql.Observation()
       val out = cross.unionByName(within)
         .groupBy("id_new", "id_corpus")
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= minShared)
+        .observe(oObs, count(lit(1)).as("n"))
         .localCheckpoint()
       graft.core.Metrics.deferUnpersist(out)
       store.append(bFps.select(col("__nid").as("doc"), col("fp")),
         batchId)
       batchesSeen += 1
-      pairsFound += out.count()
-      fpsStored += bFps.count()
+      pairsFound += Observed.long(oObs, "n")(out.count())
+      fpsStored += Observed.long(bObs, "n")(bFps.count())
       if (compactEvery > 0 && batchesSeen % compactEvery == 0) compact()
       out
     } finally bFps.unpersist()

@@ -31,6 +31,22 @@ object WinnowStreamBench {
     val s = new graft.streaming.WinnowQuoteStream(spark, dir + "/fps",
       "doc_id", "text", k = 3, w = 4, minShared = 2L, compactEvery = 4)
 
+    if (sys.env.contains("WINNOW_JOBS")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            scala.collection.concurrent.TrieMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(j.jobId) = System.nanoTime()
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(j.jobId).foreach { t =>
+              System.err.println(
+                f"[job] id=${j.jobId} wall=${(System.nanoTime() - t) / 1e9}%.3f")
+            }
+        })
+    }
     var totalSec = 0.0
     var totalPairs = 0L
     (0 until nTriggers).foreach { b =>
