@@ -89,8 +89,8 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
     * probe = the fused pair join (corpus dup AND within-batch AND guard
     * classification in one pass), keep = 0 since r15 (its decision rides
     * the probe's pair frame — the key stays so cross-round bench JSONs
-    * diff cleanly), append = survivor anti-join + cell write, compact =
-    * cadenced rewrite). */
+    * diff cleanly), append = driver drop-set reduction + filtered cell
+    * write, compact = cadenced rewrite). */
   def phaseTotals: Map[String, Double] = phases.toMap
 
   /** Marker is scoped per LINEAGE: a new streaming query (fresh
