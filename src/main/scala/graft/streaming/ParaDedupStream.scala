@@ -60,12 +60,15 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     * CdcStream per-trigger discipline), or a resident stream
     * accumulates checkpoint blocks. */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    // consumed twice (corpus-probe broadcast + the marked stream side):
+    // lazy checkpoint, materialized by the broadcast build in marked's job
     val paras = batch
       .select(col(idCol).as("__id"),
         posexplode(split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(sep))))
       .select(col("__id"), col("pos").cast("long").as("__pos"),
         md5(col("col")).as("__key"), col("col").as("__para"))
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__id"), col("__pos"))
     val first = paras.withColumn("__rn", row_number().over(w))
@@ -75,14 +78,25 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     // lineage's keys get the strictly-earlier-batch replay filter
     // (without this, a restarted pipeline would admit every duplicate
     // its predecessor already screened). StreamStore.visible owns both.
+    // Corpus membership with the store side NEVER shuffling (r16, the
+    // SubstrDedupStream shape): map-side LEFT SEMI probe of the store
+    // against the broadcast batch keys, distinct at the MATCHED set's
+    // (batch-bounded) size, broadcast back as the mark — replaces the
+    // r15 `seen.distinct()` O(store) shuffle per trigger (and the
+    // second O(store) shuffle the outer join plans once the store
+    // outgrows the broadcast threshold). Mark semantics identical: the
+    // join only ever consulted store keys the batch carries.
     val seen = store.visible(batchId)
-      .map(_.select(col("key").as("__key")).distinct()
-        .withColumn("__in_corpus", lit(true)))
+      .map(_.select(col("key").as("__key"))
+        .join(broadcast(paras.select(col("__key"))), Seq("__key"),
+          "left_semi")
+        .distinct().withColumn("__in_corpus", lit(true)))
       .getOrElse(spark.range(0).select(lit("").as("__key"),
         lit(true).as("__in_corpus")))
     // left-join marker, not anti-join: reassembly needs LOSING rows too
     // (they count as dropped), so every paragraph keeps a row
-    val marked = first.join(seen, Seq("__key"), "left").localCheckpoint()
+    val marked = first.join(broadcast(seen), Seq("__key"), "left")
+      .localCheckpoint()
     try {
       val keep = col("__rn") === 1 && col("__in_corpus").isNull
       val out = marked.groupBy(col("__id").as(idCol))
@@ -110,7 +124,10 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       // bounds the per-trigger probe's file listing, decisions unchanged
       if (compactEvery > 0 && batchesSeen % compactEvery == 0) compact()
       out
-    } finally marked.unpersist()
+    } finally {
+      marked.unpersist()
+      paras.unpersist()
+    }
   }
 
   /** Fold replay-duplicated keys: one row per (key, lineage) at its MIN

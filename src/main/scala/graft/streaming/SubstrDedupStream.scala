@@ -64,6 +64,9 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
         split(coalesce(col(textCol), lit("")), " ").as("__toks"))
       .localCheckpoint(false)
     try {
+      // wins is consumed twice (the corpus-probe broadcast AND the
+      // joined stream side) — lazy checkpoint, materialized by the
+      // broadcast build inside the joined job
       val wins = toks.filter(size(col("__toks")) >= n)
         .select(col("__id"),
           explode(sequence(lit(0), size(col("__toks")) - n)).as("__s"),
@@ -71,17 +74,30 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
         .select(col("__id"), col("__s"),
           md5(array_join(slice(col("__toks"), col("__s") + 1, lit(n)),
             " ")).as("__key"))
-      locally {
+        .localCheckpoint(false)
+      try {
+        // Corpus membership as the store promises at 100 TB: the store
+        // side NEVER shuffles. A map-side LEFT SEMI probe of the store
+        // against the broadcast batch keys yields the matched set
+        // (batch-bounded), which — deduped at ITS size, not the
+        // store's — broadcasts back as the mark. r15 shipped
+        // `seen.distinct()` + a plain left join: one O(store) shuffle
+        // per trigger in the distinct, and a second at scale once the
+        // store outgrows the broadcast threshold and the outer join
+        // plans SMJ. Mark semantics are identical: the left join only
+        // ever consulted store keys the batch carries.
         val seen = store.visible(batchId)
-          .map(_.select(col("key").as("__key")).distinct()
-            .withColumn("__corpus", lit(true)))
+          .map(_.select(col("key").as("__key"))
+            .join(broadcast(wins.select(col("__key"))), Seq("__key"),
+              "left_semi")
+            .distinct().withColumn("__corpus", lit(true)))
           .getOrElse(spark.range(0).select(lit("").as("__key"),
             lit(true).as("__corpus")))
         // corpus-seen marks; within batch the first (doc, start)
         // occurrence of a NEW key survives, later copies mark
         val byKey = Window.partitionBy(col("__key"))
           .orderBy(col("__id"), col("__s"))
-        val joined = wins.join(seen, Seq("__key"), "left")
+        val joined = wins.join(broadcast(seen), Seq("__key"), "left")
           .withColumn("__rn", row_number().over(byKey))
           .localCheckpoint()
         try {
@@ -145,7 +161,7 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
             compact()
           out
         } finally joined.unpersist()
-      }
+      } finally wins.unpersist()
     } finally toks.unpersist()
   }
 

@@ -41,6 +41,32 @@ class SubstrDedupStreamSpec extends SparkSpec {
     assert(batches == 2 && kept + dropped == 26) // 7+6+7+6 input tokens
   }
 
+  test("duplicate store keys (replay debris / cross-lineage) change nothing") {
+    // the r16 probe dedups the MATCHED set, not the store — a store
+    // holding the same key under several lineages (or replay-appended
+    // copies awaiting compaction) must mark exactly like a clean one
+    val base = Seq((1L, "the cat sat on the mat today"),
+      (2L, "fresh words appear here only now"))
+    val probe = Seq((7L, "yesterday the cat sat on a rug"),
+      (8L, "fresh words appear here too friend"))
+    def run(dupCopies: Int): Map[Long, (String, Long, Long)] = {
+      val dir = Files.createTempDirectory(s"substream_dup$dupCopies")
+        .toString + "/keys"
+      (0 until dupCopies).foreach { i =>
+        val w = new SubstrDedupStream(spark, dir, "doc_id", "text",
+          n = 3, lineage = s"writer$i")
+        w.processBatch(base.toDF("doc_id", "text"), 0L)
+        graft.core.Metrics.drainUnpersist()
+      }
+      val s = new SubstrDedupStream(spark, dir, "doc_id", "text",
+        n = 3, lineage = "reader")
+      val got = dump(s.processBatch(probe.toDF("doc_id", "text"), 0L))
+      graft.core.Metrics.drainUnpersist()
+      got
+    }
+    assert(run(3) == run(1))
+  }
+
   test("replaying a batch id reproduces identical output despite appended keys") {
     val dir = Files.createTempDirectory("substream2").toString + "/keys"
     val s = new SubstrDedupStream(spark, dir, "doc_id", "text", n = 3)
