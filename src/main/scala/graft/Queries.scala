@@ -509,6 +509,21 @@ object Queries {
         "segment", k = 5L, l = 3L)
     }),
 
+    "q_x_t_close" -> ((s, dir) => {
+      // t-closeness gate: a (nation, balance band) group's segment
+      // distribution must sit within total-variation distance 1/5 of
+      // the corpus-wide distribution — the l-diverse-but-SKEWED groups
+      // q_x_l_diverse would release get suppressed. Exact BIGINT TVD
+      // (tvd2_num = 2·TVD·n_g·N), so the oracle replays bit-for-bit
+      val c = rd(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"),
+        graft.mask.Privacy.generalizeNum(floor(col("c_acctbal")), 5000L)
+          .as("bal_band"))
+      graft.mask.Privacy.tCloseness(c, Seq("nation", "bal_band"),
+        "segment", tNum = 1L, tDen = 5L, k = 5L)
+    }),
+
     "q_x_dup_clusters" -> ((s, dir) =>
       // pair graph → connected components → canonical representative per
       // duplicate cluster (min-label fixpoint; the recursive-CTE oracle
@@ -4163,6 +4178,41 @@ object Queries {
         |  g.k_group, g.l_distinct
         |FROM c JOIN g USING (nation, bal_band)
         |WHERE g.k_group >= 5 AND g.l_distinct >= 3""".stripMargin,
+
+    // t_close: exact-integer TVD gate — tvd2_num = 2*TVD*n_g*N via
+    // sum over PRESENT values of (|cgv*N - cv*n_g| - cv*n_g) + n_g*N
+    // (absent values fold into the n_g*N constant); release iff
+    // tvd2_num*tDen <= 2*tNum*n_g*N, all BIGINT
+    "q_x_t_close" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal) AS BIGINT)
+        |      - ((CAST(floor(c_acctbal) AS BIGINT) % 5000 + 5000) % 5000)
+        |      AS bal_band
+        |  FROM customer),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM c),
+        |v AS (SELECT segment, count(*)::BIGINT AS cv FROM c GROUP BY 1),
+        |g AS (SELECT nation, bal_band, count(*)::BIGINT AS k_group
+        |      FROM c GROUP BY 1, 2),
+        |gv AS (SELECT nation, bal_band, segment,
+        |         count(*)::BIGINT AS cgv
+        |       FROM c GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT gv.nation, gv.bal_band,
+        |    any_value(g.k_group) AS k_group,
+        |    (sum(abs(gv.cgv * nn.n - v.cv * g.k_group)
+        |         - v.cv * g.k_group)
+        |     + any_value(g.k_group) * any_value(nn.n))::BIGINT
+        |      AS tvd2_num
+        |  FROM gv JOIN v USING (segment)
+        |    JOIN g USING (nation, bal_band) CROSS JOIN nn
+        |  GROUP BY 1, 2)
+        |SELECT c.nation, c.bal_band, c.c_custkey, c.segment,
+        |  t.k_group, t.tvd2_num
+        |FROM c JOIN t USING (nation, bal_band) CROSS JOIN nn
+        |WHERE t.k_group >= 5
+        |  AND t.tvd2_num * 5 <= 2 * 1 * t.k_group * nn.n""".stripMargin,
 
     "q_x_ann_cosine" ->
       """WITH q AS (

@@ -71,6 +71,66 @@ object Privacy {
       .filter(col("k_group") >= k && col("l_distinct") >= l)
   }
 
+  /** t-closeness (Li, Li, Venkatasubramanian 2007, "t-Closeness:
+    * privacy beyond k-anonymity and l-diversity"): l-diversity counts
+    * distinct sensitive values but not their SKEW — a group that is
+    * 3-diverse yet 98% one diagnosis still leaks strong belief. Gate:
+    * the quasi-group's sensitive-value distribution must sit within
+    * total-variation distance t of the GLOBAL distribution (TVD = the
+    * categorical Earth-Mover's distance under unit ground distance).
+    *
+    * Exact integer form (oracle replays bit-for-bit, no float drift):
+    * with N = corpus rows, n_g = group rows, c_v / c_gv = global /
+    * in-group counts of sensitive value v,
+    *
+    *   2·TVD·n_g·N = Σ_v |c_gv·N − c_v·n_g|
+    *               = Σ_{v present in g} (|c_gv·N − c_v·n_g| − c_v·n_g)
+    *                 + n_g·N
+    *
+    * (the second form folds every ABSENT value's term c_v·n_g into one
+    * n_g·N constant via Σ_v c_v = N — no absent-combination generation).
+    * Release ⇔ tvd2_num ≤ 2·(tNum/tDen)·n_g·N, checked as
+    * tvd2_num·tDen ≤ 2·tNum·n_g·N in BIGINT. `tvd2_num` and `k_group`
+    * ride along for the audit.
+    *
+    * Scale shape: one map-side-combined (quasi…, sensitive) count, one
+    * O(|sensitive values|) global count broadcast in, one per-group
+    * sum, one join back — no window, nothing shuffles at corpus width
+    * twice. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long, k: Long = 1L)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(tNum >= 0 && tDen > 0, s"need t >= 0 as tNum/tDen, " +
+      s"got $tNum/$tDen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gs = quasiCols.map(col)
+    // per-(group, sensitive-value) and global-value counts — both
+    // map-side combined; the global table is O(|values|) and broadcasts
+    val gv = df.groupBy(gs :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__cgv"))
+    val v = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("__cv"))
+    val n = df.count()
+    // the value-level fold needs n_g BEFORE it sums — derived from the
+    // (quasi…, sensitive) counts (O(groups·values) input, NOT a third
+    // corpus-wide pass), then joined back; no window anywhere
+    val sizes = gv.groupBy(gs: _*).agg(sum(col("__cgv")).as("k_group"))
+    val terms = gv.join(broadcast(v), Seq(sensitiveCol))
+      .join(sizes, quasiCols)
+      .groupBy(gs: _*)
+      .agg(first(col("k_group")).as("k_group"),
+        (sum(abs(col("__cgv") * lit(n) - col("__cv") * col("k_group")) -
+          col("__cv") * col("k_group")) +
+          first(col("k_group")) * lit(n)).as("tvd2_num"))
+    df.join(terms, quasiCols)
+      .filter(col("k_group") >= k &&
+        col("tvd2_num") * lit(tDen) <= lit(2L * tNum) *
+          col("k_group") * lit(n))
+  }
+
   /** Numeric generalization: bucket a fine-grained quasi value to its
     * band floor (`width`-sized bands — ages to decades, balances to
     * 1000s). The coarsening that trades resolution for group size

@@ -58,6 +58,41 @@ class PrivacySpec extends SparkSpec {
       Privacy.lDiversify(rows, Seq("diagnosis"), "diagnosis", 1, 1))
   }
 
+  test("tCloseness suppresses the skewed group l-diversity passes") {
+    // NOTE: with two EQUAL-size groups, Σ n_g(p_g − q) = 0 forces equal
+    // TVDs — the test corpus must use unequal groups to discriminate.
+    // N=12, global (flu 7, cold 5), q=(7/12, 5/12). nation=1 (4 rows,
+    // {flu×3, cold}) is 2-diverse but skewed: TVD=1/6. nation=2
+    // (8 rows, balanced 4/4): TVD=1/12.
+    val rows = (Seq((1L, 1, "flu"), (2L, 1, "flu"), (3L, 1, "flu"),
+      (4L, 1, "cold")) ++
+      (5L to 12L).map(i => (i, 2, if (i % 2 == 1) "flu" else "cold")))
+      .toDF("id", "nation", "diagnosis")
+    assert(Privacy.lDiversify(rows, Seq("nation"), "diagnosis", 2, 2)
+      .count() == 12) // the leak: both groups 2-diverse
+    // t = 1/8: 1/12 ≤ 1/8 < 1/6 — skewed group suppressed
+    val strict = Privacy.tCloseness(rows, Seq("nation"), "diagnosis",
+      tNum = 1, tDen = 8)
+    assert(strict.select("id").as[Long].collect().toSet ==
+      (5L to 12L).toSet)
+    // audit columns: 2·TVD·n_g·N — nation 1: 2·(1/6)·4·12 = 16;
+    // nation 2: 2·(1/12)·8·12 = 16 (same numerator, different k_group)
+    val audit = Privacy.tCloseness(rows, Seq("nation"), "diagnosis",
+      tNum = 1, tDen = 1) // t=1 releases everything
+    assert(audit.count() == 12)
+    val byNation = audit.select("nation", "tvd2_num", "k_group")
+      .distinct().collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byNation(1) == ((16L, 4L)))
+    assert(byNation(2) == ((16L, 8L)))
+    // boundary: t = 1/6 releases the skewed group too (gate is <=)
+    assert(Privacy.tCloseness(rows, Seq("nation"), "diagnosis", 1, 6)
+      .count() == 12)
+    // k gate composes
+    assert(Privacy.tCloseness(rows, Seq("nation"), "diagnosis", 1, 1,
+      k = 5).count() == 8)
+  }
+
   test("generalizeNum bands to the floor, negatives included") {
     val got = Seq(0L, 37L, 4999L, 5000L, -1L, -4999L, -5000L, -5001L)
       .toDF("v")
