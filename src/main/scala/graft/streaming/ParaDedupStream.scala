@@ -99,6 +99,10 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       .localCheckpoint()
     try {
       val keep = col("__rn") === 1 && col("__in_corpus").isNull
+      // kept/dropped sums ride the checkpoint materialization as an
+      // observed metric (r16, the SubstrDedupStream shape) instead of a
+      // standalone aggregate job; bounded wait + recount fallback
+      val obs = org.apache.spark.sql.Observation()
       val out = marked.groupBy(col("__id").as(idCol))
         .agg(
           array_join(transform(
@@ -107,6 +111,8 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
             s => s("__para")), sep).as("clean_text"),
           sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
           sum(when(!keep, 1L).otherwise(0L)).as("n_dropped"))
+        .observe(obs, sum(col("n_kept")).as("k"),
+          sum(col("n_dropped")).as("d"))
         .localCheckpoint()
       // the caller still reads `out` after we return — release its
       // blocks via the deferred pool (the CdcMerge soft-leak
@@ -114,11 +120,11 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       graft.core.Metrics.deferUnpersist(out)
       store.append(marked.filter(keep).select(col("__key").as("key")),
         batchId)
-      val (k, d) = {
-        val r = out.agg(sum("n_kept"), sum("n_dropped")).head()
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
+      lazy val recount = out.agg(sum("n_kept"), sum("n_dropped")).head()
+      val k = Observed.long(obs, "k")(
+        if (recount.isNullAt(0)) 0L else recount.getLong(0))
+      val d = Observed.long(obs, "d")(
+        if (recount.isNullAt(1)) 0L else recount.getLong(1))
       batchesSeen += 1; parasKept += k; parasDropped += d
       // cadenced maintenance (the SemDedupStream discipline): folding
       // bounds the per-trigger probe's file listing, decisions unchanged
