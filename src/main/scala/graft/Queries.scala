@@ -509,6 +509,19 @@ object Queries {
         "segment", k = 5L, l = 3L)
     }),
 
+    "q_x_k_anon_report" -> ((s, dir) => {
+      // the release-rate report a privacy review reads before choosing
+      // k: per quasi-group size + released verdict at k=5 — the audit
+      // face of q_x_k_anon's row gate
+      val c = rd(s, dir, "customer").select(
+        col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"),
+        graft.mask.Privacy.generalizeNum(floor(col("c_acctbal")), 5000L)
+          .as("bal_band"))
+      graft.mask.Privacy.kAnonymityReport(c,
+        Seq("nation", "segment", "bal_band"), k = 5L)
+    }),
+
     "q_x_t_close" -> ((s, dir) => {
       // t-closeness gate: a (nation, balance band) group's segment
       // distribution must sit within total-variation distance 1/5 of
@@ -4178,6 +4191,19 @@ object Queries {
         |  g.k_group, g.l_distinct
         |FROM c JOIN g USING (nation, bal_band)
         |WHERE g.k_group >= 5 AND g.l_distinct >= 3""".stripMargin,
+
+    "q_x_k_anon_report" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal) AS BIGINT)
+        |      - ((CAST(floor(c_acctbal) AS BIGINT) % 5000 + 5000) % 5000)
+        |      AS bal_band
+        |  FROM customer)
+        |SELECT nation, segment, bal_band,
+        |  count(*)::BIGINT AS k_group,
+        |  CAST(count(*) >= 5 AS BIGINT) AS released
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
 
     // t_close: exact-integer TVD gate — tvd2_num = 2*TVD*n_g*N via
     // sum over PRESENT values of (|cgv*N - cv*n_g| - cv*n_g) + n_g*N
