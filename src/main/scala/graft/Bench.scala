@@ -41,13 +41,13 @@ object Bench {
     // under that window — phantom regressions self-diagnose. A NEGATIVE
     // delta is benign JIT warm-up (measured ~-50% at sf0.001).
     val canaryQuery = "q_p4_date"
-    def canarySec(): Double =
+    def canarySec(samples: Int = 2): Double =
       try {
         // warm-up runs first (not timed): the first execution pays the
         // query's one-time codegen, which is warm-up, not host state
         (1 to 3).foreach(_ => time(SparkEntry.queries(canaryQuery)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()))
-        (1 to 2).map(_ => time(SparkEntry.queries(canaryQuery)(spark, sfDir)
+        (1 to samples).map(_ => time(SparkEntry.queries(canaryQuery)(spark, sfDir)
           .write.format("noop").mode("overwrite").save())).min
       } catch { case _: Throwable => -1.0 }
     def deltaPct(a: Double, b: Double): String =
@@ -163,8 +163,13 @@ object Bench {
     // with 3 the min is robust to one bad window per query.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
 
-    // canary sample bracketing the catalog loop (pairs with canary_end)
-    val canaryStart = canarySec()
+    // canary sample bracketing the catalog loop (pairs with canary_end).
+    // min-of-3 for the brackets that set canary_window_factor (VERDICT
+    // r16 #1: the official artifact's opening sample landed in the
+    // index-build tail and shipped a garbage 4.075 factor; one extra
+    // sample after the 3 warmups makes a single contended read
+    // non-binding)
+    val canaryStart = canarySec(samples = 3)
     val canary2Start = canary2Sec()
 
     // The catalog runs in canary-bracketed CHUNKS through the same
@@ -273,7 +278,7 @@ object Bench {
         results.toSeq.filter { case (n, s) => s > budgetOf(n) }
           .sortBy(-_._2)
           .map { case (n, s) => f"$n:$s%.2f" }
-    val canaryEnd = canarySec()
+    val canaryEnd = canarySec(samples = 3)
     val canary2End = canary2Sec()
     // JSON null when either measurement failed — a -1.0 sentinel would
     // read as a plausible small negative delta and hide the failure
@@ -333,9 +338,38 @@ object Bench {
     def windowFactor2For(name: String): Double =
       chunkOf.get(name)
         .flatMap(cn => sectionMetas.find(_.name == cn))
+        // both samples must be live: with one at the -1.0 failure
+        // sentinel the average can still land positive and ship a
+        // bogus factor (ADVICE r16) — mirror the deltaPct guard
+        .filter(m => m.shuffleBefore > 0 && m.shuffleAfter > 0)
         .map(m => ((m.shuffleBefore + m.shuffleAfter) / 2.0) / canary2Ref)
         .filter(_ > 0)
         .getOrElse(canary2WindowFactor)
+    // Probe-agreement rule (VERDICT r16 #1/#3): the two canaries have
+    // now each produced a garbage reading the OTHER called sane (r15
+    // seal 4: CPU ~1.0 in a slow window; r16 official: CPU 4.075 while
+    // shuffle read 1.116). When the factors diverge beyond the band,
+    // adjust by the probe CLOSER TO 1.0 — the milder correction; a
+    // single probe's excursion then cannot drive the adjustment. Within
+    // the band the primary (CPU) factor stays authoritative, so sealed
+    // history keeps its meaning.
+    val probeDivergenceBand =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_DIVERGENCE_BAND", "1.25")
+        .toDouble
+    def chosenFactorFor(name: String): Double = {
+      val f1 = windowFactorFor(name)
+      val f2 = windowFactor2For(name)
+      if (f1 > 0 && f2 > 0 &&
+          math.max(f1, f2) / math.min(f1, f2) > probeDivergenceBand)
+        if (math.abs(math.log(f1)) <= math.abs(math.log(f2))) f1 else f2
+      else f1
+    }
+    def probesDivergeFor(name: String): Boolean = {
+      val f1 = windowFactorFor(name)
+      val f2 = windowFactor2For(name)
+      f1 > 0 && f2 > 0 &&
+        math.max(f1, f2) / math.min(f1, f2) > probeDivergenceBand
+    }
     // Adjusted TOTAL = the SUM of per-query chunk-adjusted times, not
     // raw ÷ one global factor (VERDICT r14 #1: a single linear factor
     // over-corrects past ~1.3 — the r14 official artifact's 62.7 s
@@ -346,7 +380,7 @@ object Bench {
     val totalWindowAdjusted: Double =
       if (canaryWindowFactor <= 0) -1.0
       else results.filter(_._2 >= 0)
-        .map { case (n, s) => s / windowFactorFor(n) }.sum
+        .map { case (n, s) => s / chosenFactorFor(n) }.sum
     // Extreme-window self-notice: past this point the LINEAR canary
     // model itself is suspect (measured r14: global factors 1.5+ over-
     // corrected totals by ~20%); the artifact says so instead of
@@ -357,7 +391,7 @@ object Bench {
       else budgetViolations.map { v =>
         val i = v.lastIndexOf(':')
         val name = v.substring(0, i)
-        val adj = v.substring(i + 1).toDouble / windowFactorFor(name)
+        val adj = v.substring(i + 1).toDouble / chosenFactorFor(name)
         f"$name:$adj%.2f"
       }
     val budgetViolationsDetail: Seq[String] =
@@ -372,8 +406,12 @@ object Bench {
           .exists(_.skewed)
         val f2 = windowFactor2For(name)
         val f2s = if (f2 > 0) f"$f2%.3f" else "null"
-        f"$name:raw=$raw%.2f,adj=${raw / f}%.2f,factor=$f%.3f," +
-          s"factor_shuffle=$f2s,chunk=$chunk,chunk_skewed=$skewed"
+        val used = chosenFactorFor(name)
+        val diverged = probesDivergeFor(name)
+        f"$name:raw=$raw%.2f,adj=${raw / used}%.2f,factor=$f%.3f," +
+          s"factor_shuffle=$f2s," +
+          f"factor_used=$used%.3f,probes_diverged=$diverged," +
+          s"chunk=$chunk,chunk_skewed=$skewed"
       }
 
     // CDC merge throughput (BASELINE.md engine benchmark plan): events/s
@@ -1163,6 +1201,9 @@ object Bench {
         (if (canary2WindowFactor > 0) canary2WindowFactor.toString
          else "null"),
       "window_factor_extreme" -> windowFactorExtreme.toString,
+      "canary_divergence_band" -> probeDivergenceBand.toString,
+      "canary_divergent_queries_n" ->
+        results.count(r => probesDivergeFor(r._1)).toString,
       "budget_violations_window_adjusted" -> budgetViolationsAdjusted
         .map("\"" + _ + "\"").mkString("[", ",", "]"),
       "budget_violations_detail" -> budgetViolationsDetail

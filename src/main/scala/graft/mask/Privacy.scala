@@ -113,12 +113,18 @@ object Privacy {
       .agg(count(lit(1)).as("__cgv"))
     val v = df.groupBy(col(sensitiveCol))
       .agg(count(lit(1)).as("__cv"))
-    val n = df.count()
+    // N = Σ_v c_v: one tiny action over the O(|values|) table instead
+    // of a third corpus-wide pass (VERDICT r16 #2). Cache v so the
+    // count job and the broadcast below share one aggregation.
+    val vc = v.localCheckpoint()
+    graft.core.Metrics.deferUnpersist(vc)
+    val nRow = vc.agg(sum(col("__cv"))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     // the value-level fold needs n_g BEFORE it sums — derived from the
     // (quasi…, sensitive) counts (O(groups·values) input, NOT a third
     // corpus-wide pass), then joined back; no window anywhere
     val sizes = gv.groupBy(gs: _*).agg(sum(col("__cgv")).as("k_group"))
-    val terms = gv.join(broadcast(v), Seq(sensitiveCol))
+    val terms = gv.join(broadcast(vc), Seq(sensitiveCol))
       .join(sizes, quasiCols)
       .groupBy(gs: _*)
       .agg(first(col("k_group")).as("k_group"),

@@ -540,6 +540,13 @@ object TextOps {
     *    creates (·,ab)/(ab,·) pairs from them), plus — when the
     *    aggregate was truncated at `batchN` — the last collected count
     *    (an unseen pair's bound);
+    *  - an accepted SELF-PAIR merge (l == r, e.g. (a,a)→aa) folds its
+    *    OWN count into the hazard: inside a run "a a a a" the pairs it
+    *    creates — (aa,a), (a,aa), (aa,aa) — arise from occurrences of
+    *    (a,a) itself, so no other candidate's old count bounds them;
+    *    only pc(a,a) does. Since candidates arrive count-descending,
+    *    this effectively ends the round at the next acceptance check —
+    *    the price of exactness on run-heavy corpora;
     *  - the next candidate must STRICTLY exceed the hazard (an equal
     *    count could tie and win on the (l, r) order rule), else the
     *    round ends and the next aggregate re-ranks exactly.
@@ -589,6 +596,9 @@ object TextOps {
         val acceptedIdx = scala.collection.mutable.Set.empty[Int]
         val accepted = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
+        // counts of accepted SELF-PAIR merges: the pairs they create
+        // are bounded only by their own pc (see the hazard Scaladoc)
+        var selfPairHazard = Long.MinValue
         var stop = false
         var i = 0
         while (!stop && i < cand.length &&
@@ -597,13 +607,15 @@ object TextOps {
           if (accepted.isEmpty) {
             accepted += ((l, r, pc)); acceptedIdx += i
             touched ++= Seq(l, r, l + r)
+            if (l == r) selfPairHazard = math.max(selfPairHazard, pc)
           } else if (!touched.contains(l) && !touched.contains(r)) {
             // hazard over the WHOLE candidate list, later entries
             // included: an equal-count symbol-sharing pair below this
             // one could, once changed into a created pair, tie and win
             // the (l, r) order rule
             val hazard = cand.indices.foldLeft(
-              if (truncated) lastPc else Long.MinValue) { (h, j) =>
+              math.max(selfPairHazard,
+                if (truncated) lastPc else Long.MinValue)) { (h, j) =>
               val (jl, jr, jpc) = cand(j)
               if (!acceptedIdx.contains(j) &&
                   (touched.contains(jl) || touched.contains(jr)))
@@ -613,6 +625,7 @@ object TextOps {
             if (pc > hazard) {
               accepted += ((l, r, pc)); acceptedIdx += i
               touched ++= Seq(l, r, l + r)
+              if (l == r) selfPairHazard = math.max(selfPairHazard, pc)
             } else stop = true
           }
           i += 1

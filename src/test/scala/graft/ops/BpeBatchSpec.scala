@@ -41,6 +41,33 @@ class BpeBatchSpec extends SparkSpec {
     }
   }
 
+  test("self-pair acceptance folds its own count into the hazard") {
+    // r16-verdict repro: 2x'aaaaaa' + 3x'xy'. Round 1 candidates are
+    // [(a,a,10), (x,y,3)]; (a,a) is a SELF-PAIR whose created pairs
+    // ((aa,a)/(a,aa)/(aa,aa), count 4 here) are bounded only by its
+    // own pc=10 — no other candidate shares a symbol. Without the
+    // self-pair hazard the disjoint (x,y,3) is accepted even though
+    // strict order picks the created pair (count 4 > 3) next.
+    val docs = Seq("aaaaaa", "aaaaaa", "xy", "xy", "xy").toDF("text")
+    for (m <- Seq(2, 3, 6); n <- Seq(4, 64)) {
+      val strict = table(TextOps.bpeTrain(docs, "text", m))
+      val batched = table(TextOps.bpeTrainBatched(docs, "text", m,
+        batchN = n))
+      assert(batched == strict, s"merges=$m batchN=$n")
+    }
+    // the same shape buried among disjoint high-count pairs: the
+    // non-self merges before and after the self-pair must still batch
+    val mixed = Seq(
+      "pq pq pq pq pq pq pq pq", "aaaaaa aaaaaa", "uv uv uv uv",
+      "mn mn mn").toDF("text")
+    for (m <- Seq(4, 8)) {
+      val strict = table(TextOps.bpeTrain(mixed, "text", m))
+      val batched = table(TextOps.bpeTrainBatched(mixed, "text", m,
+        batchN = 8))
+      assert(batched == strict, s"mixed merges=$m")
+    }
+  }
+
   test("batched trainer exhausts cleanly when pairs run out") {
     val docs = Seq("ab", "ab", "cd").toDF("text")
     // only pairs (a,b) and (c,d) exist; asking for 10 merges stops at 2
