@@ -27,17 +27,23 @@ import org.apache.spark.sql.functions._
   * 0) adopting an existing store passes a new `lineage` string and
   * inherits everything its predecessors screened.
   *
-  * Scale shape: explode is batch-linear; the seen-lookup is an
-  * anti-join of the BATCH's keys (micro-batch sized, broadcastable)
-  * against the key store — at corpus scale hold the store
-  * key-bucketed ([[graft.warehouse.BucketedCatalog]] on `key`) so the
-  * probe partition-prunes, the same bound as
-  * [[graft.ops.Dedup.incremental]]; reassembly shuffles only the
-  * batch. Executor memory holds nothing between triggers.
+  * Scale shape: explode is batch-linear; the seen-lookup is
+  * BLOOM-GATED and bucket-pruned (r17, [[KeyGate]]): a corpus key
+  * sketch screens the batch's paragraph keys map-side, only possible
+  * members broadcast into the store probe, the store scan
+  * partition-prunes to the buckets those survivors hash into, and a
+  * zero-survivor trigger never reads the store — the per-trigger
+  * corpus term is O(touched buckets), not O(store), the same bound as
+  * [[graft.ops.Dedup.incremental]]. Past `broadcastCap` survivors the
+  * probe falls back to the non-broadcast shuffle join. Reassembly
+  * shuffles only the batch. Executor memory holds nothing between
+  * triggers.
   */
 final class ParaDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, sep: String = "\n\n",
-    lineage: String = "default", compactEvery: Int = 0) {
+    lineage: String = "default", compactEvery: Int = 0,
+    storeBuckets: Int = 64, broadcastCap: Long = 1L << 20,
+    sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24) {
 
   private var batchesSeen = 0L
   private var parasKept = 0L
@@ -48,7 +54,11 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
 
   // the shared side-store protocol: recover-on-read, lineage-scoped
   // replay visibility, tagged append, fold-compact (see StreamStore)
-  private val store = new StreamStore(spark, storePath, lineage)
+  private val store =
+    new StreamStore(spark, storePath, lineage, storeBuckets, "key")
+  // corpus superset sketch (see SubstrDedupStream)
+  private var sketch: Array[Byte] =
+    if (store.exists) store.buildSketch(sketchItems, sketchBits) else null
 
   /** The `foreachBatch` body: returns (doc_id, clean_text, n_kept,
     * n_dropped) for the batch — the caller sinks it — with the new
@@ -78,21 +88,34 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     // lineage's keys get the strictly-earlier-batch replay filter
     // (without this, a restarted pipeline would admit every duplicate
     // its predecessor already screened). StreamStore.visible owns both.
-    // Corpus membership with the store side NEVER shuffling (r16, the
-    // SubstrDedupStream shape): map-side LEFT SEMI probe of the store
-    // against the broadcast batch keys, distinct at the MATCHED set's
-    // (batch-bounded) size, broadcast back as the mark — replaces the
-    // r15 `seen.distinct()` O(store) shuffle per trigger (and the
-    // second O(store) shuffle the outer join plans once the store
-    // outgrows the broadcast threshold). Mark semantics identical: the
-    // join only ever consulted store keys the batch carries.
-    val seen = store.visible(batchId)
-      .map(_.select(col("key").as("__key"))
-        .join(broadcast(paras.select(col("__key"))), Seq("__key"),
-          "left_semi")
-        .distinct().withColumn("__in_corpus", lit(true)))
-      .getOrElse(spark.range(0).select(lit("").as("__key"),
-        lit(true).as("__in_corpus")))
+    // Corpus membership, bloom-gated + bucket-pruned (r17, KeyGate
+    // doc): one batch-sized aggregate classifies the trigger. Gated =
+    // LEFT SEMI of the PRUNED store against only sketch-surviving
+    // keys (store never shuffles, scan is O(touched buckets)); zero
+    // survivors skip the store read; past broadcastCap the r15
+    // shuffle shape takes over. Mark semantics identical in all
+    // three: no false negatives, untouched buckets hold no surviving
+    // key.
+    val kg = KeyGate.plan(store, paras, col("__key"), sketch,
+      broadcastCap, sketchItems, sketchBits)
+    val emptySeen = spark.range(0).select(lit("").as("__key"),
+      lit(true).as("__in_corpus"))
+    val seen =
+      if (kg.skipStore) emptySeen
+      else if (!kg.fallback)
+        store.visiblePruned(batchId, kg.touched)
+          .map(_.select(col("key").as("__key"))
+            .join(broadcast(paras.filter(kg.gate)
+              .select(col("__key"))), Seq("__key"), "left_semi")
+            .distinct().withColumn("__in_corpus", lit(true)))
+          .getOrElse(emptySeen)
+      else
+        store.visible(batchId)
+          .map(_.select(col("key").as("__key"))
+            .join(paras.select(col("__key")).distinct(), Seq("__key"),
+              "left_semi")
+            .distinct().withColumn("__in_corpus", lit(true)))
+          .getOrElse(emptySeen)
     // left-join marker, not anti-join: reassembly needs LOSING rows too
     // (they count as dropped), so every paragraph keeps a row
     val marked = first.join(broadcast(seen), Seq("__key"), "left")
@@ -120,6 +143,12 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       graft.core.Metrics.deferUnpersist(out)
       store.append(marked.filter(keep).select(col("__key").as("key")),
         batchId)
+      // keep the gate a corpus superset (batch sketch covers every
+      // appended key; see SubstrDedupStream)
+      sketch =
+        if (kg.batchSketch == null) sketch
+        else if (sketch == null) kg.batchSketch
+        else graft.functions.Bloom.merge(sketch, kg.batchSketch)
       lazy val recount = out.agg(sum("n_kept"), sum("n_dropped")).head()
       val k = Observed.long(obs, "k")(
         if (recount.isNullAt(0)) 0L else recount.getLong(0))

@@ -28,14 +28,23 @@ import org.apache.spark.sql.types.LongType
   * identical guarantees to ParaDedupStream, one code path.
   *
   * Scale shape: the window explode is batch-token-linear; the
-  * seen-lookup joins the BATCH's keys (micro-batch sized) against the
-  * key store — hold the store key-bucketed at corpus scale so the
-  * probe partition-prunes; the island merge and reassembly shuffle
-  * only the batch. Executors hold nothing between triggers.
+  * seen-lookup is BLOOM-GATED and bucket-pruned (r17, [[KeyGate]]): a
+  * corpus key sketch screens the batch's keys map-side, so only
+  * possible members (true duplicates + the sketch's fpp share) are
+  * broadcast into the store probe, the store scan partition-prunes to
+  * the buckets those survivors hash into, and a zero-survivor trigger
+  * never reads the store at all — the per-trigger corpus term is
+  * O(touched buckets), not O(store). A dup-heavy batch past
+  * `broadcastCap` falls back to the non-broadcast shuffle shape
+  * instead of failing the trigger on an oversized broadcast. The
+  * island merge and reassembly shuffle only the batch. Executors hold
+  * nothing between triggers.
   */
 final class SubstrDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, n: Int,
-    lineage: String = "default", compactEvery: Int = 0) {
+    lineage: String = "default", compactEvery: Int = 0,
+    storeBuckets: Int = 64, broadcastCap: Long = 1L << 20,
+    sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24) {
   require(n > 0, "window size must be positive")
 
   private var batchesSeen = 0L
@@ -45,7 +54,12 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, tokens kept, tokens cut). */
   def stats: (Long, Long, Long) = (batchesSeen, tokensKept, tokensDropped)
 
-  private val store = new StreamStore(spark, storePath, lineage)
+  private val store =
+    new StreamStore(spark, storePath, lineage, storeBuckets, "key")
+  // corpus superset sketch: one O(store) build at construction (restart
+  // adoption), then per-trigger batch-sketch merges keep it current
+  private var sketch: Array[Byte] =
+    if (store.exists) store.buildSketch(sketchItems, sketchBits) else null
 
   /** The `foreachBatch` body: returns (id, clean_text, n_kept,
     * n_dropped) with the batch's new window keys already appended. The
@@ -76,23 +90,35 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
             " ")).as("__key"))
         .localCheckpoint(false)
       try {
-        // Corpus membership as the store promises at 100 TB: the store
-        // side NEVER shuffles. A map-side LEFT SEMI probe of the store
-        // against the broadcast batch keys yields the matched set
-        // (batch-bounded), which — deduped at ITS size, not the
-        // store's — broadcasts back as the mark. r15 shipped
-        // `seen.distinct()` + a plain left join: one O(store) shuffle
-        // per trigger in the distinct, and a second at scale once the
-        // store outgrows the broadcast threshold and the outer join
-        // plans SMJ. Mark semantics are identical: the left join only
-        // ever consulted store keys the batch carries.
-        val seen = store.visible(batchId)
-          .map(_.select(col("key").as("__key"))
-            .join(broadcast(wins.select(col("__key"))), Seq("__key"),
-              "left_semi")
-            .distinct().withColumn("__corpus", lit(true)))
-          .getOrElse(spark.range(0).select(lit("").as("__key"),
-            lit(true).as("__corpus")))
+        // Corpus membership, bloom-gated + bucket-pruned (r17): ONE
+        // batch-sized aggregate classifies the trigger (KeyGate doc).
+        // Gated path = LEFT SEMI of the PRUNED store against only the
+        // sketch-surviving keys (r16's store-never-shuffles contract,
+        // minus the O(store) scan); zero survivors skip the store read
+        // entirely; past broadcastCap the r15 shuffle shape takes over
+        // (ADVICE r16 — degrade, don't fail the trigger). Mark
+        // semantics identical in all three: the sketch has no false
+        // negatives and untouched buckets hold no surviving key.
+        val kg = KeyGate.plan(store, wins, col("__key"), sketch,
+          broadcastCap, sketchItems, sketchBits)
+        val emptySeen = spark.range(0).select(lit("").as("__key"),
+          lit(true).as("__corpus"))
+        val seen =
+          if (kg.skipStore) emptySeen
+          else if (!kg.fallback)
+            store.visiblePruned(batchId, kg.touched)
+              .map(_.select(col("key").as("__key"))
+                .join(broadcast(wins.filter(kg.gate)
+                  .select(col("__key"))), Seq("__key"), "left_semi")
+                .distinct().withColumn("__corpus", lit(true)))
+              .getOrElse(emptySeen)
+          else
+            store.visible(batchId)
+              .map(_.select(col("key").as("__key"))
+                .join(wins.select(col("__key")).distinct(),
+                  Seq("__key"), "left_semi")
+                .distinct().withColumn("__corpus", lit(true)))
+              .getOrElse(emptySeen)
         // corpus-seen marks; within batch the first (doc, start)
         // occurrence of a NEW key survives, later copies mark
         val byKey = Window.partitionBy(col("__key"))
@@ -146,6 +172,14 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
           store.append(joined
             .filter(col("__corpus").isNull && col("__rn") === 1)
             .select(col("__key").as("key")), batchId)
+          // keep the gate a corpus superset: the batch sketch covers
+          // ALL of the batch's window keys (⊇ the appended first-seen
+          // set), so replayed/raced appends can only add false
+          // positives — routed to the exact probe, never missed
+          sketch =
+            if (kg.batchSketch == null) sketch
+            else if (sketch == null) kg.batchSketch
+            else graft.functions.Bloom.merge(sketch, kg.batchSketch)
           lazy val recount = out.agg(sum("n_kept"), sum("n_dropped"))
             .head()
           val k = Observed.long(obs, "k")(

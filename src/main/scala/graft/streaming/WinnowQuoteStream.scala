@@ -25,18 +25,27 @@ import org.apache.spark.sql.functions._
   * AtomicDir compaction the family's crash-matrix spec pins; this
   * class adds no store calls beyond the shared protocol.
   *
-  * Scale shape: the batch's fingerprints are micro-batch-sized and
-  * BROADCAST into the store probe — the corpus side never shuffles
-  * (hold it fp-bucketed at scale so the probe partition-prunes); the
-  * pair group-by runs on matched rows only. Boilerplate governance is
-  * the [[graft.ops.Dedup.winnowIncremental]] rule: cap fp frequency at
+  * Scale shape: the batch's fingerprints are micro-batch-sized, and
+  * the store probe is BLOOM-GATED and bucket-pruned (r17,
+  * [[KeyGate]]): a corpus fp sketch screens the batch's fingerprints
+  * map-side, only possible members broadcast into the probe, the
+  * store scan partition-prunes to the fp-buckets those survivors hash
+  * into, and a zero-survivor trigger never reads the store — the
+  * corpus side never shuffles and its per-trigger scan is O(touched
+  * buckets), not O(store). Past `broadcastCap` survivors the probe
+  * falls back to the non-broadcast shuffle join (degrade, don't fail
+  * the trigger). The pair group-by runs on matched rows only.
+  * Boilerplate governance is the
+  * [[graft.ops.Dedup.winnowIncremental]] rule: cap fp frequency at
   * [[compact]] time (a fingerprint carried by M corpus docs fans each
   * batch hit M ways). Doc ids are normalized to LONG in the store.
   */
 final class WinnowQuoteStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, k: Int, w: Int,
     minShared: Long = 2L, lineage: String = "default",
-    compactEvery: Int = 0) {
+    compactEvery: Int = 0, storeBuckets: Int = 64,
+    broadcastCap: Long = 1L << 20, sketchItems: Long = 1L << 21,
+    sketchBits: Long = 1L << 24) {
   require(minShared > 0, "minShared must be positive")
 
   private var batchesSeen = 0L
@@ -46,7 +55,11 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, quote pairs, fps stored). */
   def stats: (Long, Long, Long) = (batchesSeen, pairsFound, fpsStored)
 
-  private val store = new StreamStore(spark, storePath, lineage)
+  private val store =
+    new StreamStore(spark, storePath, lineage, storeBuckets, "fp")
+  // corpus superset sketch over stored fps (see SubstrDedupStream)
+  private var sketch: Array[Byte] =
+    if (store.exists) store.buildSketch(sketchItems, sketchBits) else null
 
   /** The `foreachBatch` body: returns (id_new, id_corpus, shared_fps)
     * quote pairs for the batch — id_corpus is a stored doc, or the
@@ -66,11 +79,29 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
       .observe(bObs, count(lit(1)).as("n"))
       .localCheckpoint()
     try {
-      val corpus = store.visible(batchId)
-        .map(_.select(col("doc").as("__oid"), col("fp")))
-        .getOrElse(spark.range(0)
-          .select(col("id").as("__oid"), col("id").as("fp")))
-      val cross = corpus.join(broadcast(bFps), "fp")
+      // bloom-gated + bucket-pruned corpus probe (r17, KeyGate doc):
+      // zero survivors skip the store read; gated probes scan only the
+      // survivors' fp-buckets; past broadcastCap the non-broadcast
+      // join degrades gracefully. Pair output identical: the sketch
+      // has no false negatives and untouched buckets hold no
+      // surviving fp.
+      val kg = KeyGate.plan(store, bFps, col("fp"), sketch,
+        broadcastCap, sketchItems, sketchBits)
+      val emptyCorpus = spark.range(0)
+        .select(col("id").as("__oid"), col("id").as("fp"))
+      val cross =
+        (if (kg.skipStore)
+          emptyCorpus.join(bFps.limit(0), "fp")
+        else if (!kg.fallback)
+          store.visiblePruned(batchId, kg.touched)
+            .map(_.select(col("doc").as("__oid"), col("fp"))
+              .join(broadcast(bFps.filter(kg.gate)), "fp"))
+            .getOrElse(emptyCorpus.join(bFps.limit(0), "fp"))
+        else
+          store.visible(batchId)
+            .map(_.select(col("doc").as("__oid"), col("fp"))
+              .join(bFps, "fp"))
+            .getOrElse(emptyCorpus.join(bFps.limit(0), "fp")))
         .select(col("__nid").as("id_new"), col("__oid").as("id_corpus"))
       // within-batch: the smaller id plays corpus (first-wins), each
       // unordered pair counted once
@@ -88,6 +119,12 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
       graft.core.Metrics.deferUnpersist(out)
       store.append(bFps.select(col("__nid").as("doc"), col("fp")),
         batchId)
+      // keep the gate a corpus superset (batch sketch covers every
+      // appended fp; see SubstrDedupStream)
+      sketch =
+        if (kg.batchSketch == null) sketch
+        else if (sketch == null) kg.batchSketch
+        else graft.functions.Bloom.merge(sketch, kg.batchSketch)
       batchesSeen += 1
       pairsFound += Observed.long(oObs, "n")(out.count())
       fpsStored += Observed.long(bObs, "n")(bFps.count())
