@@ -256,6 +256,63 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "2.5").toDouble
     val totalBudget =
       sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_SEC", "90").toDouble
+    // Per-epoch total re-baseline (VERDICT r16 #2 / ISSUES #2): the
+    // host's catalog throughput drifts ~15-20% between rounds at a
+    // constant CPU-canary reading, so a fixed raw-total constant goes
+    // dead the first epoch shift. tools/epoch_ref.sh reruns a PINNED
+    // past binary on THIS host and writes EPOCH.json; when present,
+    // the total budget evaluates the query set BOTH catalogs share
+    // against ref_common_total × mult — fires on code regressions,
+    // silent on epoch drift AND on catalog growth (new operators are
+    // work, not regression). The env constant stays as the fallback.
+    val epochPath = sys.env.getOrElse("SPARK_GRAFT_EPOCH_FILE",
+      "EPOCH.json")
+    case class EpochRef(commit: String, total: Double,
+      queries: Map[String, Double], canaryRef: Double,
+      canary2Ref: Double)
+    val epochRef: Option[EpochRef] = try {
+      val f = new java.io.File(epochPath)
+      if (!f.exists) None
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        def num(field: String): Option[Double] =
+          (""""""" + field + """"\s*:\s*(-?[0-9][0-9.eE+-]*)""").r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val commit = """"epoch_ref_commit"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("?")
+        val qs = txt.indexOf("\"queries\"") match {
+          case -1 => Map.empty[String, Double]
+          case i =>
+            val open = txt.indexOf('{', i)
+            val close = txt.indexOf('}', open)
+            if (open < 0 || close < 0) Map.empty[String, Double]
+            else """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+              .findAllMatchIn(txt.substring(open, close))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        // canary re-pins ride the same run: mean of the epoch run's
+        // brackets (both must be live samples)
+        def mid(a: Option[Double], b: Option[Double]): Double =
+          (a, b) match {
+            case (Some(x), Some(y)) if x > 0 && y > 0 => (x + y) / 2.0
+            case _ => -1.0
+          }
+        num("ref_total_sec").map(t => EpochRef(commit, t, qs,
+          mid(num("ref_canary_start_sec"), num("ref_canary_end_sec")),
+          mid(num("ref_canary2_start_sec"), num("ref_canary2_end_sec"))))
+      }
+    } catch { case _: Throwable => None }
+    val epochMult = sys.env
+      .getOrElse("SPARK_GRAFT_EPOCH_BUDGET_MULT", "1.05").toDouble
+    // (head common-set total, ref common-set total) over live results
+    val epochCommon: Option[(Double, Double)] = epochRef.flatMap { er =>
+      val common = results.toSeq.filter { case (n, s) =>
+        s >= 0 && er.queries.get(n).exists(_ >= 0) }
+      if (common.isEmpty) None
+      else Some((common.map(_._2).sum,
+        common.map { case (n, _) => er.queries(n) }.sum))
+    }
     // Reviewed composite-budget entries (the Expand-allowlist pattern):
     // a chained multi-stage pipeline is k solo queries in ONE entry —
     // its stages are budget-checked individually by their solo twins
@@ -273,8 +330,13 @@ object Bench {
       queryBudget * compositeBudgetX.getOrElse(n, 1.0)
     val budgetViolations: Seq[String] =
       if (!sfDir.contains("sf0.1")) Seq.empty // budgets are sf0.1-calibrated
-      else (if (total > totalBudget) Seq(f"total:$total%.1f")
-            else Seq.empty) ++
+      else (epochCommon match {
+        // epoch-relative: common-set head total vs common-set ref total
+        case Some((head, ref)) if ref > 0 =>
+          if (head > ref * epochMult) Seq(f"total:$head%.1f") else Seq.empty
+        case _ =>
+          if (total > totalBudget) Seq(f"total:$total%.1f") else Seq.empty
+      }) ++
         results.toSeq.filter { case (n, s) => s > budgetOf(n) }
           .sortBy(-_._2)
           .map { case (n, s) => f"$n:$s%.2f" }
@@ -295,8 +357,12 @@ object Bench {
     // adjusted wall = raw ÷ factor self-reports the same-code estimate.
     // Budget thresholds stay on RAW — a real regression on a fast
     // window must still trip — the adjusted values ride ALONGSIDE.
-    val canaryRef =
-      sys.env.getOrElse("SPARK_GRAFT_CANARY_REF_SEC", "0.065").toDouble
+    // env wins; else the epoch run's same-host bracket (tools/
+    // epoch_ref.sh) re-pins the ref; else the r11/r12-calibrated default
+    val canaryRef = sys.env.get("SPARK_GRAFT_CANARY_REF_SEC")
+      .map(_.toDouble)
+      .orElse(epochRef.map(_.canaryRef).filter(_ > 0))
+      .getOrElse(0.065)
     val canaryWindowFactor: Double =
       if (canaryStart > 0 && canaryEnd > 0 && canaryRef > 0)
         ((canaryStart + canaryEnd) / 2.0) / canaryRef
@@ -329,8 +395,10 @@ object Bench {
     // NOT r14's epoch — the r16 A/B showed the r14 BINARY runs ~19%
     // slower on this epoch at the same CPU-canary reading, so no canary
     // can bridge epochs; factors compare windows WITHIN one.
-    val canary2Ref =
-      sys.env.getOrElse("SPARK_GRAFT_CANARY2_REF_SEC", "0.16").toDouble
+    val canary2Ref = sys.env.get("SPARK_GRAFT_CANARY2_REF_SEC")
+      .map(_.toDouble)
+      .orElse(epochRef.map(_.canary2Ref).filter(_ > 0))
+      .getOrElse(0.16)
     val canary2WindowFactor: Double =
       if (canary2Start > 0 && canary2End > 0 && canary2Ref > 0)
         ((canary2Start + canary2End) / 2.0) / canary2Ref
@@ -1179,6 +1247,19 @@ object Bench {
         budgetViolations.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "budget_query_sec" -> queryBudget.toString,
       "budget_total_sec" -> totalBudget.toString,
+      "budget_total_source" ->
+        ("\"" + (if (epochCommon.isDefined) "epoch_ref" else "env") + "\""),
+      "epoch_ref_commit" -> epochRef.map("\"" + _.commit + "\"")
+        .getOrElse("null"),
+      "epoch_ref_common_total_sec" -> epochCommon
+        .map(c => f"${c._2}%.2f").getOrElse("null"),
+      "epoch_head_common_total_sec" -> epochCommon
+        .map(c => f"${c._1}%.2f").getOrElse("null"),
+      "epoch_common_queries_n" -> epochRef.map(er =>
+        results.count { case (n, s) =>
+          s >= 0 && er.queries.get(n).exists(_ >= 0) }.toString)
+        .getOrElse("null"),
+      "epoch_budget_mult" -> epochMult.toString,
       "canary_query" -> ("\"" + canaryQuery + "\""),
       "canary_pre_build_sec" -> canaryPreBuild.toString,
       "canary_build_delta_pct" -> deltaPct(canaryPreBuild, canaryStart),

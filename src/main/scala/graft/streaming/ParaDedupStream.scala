@@ -43,7 +43,8 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, sep: String = "\n\n",
     lineage: String = "default", compactEvery: Int = 0,
     storeBuckets: Int = 64, broadcastCap: Long = 1L << 20,
-    sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24) {
+    sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24,
+    gateFromBytes: Long = 64L << 20) {
 
   private var batchesSeen = 0L
   private var parasKept = 0L
@@ -56,9 +57,11 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
   // replay visibility, tagged append, fold-compact (see StreamStore)
   private val store =
     new StreamStore(spark, storePath, lineage, storeBuckets, "key")
-  // corpus superset sketch (see SubstrDedupStream)
-  private var sketch: Array[Byte] =
-    if (store.exists) store.buildSketch(sketchItems, sketchBits) else null
+  // live driver-side corpus key sketch, built at the gateFromBytes
+  // threshold crossing (see SubstrDedupStream)
+  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+    None
+  private var bloomStale: Boolean = false
 
   /** The `foreachBatch` body: returns (doc_id, clean_text, n_kept,
     * n_dropped) for the batch — the caller sinks it — with the new
@@ -89,33 +92,37 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     // (without this, a restarted pipeline would admit every duplicate
     // its predecessor already screened). StreamStore.visible owns both.
     // Corpus membership, bloom-gated + bucket-pruned (r17, KeyGate
-    // doc): one batch-sized aggregate classifies the trigger. Gated =
-    // LEFT SEMI of the PRUNED store against only sketch-surviving
-    // keys (store never shuffles, scan is O(touched buckets)); zero
-    // survivors skip the store read; past broadcastCap the r15
-    // shuffle shape takes over. Mark semantics identical in all
-    // three: no false negatives, untouched buckets hold no surviving
-    // key.
-    val kg = KeyGate.plan(store, paras, col("__key"), sketch,
-      broadcastCap, sketchItems, sketchBits)
+    // doc): one batch-sized distinct-hash collect classifies the
+    // trigger on the driver. Gated = LEFT SEMI of the PRUNED store
+    // against the broadcast batch keys (store never shuffles, scan is
+    // O(touched buckets)); zero bloom survivors skip the store read;
+    // past broadcastCap the r15 shuffle shape takes over. Mark
+    // semantics identical in all three: no false negatives, untouched
+    // buckets hold no key the batch carries.
+    val small = KeyGate.enabled && store.dataBytes < gateFromBytes
+    if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
+      bloom = store.buildBloom(sketchItems, sketchBits)
+      bloomStale = false
+    }
+    val kg =
+      if (small) KeyGate.small(store)
+      else KeyGate.plan(store, paras, col("__key"), bloom, broadcastCap)
     val emptySeen = spark.range(0).select(lit("").as("__key"),
       lit(true).as("__in_corpus"))
     val seen =
       if (kg.skipStore) emptySeen
-      else if (!kg.fallback)
-        store.visiblePruned(batchId, kg.touched)
-          .map(_.select(col("key").as("__key"))
-            .join(broadcast(paras.filter(kg.gate)
-              .select(col("__key"))), Seq("__key"), "left_semi")
+      else {
+        val storeDf =
+          if (kg.smallStore || kg.fallback) store.visible(batchId)
+          else store.visiblePruned(batchId, kg.touched)
+        val probe =
+          if (kg.fallback) paras.select(col("__key")).distinct()
+          else broadcast(paras.select(col("__key")))
+        storeDf.map(_.select(col("key").as("__key"))
+            .join(probe, Seq("__key"), "left_semi")
             .distinct().withColumn("__in_corpus", lit(true)))
           .getOrElse(emptySeen)
-      else
-        store.visible(batchId)
-          .map(_.select(col("key").as("__key"))
-            .join(paras.select(col("__key")).distinct(), Seq("__key"),
-              "left_semi")
-            .distinct().withColumn("__in_corpus", lit(true)))
-          .getOrElse(emptySeen)
+      }
     // left-join marker, not anti-join: reassembly needs LOSING rows too
     // (they count as dropped), so every paragraph keeps a row
     val marked = first.join(broadcast(seen), Seq("__key"), "left")
@@ -143,12 +150,12 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       graft.core.Metrics.deferUnpersist(out)
       store.append(marked.filter(keep).select(col("__key").as("key")),
         batchId)
-      // keep the gate a corpus superset (batch sketch covers every
-      // appended key; see SubstrDedupStream)
-      sketch =
-        if (kg.batchSketch == null) sketch
-        else if (sketch == null) kg.batchSketch
-        else graft.functions.Bloom.merge(sketch, kg.batchSketch)
+      // keep the gate a corpus superset (the collected hashes cover
+      // every appended key; see SubstrDedupStream for the stale and
+      // below-threshold rules)
+      if (kg.overflow) bloomStale = true
+      else if (KeyGate.enabled && !kg.smallStore)
+        bloom.foreach(b => kg.hashes.foreach(b.putLong))
       lazy val recount = out.agg(sum("n_kept"), sum("n_dropped")).head()
       val k = Observed.long(obs, "k")(
         if (recount.isNullAt(0)) 0L else recount.getLong(0))

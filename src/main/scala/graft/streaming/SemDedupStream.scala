@@ -222,14 +222,40 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
             .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
               sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol)))
                 .as("__rnrm"),
-              col(Ivf.CellCol).as("__rcell"), lit(true).as("__rcorp")))
+              col(Ivf.CellCol).as("__rcell"), lit(true).as("__rcorp"),
+              slice(col(vecCol), 1, SemDedupStream.PrefixDims)
+                .as("__rpfx"))
+            .withColumn("__rpk",
+              graft.ops.Similarity.dot(col("__rpfx"), col("__rpfx"))))
         val batchRef = assigned
           .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
             col("__bnrm").as("__rnrm"), col("__bcell").as("__rcell"),
-            lit(false).as("__rcorp"))
+            lit(false).as("__rcorp"),
+            slice(col(vecCol), 1, SemDedupStream.PrefixDims)
+              .as("__rpfx"))
+          .withColumn("__rpk",
+            graft.ops.Similarity.dot(col("__rpfx"), col("__rpfx")))
         val sim = when(col("__rnrm") * col("__bnrm") > 0,
           graft.ops.Similarity.dot(col("__rvec"), col("__bvec")) /
             (col("__rnrm") * col("__bnrm"))).otherwise(lit(0.0))
+        // Prefix screen (VERDICT r16 #4): for ANY pair with cos ≥ t,
+        // ‖â_k−b̂_k‖² ≤ ‖â−b̂‖² = 2−2·cos ≤ 2−2t (Cauchy-Schwarz bounds
+        // the tail), so a pair failing the k-dim band can NEVER pass
+        // the threshold — exact-safe, decisions unchanged (the band
+        // carries an fp slack that only ADMITS borderline pairs to the
+        // exact check). Per-pair cost is one k-dim codegen'd dot plus
+        // scalar math (prefix norms precompute per ROW above); the
+        // 64-dim dot runs only on admitted pairs. Evaluation order
+        // rides the same short-circuit the comment above pins.
+        val pfxScreen =
+          if (threshold <= 0) lit(true)
+          else col("__rnrm") > 0 && col("__bnrm") > 0 &&
+            (col("__rpk") / (col("__rnrm") * col("__rnrm")) +
+              col("__bpk") / (col("__bnrm") * col("__bnrm")) -
+              lit(2.0) *
+                graft.ops.Similarity.dot(col("__rpfx"), col("__bpfx")) /
+                (col("__rnrm") * col("__bnrm"))) <=
+              lit(2.0 - 2.0 * threshold + 1e-9)
         // ALL classification lives in the join condition, cheap disjuncts
         // first, so (a) the 64-dim dot runs AT MOST ONCE per candidate
         // pair (a post-join kind filter gets pushed into the condition by
@@ -245,7 +271,10 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
         // core; AQE never re-coalesces REPARTITION_BY_NUM.
         val nPart = spark.sessionState.conf.numShufflePartitions
         val bcast = assigned.select(col(idCol).as("__bid"),
-          col(vecCol).as("__bvec"), col("__bnrm"), col("__bcell"))
+          col(vecCol).as("__bvec"), col("__bnrm"), col("__bcell"),
+          slice(col(vecCol), 1, SemDedupStream.PrefixDims).as("__bpfx"))
+          .withColumn("__bpk",
+            graft.ops.Similarity.dot(col("__bpfx"), col("__bpfx")))
         val p = corpusRefOpt.map(_.unionByName(batchRef))
           .getOrElse(batchRef)
           .repartition(nPart)
@@ -253,7 +282,7 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
             col("__rcell") === col("__bcell") && (
               (col("__rcorp") && col("__rid") === col("__bid")) ||
                 ((col("__rcorp") || col("__rid") < col("__bid")) &&
-                  sim >= threshold)))
+                  pfxScreen && sim >= threshold)))
           .select(col("__bid"), col("__rid"),
             when(col("__rcorp") && col("__rid") === col("__bid"), lit("g"))
               .when(col("__rcorp"), lit("c"))
@@ -384,4 +413,12 @@ object SemDedupStream {
     * |pairs| is O(batch × matches), so an adversarial all-dups batch
     * can exceed any O(batch) bound and must not OOM the driver). */
   val DefaultDriverPairCap: Int = 1 << 20
+
+  /** Leading dims of the probe's exact-safe prefix screen: the k-dim
+    * normalized-prefix distance lower-bounds 2−2·cos (Cauchy-Schwarz
+    * on the tail), so a pair outside the 2−2t band skips the full-dim
+    * dot. 8 = one cache line of floats; screen power is data-dependent
+    * (energy in the leading dims) and measured by SemStreamProbe, the
+    * correctness is not. */
+  val PrefixDims: Int = 8
 }

@@ -44,7 +44,8 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, n: Int,
     lineage: String = "default", compactEvery: Int = 0,
     storeBuckets: Int = 64, broadcastCap: Long = 1L << 20,
-    sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24) {
+    sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24,
+    gateFromBytes: Long = 64L << 20) {
   require(n > 0, "window size must be positive")
 
   private var batchesSeen = 0L
@@ -56,10 +57,18 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
 
   private val store =
     new StreamStore(spark, storePath, lineage, storeBuckets, "key")
-  // corpus superset sketch: one O(store) build at construction (restart
-  // adoption), then per-trigger batch-sketch merges keep it current
-  private var sketch: Array[Byte] =
-    if (store.exists) store.buildSketch(sketchItems, sketchBits) else null
+  // corpus superset sketch, held LIVE on the driver: built from the
+  // store the first trigger the store exceeds `gateFromBytes` (and on
+  // restart adoption past it), then kept current by putLong over each
+  // trigger's collected hashes — the sketch never enters a plan
+  // (KeyGate doc). Below the threshold the stream runs the plain
+  // broadcast probe with no gate work at all.
+  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+    None
+  // set when an overflowed trigger's capped collect saw only a prefix
+  // of the batch's keys: the sketch may miss corpus keys, so gating
+  // stops until rebuilt from the store
+  private var bloomStale: Boolean = false
 
   /** The `foreachBatch` body: returns (id, clean_text, n_kept,
     * n_dropped) with the batch's new window keys already appended. The
@@ -91,34 +100,42 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
         .localCheckpoint(false)
       try {
         // Corpus membership, bloom-gated + bucket-pruned (r17): ONE
-        // batch-sized aggregate classifies the trigger (KeyGate doc).
-        // Gated path = LEFT SEMI of the PRUNED store against only the
-        // sketch-surviving keys (r16's store-never-shuffles contract,
-        // minus the O(store) scan); zero survivors skip the store read
-        // entirely; past broadcastCap the r15 shuffle shape takes over
-        // (ADVICE r16 — degrade, don't fail the trigger). Mark
-        // semantics identical in all three: the sketch has no false
-        // negatives and untouched buckets hold no surviving key.
-        val kg = KeyGate.plan(store, wins, col("__key"), sketch,
-          broadcastCap, sketchItems, sketchBits)
+        // batch-sized distinct-hash collect classifies the trigger on
+        // the DRIVER (KeyGate doc). Gated path = LEFT SEMI of the
+        // PRUNED store against the broadcast batch keys (r16's
+        // store-never-shuffles contract, minus the O(store) scan);
+        // zero bloom survivors skip the store read entirely; past
+        // broadcastCap the r15 shuffle shape takes over (ADVICE r16 —
+        // degrade, don't fail the trigger). Mark semantics identical
+        // in all three: the sketch has no false negatives and
+        // untouched buckets hold no key the batch carries.
+        val small = KeyGate.enabled && store.dataBytes < gateFromBytes
+        if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
+          // threshold crossing (or staleness): one O(store) rebuild,
+          // then per-trigger updates keep it current
+          bloom = store.buildBloom(sketchItems, sketchBits)
+          bloomStale = false
+        }
+        val kg =
+          if (small) KeyGate.small(store)
+          else KeyGate.plan(store, wins, col("__key"), bloom,
+            broadcastCap)
         val emptySeen = spark.range(0).select(lit("").as("__key"),
           lit(true).as("__corpus"))
         val seen =
           if (kg.skipStore) emptySeen
-          else if (!kg.fallback)
-            store.visiblePruned(batchId, kg.touched)
-              .map(_.select(col("key").as("__key"))
-                .join(broadcast(wins.filter(kg.gate)
-                  .select(col("__key"))), Seq("__key"), "left_semi")
+          else {
+            val storeDf =
+              if (kg.smallStore || kg.fallback) store.visible(batchId)
+              else store.visiblePruned(batchId, kg.touched)
+            val probe =
+              if (kg.fallback) wins.select(col("__key")).distinct()
+              else broadcast(wins.select(col("__key")))
+            storeDf.map(_.select(col("key").as("__key"))
+                .join(probe, Seq("__key"), "left_semi")
                 .distinct().withColumn("__corpus", lit(true)))
               .getOrElse(emptySeen)
-          else
-            store.visible(batchId)
-              .map(_.select(col("key").as("__key"))
-                .join(wins.select(col("__key")).distinct(),
-                  Seq("__key"), "left_semi")
-                .distinct().withColumn("__corpus", lit(true)))
-              .getOrElse(emptySeen)
+          }
         // corpus-seen marks; within batch the first (doc, start)
         // occurrence of a NEW key survives, later copies mark
         val byKey = Window.partitionBy(col("__key"))
@@ -172,14 +189,17 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
           store.append(joined
             .filter(col("__corpus").isNull && col("__rn") === 1)
             .select(col("__key").as("key")), batchId)
-          // keep the gate a corpus superset: the batch sketch covers
-          // ALL of the batch's window keys (⊇ the appended first-seen
-          // set), so replayed/raced appends can only add false
-          // positives — routed to the exact probe, never missed
-          sketch =
-            if (kg.batchSketch == null) sketch
-            else if (sketch == null) kg.batchSketch
-            else graft.functions.Bloom.merge(sketch, kg.batchSketch)
+          // keep the gate a corpus superset: fold ALL of the batch's
+          // window-key hashes (⊇ the appended first-seen set) into the
+          // live sketch — replayed/raced appends can only add false
+          // positives, routed to the exact probe, never missed. An
+          // overflowed trigger collected only a prefix, so it marks
+          // the sketch stale (rebuilt from the store when gating
+          // resumes); below-threshold triggers collect nothing and the
+          // crossing rebuild covers them.
+          if (kg.overflow) bloomStale = true
+          else if (KeyGate.enabled && !kg.smallStore)
+            bloom.foreach(b => kg.hashes.foreach(b.putLong))
           lazy val recount = out.agg(sum("n_kept"), sum("n_dropped"))
             .head()
           val k = Observed.long(obs, "k")(

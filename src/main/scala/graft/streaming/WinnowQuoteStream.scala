@@ -45,7 +45,7 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
     minShared: Long = 2L, lineage: String = "default",
     compactEvery: Int = 0, storeBuckets: Int = 64,
     broadcastCap: Long = 1L << 20, sketchItems: Long = 1L << 21,
-    sketchBits: Long = 1L << 24) {
+    sketchBits: Long = 1L << 24, gateFromBytes: Long = 64L << 20) {
   require(minShared > 0, "minShared must be positive")
 
   private var batchesSeen = 0L
@@ -57,9 +57,11 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
 
   private val store =
     new StreamStore(spark, storePath, lineage, storeBuckets, "fp")
-  // corpus superset sketch over stored fps (see SubstrDedupStream)
-  private var sketch: Array[Byte] =
-    if (store.exists) store.buildSketch(sketchItems, sketchBits) else null
+  // live driver-side corpus fp sketch, built at the gateFromBytes
+  // threshold crossing (see SubstrDedupStream)
+  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+    None
+  private var bloomStale: Boolean = false
 
   /** The `foreachBatch` body: returns (id_new, id_corpus, shared_fps)
     * quote pairs for the batch — id_corpus is a stored doc, or the
@@ -80,28 +82,34 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
       .localCheckpoint()
     try {
       // bloom-gated + bucket-pruned corpus probe (r17, KeyGate doc):
-      // zero survivors skip the store read; gated probes scan only the
-      // survivors' fp-buckets; past broadcastCap the non-broadcast
-      // join degrades gracefully. Pair output identical: the sketch
-      // has no false negatives and untouched buckets hold no
-      // surviving fp.
-      val kg = KeyGate.plan(store, bFps, col("fp"), sketch,
-        broadcastCap, sketchItems, sketchBits)
+      // zero bloom survivors skip the store read; gated probes scan
+      // only the survivors' fp-buckets; past broadcastCap the
+      // non-broadcast join degrades gracefully. Pair output identical:
+      // the sketch has no false negatives and untouched buckets hold
+      // no fp the batch carries.
+      val small = KeyGate.enabled && store.dataBytes < gateFromBytes
+      if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
+        bloom = store.buildBloom(sketchItems, sketchBits)
+        bloomStale = false
+      }
+      val kg =
+        if (small) KeyGate.small(store)
+        else KeyGate.plan(store, bFps, col("fp"), bloom, broadcastCap)
       val emptyCorpus = spark.range(0)
         .select(col("id").as("__oid"), col("id").as("fp"))
       val cross =
         (if (kg.skipStore)
           emptyCorpus.join(bFps.limit(0), "fp")
-        else if (!kg.fallback)
-          store.visiblePruned(batchId, kg.touched)
-            .map(_.select(col("doc").as("__oid"), col("fp"))
-              .join(broadcast(bFps.filter(kg.gate)), "fp"))
-            .getOrElse(emptyCorpus.join(bFps.limit(0), "fp"))
-        else
-          store.visible(batchId)
-            .map(_.select(col("doc").as("__oid"), col("fp"))
-              .join(bFps, "fp"))
-            .getOrElse(emptyCorpus.join(bFps.limit(0), "fp")))
+        else {
+          val storeDf =
+            if (kg.smallStore || kg.fallback) store.visible(batchId)
+            else store.visiblePruned(batchId, kg.touched)
+          storeDf.map { c =>
+            val corpus = c.select(col("doc").as("__oid"), col("fp"))
+            if (kg.fallback) corpus.join(bFps, "fp")
+            else corpus.join(broadcast(bFps), "fp")
+          }.getOrElse(emptyCorpus.join(bFps.limit(0), "fp"))
+        })
         .select(col("__nid").as("id_new"), col("__oid").as("id_corpus"))
       // within-batch: the smaller id plays corpus (first-wins), each
       // unordered pair counted once
@@ -119,12 +127,12 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
       graft.core.Metrics.deferUnpersist(out)
       store.append(bFps.select(col("__nid").as("doc"), col("fp")),
         batchId)
-      // keep the gate a corpus superset (batch sketch covers every
-      // appended fp; see SubstrDedupStream)
-      sketch =
-        if (kg.batchSketch == null) sketch
-        else if (sketch == null) kg.batchSketch
-        else graft.functions.Bloom.merge(sketch, kg.batchSketch)
+      // keep the gate a corpus superset (the collected hashes cover
+      // every appended fp; see SubstrDedupStream for the stale and
+      // below-threshold rules)
+      if (kg.overflow) bloomStale = true
+      else if (KeyGate.enabled && !kg.smallStore)
+        bloom.foreach(b => kg.hashes.foreach(b.putLong))
       batchesSeen += 1
       pairsFound += Observed.long(oObs, "n")(out.count())
       fpsStored += Observed.long(bObs, "n")(bFps.count())

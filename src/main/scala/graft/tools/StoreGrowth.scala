@@ -32,7 +32,9 @@ object StoreGrowth {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_growth_$compactEvery").toString
       val s = new graft.streaming.SubstrDedupStream(spark, dir + "/keys",
-        "doc_id", "text", n = 8, compactEvery = compactEvery)
+        "doc_id", "text", n = 8, compactEvery = compactEvery,
+        gateFromBytes = 0L) // engage the gate from byte one: this tool
+        // measures the gated-vs-ungated probe slope, not the threshold
       val rnd = new scala.util.Random(1)
       var id = 0L
       val out = (0 until nTriggers).map { b =>
@@ -47,9 +49,16 @@ object StoreGrowth {
         val wall = (System.nanoTime() - t0) / 1e9
         val p = new org.apache.hadoop.fs.Path(dir + "/keys")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files = fs.listStatus(p).count(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet"))
-        val rows = spark.read.parquet(dir + "/keys").count()
+        // recursive: bucketed stores keep files under __bucket=N/ dirs
+        val it = fs.listFiles(p, true)
+        var files = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+        }
+        // through the store API: the raw root read misses the hidden
+        // _delta leg of the two-tier layout
+        val rows = new graft.streaming.StreamStore(spark, dir + "/keys")
+          .visible(Long.MaxValue).map(_.count()).getOrElse(0L)
         (b, rows, files.toLong, wall)
       }
       def rm(f: java.io.File): Unit = {

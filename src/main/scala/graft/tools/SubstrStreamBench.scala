@@ -49,7 +49,8 @@ object SubstrStreamBench {
     val per = math.max(1, docsAll.length / nB)
     val batches = docsAll.grouped(per).toSeq
     val s = new graft.streaming.SubstrDedupStream(spark, dir + "/keys",
-      "doc_id", "text", n = 8)
+      "doc_id", "text", n = 8, storeBuckets =
+        sys.env.getOrElse("SPARK_GRAFT_STORE_BUCKETS", "64").toInt)
     val t0 = System.nanoTime()
     batches.zipWithIndex.foreach { case (b, i) =>
       val tb = System.nanoTime()

@@ -29,7 +29,9 @@ object WinnowStreamBench {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_winnow_stream").toString
     val s = new graft.streaming.WinnowQuoteStream(spark, dir + "/fps",
-      "doc_id", "text", k = 3, w = 4, minShared = 2L, compactEvery = 4)
+      "doc_id", "text", k = 3, w = 4, minShared = 2L, compactEvery = 4,
+      storeBuckets =
+        sys.env.getOrElse("SPARK_GRAFT_STORE_BUCKETS", "64").toInt)
 
     if (sys.env.contains("WINNOW_JOBS")) {
       spark.sparkContext.addSparkListener(
@@ -58,7 +60,10 @@ object WinnowStreamBench {
       totalSec += sec; totalPairs += pairs
       println(f"trigger=$b%d wall=$sec%.3f pairs=$pairs%d")
     }
-    val storeRows = spark.read.parquet(dir + "/fps").count()
+    // through the store API: the raw root read misses the hidden
+    // _delta leg of the two-tier layout
+    val storeRows = new graft.streaming.StreamStore(spark, dir + "/fps")
+      .visible(Long.MaxValue).map(_.count()).getOrElse(0L)
     println(f"WINNOW_STREAM docs=$nDocs%d triggers=$nTriggers%d " +
       f"total_sec=$totalSec%.2f docs_per_sec=${nDocs / totalSec}%.1f " +
       f"pairs=$totalPairs%d store_fps=$storeRows%d")

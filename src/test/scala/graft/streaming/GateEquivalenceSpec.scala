@@ -40,21 +40,27 @@ class GateEquivalenceSpec extends SparkSpec {
     }
   }
 
-  test("substr: gated == forced-fallback == saturated-sketch == flat store") {
-    def base(p: String) = new SubstrDedupStream(spark, p, "id", "text", 4)
+  test("substr: gated == fallback == saturated == flat == small-store") {
+    def base(p: String) = new SubstrDedupStream(spark, p, "id", "text",
+      4, gateFromBytes = 0L)
     val gated = runSubstr(base)
-    // cap 0: every trigger with >0 survivors takes the shuffle fallback
+    // cap 0: every trigger overflows to the shuffle fallback
     val fb = runSubstr(p => new SubstrDedupStream(spark, p, "id",
-      "text", 4, broadcastCap = 0L))
+      "text", 4, broadcastCap = 0L, gateFromBytes = 0L))
     // 64-bit sketch: fpp ~1 — every key "survives", probe stays exact
     val sat = runSubstr(p => new SubstrDedupStream(spark, p, "id",
-      "text", 4, sketchItems = 4L, sketchBits = 64L))
+      "text", 4, sketchItems = 4L, sketchBits = 64L,
+      gateFromBytes = 0L))
     // storeBuckets 0: legacy flat layout, no pruning possible
     val flat = runSubstr(p => new SubstrDedupStream(spark, p, "id",
-      "text", 4, storeBuckets = 0))
+      "text", 4, storeBuckets = 0, gateFromBytes = 0L))
+    // default threshold: tiny store stays on the ungated r16 path
+    val small = runSubstr(p => new SubstrDedupStream(spark, p, "id",
+      "text", 4))
     assert(fb == gated, "fallback diverged")
     assert(sat == gated, "saturated sketch diverged")
     assert(flat == gated, "flat store diverged")
+    assert(small == gated, "small-store path diverged")
   }
 
   private def runWinnow(mk: String => WinnowQuoteStream)
@@ -70,19 +76,25 @@ class GateEquivalenceSpec extends SparkSpec {
     }
   }
 
-  test("winnow: gated == forced-fallback == saturated-sketch == flat store") {
-    def base(p: String) =
-      new WinnowQuoteStream(spark, p, "id", "text", 3, 4, minShared = 1L)
+  test("winnow: gated == fallback == saturated == flat == small-store") {
+    def base(p: String) = new WinnowQuoteStream(spark, p, "id", "text",
+      3, 4, minShared = 1L, gateFromBytes = 0L)
     val gated = runWinnow(base)
     val fb = runWinnow(p => new WinnowQuoteStream(spark, p, "id",
-      "text", 3, 4, minShared = 1L, broadcastCap = 0L))
+      "text", 3, 4, minShared = 1L, broadcastCap = 0L,
+      gateFromBytes = 0L))
     val sat = runWinnow(p => new WinnowQuoteStream(spark, p, "id",
-      "text", 3, 4, minShared = 1L, sketchItems = 4L, sketchBits = 64L))
+      "text", 3, 4, minShared = 1L, sketchItems = 4L, sketchBits = 64L,
+      gateFromBytes = 0L))
     val flat = runWinnow(p => new WinnowQuoteStream(spark, p, "id",
-      "text", 3, 4, minShared = 1L, storeBuckets = 0))
+      "text", 3, 4, minShared = 1L, storeBuckets = 0,
+      gateFromBytes = 0L))
+    val small = runWinnow(p => new WinnowQuoteStream(spark, p, "id",
+      "text", 3, 4, minShared = 1L))
     assert(fb == gated, "fallback diverged")
     assert(sat == gated, "saturated sketch diverged")
     assert(flat == gated, "flat store diverged")
+    assert(small == gated, "small-store path diverged")
     assert(gated.exists(_.nonEmpty), "fixture must produce pairs")
   }
 
@@ -106,29 +118,33 @@ class GateEquivalenceSpec extends SparkSpec {
     }
   }
 
-  test("para: gated == forced-fallback == saturated-sketch == flat store") {
-    def base(p: String) = new ParaDedupStream(spark, p, "id", "text")
+  test("para: gated == fallback == saturated == flat == small-store") {
+    def base(p: String) = new ParaDedupStream(spark, p, "id", "text",
+      gateFromBytes = 0L)
     val gated = runPara(base)
     val fb = runPara(p => new ParaDedupStream(spark, p, "id", "text",
-      broadcastCap = 0L))
+      broadcastCap = 0L, gateFromBytes = 0L))
     val sat = runPara(p => new ParaDedupStream(spark, p, "id", "text",
-      sketchItems = 4L, sketchBits = 64L))
+      sketchItems = 4L, sketchBits = 64L, gateFromBytes = 0L))
     val flat = runPara(p => new ParaDedupStream(spark, p, "id", "text",
-      storeBuckets = 0))
+      storeBuckets = 0, gateFromBytes = 0L))
+    val small = runPara(p => new ParaDedupStream(spark, p, "id", "text"))
     assert(fb == gated, "fallback diverged")
     assert(sat == gated, "saturated sketch diverged")
     assert(flat == gated, "flat store diverged")
+    assert(small == gated, "small-store path diverged")
   }
 
   test("restart adoption rebuilds the sketch: a second instance over the same store still screens") {
     val dir = tmp()
-    val a = new SubstrDedupStream(spark, dir + "/keys", "id", "text", 4)
+    val a = new SubstrDedupStream(spark, dir + "/keys", "id", "text", 4,
+      gateFromBytes = 0L)
     a.processBatch(batches.head.toDF("id", "text"), 0L)
     graft.core.Metrics.drainUnpersist()
     // fresh instance (restart): sketch must rebuild from the store, so
     // batch 2's repeat of batch 1 is caught through the gated path
     val b = new SubstrDedupStream(spark, dir + "/keys", "id", "text", 4,
-      lineage = "second")
+      lineage = "second", gateFromBytes = 0L)
     val out = b.processBatch(batches(1).toDF("id", "text"), 0L)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     graft.core.Metrics.drainUnpersist()

@@ -13,29 +13,44 @@ class StreamStoreBucketSpec extends SparkSpec {
   private def tmp() =
     java.nio.file.Files.createTempDirectory("ssb").toString
 
-  test("bucketed append lays out __bucket dirs + marker; visible drops the column") {
+  private def fold(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("key", "lineage")
+      .agg(min("batch_id").as("batch_id"))
+
+  test("bucketed appends land flat in _delta; compact places them into __bucket dirs") {
     val dir = tmp()
     val s = new StreamStore(spark, dir + "/s", "L", 8, "key")
     s.append(Seq("a", "b", "c", "d").toDF("key"), 0L)
     assert(s.exists && s.activeBuckets == 8)
     val names = new java.io.File(dir + "/s").listFiles().map(_.getName)
-    assert(names.exists(_.startsWith("__bucket=")), names.mkString(","))
-    assert(names.contains("_graft_buckets"))
+    // append = one flat delta write, NO per-bucket fan-out (measured:
+    // bucketing each micro-batch cost 64 files + a shuffle a trigger)
+    assert(names.contains("_delta") && names.contains("_graft_buckets"),
+      names.mkString(","))
+    assert(!names.exists(_.startsWith("__bucket=")), names.mkString(","))
     val vis = s.visible(1L).get
     assert(vis.columns.sorted.toSeq == Seq("batch_id", "key", "lineage"))
     assert(vis.select("key").as[String].collect().sorted.toSeq ==
       Seq("a", "b", "c", "d"))
+    s.compact(fold)
+    val names2 = new java.io.File(dir + "/s").listFiles().map(_.getName)
+    assert(names2.exists(_.startsWith("__bucket=")), names2.mkString(","))
+    assert(!names2.contains("_delta"), "compact folds the delta away")
+    assert(s.visible(1L).get.select("key").as[String].collect().sorted
+      .toSeq == Seq("a", "b", "c", "d"))
   }
 
   test("the marker pins the count: a reader constructed with a different constant cannot mis-prune") {
     val dir = tmp()
-    new StreamStore(spark, dir + "/s", "L", 8, "key")
-      .append(Seq("k1", "k2", "k3").toDF("key"), 0L)
+    val s8 = new StreamStore(spark, dir + "/s", "L", 8, "key")
+    s8.append(Seq("k1", "k2", "k3").toDF("key"), 0L)
+    s8.compact(fold) // base now bucketed at 8
     // misconfigured reader/writer: constructor says 32, disk says 8
     val mis = new StreamStore(spark, dir + "/s", "L", 32, "key")
     assert(mis.activeBuckets == 8)
-    // its bucketExpr and its appends both follow the DISK layout, so a
-    // probe built from its own bucketExpr still finds every key
+    // its bucketExpr follows the DISK layout, so a probe built from
+    // its own bucketExpr still finds every base key; its appends go
+    // to the delta leg, which pruning always reads whole
     mis.append(Seq("k4").toDF("key"), 1L)
     val probe = Seq("k1", "k4").toDF("key")
     val touched = probe.select(mis.bucketExpr(col("key")).as("b"))
@@ -46,30 +61,30 @@ class StreamStoreBucketSpec extends SparkSpec {
     assert(got == Set("k1", "k4"))
   }
 
-  test("visiblePruned partition-prunes to the touched buckets and keeps visibility semantics") {
+  test("visiblePruned prunes base partitions, reads the delta whole, keeps visibility") {
     val dir = tmp()
     val s = new StreamStore(spark, dir + "/s", "L", 16, "key")
     val keys = (1 to 64).map(i => s"key_$i")
     s.append(keys.toDF("key"), 0L)
-    s.append(Seq("late").toDF("key"), 5L)
+    s.compact(fold) // base = 16 bucket dirs
+    s.append(Seq("late").toDF("key"), 5L) // delta leg
     val one = Seq(keys.head).toDF("key")
     val touched = one.select(s.bucketExpr(col("key")).as("b"))
       .distinct().as[Int].collect().toSeq
     val pruned = s.visiblePruned(1L, touched).get
-    // the scan carries a partition filter on the bucket dir column —
-    // pruning happens at planning time, not as a post-scan filter
+    // the base scan carries a partition filter on the bucket dir
+    // column — pruning happens at planning time, not post-scan
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
       plan.take(2000))
-    // correctness: the touched bucket's matching key is present, the
-    // strictly-later batch's row is not (visibility), and nothing
-    // outside the touched set can match by construction
     val got = pruned.join(broadcast(one), Seq("key"), "left_semi")
       .select("key").as[String].collect().toSet
     assert(got == Set(keys.head))
+    // visibility on the delta leg: batch 5's append invisible to 5,
+    // visible to 6 — regardless of the touched set
     assert(s.visiblePruned(5L, Seq.tabulate(16)(identity)).get
       .filter(col("key") === "late").count() == 0L)
-    assert(s.visiblePruned(6L, Seq.tabulate(16)(identity)).get
+    assert(s.visiblePruned(6L, Seq(0)).get
       .filter(col("key") === "late").count() == 1L)
   }
 
@@ -98,32 +113,38 @@ class StreamStoreBucketSpec extends SparkSpec {
       .toSeq == Seq("a", "b", "c", "d"))
   }
 
-  test("buildSketch is a corpus superset; KeyGate classifies skip/gated/fallback") {
+  test("buildBloom is a corpus superset; KeyGate classifies skip/gated/fallback/overflow") {
     val dir = tmp()
     val s = new StreamStore(spark, dir + "/s", "L", 8, "key")
     assert(s.buildSketch(1L << 12, 1L << 15) == null,
       "empty store has no sketch")
+    assert(s.buildBloom(1L << 12, 1L << 15).isEmpty)
     s.append((1 to 50).map(i => s"k$i").toDF("key"), 0L)
-    val sk = s.buildSketch(1L << 12, 1L << 15)
-    assert(sk != null)
-    // no false negatives: every stored key survives
+    val bloom = s.buildBloom(1L << 12, 1L << 15)
+    assert(bloom.nonEmpty)
+    // no false negatives: a batch of stored keys must probe the store
+    // (gated, all its buckets touched)
     val all = (1 to 50).map(i => s"k$i").toDF("key")
-    val kgAll = KeyGate.plan(s, all, col("key"), sk, 1000L, 1L << 12,
-      1L << 15)
-    assert(kgAll.survivors == 50L && !kgAll.skipStore && !kgAll.fallback)
+    val kgAll = KeyGate.plan(s, all, col("key"), bloom, 1000L)
+    assert(kgAll.nKeys == 50L && !kgAll.skipStore && !kgAll.fallback)
+    assert(kgAll.touched.nonEmpty &&
+      kgAll.touched.forall(b => b >= 0 && b < 8))
+    // driver bucketOf replicates the writer's pmod(xxhash64, n): the
+    // pruned read on the gate's touched set finds every stored key
+    val found = s.visiblePruned(1L, kgAll.touched).get
+      .join(broadcast(all), Seq("key"), "left_semi").count()
+    assert(found == 50L)
     // zero survivors (novel batch, modulo fpp) skips the store read
     val novel = (1 to 20).map(i => s"totally_fresh_$i").toDF("key")
-    val kgNovel = KeyGate.plan(s, novel, col("key"), sk, 1000L,
-      1L << 12, 1L << 15)
-    if (kgNovel.survivors == 0L) assert(kgNovel.skipStore)
-    // past the cap: fallback, never an oversized broadcast
-    val kgCap = KeyGate.plan(s, all, col("key"), sk, 10L, 1L << 12,
-      1L << 15)
-    assert(kgCap.fallback && !kgCap.skipStore)
+    val kgNovel = KeyGate.plan(s, novel, col("key"), bloom, 1000L)
+    if (kgNovel.touched.isEmpty) assert(kgNovel.skipStore)
+    // past the cap: fallback + overflow (the capped collect saw only a
+    // prefix — the caller must mark its sketch stale)
+    val kgCap = KeyGate.plan(s, all, col("key"), bloom, 10L)
+    assert(kgCap.fallback && kgCap.overflow && !kgCap.skipStore)
     // a live store with no sketch loaded (raced construction) must not
     // be skipped: gate wide open, fallback consults the full store
-    val kgNull = KeyGate.plan(s, all, col("key"), null, 1000L, 1L << 12,
-      1L << 15)
-    assert(!kgNull.skipStore && kgNull.fallback)
+    val kgNone = KeyGate.plan(s, all, col("key"), None, 1000L)
+    assert(!kgNone.skipStore && kgNone.fallback && !kgNone.overflow)
   }
 }
