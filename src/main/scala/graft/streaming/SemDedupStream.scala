@@ -214,41 +214,59 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
           spark.sparkContext.hadoopConfiguration)
         val present = cells.filter(c =>
           fs.exists(new Path(indexPath, s"${Ivf.CellCol}=$c")))
+        // opt-in prefix screen (below): columns and condition are
+        // built only when enabled, so the default path carries zero
+        // screen overhead
+        val screenOn = threshold > 0 &&
+          sys.props.get("graft.semdedup.screen")
+            .orElse(sys.env.get("SPARK_GRAFT_SEMDEDUP_SCREEN"))
+            .exists(_.equalsIgnoreCase("on"))
+        def withPfx(df: DataFrame, pfx: String, pk: String): DataFrame =
+          if (!screenOn) df
+          else df.withColumn(pfx,
+              slice(col(vecCol), 1, SemDedupStream.PrefixDims))
+            .withColumn(pk,
+              graft.ops.Similarity.dot(col(pfx), col(pfx)))
         val corpusRefOpt =
           if (present.isEmpty) None
-          else Some(spark.read.option("basePath", indexPath)
+          else Some(withPfx(spark.read.option("basePath", indexPath)
             .parquet(present.map(c =>
               s"$indexPath/${Ivf.CellCol}=$c"): _*)
-            .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
+            .withColumn("__rvec", col(vecCol)), "__rpfx", "__rpk")
+            .select(Seq(col(idCol).as("__rid"), col("__rvec"),
               sqrt(graft.ops.Similarity.dot(col(vecCol), col(vecCol)))
                 .as("__rnrm"),
-              col(Ivf.CellCol).as("__rcell"), lit(true).as("__rcorp"),
-              slice(col(vecCol), 1, SemDedupStream.PrefixDims)
-                .as("__rpfx"))
-            .withColumn("__rpk",
-              graft.ops.Similarity.dot(col("__rpfx"), col("__rpfx"))))
-        val batchRef = assigned
-          .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
+              col(Ivf.CellCol).as("__rcell"), lit(true).as("__rcorp")) ++
+              (if (screenOn) Seq(col("__rpfx"), col("__rpk"))
+               else Seq.empty): _*))
+        val batchRef = withPfx(assigned.withColumn("__rvec0",
+            col(vecCol)), "__rpfx", "__rpk")
+          .select(Seq(col(idCol).as("__rid"), col("__rvec0").as("__rvec"),
             col("__bnrm").as("__rnrm"), col("__bcell").as("__rcell"),
-            lit(false).as("__rcorp"),
-            slice(col(vecCol), 1, SemDedupStream.PrefixDims)
-              .as("__rpfx"))
-          .withColumn("__rpk",
-            graft.ops.Similarity.dot(col("__rpfx"), col("__rpfx")))
+            lit(false).as("__rcorp")) ++
+            (if (screenOn) Seq(col("__rpfx"), col("__rpk"))
+             else Seq.empty): _*)
         val sim = when(col("__rnrm") * col("__bnrm") > 0,
           graft.ops.Similarity.dot(col("__rvec"), col("__bvec")) /
             (col("__rnrm") * col("__bnrm"))).otherwise(lit(0.0))
-        // Prefix screen (VERDICT r16 #4): for ANY pair with cos ≥ t,
-        // ‖â_k−b̂_k‖² ≤ ‖â−b̂‖² = 2−2·cos ≤ 2−2t (Cauchy-Schwarz bounds
-        // the tail), so a pair failing the k-dim band can NEVER pass
-        // the threshold — exact-safe, decisions unchanged (the band
-        // carries an fp slack that only ADMITS borderline pairs to the
-        // exact check). Per-pair cost is one k-dim codegen'd dot plus
-        // scalar math (prefix norms precompute per ROW above); the
-        // 64-dim dot runs only on admitted pairs. Evaluation order
-        // rides the same short-circuit the comment above pins.
+        // Prefix screen (VERDICT r16 #4) — OPT-IN
+        // (SPARK_GRAFT_SEMDEDUP_SCREEN=on), shipped default OFF on a
+        // measured honest negative. The screen is exact-safe: for ANY
+        // pair with cos ≥ t, ‖â_k−b̂_k‖² ≤ ‖â−b̂‖² = 2−2·cos ≤ 2−2t
+        // (Cauchy-Schwarz bounds the tail), so a pair failing the
+        // k-dim band can never pass the threshold, and the band's fp
+        // slack only ADMITS borderline pairs to the exact check. But
+        // its POWER is data-dependent: it rejects only pairs with
+        // cos < 1 − (d/k)(1−t) on uniform-energy embeddings — at
+        // d/k = 8, t = 0.85 that is cos < −0.2, i.e. nothing — and
+        // the IVF cell join makes it worse (same-cell pairs are the
+        // SIMILAR ones). Measured (SemStreamProbe, sf0.1): probe
+        // phase 4.16 s screened-off vs 5.18 s screened-on, decisions
+        // identical — pure overhead on these embeddings. Keep it for
+        // energy-compacted vectors (PCA'd / Matryoshka-style models
+        // front-load information, making the k-dim bound sharp).
         val pfxScreen =
-          if (threshold <= 0) lit(true)
+          if (!screenOn) lit(true)
           else col("__rnrm") > 0 && col("__bnrm") > 0 &&
             (col("__rpk") / (col("__rnrm") * col("__rnrm")) +
               col("__bpk") / (col("__bnrm") * col("__bnrm")) -
@@ -270,11 +288,11 @@ final class SemDedupStream(spark: SparkSession, indexPath: String,
         // costs one tiny shuffle and parallelizes the join across every
         // core; AQE never re-coalesces REPARTITION_BY_NUM.
         val nPart = spark.sessionState.conf.numShufflePartitions
-        val bcast = assigned.select(col(idCol).as("__bid"),
-          col(vecCol).as("__bvec"), col("__bnrm"), col("__bcell"),
-          slice(col(vecCol), 1, SemDedupStream.PrefixDims).as("__bpfx"))
-          .withColumn("__bpk",
-            graft.ops.Similarity.dot(col("__bpfx"), col("__bpfx")))
+        val bcast = withPfx(assigned, "__bpfx", "__bpk")
+          .select(Seq(col(idCol).as("__bid"),
+            col(vecCol).as("__bvec"), col("__bnrm"), col("__bcell")) ++
+            (if (screenOn) Seq(col("__bpfx"), col("__bpk"))
+             else Seq.empty): _*)
         val p = corpusRefOpt.map(_.unionByName(batchRef))
           .getOrElse(batchRef)
           .repartition(nPart)
