@@ -1038,8 +1038,10 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
-  /** Band keys of a portable signature: (band, joined-slice) structs. */
-  private def portableBandKeys(sig: Column, bands: Int, rows: Int): Column =
+  /** Band keys of a portable signature: (band, joined-slice) structs.
+    * `private[graft]` so the streaming gate can sketch the SAME keys
+    * the incremental join collides on. */
+  private[graft] def portableBandKeys(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         array_join(slice(sig, b * rows + 1, rows), ",").as("bucket"))): _*)
@@ -1064,9 +1066,6 @@ object Dedup {
       storedSigs: DataFrame,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5): DataFrame = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands=$bands must divide numHashes=$numHashes")
-    val rows = numHashes / bands
     val batchSigs =
       minHashSignaturesPortable(batch, idCol, textCol, n, numHashes)
         // consumed by the within-batch self-join AND the cross join — one
@@ -1075,27 +1074,48 @@ object Dedup {
     // per-micro-batch ingest would otherwise accumulate checkpoint blocks
     // every trigger until driver GC — same soft-leak class CdcMerge defers
     graft.core.Metrics.deferUnpersist(batchSigs)
+    minHashIncrementalFromSigs(batchSigs, Some(storedSigs), numHashes,
+      bands, estThreshold)
+  }
+
+  /** [[minHashIncrementalPortable]] over PRECOMPUTED portable batch
+    * signatures — the streaming gate computes signatures once (it needs
+    * them for its band-key sketch) and hands them here; `storedSigs =
+    * None` is the gate's novelty fast path (the corpus sketch proved no
+    * band collision is possible, so only the within-batch self-join
+    * runs — plan and output identical to the full form with an empty
+    * cross leg). */
+  def minHashIncrementalFromSigs(batchSigs: DataFrame,
+      storedSigs: Option[DataFrame], numHashes: Int = 64,
+      bands: Int = 16, estThreshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
     val withinBatch = minHashBandJoin(batchSigs, bands, numHashes,
       estThreshold, sig => explode(portableBandKeys(sig, bands, rows)))
-    val bKeys = batchSigs.select(col("id").as("__nid"),
-      col("sig").as("__nsig"),
-      explode(portableBandKeys(col("sig"), bands, rows)).as("bk"))
-    val sKeys = storedSigs.select(col("id").as("__oid"),
-      col("sig").as("__osig"),
-      explode(portableBandKeys(col("sig"), bands, rows)).as("bk"))
-    val cross = sKeys.join(broadcast(bKeys), "bk")
-      .filter(col("__oid") =!= col("__nid"))
-      .select(
-        when(col("__oid") < col("__nid"), col("__oid"))
-          .otherwise(col("__nid")).as("id_a"),
-        when(col("__oid") < col("__nid"), col("__nid"))
-          .otherwise(col("__oid")).as("id_b"),
-        (graft.functions.VectorExprs
-          .equalPositions(col("__osig"), col("__nsig"))
-          .cast(DoubleType) / numHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= estThreshold)
-      .distinct()
-    withinBatch.unionByName(cross).distinct()
+    storedSigs match {
+      case None => withinBatch
+      case Some(stored) =>
+        val bKeys = batchSigs.select(col("id").as("__nid"),
+          col("sig").as("__nsig"),
+          explode(portableBandKeys(col("sig"), bands, rows)).as("bk"))
+        val sKeys = stored.select(col("id").as("__oid"),
+          col("sig").as("__osig"),
+          explode(portableBandKeys(col("sig"), bands, rows)).as("bk"))
+        val cross = sKeys.join(broadcast(bKeys), "bk")
+          .filter(col("__oid") =!= col("__nid"))
+          .select(
+            when(col("__oid") < col("__nid"), col("__oid"))
+              .otherwise(col("__nid")).as("id_a"),
+            when(col("__oid") < col("__nid"), col("__nid"))
+              .otherwise(col("__oid")).as("id_b"),
+            (graft.functions.VectorExprs
+              .equalPositions(col("__osig"), col("__nsig"))
+              .cast(DoubleType) / numHashes).as("est_jaccard"))
+          .filter(col("est_jaccard") >= estThreshold)
+          .distinct()
+        withinBatch.unionByName(cross).distinct()
+    }
   }
 
   /** SimHash: 64-bit sketch; near-dups differ in few bits. Computed per-row

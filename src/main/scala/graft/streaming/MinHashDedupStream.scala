@@ -28,14 +28,25 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: signatures are batch-linear; the cross lookup explodes
   * band keys on BOTH sides but broadcasts only the batch — the stored
-  * side streams through the join (hold it bucketed on the band key at
-  * corpus scale). Executors hold nothing between triggers.
+  * side streams through the join and NEVER shuffles. The probe is
+  * BLOOM-GATED past `gateFromBytes` (r17, [[KeyGate]]): a driver-held
+  * sketch over the corpus's BAND KEYS screens the batch's band keys,
+  * and a trigger with zero possible collisions runs only the
+  * within-batch self-join — the corpus is not read at all, the
+  * novelty-dominated common case. Unlike the key-equality streams the
+  * store cannot bucket-prune (each row carries `bands` keys; an
+  * exploded bucketed layout would store the signature `bands`× — the
+  * documented trade not taken), so a colliding trigger still scans
+  * the store once; the skip path is the scale win. Executors hold
+  * nothing between triggers.
   */
 final class MinHashDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String,
     n: Int = 3, numHashes: Int = 64, bands: Int = 16,
     estThreshold: Double = 0.5, lineage: String = "default",
-    compactEvery: Int = 0) {
+    compactEvery: Int = 0, broadcastCap: Long = 1L << 20,
+    sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24,
+    gateFromBytes: Long = 64L << 20) {
 
   private var batchesSeen = 0L
   private var kept = 0L
@@ -47,6 +58,27 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
   // the shared side-store protocol: recover-on-read, lineage-scoped
   // replay visibility, tagged append, fold-compact (see StreamStore)
   private val store = new StreamStore(spark, storePath, lineage)
+  // live driver-side sketch over the corpus's BAND KEYS, built at the
+  // gateFromBytes crossing (see SubstrDedupStream for the lifecycle)
+  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+    None
+  private var bloomStale: Boolean = false
+
+  private def bandKeysOf(sigs: org.apache.spark.sql.DataFrame) =
+    sigs.select(explode(graft.ops.Dedup.portableBandKeys(col("sig"),
+      bands, numHashes / bands)).as("bk"))
+
+  /** One O(store) aggregate over the stored signatures' band keys. */
+  private def buildBandBloom()
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    store.visible(Long.MaxValue).map { df =>
+      val r = bandKeysOf(df.select(col("sig")))
+        .agg(graft.functions.Bloom.bloomAgg(xxhash64(col("bk")),
+          sketchItems, sketchBits)).head()
+      if (r.isNullAt(0)) null
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+    }.filter(_ != null)
 
   /** The `foreachBatch` body: returns the batch's surviving rows (all
     * original columns), with survivors' signatures already appended.
@@ -55,17 +87,33 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
   def processBatch(batch0: DataFrame, batchId: Long): DataFrame = {
     val batch = batch0.localCheckpoint()
     try {
+      // signatures once: the gate's band-key collect AND both join
+      // sides read this checkpoint (the r16 single-computation rule)
+      val batchSigs = Dedup.minHashSignaturesPortable(batch, idCol,
+        textCol, n, numHashes).localCheckpoint()
+      graft.core.Metrics.deferUnpersist(batchSigs)
+      // bloom-gated corpus probe (r17, KeyGate doc): below the
+      // threshold, or when any batch band key may collide, consult the
+      // corpus as before; zero possible collisions skip the store read
+      // entirely (the within-batch self-join still runs)
+      val small = !KeyGate.enabled || store.dataBytes < gateFromBytes
+      if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
+        bloom = buildBandBloom()
+        bloomStale = false
+      }
+      val kg =
+        if (small) KeyGate.small(store)
+        else KeyGate.plan(store, bandKeysOf(batchSigs), col("bk"),
+          bloom, broadcastCap)
       // lineage scoping (see ParaDedupStream): other lineages' signatures
       // always count; only the current lineage gets the replay filter —
       // a fresh-checkpoint restart (ids back at 0) must not forget the
       // corpus its predecessor accumulated
-      val stored = store.visible(batchId).map(_.select("id", "sig"))
-        .getOrElse {
-          import spark.implicits._
-          Seq.empty[(Long, Array[Long])].toDF("id", "sig")
-        }
-      val pairs = Dedup.minHashIncrementalPortable(batch, idCol, textCol,
-        stored, n, numHashes, bands, estThreshold).localCheckpoint()
+      val stored =
+        if (kg.skipStore) None
+        else store.visible(batchId).map(_.select("id", "sig"))
+      val pairs = Dedup.minHashIncrementalFromSigs(batchSigs, stored,
+        numHashes, bands, estThreshold).localCheckpoint()
       try {
         // a batch doc loses to a corpus doc on EITHER pair side
         // (corpus ids can exceed batch ids), and to a smaller batch id
@@ -88,9 +136,19 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
         graft.core.Metrics.deferUnpersist(survivors)
         val nKept = survivors.count()
         val total = batch.count()
-        store.append(
-          Dedup.minHashSignaturesPortable(survivors, idCol, textCol, n,
-            numHashes).select(col("id"), col("sig")), batchId)
+        // survivors' signatures come from the SAME checkpointed frame
+        // the probe used (r17 — the append previously re-ran the whole
+        // shingle→hash→agg pipeline over the survivor texts; signatures
+        // are per-document and deterministic, so the filtered frame is
+        // identical)
+        store.append(batchSigs
+          .join(drops, col("id") === col("__drop"), "left_anti")
+          .select(col("id"), col("sig")), batchId)
+        // keep the band-key gate a corpus superset (batch band keys ⊇
+        // survivors'; see SubstrDedupStream for the stale rule)
+        if (kg.overflow) bloomStale = true
+        else if (KeyGate.enabled && !kg.smallStore)
+          bloom.foreach(b => kg.hashes.foreach(b.putLong))
         batchesSeen += 1; kept += nKept; dropped += total - nKept
         // cadenced maintenance (the SemDedupStream discipline): folding
         // bounds the per-trigger probe's file listing, decisions unchanged

@@ -135,6 +135,32 @@ class GateEquivalenceSpec extends SparkSpec {
     assert(small == gated, "small-store path diverged")
   }
 
+  private def runMinhash(mk: String => MinHashDedupStream)
+      : Seq[Set[Long]] = {
+    val dir = tmp()
+    val s = mk(dir + "/sigs")
+    batches.zipWithIndex.map { case (rows, i) =>
+      val out = s.processBatch(rows.toDF("id", "text"), i.toLong)
+        .select("id").collect().map(_.getLong(0)).toSet
+      graft.core.Metrics.drainUnpersist()
+      out
+    }
+  }
+
+  test("minhash: gated == small-store == saturated-sketch survivors") {
+    def base(p: String) = new MinHashDedupStream(spark, p, "id", "text",
+      estThreshold = 0.3, gateFromBytes = 0L)
+    val gated = runMinhash(base)
+    val small = runMinhash(p => new MinHashDedupStream(spark, p, "id",
+      "text", estThreshold = 0.3))
+    val sat = runMinhash(p => new MinHashDedupStream(spark, p, "id",
+      "text", estThreshold = 0.3, sketchItems = 4L, sketchBits = 64L,
+      gateFromBytes = 0L))
+    assert(small == gated, "small-store path diverged")
+    assert(sat == gated, "saturated sketch diverged")
+    assert(gated.flatten.nonEmpty)
+  }
+
   test("restart adoption rebuilds the sketch: a second instance over the same store still screens") {
     val dir = tmp()
     val a = new SubstrDedupStream(spark, dir + "/keys", "id", "text", 4,
