@@ -38,6 +38,28 @@ object SubstrStreamBench {
             }
         })
     }
+    // SUBSTR_PHASES=1: per-action Catalyst phase attribution — turns
+    // the "wall − jobs gap is driver plan work" inference into named
+    // milliseconds (analysis / optimization / planning per executed
+    // query), the number VERDICT r16 #7 asked the reassembly-caching
+    // idea to be judged against
+    if (sys.env.contains("SUBSTR_PHASES")) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val ph = qe.tracker.phases.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=${v.durationMs}ms" }
+              .mkString(",")
+            System.err.println(
+              f"[qe] $funcName wall=${durationNs / 1e9}%.3f $ph")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
     val dir = java.nio.file.Files
       .createTempDirectory("graft_substrprobe").toString
     val docsAll = graft.Tables.read(spark, sfDir, "documents")

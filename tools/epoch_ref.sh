@@ -28,6 +28,10 @@ trap 'git -C /root/repo worktree remove -f "$WT" 2>/dev/null || true' EXIT
 (cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" REPO_DIR="$WT" MAIN_CLASS=graft.Bench \
   bash /root/repo/tools/run_bench.sh) | grep '"metric"' | tail -1 \
   > /root/repo/EPOCH_REF_RAW.json
+# the stdout line is the truncation-safe headline; the per-query map
+# and canary2 fields are file-only — take the worktree's BENCH.json
+# before the cleanup trap removes it
+cp "$WT/BENCH.json" /root/repo/EPOCH_REF_RAW.json 2>/dev/null || true
 python3 - "$PIN" "$SF" <<'EOF'
 import json, sys, datetime
 raw = json.load(open('/root/repo/EPOCH_REF_RAW.json'))
