@@ -656,6 +656,14 @@ object Queries {
       Dedup.minHashCandidatesPortable(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 32, estThreshold = 0.15)),
 
+    "q_x_band_stats" -> ((s, dir) =>
+      // LSH ops diagnostic: per-band bucket count / largest bucket /
+      // implied candidate pairs — the 2-aggregate readout that catches
+      // a degenerate band (one bucket holding the corpus = a quadratic
+      // join about to happen) BEFORE the candidate join runs.
+      Dedup.minHashBandStats(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16)),
+
     "q_x_lsh_editverify" -> ((s, dir) =>
       // generate-then-verify near-dup: banded MinHash candidates, then an
       // EXACT clamped edit-distance check per pair — the codegen'd
@@ -2464,8 +2472,11 @@ object Queries {
        |  SELECT DISTINCT doc_id, fp FROM ${px}m
        |  WHERE p + 3 <= n OR p = 1)""".stripMargin
 
-  private def minhashOracleSqlFor(numHashes: Int, bands: Int,
-      est: Double): String = {
+  /** The shared portable-MinHash replay: docs → distinct shingles →
+    * md5-family hashes → numHashes min-aggregates → per-band bucket
+    * strings — the prefix both the candidate-pair oracle and the
+    * band-stats oracle build on. */
+  private def minhashSigBandsCte(numHashes: Int, bands: Int): String = {
     import graft.functions.Portable
     val P = Portable.P
     val rows = numHashes / bands
@@ -2476,8 +2487,6 @@ object Queries {
       s"WHEN $b THEN " + (0 until rows).map(k => s"m${rows * b + k}")
         .mkString(" || ',' || ")
     }.mkString("\n      ")
-    val eq = (0 until numHashes)
-      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH docs AS (
        |  SELECT doc_id,
        |    string_split_regex(${normSql("text")}, '\\s+') AS w
@@ -2495,7 +2504,14 @@ object Queries {
        |    CASE r.range
        |      $bandCase
        |    END AS bucket
-       |  FROM sig, range($bands) r),
+       |  FROM sig, range($bands) r)""".stripMargin
+  }
+
+  private def minhashOracleSqlFor(numHashes: Int, bands: Int,
+      est: Double): String = {
+    val eq = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${minhashSigBandsCte(numHashes, bands)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
@@ -2504,6 +2520,18 @@ object Queries {
        |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
        |WHERE est_jaccard >= $est""".stripMargin
   }
+
+  /** q_x_band_stats: the per-band collision histogram over the same
+    * banding the candidate join uses — exact BIGINT group counts. */
+  private def minhashBandStatsOracleSql(numHashes: Int,
+      bands: Int): String =
+    s"""${minhashSigBandsCte(numHashes, bands)},
+       |bstat AS (
+       |  SELECT band, bucket, count(*) AS m
+       |  FROM bands GROUP BY band, bucket)
+       |SELECT band, count(*) AS n_buckets, max(m) AS max_bucket,
+       |  CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_pairs
+       |FROM bstat GROUP BY band""".stripMargin
 
   private val minhashOracleSql: String = minhashOracleSqlFor(64, 16, 0.3)
 
@@ -4637,6 +4665,7 @@ object Queries {
 
     "q_x_minhash_lsh" -> minhashOracleSql,
     "q_x_minhash_r2" -> minhashOracleSqlFor(64, 32, 0.15),
+    "q_x_band_stats" -> minhashBandStatsOracleSql(64, 16),
     // incremental = batch-mode restricted to pairs touching a new doc
     // (id_a < id_b and old ids are <= 400, so id_b > 400 ⇔ "has a new
     // side") — per-document signatures make stored and recomputed

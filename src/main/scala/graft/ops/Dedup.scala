@@ -947,6 +947,35 @@ object Dedup {
       sig => explode(portableBandKeys(sig, bands, numHashes / bands)))
   }
 
+  /** Per-band LSH collision diagnostics: bucket count, largest bucket,
+    * and the implied candidate-pair volume Σ m·(m−1)/2 for every band
+    * of the portable MinHash banding — the tuning/ops readout for the
+    * S-curve knobs DEDUP_RECALL.md measures. The number that matters
+    * at 100 TB is `cand_pairs`: a degenerate band (constant or
+    * near-constant bucket — the failure [[lshBandKeys]]'s divisibility
+    * require exists to prevent, but data can degenerate too: empty
+    * texts, boilerplate-saturated corpora) shows up here as one bucket
+    * holding the corpus, i.e. a quadratic join about to happen —
+    * caught by a 2-aggregate diagnostic costing two map-side-combined
+    * group-bys, run BEFORE the join that would detonate. Exact BIGINT
+    * throughout. */
+  def minHashBandStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, n, numHashes)
+    sigs.select(explode(portableBandKeys(col("sig"), bands, rows))
+        .as("bk"))
+      .groupBy(col("bk.band").cast(LongType).as("band"),
+        col("bk.bucket").as("__bucket"))
+      .agg(count(lit(1)).as("__m"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("__m")).as("max_bucket"),
+        sum(expr("(__m * (__m - 1)) div 2")).as("cand_pairs"))
+  }
+
   /** Two-stage near-dup: MinHash+LSH candidate generation followed by an
     * EXACT edit-distance verification of each candidate pair — the
     * generate-then-verify shape (Xiao et al., Ed-Join, VLDB'08): the
