@@ -1,25 +1,30 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-trigger cost vs accumulated corpus size for the StreamStore
   * dedup streams — the measurement behind the scaladocs' "at corpus
-  * scale hold the store bucketed / compact on cadence" guidance: the
-  * seen-probe joins the batch against the WHOLE key store, so the
-  * per-trigger wall carries a term linear in store size plus a term
-  * linear in store FILE COUNT (one file batch per trigger without
-  * compaction). This tool drives SubstrDedupStream with all-novel
-  * synthetic docs (worst case: the store grows every trigger, nothing
-  * dedups) and records trigger wall against store rows, with and
-  * without cadenced compaction — the file-count term is the one
-  * compaction removes; the row term is the one an external state
-  * backend (RocksDB twins) or key-bucketed layout caps.
+  * scale hold the store bucketed / compact on cadence" guidance, and
+  * (r17) the A/B harness for the bloom+bucket probe gate: the
+  * pre-gate seen-probe joined the batch against the WHOLE key store,
+  * so the per-trigger wall carried a term linear in store size plus a
+  * term linear in store FILE COUNT. The tool drives a dedup stream
+  * with all-novel synthetic docs (worst case: the store grows every
+  * trigger, nothing dedups) and records trigger wall against store
+  * rows, with and without cadenced compaction. Streams construct with
+  * `gateFromBytes = 0` — the tool measures the gated-vs-ungated probe
+  * slope (`SPARK_GRAFT_STREAM_GATE=off` for the baseline leg), not
+  * the small-store threshold.
   *
-  * Usage: `runMain graft.tools.StoreGrowth [triggers] [docsPerBatch]` */
+  * Usage: `runMain graft.tools.StoreGrowth [triggers] [docsPerBatch]
+  * [mode]` — mode ∈ substr (default) | winnow | minhash, covering the
+  * three probe shapes: key semi-join, fp inner-join, band-key join.
+  */
 object StoreGrowth {
   def main(args: Array[String]): Unit = {
     val nTriggers = if (args.length > 0) args(0).toInt else 24
     val perBatch = if (args.length > 1) args(1).toInt else 200
+    val mode = if (args.length > 2) args(2) else "substr"
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-store-growth")
       .config("spark.sql.shuffle.partitions", 32)
@@ -28,13 +33,31 @@ object StoreGrowth {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // (storePath, processBatch) per mode — same all-novel doc feed
+    def mkStream(dir: String, compactEvery: Int)
+        : (String, (DataFrame, Long) => Unit) = mode match {
+      case "winnow" =>
+        val s = new graft.streaming.WinnowQuoteStream(spark,
+          dir + "/fps", "doc_id", "text", k = 3, w = 4,
+          minShared = 2L, compactEvery = compactEvery,
+          gateFromBytes = 0L)
+        (dir + "/fps", (df, b) => { s.processBatch(df, b); () })
+      case "minhash" =>
+        val s = new graft.streaming.MinHashDedupStream(spark,
+          dir + "/sigs", "doc_id", "text",
+          compactEvery = compactEvery, gateFromBytes = 0L)
+        (dir + "/sigs", (df, b) => { s.processBatch(df, b); () })
+      case _ =>
+        val s = new graft.streaming.SubstrDedupStream(spark,
+          dir + "/keys", "doc_id", "text", n = 8,
+          compactEvery = compactEvery, gateFromBytes = 0L)
+        (dir + "/keys", (df, b) => { s.processBatch(df, b); () })
+    }
+
     def run(compactEvery: Int): Seq[(Int, Long, Long, Double)] = {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_growth_$compactEvery").toString
-      val s = new graft.streaming.SubstrDedupStream(spark, dir + "/keys",
-        "doc_id", "text", n = 8, compactEvery = compactEvery,
-        gateFromBytes = 0L) // engage the gate from byte one: this tool
-        // measures the gated-vs-ungated probe slope, not the threshold
+      val (storePath, process) = mkStream(dir, compactEvery)
       val rnd = new scala.util.Random(1)
       var id = 0L
       val out = (0 until nTriggers).map { b =>
@@ -44,10 +67,10 @@ object StoreGrowth {
             .mkString(" "))
         }
         val t0 = System.nanoTime()
-        s.processBatch(docs.toDF("doc_id", "text"), b.toLong)
+        process(docs.toDF("doc_id", "text"), b.toLong)
         graft.core.Metrics.drainUnpersist()
         val wall = (System.nanoTime() - t0) / 1e9
-        val p = new org.apache.hadoop.fs.Path(dir + "/keys")
+        val p = new org.apache.hadoop.fs.Path(storePath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // recursive: bucketed stores keep files under __bucket=N/ dirs
         val it = fs.listFiles(p, true)
@@ -57,7 +80,7 @@ object StoreGrowth {
         }
         // through the store API: the raw root read misses the hidden
         // _delta leg of the two-tier layout
-        val rows = new graft.streaming.StreamStore(spark, dir + "/keys")
+        val rows = new graft.streaming.StreamStore(spark, storePath)
           .visible(Long.MaxValue).map(_.count()).getOrElse(0L)
         (b, rows, files.toLong, wall)
       }
@@ -79,7 +102,7 @@ object StoreGrowth {
     // table rows substitute AFTER stripMargin (inside it, the margin
     // strip would eat each row's leading table pipe)
     val tpl =
-      s"""## StreamStore growth — SubstrDedupStream, all-novel batches ($perBatch docs × 40 tokens)
+      s"""## StreamStore growth — $mode stream, all-novel batches ($perBatch docs × 40 tokens)
          |
          |compactEvery=0 (no maintenance):
          |
