@@ -30,6 +30,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+      // cap plan-STRING rendering (default is effectively unlimited):
+      // AQE builds explainString per stage update, and a plan carrying
+      // a large binary literal (a bloom sketch, a model blob) renders
+      // it in full — measured r17: a 2 MiB literal per micro-batch
+      // trigger OOM'd the driver building plan strings before any probe
+      // ran. 4 MB keeps every legitimate explain readable
+      .config("spark.sql.maxPlanStringLength", s"${4 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     (defaults ++ extra).foldLeft(b) {
