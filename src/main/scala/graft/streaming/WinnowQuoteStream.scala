@@ -57,11 +57,11 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
 
   private val store =
     new StreamStore(spark, storePath, lineage, storeBuckets, "fp")
-  // live driver-side corpus fp sketch, built at the gateFromBytes
-  // threshold crossing (see SubstrDedupStream)
-  private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
-    None
-  private var bloomStale: Boolean = false
+  // live driver-side corpus fp sketch — lifecycle (crossing build,
+  // saturation rebuild, overflow hysteresis, small-path drop) is the
+  // shared [[GateKeeper]]
+  private[streaming] val gate = new GateKeeper(store, sketchItems,
+    sketchBits, gateFromBytes, (it, b) => store.buildBloomCounted(it, b))
 
   /** The `foreachBatch` body: returns (id_new, id_corpus, shared_fps)
     * quote pairs for the batch — id_corpus is a stored doc, or the
@@ -87,14 +87,7 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
       // non-broadcast join degrades gracefully. Pair output identical:
       // the sketch has no false negatives and untouched buckets hold
       // no fp the batch carries.
-      val small = KeyGate.enabled && store.dataBytes < gateFromBytes
-      if (!small && (bloomStale || bloom.isEmpty) && store.exists) {
-        bloom = store.buildBloom(sketchItems, sketchBits)
-        bloomStale = false
-      }
-      val kg =
-        if (small) KeyGate.small(store)
-        else KeyGate.plan(store, bFps, col("fp"), bloom, broadcastCap)
+      val kg = gate.plan(bFps, col("fp"), broadcastCap)
       val emptyCorpus = spark.range(0)
         .select(col("id").as("__oid"), col("id").as("fp"))
       val cross =
@@ -128,11 +121,8 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
       store.append(bFps.select(col("__nid").as("doc"), col("fp")),
         batchId)
       // keep the gate a corpus superset (the collected hashes cover
-      // every appended fp; see SubstrDedupStream for the stale and
-      // below-threshold rules)
-      if (kg.overflow) bloomStale = true
-      else if (KeyGate.enabled && !kg.smallStore)
-        bloom.foreach(b => kg.hashes.foreach(b.putLong))
+      // every appended fp; staleness/saturation rules: GateKeeper doc)
+      gate.afterAppend(kg)
       batchesSeen += 1
       pairsFound += Observed.long(oObs, "n")(out.count())
       fpsStored += Observed.long(bObs, "n")(bFps.count())

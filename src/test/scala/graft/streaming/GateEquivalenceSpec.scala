@@ -161,6 +161,63 @@ class GateEquivalenceSpec extends SparkSpec {
     assert(gated.flatten.nonEmpty)
   }
 
+  test("substr shrink-then-regrow across gateFromBytes matches the gate-off baseline (ADVICE r18 bloom superset)") {
+    // replays inflate the store (3× the same batch id), compact folds
+    // it back under the threshold, a small-path batch appends NEW keys,
+    // then the store regrows past the threshold and a repeat of those
+    // keys arrives: a sketch held across the shrink would call them
+    // absent and admit the duplicates. Threshold picked from a
+    // measurement pass so the small/gated phases land deterministically.
+    val docsA = (1 to 8).map(i =>
+      (i.toLong, (1 to 30).map(j => s"wa${i}_$j").mkString(" ")))
+    val docsB = (1 to 16).map(i =>
+      (100L + i, (1 to 30).map(j => s"wb${i}_$j").mkString(" ")))
+    val docsBRep = docsB.map { case (id, t) => (id + 500, t) }
+
+    def drive(p: String, g: Long): (Seq[Seq[(Long, Long)]], Seq[Long]) = {
+      // flat store: at fixture scale the bucketed layout's per-file
+      // overhead outweighs the fold, so only a flat compact SHRINKS —
+      // the sketch lifecycle under test is layout-independent
+      val s = new SubstrDedupStream(spark, p, "id", "text", 4,
+        storeBuckets = 0, gateFromBytes = g)
+      def size() = new StreamStore(spark, p).dataBytes
+      val sizes = scala.collection.mutable.Buffer.empty[Long]
+      def run(rows: Seq[(Long, String)], b: Long) = {
+        val out = s.processBatch(rows.toDF("id", "text"), b)
+          .collect().map(r => (r.getLong(0), r.getLong(3)))
+          .sortBy(_._1).toSeq
+        graft.core.Metrics.drainUnpersist()
+        sizes += size()
+        out
+      }
+      val outs = Seq(run(docsA, 0L), run(docsA, 0L), run(docsA, 0L)) ++ {
+        s.compact(); sizes += size()
+        Seq(run(docsB, 1L), run(docsBRep, 2L))
+      }
+      (outs, sizes.toSeq)
+    }
+
+    // measurement pass (threshold never crossed): learn the size curve
+    val (_, sz) = drive(tmp() + "/keys", Long.MaxValue)
+    val (s1, s2, sc, s4) = (sz(0), sz(1), sz(3), sz(4))
+    assert(s1 < s2 && sc < s2 && sc + 1 < s4,
+      s"fixture sizes must shrink then regrow: $sz")
+    val g = (math.max(s1, sc) + math.min(s2, s4)) / 2
+    assert(g > math.max(s1, sc) && g <= math.min(s2, s4),
+      s"no valid threshold window in $sz")
+
+    val (gated, _) = drive(tmp() + "/keys", g)
+    sys.props("graft.stream.gate") = "off"
+    val (baseline, _) =
+      try drive(tmp() + "/keys", g)
+      finally sys.props.remove("graft.stream.gate")
+    assert(gated == baseline,
+      "gated shrink-regrow run diverged from the gate-off baseline")
+    // the repeat batch must actually have been screened (n_dropped > 0)
+    assert(baseline.last.forall(_._2 > 0L),
+      s"fixture must cut the repeated docs: ${baseline.last}")
+  }
+
   test("restart adoption rebuilds the sketch: a second instance over the same store still screens") {
     val dir = tmp()
     val a = new SubstrDedupStream(spark, dir + "/keys", "id", "text", 4,

@@ -113,6 +113,60 @@ class StreamStoreBucketSpec extends SparkSpec {
       .toSeq == Seq("a", "b", "c", "d"))
   }
 
+  test("bucketsFor scales the count with store bytes: pow2, floored at the constructor, capped (VERDICT r17 #1)") {
+    val dir = tmp()
+    val s = new StreamStore(spark, dir + "/s", "L", 4, "key",
+      targetBucketBytes = 1024L, maxBuckets = 64)
+    assert(s.bucketsFor(0L) == 4, "constructor count is the floor")
+    assert(s.bucketsFor(4096L) == 4)
+    assert(s.bucketsFor(4097L) == 8, "pow2 round-up")
+    assert(s.bucketsFor(10L * 1024) == 16)
+    assert(s.bucketsFor(1L << 20) == 64, "maxBuckets caps the dir count")
+    val flat = new StreamStore(spark, dir + "/f", "L")
+    assert(flat.bucketsFor(1L << 30) == 0, "flat stores stay flat")
+  }
+
+  test("compact re-buckets to the size-derived count; pruning follows the new marker") {
+    val dir = tmp()
+    val s = new StreamStore(spark, dir + "/s", "L", 2, "key",
+      targetBucketBytes = 256L, maxBuckets = 32)
+    val keys = (1 to 256).map(i => s"key_$i")
+    s.append(keys.toDF("key"), 0L)
+    assert(s.activeBuckets == 2, "marker pins the constructor count pre-compact")
+    s.compact(fold)
+    // a 256-key parquet store is well past 2×256 B: the compact must
+    // have re-bucketed upward, pow2, marker-pinned
+    val n = s.activeBuckets
+    assert(n > 2 && (n & (n - 1)) == 0 && n <= 32, s"got $n")
+    // pruning on the NEW layout still finds every key via bucketExpr
+    val one = Seq(keys.head).toDF("key")
+    val touched = one.select(s.bucketExpr(col("key")).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val got = s.visiblePruned(1L, touched).get
+      .join(broadcast(one), Seq("key"), "left_semi")
+      .select("key").as[String].collect().toSet
+    assert(got == Set(keys.head))
+  }
+
+  test("fs metadata is memoized per mutation epoch: a trigger's reads cost at most 2 listings (VERDICT r17 #3)") {
+    val dir = tmp()
+    val s = new StreamStore(spark, dir + "/s", "L", 8, "key")
+    // trigger shape: reads (gate + probe planning), append, reads
+    s.exists; s.dataBytes; s.activeBuckets
+    assert(s.metaLoads == 1L, "pre-append reads share one snapshot")
+    s.append(Seq("a", "b").toDF("key"), 0L)
+    s.exists; s.dataBytes; s.activeBuckets; s.visible(1L)
+    assert(s.metaLoads == 2L,
+      "append invalidates once; post-append reads share the reload")
+    // second trigger: same budget
+    s.dataBytes; s.append(Seq("c").toDF("key"), 1L); s.exists
+    assert(s.metaLoads == 3L, "an unmutated epoch never relists")
+    s.compact(fold) // reads the still-valid snapshot, invalidates after
+    s.exists; s.dataBytes
+    assert(s.metaLoads == 4L,
+      "one reload after the compact's swap covers all reads")
+  }
+
   test("buildBloom is a corpus superset; KeyGate classifies skip/gated/fallback/overflow") {
     val dir = tmp()
     val s = new StreamStore(spark, dir + "/s", "L", 8, "key")
