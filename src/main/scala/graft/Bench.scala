@@ -305,14 +305,24 @@ object Bench {
     } catch { case _: Throwable => None }
     val epochMult = sys.env
       .getOrElse("SPARK_GRAFT_EPOCH_BUDGET_MULT", "1.05").toDouble
-    // (head common-set total, ref common-set total) over live results
-    val epochCommon: Option[(Double, Double)] = epochRef.flatMap { er =>
-      val common = results.toSeq.filter { case (n, s) =>
-        s >= 0 && er.queries.get(n).exists(_ >= 0) }
-      if (common.isEmpty) None
-      else Some((common.map(_._2).sum,
-        common.map { case (n, _) => er.queries(n) }.sum))
+    // (head common-set total, ref common-set total) over live results.
+    // ADVICE r17 #4: a stale or partial EPOCH.json can shrink the
+    // common set to a handful of shared queries while the source field
+    // still reads epoch_ref — most of the catalog silently unguarded.
+    // The epoch-relative check now requires the common set to cover at
+    // least half the live head queries (floor 8); below that the env
+    // constant takes over and budget_total_source says why.
+    val epochCommonRaw: Option[(Int, Double, Double)] = epochRef.map {
+      er =>
+        val common = results.toSeq.filter { case (n, s) =>
+          s >= 0 && er.queries.get(n).exists(_ >= 0) }
+        (common.size, common.map(_._2).sum,
+          common.map { case (n, _) => er.queries(n) }.sum)
     }
+    val minCommonN = math.max(8, results.count(_._2 >= 0) / 2)
+    val epochCommonTooSmall = epochCommonRaw.exists(_._1 < minCommonN)
+    val epochCommon: Option[(Double, Double)] = epochCommonRaw
+      .filter(_._1 >= minCommonN).map(c => (c._2, c._3))
     // Reviewed composite-budget entries (the Expand-allowlist pattern):
     // a chained multi-stage pipeline is k solo queries in ONE entry —
     // its stages are budget-checked individually by their solo twins
@@ -438,17 +448,30 @@ object Bench {
       f1 > 0 && f2 > 0 &&
         math.max(f1, f2) / math.min(f1, f2) > probeDivergenceBand
     }
-    // Adjusted TOTAL = the SUM of per-query chunk-adjusted times, not
-    // raw ÷ one global factor (VERDICT r14 #1: a single linear factor
-    // over-corrects past ~1.3 — the r14 official artifact's 62.7 s
-    // "adjusted" on a factor-1.75 window sat far below the mid-band
-    // seals' 85–87 s band; the per-CHUNK factors stayed credible
-    // because they are local). Each query divides by its own chunk's
-    // bracket factor, so an excursion discounts only the chunk it hit.
-    val totalWindowAdjusted: Double =
+    // At-ref-window TOTAL estimate (VERDICT r17 #3, replacing r15's
+    // total_window_adjusted whose direction inverted on drifting
+    // windows): per-query chunk-adjusted sum when it agrees with the
+    // whole-run factor's direction (the r14 finding — chunk factors are
+    // locally accurate), raw ÷ the global factor when the chunks
+    // contradict it (the r17 artifact: chunk brackets drifted fast
+    // while the run-level factor read 1.21-slow, and the "adjusted"
+    // total moved UP 27%). The global factor applies the same
+    // probe-agreement rule the per-chunk path uses.
+    val globalChosenFactor: Double = {
+      val f1 = canaryWindowFactor
+      val f2 = canary2WindowFactor
+      if (f1 > 0 && f2 > 0 &&
+          math.max(f1, f2) / math.min(f1, f2) > probeDivergenceBand)
+        if (math.abs(math.log(f1)) <= math.abs(math.log(f2))) f1 else f2
+      else f1
+    }
+    val perChunkAdjustedTotal: Double =
       if (canaryWindowFactor <= 0) -1.0
       else results.filter(_._2 >= 0)
         .map { case (n, s) => s / chosenFactorFor(n) }.sum
+    val (totalAtRefWindowEst, windowAdjustSource) =
+      BenchReport.atRefWindowEst(total, perChunkAdjustedTotal,
+        globalChosenFactor)
     // Extreme-window self-notice: past this point the LINEAR canary
     // model itself is suspect (measured r14: global factors 1.5+ over-
     // corrected totals by ~20%); the artifact says so instead of
@@ -1248,7 +1271,10 @@ object Bench {
       "budget_query_sec" -> queryBudget.toString,
       "budget_total_sec" -> totalBudget.toString,
       "budget_total_source" ->
-        ("\"" + (if (epochCommon.isDefined) "epoch_ref" else "env") + "\""),
+        ("\"" + (if (epochCommon.isDefined) "epoch_ref"
+          else if (epochCommonTooSmall) "env_common_too_small"
+          else "env") + "\""),
+      "epoch_common_min_n" -> minCommonN.toString,
       "epoch_ref_commit" -> epochRef.map("\"" + _.commit + "\"")
         .getOrElse("null"),
       "epoch_ref_common_total_sec" -> epochCommon
@@ -1270,9 +1296,10 @@ object Bench {
       "canary_window_factor" ->
         (if (canaryWindowFactor > 0) canaryWindowFactor.toString
          else "null"),
-      "total_window_adjusted" ->
-        (if (totalWindowAdjusted > 0) totalWindowAdjusted.toString
+      "total_at_ref_window_est" ->
+        (if (totalAtRefWindowEst > 0) totalAtRefWindowEst.toString
          else "null"),
+      "window_adjust_source" -> ("\"" + windowAdjustSource + "\""),
       "canary2_query" -> "\"shuffle2x_lineitem_suppkey\"",
       "canary2_start_sec" -> canary2Start.toString,
       "canary2_end_sec" -> canary2End.toString,

@@ -30,13 +30,21 @@ object BenchReport {
     "queries_failed_n", "queries_slowest",
     "budget_violations_n", "budget_worst",
     "canary_query",
-    "canary_pre_build_sec", "canary_build_delta_pct",
+    // r18: canary_pre_build_sec moved file-only to fund
+    // window_adjust_source (the r13 rule: absolutes file-only, their
+    // *_delta_pct drift signals stay on the line)
+    "canary_build_delta_pct",
     "canary_start_sec", "canary_end_sec", "canary_delta_pct",
-    // r15: total_window_adjusted is the SUM of per-chunk-adjusted query
-    // times (one global linear factor over-corrects past ~1.3);
-    // window_factor_extreme says when even that linear model is suspect
-    "canary_window_factor", "total_window_adjusted",
-    "window_factor_extreme",
+    // r18 (VERDICT r17 #3): total_at_ref_window_est REPLACES r15's
+    // total_window_adjusted — the semantics are now named in the field:
+    // "what this total would read on the epoch-ref window". Per-chunk
+    // adjustment when its direction agrees with the whole-run factor,
+    // raw ÷ global factor when the chunks contradict it (the r17
+    // official artifact shipped 145.8 "adjusted" from raw 115 on a
+    // 1.21-slow window because drifting chunk brackets outvoted the
+    // run-level factor); window_adjust_source says which was used
+    "canary_window_factor", "total_at_ref_window_est",
+    "window_adjust_source", "window_factor_extreme",
     // r16: the shuffle-class second canary's whole-catalog factor rides
     // the line (per-chunk brackets are file-only) — "CPU factor ~1.0 but
     // shuffle factor high" is the contention type canary 1 cannot see
@@ -80,4 +88,27 @@ object BenchReport {
     longNum.replaceAllIn(render(subset),
       m => f"${m.group(1).toDouble}%.4f")
   }
+
+  /** "What would this run's total read on the epoch-ref window"
+    * (VERDICT r17 #3 — the r15 field's direction inverted on drifting
+    * windows). `perChunkEst` is the sum of per-query chunk-adjusted
+    * times (locally accurate when chunk brackets are sane);
+    * `globalFactor` the whole-run canary factor (>1 = this window is
+    * SLOWER than the epoch ref). The estimate must move the direction
+    * the global factor says — a slower window normalizes DOWN, a faster
+    * one UP; when the chunk sum contradicts that (drifting brackets),
+    * fall back to raw ÷ global and say so. Returns (estimate, source);
+    * estimate -1 when no factor is available. */
+  def atRefWindowEst(rawTotal: Double, perChunkEst: Double,
+      globalFactor: Double): (Double, String) =
+    if (globalFactor <= 0) (-1.0, "none")
+    else {
+      val slowWindow = globalFactor > 1.02
+      val fastWindow = globalFactor < 0.98
+      val chunkDirectionOk =
+        (!slowWindow || perChunkEst <= rawTotal) &&
+          (!fastWindow || perChunkEst >= rawTotal)
+      if (perChunkEst > 0 && chunkDirectionOk) (perChunkEst, "per_chunk")
+      else (rawTotal / globalFactor, "global_direction_fix")
+    }
 }

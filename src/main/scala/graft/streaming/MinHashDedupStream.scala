@@ -33,12 +33,32 @@ import org.apache.spark.sql.functions._
   * sketch over the corpus's BAND KEYS screens the batch's band keys,
   * and a trigger with zero possible collisions runs only the
   * within-batch self-join — the corpus is not read at all, the
-  * novelty-dominated common case. Unlike the key-equality streams the
-  * store cannot bucket-prune (each row carries `bands` keys; an
-  * exploded bucketed layout would store the signature `bands`× — the
-  * documented trade not taken), so a colliding trigger still scans
-  * the store once; the skip path is the scale win. Executors hold
-  * nothing between triggers.
+  * novelty-dominated common case.
+  *
+  * ==Band-key pointer table (r18)==
+  *
+  * COLLIDING triggers are bucket-pruned too. r17 rejected bucketing the
+  * signature store on band keys because the exploded layout would store
+  * the ~512 B signature `bands`× per doc; the trade as framed was a
+  * false binary (VERDICT r17 #2). A `(bkh, id)` POINTER side table at
+  * `storePath + "__bands"` — bkh = `xxhash64(band key)`, 8 B, so
+  * ~16 B/row ≈ a couple hundred bytes per doc on disk — restores
+  * pruning without copying signatures: the gate's touched-bucket set
+  * (band-key space) prunes the pointer table to the candidate doc ids
+  * sharing a band key with the batch, and only THOSE ids' buckets of
+  * the id-bucketed signature store are read. Hashing the ~50 B band-key
+  * struct down to 8 B is sound because every consumer (bloom, bucket
+  * placement, the semi-join) composes over the SAME hashed column on
+  * both sides; a collision only over-approximates the candidate set,
+  * which the exact banded pair join filters anyway. A
+  * duplicate-heavy trigger's corpus term is O(touched buckets) on both
+  * stores, not O(store); candidate sets past `broadcastCap` degrade to
+  * the full scan instead of failing the trigger. Both stores share one
+  * (batch_id, lineage) tagging, so replay/restart visibility carries
+  * over; a crash between the two appends is healed by the replay (the
+  * half-appended batch is invisible to its own re-run, which re-appends
+  * to both). Adopting an r17 signature-only store backfills the pointer
+  * table once, tags preserved. Executors hold nothing between triggers.
   */
 final class MinHashDedupStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String,
@@ -46,42 +66,103 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
     estThreshold: Double = 0.5, lineage: String = "default",
     compactEvery: Int = 0, broadcastCap: Long = 1L << 20,
     sketchItems: Long = 1L << 21, sketchBits: Long = 1L << 24,
-    gateFromBytes: Long = 64L << 20) {
+    gateFromBytes: Long = 64L << 20, storeBuckets: Int = 64) {
 
   private var batchesSeen = 0L
   private var kept = 0L
   private var dropped = 0L
 
+  /** O(store) sketch rebuilds since construction (growth telemetry:
+    * the saturation-rebuild cadence is the thing StoreGrowth audits). */
+  def gateRebuilds: Long = gate.rebuilds
+
   /** Totals since construction: (batches, survivors, dropped). */
   def stats: (Long, Long, Long) = (batchesSeen, kept, dropped)
 
   // the shared side-store protocol: recover-on-read, lineage-scoped
-  // replay visibility, tagged append, fold-compact (see StreamStore)
-  private val store = new StreamStore(spark, storePath, lineage)
+  // replay visibility, tagged append, fold-compact (see StreamStore);
+  // the signature store buckets on doc id, the pointer table on band
+  // key (class doc) — appends stay flat-delta-cheap on both
+  private val store =
+    new StreamStore(spark, storePath, lineage, storeBuckets, "id")
+  private val pointer = new StreamStore(spark, storePath + "__bands",
+    lineage, storeBuckets, "bkh")
 
+  /** (bkh, id) per band of each signature — bkh is the 8-byte
+    * `xxhash64` of the (band, bucket) struct, the pointer table's key. */
   private def bandKeysOf(sigs: org.apache.spark.sql.DataFrame) =
-    sigs.select(explode(graft.ops.Dedup.portableBandKeys(col("sig"),
-      bands, numHashes / bands)).as("bk"))
+    sigs.select(bandKeyCol.as("__bk"), col("id"))
+      .select(xxhash64(col("__bk")).as("bkh"), col("id"))
 
-  /** One O(store) aggregate over the stored signatures' band keys —
-    * the sketch and the band-key row count from the same job. */
-  private def buildBandBloom(items: Long, bits: Long)
-      : Option[(org.apache.spark.util.sketch.BloomFilter, Long)] =
-    store.visible(Long.MaxValue).flatMap { df =>
-      val r = bandKeysOf(df.select(col("sig")))
-        .agg(graft.functions.Bloom.bloomAgg(xxhash64(col("bk")),
-          items, bits), count(lit(1))).head()
-      if (r.isNullAt(0)) None
-      else Some((org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))),
-        r.getLong(1)))
-    }
+  private def bandKeyCol =
+    explode(graft.ops.Dedup.portableBandKeys(col("sig"), bands,
+      numHashes / bands))
 
-  // live driver-side sketch over the corpus's BAND KEYS — lifecycle
-  // (crossing build, saturation rebuild, overflow hysteresis,
-  // small-path drop) is the shared [[GateKeeper]]
+  // live driver-side sketch over the corpus's BAND KEYS, built from the
+  // pointer table (8 B rows — no re-banding of stored signatures) —
+  // lifecycle (crossing build, saturation rebuild, overflow hysteresis,
+  // small-path drop) is the shared [[GateKeeper]]; existence/threshold
+  // read the signature store, the touched set lives in the pointer
+  // table's bucket space
   private[streaming] val gate = new GateKeeper(store, sketchItems,
-    sketchBits, gateFromBytes, buildBandBloom)
+    sketchBits, gateFromBytes,
+    (it, b) => pointer.buildBloomCounted(it, b),
+    bucketStore = Some(pointer))
+
+  /** Backfill the pointer table from an adopted signature-only store —
+    * one O(store) job at the first gated trigger, original
+    * `(batch_id, lineage)` tags preserved so visibility carries over;
+    * the immediate compact buckets the backfilled rows (an un-compacted
+    * backfill would only cost pruning, never correctness). */
+  private def ensurePointer(): Unit =
+    if (!pointer.exists && store.exists)
+      store.visible(Long.MaxValue).foreach { df =>
+        pointer.appendTagged(df
+          .select(bandKeyCol.as("__bk"), col("id"), col("batch_id"),
+            col("lineage"))
+          .select(xxhash64(col("__bk")).as("bkh"), col("id"),
+            col("batch_id"), col("lineage")))
+        pointer.compact(_.groupBy("bkh", "id", "lineage")
+          .agg(min("batch_id").as("batch_id")))
+      }
+
+  /** The corpus side of the candidate join. Gated triggers probe the
+    * PRUNED pointer table for the doc ids sharing a band key with the
+    * batch — exact: a candidate pair must share one, the sketch has no
+    * false negatives, and untouched buckets hold no batch band key —
+    * then read only those ids' signature-store buckets. r17 scanned
+    * every stored signature on any colliding trigger. */
+  private def storedCandidates(kg: KeyGate.Plan, batchSigs: DataFrame,
+      batchId: Long): Option[DataFrame] = {
+    if (kg.skipStore) return None
+    if (kg.smallStore || kg.fallback)
+      return store.visible(batchId).map(_.select("id", "sig"))
+    val cap = math.min(broadcastCap, Int.MaxValue - 2L).toInt
+    pointer.visiblePruned(batchId, kg.touched).flatMap { p =>
+      // candidate ids, lazily checkpointed: the hash collect below
+      // materializes the cache, the signature semi-join reads it
+      val cand = p.join(broadcast(bandKeysOf(batchSigs)
+          .select(col("bkh")).distinct()), Seq("bkh"), "left_semi")
+        .select(col("id")).distinct().localCheckpoint(false)
+      graft.core.Metrics.deferUnpersist(cand)
+      val hs = cand.select(xxhash64(col("id")))
+        .as(org.apache.spark.sql.Encoders.scalaLong)
+        .limit(cap + 1).collect()
+      if (hs.isEmpty) None // no shared band key: corpus adds no pairs
+      else if (hs.length > cap)
+        // candidate set past the broadcast cap: degrade to the full
+        // scan instead of failing the trigger (the KeyGate rule)
+        store.visible(batchId).map(_.select("id", "sig"))
+      else {
+        val nb = store.activeBuckets
+        val touched =
+          if (nb > 0) hs.map(KeyGate.bucketOf(_, nb)).distinct.toSeq
+          else Seq.empty[Int]
+        store.visiblePruned(batchId, touched).map(_.select("id", "sig")
+          .join(broadcast(cand), Seq("id"), "left_semi"))
+      }
+    }
+  }
 
   /** The `foreachBatch` body: returns the batch's surviving rows (all
     * original columns), with survivors' signatures already appended.
@@ -99,14 +180,18 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
       // threshold, or when any batch band key may collide, consult the
       // corpus as before; zero possible collisions skip the store read
       // entirely (the within-batch self-join still runs)
-      val kg = gate.plan(bandKeysOf(batchSigs), col("bk"), broadcastCap)
+      // the pointer table must exist before the gate can prune (or its
+      // bloom build); r17 signature-only stores backfill here, once,
+      // gated-regime-only — below the threshold the probe reads the
+      // store directly and the table stays absent at zero cost
+      if (KeyGate.enabled && store.dataBytes >= gateFromBytes)
+        ensurePointer()
+      val kg = gate.plan(bandKeysOf(batchSigs), col("bkh"), broadcastCap)
       // lineage scoping (see ParaDedupStream): other lineages' signatures
       // always count; only the current lineage gets the replay filter —
       // a fresh-checkpoint restart (ids back at 0) must not forget the
       // corpus its predecessor accumulated
-      val stored =
-        if (kg.skipStore) None
-        else store.visible(batchId).map(_.select("id", "sig"))
+      val stored = storedCandidates(kg, batchSigs, batchId)
       val pairs = Dedup.minHashIncrementalFromSigs(batchSigs, stored,
         numHashes, bands, estThreshold).localCheckpoint()
       try {
@@ -135,10 +220,23 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
         // the probe used (r17 — the append previously re-ran the whole
         // shingle→hash→agg pipeline over the survivor texts; signatures
         // are per-document and deterministic, so the filtered frame is
-        // identical)
-        store.append(batchSigs
+        // identical); lazily checkpointed so the pointer append reads
+        // the cache instead of recomputing the anti-join
+        val survivorSigs = batchSigs
           .join(drops, col("id") === col("__drop"), "left_anti")
-          .select(col("id"), col("sig")), batchId)
+          .select(col("id"), col("sig")).localCheckpoint(false)
+        graft.core.Metrics.deferUnpersist(survivorSigs)
+        store.append(survivorSigs, batchId)
+        // pointer rows ride the same survivor frame. Skipped only while
+        // the table doesn't exist (pre-crossing regime — the backfill
+        // at the crossing covers those batches wholesale); once it
+        // exists EVERY trigger appends, or a shrink-regrow would leave
+        // it missing candidates (the completeness invariant pruning
+        // soundness rests on)
+        if (pointer.exists)
+          pointer.append(survivorSigs.select(bandKeyCol.as("__bk"),
+              col("id"))
+            .select(xxhash64(col("__bk")).as("bkh"), col("id")), batchId)
         // keep the band-key gate a corpus superset (batch band keys ⊇
         // survivors'; staleness/saturation rules: GateKeeper doc)
         gate.afterAppend(kg)
@@ -153,13 +251,19 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
 
   /** Fold replay-duplicated signature rows (one per (id, lineage) at
     * its min batch_id — other-lineage rows always count as corpus, so
-    * per-lineage folding preserves every decision). Shadow-write +
-    * swap via the shared [[StreamStore]]. */
-  def compact(): Unit = store.compact { df =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("id"), col("lineage"))
-      .orderBy(col("batch_id"))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn")
+    * per-lineage folding preserves every decision), and the pointer
+    * table's (bk, id, lineage) rows likewise. Shadow-write + swap via
+    * the shared [[StreamStore]]. */
+  def compact(): Unit = {
+    store.compact { df =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id"), col("lineage"))
+        .orderBy(col("batch_id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    if (pointer.exists)
+      pointer.compact(_.groupBy("bkh", "id", "lineage")
+        .agg(min("batch_id").as("batch_id")))
   }
 }

@@ -419,11 +419,13 @@ private[streaming] object KeyGate {
     (raw.distinct, raw.length > cap)
   }
 
-  /** Classification given the collected hashes — pure driver logic. */
-  def classify(store: StreamStore, hashes: Array[Long],
+  /** Classification given the collected hashes — pure driver logic.
+    * `buckets` is the bucket space the TOUCHED set lives in: the probed
+    * store's for key-equality streams, the pointer side table's when a
+    * pointer table locates the candidates (MinHash). */
+  def classify(storeLive: Boolean, buckets: Int, hashes: Array[Long],
       overflow: Boolean,
       bloom: Option[org.apache.spark.util.sketch.BloomFilter]): Plan = {
-    val storeLive = store.exists
     if (overflow)
       // the capped collect saw only a prefix: full store +
       // non-broadcast join, degrading gracefully where an oversized
@@ -441,9 +443,9 @@ private[streaming] object KeyGate {
           fallback = true, overflow = false)
       case Some(b) =>
         val survivors = hashes.filter(b.mightContainLong)
-        val nb = store.activeBuckets
         val touched =
-          if (nb > 0) survivors.map(bucketOf(_, nb)).distinct.toSeq
+          if (buckets > 0)
+            survivors.map(bucketOf(_, buckets)).distinct.toSeq
           else Seq.empty[Int]
         Plan(hashes.length.toLong, touched, hashes,
           skipStore = survivors.isEmpty, fallback = false,
@@ -458,7 +460,7 @@ private[streaming] object KeyGate {
       return Plan(-1L, Seq.empty, Array.empty,
         skipStore = !store.exists, fallback = true, overflow = false)
     val (hashes, overflow) = collectHashes(batchKeys, key, broadcastCap)
-    classify(store, hashes, overflow, bloom)
+    classify(store.exists, store.activeBuckets, hashes, overflow, bloom)
   }
 }
 
@@ -546,7 +548,13 @@ private[streaming] final class GateKeeper(store: StreamStore,
     sketchItems: Long, sketchBits: Long, gateFromBytes: Long,
     rebuildFn: (Long, Long) =>
       Option[(org.apache.spark.util.sketch.BloomFilter, Long)],
-    fppRebuildBand: Double = 0.2, maxSketchBits: Long = 1L << 33) {
+    fppRebuildBand: Double = 0.2, maxSketchBits: Long = 1L << 33,
+    bucketStore: Option[StreamStore] = None) {
+
+  // existence/threshold read the PROBED store; the touched-bucket set
+  // lives in the bucket space of whichever store locates candidates
+  // (the pointer side table for MinHash, the probed store otherwise)
+  private def buckets: Int = bucketStore.getOrElse(store).activeBuckets
 
   private var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
     None
@@ -578,7 +586,7 @@ private[streaming] final class GateKeeper(store: StreamStore,
         case None => bloom = None
       }
     }
-    KeyGate.classify(store, hashes, overflow, bloom)
+    KeyGate.classify(store.exists, buckets, hashes, overflow, bloom)
   }
 
   /** Fold the batch's hashes into the live sketch (corpus superset:

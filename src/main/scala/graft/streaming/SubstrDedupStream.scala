@@ -52,6 +52,10 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
   private var tokensKept = 0L
   private var tokensDropped = 0L
 
+  /** O(store) sketch rebuilds since construction (growth telemetry:
+    * the saturation-rebuild cadence is the thing StoreGrowth audits). */
+  def gateRebuilds: Long = gate.rebuilds
+
   /** Totals since construction: (batches, tokens kept, tokens cut). */
   def stats: (Long, Long, Long) = (batchesSeen, tokensKept, tokensDropped)
 

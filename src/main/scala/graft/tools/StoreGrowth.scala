@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Per-trigger cost vs accumulated corpus size for the StreamStore
   * dedup streams — the measurement behind the scaladocs' "at corpus
@@ -19,6 +20,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Usage: `runMain graft.tools.StoreGrowth [triggers] [docsPerBatch]
   * [mode]` — mode ∈ substr (default) | winnow | minhash, covering the
   * three probe shapes: key semi-join, fp inner-join, band-key join.
+  *
+  * r18 modes for the two VERDICT r17 "done" criteria:
+  *
+  *  - '''substrsat''' — substr with a sketch sized an order of
+  *    magnitude UNDER the key count the run accumulates
+  *    (items 2^10 / bits 2^13), so the growth crosses sketch capacity
+  *    repeatedly: gate-ON wall must stay flat THROUGH the logged
+  *    saturation rebuilds (the r17 static sketch would drift toward
+  *    fpp 1 and the full-scan slope instead);
+  *  - '''minhashdup''' — duplicate-HEAVY triggers against a corpus
+  *    seeded DIRECTLY into the store between measurements (driving it
+  *    through triggers would take hours): each measured batch repeats
+  *    seeded texts, so every trigger collides and the corpus term the
+  *    pointer table prunes is on the hot path — r17's skip-only gate
+  *    re-scanned the whole signature store here. Seeds are compacted
+  *    into the bucketed base before each measurement (the base is
+  *    where pruning bites; the delta always reads whole). args:
+  *    [rounds] [seedPerRound].
   */
 object StoreGrowth {
   def main(args: Array[String]): Unit = {
@@ -33,31 +52,43 @@ object StoreGrowth {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // (storePath, processBatch) per mode — same all-novel doc feed
+    if (mode == "minhashdup") { runMinhashDup(spark, nTriggers, perBatch); spark.stop(); return }
+
+    // (storePath, processBatch, gate-rebuild counter) per mode
     def mkStream(dir: String, compactEvery: Int)
-        : (String, (DataFrame, Long) => Unit) = mode match {
+        : (String, (DataFrame, Long) => Unit, () => Long) = mode match {
       case "winnow" =>
         val s = new graft.streaming.WinnowQuoteStream(spark,
           dir + "/fps", "doc_id", "text", k = 3, w = 4,
           minShared = 2L, compactEvery = compactEvery,
           gateFromBytes = 0L)
-        (dir + "/fps", (df, b) => { s.processBatch(df, b); () })
+        (dir + "/fps", (df, b) => { s.processBatch(df, b); () },
+          () => -1L)
       case "minhash" =>
         val s = new graft.streaming.MinHashDedupStream(spark,
           dir + "/sigs", "doc_id", "text",
           compactEvery = compactEvery, gateFromBytes = 0L)
-        (dir + "/sigs", (df, b) => { s.processBatch(df, b); () })
+        (dir + "/sigs", (df, b) => { s.processBatch(df, b); () },
+          () => s.gateRebuilds)
+      case "substrsat" =>
+        val s = new graft.streaming.SubstrDedupStream(spark,
+          dir + "/keys", "doc_id", "text", n = 8,
+          compactEvery = compactEvery, gateFromBytes = 0L,
+          sketchItems = 1L << 10, sketchBits = 1L << 13)
+        (dir + "/keys", (df, b) => { s.processBatch(df, b); () },
+          () => s.gateRebuilds)
       case _ =>
         val s = new graft.streaming.SubstrDedupStream(spark,
           dir + "/keys", "doc_id", "text", n = 8,
           compactEvery = compactEvery, gateFromBytes = 0L)
-        (dir + "/keys", (df, b) => { s.processBatch(df, b); () })
+        (dir + "/keys", (df, b) => { s.processBatch(df, b); () },
+          () => s.gateRebuilds)
     }
 
-    def run(compactEvery: Int): Seq[(Int, Long, Long, Double)] = {
+    def run(compactEvery: Int): Seq[(Int, Long, Long, Double, Long)] = {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_growth_$compactEvery").toString
-      val (storePath, process) = mkStream(dir, compactEvery)
+      val (storePath, process, rebuilds) = mkStream(dir, compactEvery)
       val rnd = new scala.util.Random(1)
       var id = 0L
       val out = (0 until nTriggers).map { b =>
@@ -82,7 +113,7 @@ object StoreGrowth {
         // _delta leg of the two-tier layout
         val rows = new graft.streaming.StreamStore(spark, storePath)
           .visible(Long.MaxValue).map(_.count()).getOrElse(0L)
-        (b, rows, files.toLong, wall)
+        (b, rows, files.toLong, wall, rebuilds())
       }
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -95,29 +126,117 @@ object StoreGrowth {
     run(0)
     val plain = run(0)
     val compacted = run(8)
-    def fmt(rows: Seq[(Int, Long, Long, Double)]): String =
+    def fmt(rows: Seq[(Int, Long, Long, Double, Long)]): String =
       rows.filter(r => r._1 % 4 == 3)
-        .map(r => f"| ${r._1 + 1} | ${r._2} | ${r._3} | ${r._4}%.2f |")
+        .map(r => f"| ${r._1 + 1} | ${r._2} | ${r._3} | ${r._4}%.2f | ${r._5} |")
         .mkString("\n")
     // table rows substitute AFTER stripMargin (inside it, the margin
     // strip would eat each row's leading table pipe)
     val tpl =
-      s"""## StreamStore growth — $mode stream, all-novel batches ($perBatch docs × 40 tokens)
+      s"""## StreamStore growth — $mode stream ($perBatch docs × 40 tokens)
          |
          |compactEvery=0 (no maintenance):
          |
-         || trigger | store rows | store files | wall (s) |
-         ||---|---|---|---|
+         || trigger | store rows | store files | wall (s) | rebuilds |
+         ||---|---|---|---|---|
          |@PLAIN@
          |
          |compactEvery=8:
          |
-         || trigger | store rows | store files | wall (s) |
-         ||---|---|---|---|
+         || trigger | store rows | store files | wall (s) | rebuilds |
+         ||---|---|---|---|---|
          |@COMPACT@
          |""".stripMargin
     println(tpl.replace("@PLAIN@", fmt(plain))
       .replace("@COMPACT@", fmt(compacted)))
     spark.stop()
+  }
+
+  /** The minhashdup leg (mode doc above): per round, `seedPerRound`
+    * novel docs' signatures append DIRECTLY to the store (lineage
+    * "seed" — counts as corpus for the stream), a FRESH stream instance
+    * adopts the store (out-of-band seeding breaks a live instance's
+    * bloom-superset invariant — the store contract is single-writer, so
+    * the harness must re-adopt like a restart; the first tool draft
+    * kept one instance and measurably MISSED seeded duplicates), the
+    * stream compacts both stores into the bucketed base, a 1-doc warm
+    * trigger pays the adoption sketch rebuild outside the measured
+    * window, then ONE duplicate-heavy 25%-repeat batch runs through the
+    * stream and only ITS wall is measured. */
+  private def runMinhashDup(spark: SparkSession, rounds: Int,
+      perBatch: Int): Unit = {
+    import spark.implicits._
+    val seedPerRound =
+      sys.env.getOrElse("SPARK_GRAFT_SEED_PER_ROUND", "8000").toInt
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_growth_mhdup").toString
+    val sigPath = dir + "/sigs"
+    val rnd = new scala.util.Random(7)
+    var id = 0L
+    val seedTexts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def novel(): String =
+      (0 until 40).map(_ => "w" + rnd.nextInt(500000)).mkString(" ")
+    val rows = (0 until rounds).map { r =>
+      // seed chunk, lineage "seed", batch id = round
+      val chunk = (0 until seedPerRound).map { _ =>
+        id += 1; val t = novel(); seedTexts += t; (id, t)
+      }
+      val sigs = graft.ops.Dedup.minHashSignaturesPortable(
+        chunk.toDF("doc_id", "text"), "doc_id", "text")
+        .localCheckpoint()
+      // minHashSignaturesPortable already names the id column "id"
+      new graft.streaming.StreamStore(spark, sigPath, "seed", 256, "id")
+        .append(sigs.select(col("id"), col("sig")), r.toLong)
+      val ptr = new graft.streaming.StreamStore(spark,
+        sigPath + "__bands", "seed", 256, "bkh")
+      // before the stream's first gated trigger the pointer table does
+      // not exist — its backfill covers every earlier seed wholesale
+      if (ptr.exists)
+        ptr.append(sigs.select(col("id"),
+            explode(graft.ops.Dedup.portableBandKeys(col("sig"), 16, 4))
+              .as("__bk"))
+          .select(xxhash64(col("__bk")).as("bkh"), col("id")), r.toLong)
+      sigs.unpersist()
+      // fresh instance = restart adoption over the seeded store
+      val s = new graft.streaming.MinHashDedupStream(spark, sigPath,
+        "doc_id", "text", gateFromBytes = 0L, storeBuckets = 256)
+      s.compact() // seeds land in the bucketed base both stores
+      // warm trigger: pays backfill/sketch-rebuild outside the window
+      id += 1
+      s.processBatch(Seq((id, novel())).toDF("doc_id", "text"),
+        (1000 + 2 * r).toLong)
+      graft.core.Metrics.drainUnpersist()
+      val (_, k0, d0) = s.stats
+      // measured trigger: 25% verbatim repeats of seeded texts
+      val batch = (0 until perBatch).map { k =>
+        id += 1
+        if (k % 4 == 0) (id, seedTexts(rnd.nextInt(seedTexts.length)))
+        else (id, novel())
+      }
+      val t0 = System.nanoTime()
+      s.processBatch(batch.toDF("doc_id", "text"),
+        (1000 + 2 * r + 1).toLong)
+      graft.core.Metrics.drainUnpersist()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (_, k1, d1) = s.stats
+      (r, (r + 1).toLong * seedPerRound, wall, s.gateRebuilds, k1 - k0,
+        d1 - d0)
+    }
+    val gate =
+      if (sys.env.get("SPARK_GRAFT_STREAM_GATE")
+          .exists(_.equalsIgnoreCase("off"))) "OFF" else "ON"
+    println(s"## StreamStore growth — minhashdup, gate $gate " +
+      s"($perBatch-doc triggers, 25% seeded repeats, " +
+      s"$seedPerRound seeds/round)")
+    println("")
+    println("| round | corpus docs | trigger wall (s) | rebuilds | batch kept | batch dropped |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { r =>
+      println(f"| ${r._1} | ${r._2} | ${r._3}%.2f | ${r._4} | ${r._5} | ${r._6} |")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
   }
 }

@@ -39,6 +39,7 @@ class BenchReportSpec extends AnyFunSuite {
         "sections_skewed_n" | "cdc_events") => k -> "999999"
       case k @ "budget_worst" =>
         k -> ("\"" + "q_x_" + "a" * 36 + ":99999.99\"")
+      case k @ "window_adjust_source" => k -> "\"global_direction_fix\""
       case k => k -> wideDouble
     }
   }
@@ -83,5 +84,39 @@ class BenchReportSpec extends AnyFunSuite {
   test("headline skips keys absent from the field list") {
     val line = BenchReport.stdoutLine(Seq("metric" -> "\"total\""))
     assert(line == "{\"metric\":\"total\"}")
+  }
+
+  /** VERDICT r17 #3: the at-ref-window estimate must move the direction
+    * the global factor says — a slower-than-ref window normalizes DOWN
+    * (between the epoch ref and raw), a faster one UP — and fall back
+    * to raw ÷ global when drifting chunk brackets contradict that (the
+    * r17 artifact shipped adjusted 145.8 from raw 115.07 at factor
+    * 1.21). */
+  test("atRefWindowEst: direction follows the global factor, per-chunk when consistent") {
+    // degraded (slow) window, chunk sum agrees: per-chunk wins and the
+    // estimate lands BETWEEN the epoch-ref-ish value and raw
+    val (a, srcA) = BenchReport.atRefWindowEst(120.0, 100.0, 1.2)
+    assert(a == 100.0 && srcA == "per_chunk")
+    assert(a < 120.0 && a >= 120.0 / 1.2 - 1e-9)
+    // fast window, chunk sum agrees upward
+    val (b, srcB) = BenchReport.atRefWindowEst(90.0, 110.0, 0.8)
+    assert(b == 110.0 && srcB == "per_chunk")
+    // the r17 inversion: slow window but drifting chunk brackets push
+    // the sum ABOVE raw → global fix, estimate lands under raw
+    val (c, srcC) = BenchReport.atRefWindowEst(115.07, 145.8, 1.21)
+    assert(srcC == "global_direction_fix")
+    assert(math.abs(c - 115.07 / 1.21) < 1e-9 && c < 115.07)
+    // fast window with chunk sum below raw → same fix, upward
+    val (d, srcD) = BenchReport.atRefWindowEst(90.0, 80.0, 0.8)
+    assert(srcD == "global_direction_fix" && d > 90.0)
+    // near-1 factors: per-chunk rides regardless of direction
+    val (e, srcE) = BenchReport.atRefWindowEst(100.0, 103.0, 1.01)
+    assert(e == 103.0 && srcE == "per_chunk")
+    // no factor: no estimate
+    assert(BenchReport.atRefWindowEst(100.0, 90.0, -1.0) ==
+      ((-1.0, "none")))
+    // dead per-chunk sum (no live canary) with a live global factor
+    val (f, srcF) = BenchReport.atRefWindowEst(100.0, -1.0, 1.2)
+    assert(srcF == "global_direction_fix" && f > 0)
   }
 }

@@ -72,6 +72,85 @@ class MinHashDedupStreamSpec extends SparkSpec {
       == Set(3L))
   }
 
+  test("pointer-pruned colliding triggers match the gate-off baseline; the table lives and compacts bucketed (r18)") {
+    val batches = Seq(
+      (0 until 12).map(i => (i.toLong, txt(i, 0))),
+      // duplicate-heavy: 6 near-dups of stored families + 2 novel
+      (0 until 6).map(i => (100L + i, txt(i, 1))) ++
+        Seq((200L, txt(50, 0)), (201L, txt(51, 0))),
+      // all-novel: the skip path
+      (0 until 4).map(i => (300L + i, txt(60 + i, 0))))
+    def drive(p: String): Seq[Set[Long]] = {
+      val s = new MinHashDedupStream(spark, p, "doc_id", "text",
+        estThreshold = 0.3, gateFromBytes = 0L, compactEvery = 2)
+      val out = batches.zipWithIndex.map { case (b, i) =>
+        val r = ids(s.processBatch(b.toDF("doc_id", "text"), i.toLong))
+        graft.core.Metrics.drainUnpersist()
+        r
+      }
+      out
+    }
+    val dirG = Files.createTempDirectory("mhptr").toString + "/sigs"
+    val dir0 = Files.createTempDirectory("mhptr0").toString + "/sigs"
+    val gated = drive(dirG)
+    sys.props("graft.stream.gate") = "off"
+    val baseline =
+      try drive(dir0)
+      finally sys.props.remove("graft.stream.gate")
+    assert(gated == baseline, "pointer-pruned decisions diverged")
+    assert(gated(1) == Set(200L, 201L), s"dups must drop: ${gated(1)}")
+    // the pointer table exists beside the sig store, bucketed after the
+    // cadenced compact, and holds exactly the survivors' band keys
+    val ptr = new StreamStore(spark, dirG + "__bands")
+    assert(ptr.exists, "gated run must maintain the pointer table")
+    val names = new java.io.File(dirG + "__bands").listFiles()
+      .map(_.getName)
+    assert(names.exists(_.startsWith("__bucket=")), names.mkString(","))
+    val sigStore = new StreamStore(spark, dirG)
+    val sigIds = sigStore.visible(Long.MaxValue).get
+      .select("id").as[Long].collect().toSet
+    val ptrIds = ptr.visible(Long.MaxValue).get
+      .select("id").as[Long].collect().toSet
+    assert(ptrIds == sigIds,
+      "pointer table must cover every stored doc (completeness)")
+    // gate-off baseline never pays for the table
+    assert(!new java.io.File(dir0 + "__bands").exists(),
+      "the A/B baseline leg must not create or maintain the table")
+  }
+
+  test("adopting an r17 signature-only store backfills the pointer table once, tags preserved (r18)") {
+    val dir = Files.createTempDirectory("mhadopt").toString + "/sigs"
+    // phase 1: corpus accumulated with the gate off — no pointer table
+    sys.props("graft.stream.gate") = "off"
+    try {
+      val legacy = new MinHashDedupStream(spark, dir, "doc_id", "text",
+        estThreshold = 0.3, gateFromBytes = 0L)
+      ids(legacy.processBatch(
+        (0 until 8).map(i => (i.toLong, txt(i, 0)))
+          .toDF("doc_id", "text"), 0L))
+      graft.core.Metrics.drainUnpersist()
+    } finally sys.props.remove("graft.stream.gate")
+    assert(!new java.io.File(dir + "__bands").exists())
+    // phase 2: gated instance adopts the store (fresh lineage, ids back
+    // at 0) — first trigger backfills the table and screens through it
+    val s = new MinHashDedupStream(spark, dir, "doc_id", "text",
+      estThreshold = 0.3, gateFromBytes = 0L, lineage = "adopt")
+    val out = ids(s.processBatch(
+      Seq((100L, txt(0, 1)), (101L, txt(40, 0)))
+        .toDF("doc_id", "text"), 0L))
+    graft.core.Metrics.drainUnpersist()
+    assert(out == Set(101L),
+      "backfilled pointer table must route the dup to the probe")
+    // backfill preserved the ORIGINAL batch tags: every pointer row
+    // carries phase 1's batch_id/lineage, so replay visibility holds
+    val ptr = new StreamStore(spark, dir + "__bands")
+    val tags = ptr.visible(Long.MaxValue).get
+      .filter(col("id") < 100L)
+      .select("batch_id", "lineage").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(tags == Set((0L, "default")), s"tags: $tags")
+  }
+
   test("replaying a batch id reproduces identical survivors; compact folds dups") {
     val dir = Files.createTempDirectory("mhstream2").toString + "/sigs"
     val s = new MinHashDedupStream(spark, dir, "doc_id", "text",
