@@ -1040,13 +1040,18 @@ object Bench {
     // Streaming exact-substring dedup e2e: documents (wrapped with the
     // shared boilerplate tail, so every batch carries real cross-batch
     // duplicate 8-token windows) through SubstrDedupStream's
-    // foreachBatch body. docs/s = documents screened per second.
-    val (subSec, subDocs, subKept, subDropped) =
-      section("substr") { try {
+    // foreachBatch body. docs/s = documents screened per second. Two
+    // runs (r18): the default small-store path (the r16 broadcast
+    // shape — sf0.1 stores sit under gateFromBytes), and a
+    // gateFromBytes=0 twin so the BLOOM-GATED path the 100 TB design
+    // rides is an officially tracked number every round, not only a
+    // StoreGrowth ad-hoc table.
+    def substrRun(gate: Long, tag: String): (Double, Long, Long, Long) =
+      try {
         import spark.implicits._
         import org.apache.spark.sql.functions.{coalesce, col, concat, lit}
         val dir = java.nio.file.Files
-          .createTempDirectory("graft_bench_substr").toString
+          .createTempDirectory(s"graft_bench_substr_$tag").toString
         val docsAll = Tables.read(spark, sfDir, "documents")
           .select(col("doc_id"),
             concat(coalesce(col("text"), lit("")),
@@ -1057,7 +1062,7 @@ object Bench {
         val per = math.max(1, docsAll.length / nB)
         val batches = docsAll.grouped(per).toSeq
         val s = new graft.streaming.SubstrDedupStream(spark, dir + "/keys",
-          "doc_id", "text", n = 8)
+          "doc_id", "text", n = 8, gateFromBytes = gate)
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         val mem = MemoryStream[(Long, String)]
@@ -1084,9 +1089,13 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(
-            s"[bench] substring dedup stream bench failed: ${e.getMessage}")
+            s"[bench] substring dedup stream bench ($tag) failed: ${e.getMessage}")
           (-1.0, 0L, 0L, 0L)
-      } }
+      }
+    val (subSec, subDocs, subKept, subDropped) =
+      section("substr") { substrRun(64L << 20, "small") }
+    val (subgSec, subgDocs, subgKept, subgDropped) =
+      section("substr_gated") { substrRun(0L, "gated") }
 
     // Streaming winnow quote detection e2e (VERDICT r12 #4): documents
     // through WinnowQuoteStream.processBatch, default cadence AND a
@@ -1387,6 +1396,14 @@ object Bench {
       "substr_stream_docs_per_sec" -> eps2(subSec, subDocs).toString,
       "substr_stream_tokens_kept" -> subKept.toString,
       "substr_stream_tokens_dropped" -> subDropped.toString,
+      // gated twin (file-only): decisions must match the small-path run
+      // (same fixture), so kept/dropped equality doubles as a live
+      // equivalence check in every sealed artifact
+      "substr_stream_gated_sec" -> subgSec.toString,
+      "substr_stream_gated_docs_per_sec" ->
+        eps2(subgSec, subgDocs).toString,
+      "substr_stream_gated_tokens_kept" -> subgKept.toString,
+      "substr_stream_gated_tokens_dropped" -> subgDropped.toString,
       "winnow_stream_sec" -> winSec.toString,
       "winnow_stream_docs_per_sec" -> eps2(winSec, winDocs).toString,
       "winnow_stream_pairs" -> winPairs.toString,

@@ -35,17 +35,19 @@ import org.apache.spark.sql.functions._
   * buckets), not O(store). Past `broadcastCap` survivors the probe
   * falls back to the non-broadcast shuffle join (degrade, don't fail
   * the trigger). The pair group-by runs on matched rows only.
-  * Boilerplate governance is the
-  * [[graft.ops.Dedup.winnowIncremental]] rule: cap fp frequency at
+  * Boilerplate governance: `maxFpDocs` caps fp frequency at
   * [[compact]] time (a fingerprint carried by M corpus docs fans each
-  * batch hit M ways). Doc ids are normalized to LONG in the store.
+  * batch hit M ways — past the cap it is boilerplate, not quote
+  * evidence, and is dropped from the store). Doc ids are normalized
+  * to LONG in the store.
   */
 final class WinnowQuoteStream(spark: SparkSession, storePath: String,
     idCol: String, textCol: String, k: Int, w: Int,
     minShared: Long = 2L, lineage: String = "default",
     compactEvery: Int = 0, storeBuckets: Int = 64,
     broadcastCap: Long = 1L << 20, sketchItems: Long = 1L << 21,
-    sketchBits: Long = 1L << 24, gateFromBytes: Long = 64L << 20) {
+    sketchBits: Long = 1L << 24, gateFromBytes: Long = 64L << 20,
+    maxFpDocs: Long = 0L) {
   require(minShared > 0, "minShared must be positive")
 
   private var batchesSeen = 0L
@@ -133,8 +135,29 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
 
   /** Fold replay duplicates: one row per (fp, doc, lineage) at its MIN
     * batch_id — the earliest introduction, preserving every later
-    * batch's pair decisions. At deployment scale this is also where
-    * the boilerplate fp-frequency cap applies. */
-  def compact(): Unit = store.compact(
-    _.groupBy("fp", "doc", "lineage").agg(min("batch_id").as("batch_id")))
+    * batch's pair decisions — then (r18, `maxFpDocs` > 0) the
+    * boilerplate fp-frequency cap the class doc promised: a
+    * fingerprint carried by MORE than `maxFpDocs` distinct corpus docs
+    * is navigation/license boilerplate, not quote evidence, and every
+    * batch hit on it fans `|carriers|` pair rows — so it is DROPPED
+    * from the store at the fold. Governance by design, not an
+    * optimization: capped fps stop witnessing pairs from the next
+    * trigger on (between compactions a newly-hot fp still fans — the
+    * cap is a compaction-cadence property, like the fold itself).
+    * Default 0 = off, decisions unchanged. */
+  def compact(): Unit = store.compact { df =>
+    val folded = df.groupBy("fp", "doc", "lineage")
+      .agg(min("batch_id").as("batch_id"))
+    if (maxFpDocs <= 0L) folded
+    else {
+      val hot = folded.groupBy("fp")
+        .agg(countDistinct("doc").as("__carriers"))
+        .filter(col("__carriers") > maxFpDocs)
+        .select("fp")
+      // anti-join inside the O(store) fold the compaction already
+      // pays; no broadcast hint — the hot set is usually tiny (AQE
+      // broadcasts it) but is adversarially unbounded
+      folded.join(hot, Seq("fp"), "left_anti")
+    }
+  }
 }

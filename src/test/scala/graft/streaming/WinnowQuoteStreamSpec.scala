@@ -29,6 +29,43 @@ class WinnowQuoteStreamSpec extends SparkSpec {
     assert(batches == 2 && found == 1 && stored > 0)
   }
 
+  test("maxFpDocs drops boilerplate fps at compact; real quotes keep witnessing (r18)") {
+    val boiler = (1 to 12).map("b" + _).mkString(" ")
+    def drive(cap: Long): Set[(Long, Long)] = {
+      val dir = Files.createTempDirectory(s"winqcap$cap").toString + "/fps"
+      val s = new WinnowQuoteStream(spark, dir, "id", "t", k = 3, w = 4,
+        minShared = 1L, maxFpDocs = cap)
+      // three corpus docs carry the boilerplate run with IDENTICAL
+      // context through the winnowing windows that touch it (the first
+      // differing token sits ≥ w+k kgrams past the run), so every
+      // run-derived fp is selected by all three carriers — the cap's
+      // carrier count is deterministic. Doc 1 also carries the real
+      // quote — its fps are 1-doc rare and must survive.
+      val mid = "shared middle padding tokens one two three four five six"
+      s.processBatch(Seq(
+        (1L, s"$boiler $mid $quote"),
+        (2L, s"$boiler $mid uniquetwo ending"),
+        (3L, s"$boiler $mid uniquethree ending")).toDF("id", "t"), 0L)
+      graft.core.Metrics.drainUnpersist()
+      s.compact() // the cap applies here
+      val got = pairs(s.processBatch(Seq(
+        (10L, s"page with $boiler footer"),
+        (11L, s"essay quoting $quote verbatim")).toDF("id", "t"), 1L))
+      graft.core.Metrics.drainUnpersist()
+      got
+    }
+    // uncapped: the boilerplate fans doc 10 against all three carriers
+    val off = drive(0L)
+    assert(Set((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L))
+      .subsetOf(off), s"uncapped must fan the boilerplate: $off")
+    // capped at 2 carriers: boilerplate fps (3 carriers) are dropped —
+    // doc 10 pairs with nobody, the 1-carrier quote still witnesses
+    val on = drive(2L)
+    assert(!on.exists(_._1 == 10L),
+      s"capped boilerplate must stop witnessing: $on")
+    assert(on.contains((11L, 1L)), s"rare-fp quote must survive: $on")
+  }
+
   test("within-batch pair: smaller id plays corpus, counted once") {
     val dir = Files.createTempDirectory("winq2").toString + "/fps"
     val s = new WinnowQuoteStream(spark, dir, "id", "t", k = 3, w = 4)
