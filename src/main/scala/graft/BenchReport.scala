@@ -94,21 +94,23 @@ object BenchReport {
     * windows). `perChunkEst` is the sum of per-query chunk-adjusted
     * times (locally accurate when chunk brackets are sane);
     * `globalFactor` the whole-run canary factor (>1 = this window is
-    * SLOWER than the epoch ref). The estimate must move the direction
-    * the global factor says — a slower window normalizes DOWN, a faster
-    * one UP; when the chunk sum contradicts that (drifting brackets),
-    * fall back to raw ÷ global and say so. Returns (estimate, source);
-    * estimate -1 when no factor is available. */
+    * SLOWER than the epoch ref). The estimate must land BETWEEN the
+    * raw total and raw ÷ globalFactor (±2% slack) — that bounds both
+    * the direction AND the magnitude, because drifting chunk brackets
+    * have produced per-chunk sums on the right side of raw but far
+    * past any window-explainable correction (r17 official: +27% on a
+    * 1.21 window; r18 seal 2: +32% on a 0.97 window). Outside the
+    * band, raw ÷ global is the estimate and the source says so.
+    * Returns (estimate, source); estimate -1 when no factor exists. */
   def atRefWindowEst(rawTotal: Double, perChunkEst: Double,
       globalFactor: Double): (Double, String) =
     if (globalFactor <= 0) (-1.0, "none")
     else {
-      val slowWindow = globalFactor > 1.02
-      val fastWindow = globalFactor < 0.98
-      val chunkDirectionOk =
-        (!slowWindow || perChunkEst <= rawTotal) &&
-          (!fastWindow || perChunkEst >= rawTotal)
-      if (perChunkEst > 0 && chunkDirectionOk) (perChunkEst, "per_chunk")
-      else (rawTotal / globalFactor, "global_direction_fix")
+      val global = rawTotal / globalFactor
+      val lo = math.min(rawTotal, global) * 0.98
+      val hi = math.max(rawTotal, global) * 1.02
+      if (perChunkEst >= lo && perChunkEst <= hi)
+        (perChunkEst, "per_chunk")
+      else (global, "global_direction_fix")
     }
 }

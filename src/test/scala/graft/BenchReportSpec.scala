@@ -92,13 +92,13 @@ class BenchReportSpec extends AnyFunSuite {
     * to raw ÷ global when drifting chunk brackets contradict that (the
     * r17 artifact shipped adjusted 145.8 from raw 115.07 at factor
     * 1.21). */
-  test("atRefWindowEst: direction follows the global factor, per-chunk when consistent") {
-    // degraded (slow) window, chunk sum agrees: per-chunk wins and the
-    // estimate lands BETWEEN the epoch-ref-ish value and raw
+  test("atRefWindowEst: estimate lands between raw and raw/global, else global fix") {
+    // degraded (slow) window, chunk sum inside the band: per-chunk wins
+    // and the estimate lands BETWEEN the epoch-ref-ish value and raw
     val (a, srcA) = BenchReport.atRefWindowEst(120.0, 100.0, 1.2)
     assert(a == 100.0 && srcA == "per_chunk")
     assert(a < 120.0 && a >= 120.0 / 1.2 - 1e-9)
-    // fast window, chunk sum agrees upward
+    // fast window, chunk sum inside the band upward
     val (b, srcB) = BenchReport.atRefWindowEst(90.0, 110.0, 0.8)
     assert(b == 110.0 && srcB == "per_chunk")
     // the r17 inversion: slow window but drifting chunk brackets push
@@ -106,12 +106,17 @@ class BenchReportSpec extends AnyFunSuite {
     val (c, srcC) = BenchReport.atRefWindowEst(115.07, 145.8, 1.21)
     assert(srcC == "global_direction_fix")
     assert(math.abs(c - 115.07 / 1.21) < 1e-9 && c < 115.07)
+    // the r18 seal-2 magnitude hole: RIGHT direction (fast window, sum
+    // above raw) but +32% on a 3%-fast window — outside the band
+    val (c2, srcC2) = BenchReport.atRefWindowEst(109.3, 144.5, 0.967)
+    assert(srcC2 == "global_direction_fix")
+    assert(c2 > 109.3 && c2 < 115.0)
     // fast window with chunk sum below raw → same fix, upward
     val (d, srcD) = BenchReport.atRefWindowEst(90.0, 80.0, 0.8)
     assert(srcD == "global_direction_fix" && d > 90.0)
-    // near-1 factors: per-chunk rides regardless of direction
-    val (e, srcE) = BenchReport.atRefWindowEst(100.0, 103.0, 1.01)
-    assert(e == 103.0 && srcE == "per_chunk")
+    // near-1 factors: per-chunk rides inside the (tight) band
+    val (e, srcE) = BenchReport.atRefWindowEst(100.0, 101.0, 1.01)
+    assert(e == 101.0 && srcE == "per_chunk")
     // no factor: no estimate
     assert(BenchReport.atRefWindowEst(100.0, 90.0, -1.0) ==
       ((-1.0, "none")))
