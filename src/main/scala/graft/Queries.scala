@@ -1053,6 +1053,18 @@ object Queries {
         s.read.parquet(store.path), k = 3, w = 4, minShared = 2L)
     }),
 
+    "q_x_winnow_capped" -> ((s, dir) => {
+      // q_x_winnow_incr under boilerplate governance (r18): corpus fps
+      // carried by > 2 docs are dropped before the probe — the batch
+      // twin of the stream's maxFpDocs compact rule; minShared = 1 so
+      // the cap's effect on the pair set is visible, not masked
+      val store = IndexStore.winnowFps(s, dir)
+      Dedup.winnowIncremental(
+        docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
+        Dedup.capFpFrequency(s.read.parquet(store.path), "doc_id", 2L),
+        k = 3, w = 4, minShared = 1L)
+    }),
+
     "q_x_qnorm" -> ((s, dir) =>
       // within-source quantile calibration: one gate threshold means
       // "top X% of every source" regardless of score distributions
@@ -5038,6 +5050,18 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS shared_fps
          |FROM cfp c JOIN bfp b USING (fp)
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // cfp rows are DISTINCT (doc_id, fp), so count(*) per fp = distinct
+    // carriers — the same countDistinct the Spark cap computes
+    "q_x_winnow_capped" ->
+      s"""WITH ${winnowChainSql("c", "doc_id <= 400")},
+         |${winnowChainSql("b", "doc_id > 400")},
+         |keep AS (
+         |  SELECT fp FROM cfp GROUP BY fp HAVING count(*) <= 2)
+         |SELECT b.doc_id AS id_new, c.doc_id AS id_corpus,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM cfp c JOIN keep USING (fp) JOIN bfp b USING (fp)
+         |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
 
     // mojibake screen: detector + repair generated from the SAME
     // MojibakeMap the engine uses (substring-count arithmetic, no

@@ -813,6 +813,24 @@ object Dedup {
     * witness template text, not quotation; same reasoning as
     * [[stripFrequentParagraphs]]). Output: (id_new, id_corpus,
     * shared_fps), batch self-pairs excluded by construction. */
+  /** Boilerplate governance for fingerprint stores — the batch twin of
+    * [[graft.streaming.WinnowQuoteStream]]'s `maxFpDocs` compact rule:
+    * a fingerprint carried by more than `maxDocs` distinct docs is
+    * navigation/license boilerplate, not quote evidence, and every
+    * probe hit on it fans `|carriers|` pair rows. Drop those fps from
+    * the store side before [[winnowIncremental]]. One aggregate + an
+    * anti-join; the hot set is usually tiny (AQE broadcasts it) but
+    * adversarially unbounded, so no broadcast hint. */
+  def capFpFrequency(fps: DataFrame, docCol: String,
+      maxDocs: Long): DataFrame = {
+    require(maxDocs > 0, "maxDocs must be positive")
+    val hot = fps.groupBy("fp")
+      .agg(countDistinct(col(docCol)).as("__carriers"))
+      .filter(col("__carriers") > maxDocs)
+      .select("fp")
+    fps.join(hot, Seq("fp"), "left_anti")
+  }
+
   def winnowIncremental(batch: DataFrame, idCol: String, textCol: String,
       storedFps: DataFrame, k: Int, w: Int,
       minShared: Long = 2L): DataFrame = {
