@@ -77,6 +77,12 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
     // trigger (bFps, out) on top of its three real actions — at stream
     // batch sizes the per-job floor sets throughput, so each removed
     // action is throughput (the SemDedupStream finding)
+    // EAGER checkpoint, deliberately (r18 re-audit): a lazy one saves
+    // the standalone job (~12% on the 5-batch bench) but breaks the
+    // observation — the skipStore path's `bFps.limit(0)` leg is the
+    // first action to touch the observed node and fires `n` off a
+    // zero-row partial scan. The count must ride the FULL
+    // materialization, so the materialization stays its own action.
     val bObs = org.apache.spark.sql.Observation()
     val bFps = Dedup.winnowFingerprints(batch, idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("__nid"), col("fp"))
