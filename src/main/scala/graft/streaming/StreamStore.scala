@@ -62,7 +62,9 @@ import org.apache.spark.sql.functions._
   * base — duplicated at worst, which membership semantics never
   * notice. The layout ON DISK always wins for appends (legacy flat
   * stores stay flat — no mixed layouts); [[compact]] rewrites in the
-  * CONSTRUCTOR's layout, the migration path both ways.
+  * CONSTRUCTOR's layout KIND (flat vs bucketed — the migration path
+  * both ways) at a bucket count re-derived from store bytes
+  * ([[bucketsFor]], r18), so pruning granularity grows with the store.
   *
   * With the per-stream bloom gate in front (survivors ≈ true
   * duplicates + fpp·batch), a novelty-dominated 100 TB ingest touches

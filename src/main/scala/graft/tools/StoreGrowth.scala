@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * the small-store threshold.
   *
   * Usage: `runMain graft.tools.StoreGrowth [triggers] [docsPerBatch]
-  * [mode]` — mode ∈ substr (default) | winnow | minhash, covering the
-  * three probe shapes: key semi-join, fp inner-join, band-key join.
+  * [mode]` — mode ∈ substr (default) | winnow | minhash | para (r18 —
+  * one paragraph per synthetic doc; same key-semi-join probe shape as
+  * substr at 1/33rd the keys), covering the probe shapes: key
+  * semi-join, fp inner-join, band-key join.
   *
   * r18 modes for the two VERDICT r17 "done" criteria:
   *
@@ -70,6 +72,12 @@ object StoreGrowth {
           compactEvery = compactEvery, gateFromBytes = 0L)
         (dir + "/sigs", (df, b) => { s.processBatch(df, b); () },
           () => s.gateRebuilds)
+      case "para" =>
+        val s = new graft.streaming.ParaDedupStream(spark,
+          dir + "/keys", "doc_id", "text",
+          compactEvery = compactEvery, gateFromBytes = 0L)
+        (dir + "/keys", (df, b) => { s.processBatch(df, b); () },
+          () => -1L)
       case "substrsat" =>
         val s = new graft.streaming.SubstrDedupStream(spark,
           dir + "/keys", "doc_id", "text", n = 8,
