@@ -111,15 +111,23 @@ class GateKeeperSpec extends SparkSpec {
       col("key"), 10000L)
     assert(g.rebuilds == 1L && g.sketchState._1 == 64L)
     g.afterAppend(p1) // 300 puts into 64 bits: est fpp ~1 → double
-    assert(g.sketchState._1 == 128L, s"state: ${g.sketchState}")
+    // ADVICE r18 #4: the doubling is STAGED for the next rebuild; the
+    // live telemetry keeps describing the sketch that is gating — its
+    // bits stay 64 and its fpp stays saturated, not the under-reported
+    // new-size estimate
+    assert(g.stagedBits == 128L, s"staged: ${g.stagedBits}")
+    assert(g.sketchState._1 == 64L, s"state: ${g.sketchState}")
+    assert(g.sketchState._4 > 0.9,
+      s"live fpp must stay saturated until the rebuild: ${g.sketchState}")
     val p2 = g.plan((1 to 300).map(i => s"k$i").toDF("key"),
       col("key"), 10000L)
     assert(g.rebuilds == 2L, "stale-from-saturation must rebuild")
+    assert(g.sketchState._1 == 128L, "rebuild promotes the staged size")
     assert(!p2.skipStore)
     // decisions stay sound through the rebuild: stored keys gate to
     // the probe, the saturated-then-rebuilt sketch never skips them
     g.afterAppend(p2)
-    assert(g.sketchState._1 == 256L)
+    assert(g.stagedBits == 256L && g.sketchState._1 == 128L)
   }
 
   test("maxSketchBits caps the doubling; the capped sketch keeps gating") {
