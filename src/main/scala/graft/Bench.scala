@@ -23,6 +23,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Executor-CPU accounting per query run (VERDICT r18 #2): wall
+    // drifts 15–20% intra-day on this host; CPU time doesn't. Each
+    // timed run gets its own job group so late listener events can
+    // never land in the next query's account.
+    val benchCpu = new BenchCpu
+    spark.sparkContext.addSparkListener(benchCpu)
+    var cpuRunSeq = 0L
+    def timedGroupedRun(name: String)(body: => Unit): (Double, String) = {
+      cpuRunSeq += 1
+      val grp = s"q::$name::$cpuRunSeq"
+      spark.sparkContext.setJobGroup(grp, name, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      try { body; ((System.nanoTime() - t0) / 1e9, grp) }
+      finally spark.sparkContext.clearJobGroup()
+    }
+
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       fn
@@ -191,7 +207,7 @@ object Bench {
       if (chunkSize > 0) allQueries.grouped(chunkSize).toSeq
       else Seq(allQueries)
     val runsAcc = scala.collection.mutable.LinkedHashMap[
-      String, (Double, Double)]()
+      String, (Double, Double, Double)]()
     val chunkOf = scala.collection.mutable.HashMap[String, String]()
     lastCanary = canaryStart
     lastCanary2 = canary2Start
@@ -202,14 +218,14 @@ object Bench {
         chunk.foreach { case (name, fn) =>
           // per-run failure isolation: a transient failure on run k must
           // not discard the other runs' measurements (min over successes)
-          val secs = (1 to nRuns).map { i =>
-            try time(fn(spark, sfDir).write.format("noop")
-              .mode("overwrite").save())
+          val secs: Seq[(Double, String)] = (1 to nRuns).map { i =>
+            try timedGroupedRun(name)(fn(spark, sfDir).write
+              .format("noop").mode("overwrite").save())
             catch {
               case e: Throwable =>
                 System.err.println(
                   s"[bench] $name run $i failed: ${e.getMessage}")
-                -1.0
+                (-1.0, "")
             } finally
               // queries that localCheckpoint intermediates (minhash
               // ingest) defer the unpersist; freeing per run keeps
@@ -217,7 +233,11 @@ object Bench {
               // copies for the session
               graft.core.Metrics.drainUnpersist()
           }
-          val good = secs.filter(_ >= 0)
+          // drain the async listener bus before reading CPU accounts
+          org.apache.spark.sql.graft.Shims.waitListenerBus(spark, 10000L)
+          val good = secs.map(_._1).filter(_ >= 0)
+          val cpuGood = secs.filter(_._1 >= 0)
+            .map(s => benchCpu.cpuSec(s._2)).filter(_ >= 0)
           val prev = runsAcc.get(name)
           // cold = first SUCCESSFUL run of the FIRST pass (a -1 sentinel
           // would corrupt the cold-vs-min warm-up gap when run 1 fails
@@ -226,12 +246,19 @@ object Bench {
             .orElse(good.headOption).getOrElse(-1.0)
           val mn = (prev.map(_._2).filter(_ >= 0).toSeq ++ good)
             .minOption.getOrElse(-1.0)
-          runsAcc(name) = (cold, mn)
+          // CPU min over successful runs: executor cycles are stable
+          // across windows — min matches the wall convention while
+          // shedding a stray competing-load inflation
+          val cpuMn = (prev.map(_._3).filter(_ >= 0).toSeq ++ cpuGood)
+            .minOption.getOrElse(-1.0)
+          runsAcc(name) = (cold, mn, cpuMn)
         }
       }
     }
     val runsByQuery = runsAcc.toSeq
     val results = runsByQuery.map { case (n, cm) => n -> cm._2 }
+    val cpuByQuery = runsByQuery.map { case (n, cm) => n -> cm._3 }
+    val totalCpu = cpuByQuery.map(_._2).filter(_ >= 0).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // first-run times too: cold = Catalyst analysis + codegen javac + JIT;
@@ -269,7 +296,7 @@ object Bench {
       "EPOCH.json")
     case class EpochRef(commit: String, total: Double,
       queries: Map[String, Double], canaryRef: Double,
-      canary2Ref: Double)
+      canary2Ref: Double, queriesCpu: Map[String, Double])
     val epochRef: Option[EpochRef] = try {
       val f = new java.io.File(epochPath)
       if (!f.exists) None
@@ -281,16 +308,17 @@ object Bench {
             .findFirstMatchIn(txt).map(_.group(1).toDouble)
         val commit = """"epoch_ref_commit"\s*:\s*"([^"]+)"""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("?")
-        val qs = txt.indexOf("\"queries\"") match {
-          case -1 => Map.empty[String, Double]
-          case i =>
-            val open = txt.indexOf('{', i)
-            val close = txt.indexOf('}', open)
-            if (open < 0 || close < 0) Map.empty[String, Double]
-            else """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
-              .findAllMatchIn(txt.substring(open, close))
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
+        def objMap(field: String): Map[String, Double] =
+          txt.indexOf("\"" + field + "\"") match {
+            case -1 => Map.empty[String, Double]
+            case i =>
+              val open = txt.indexOf('{', i)
+              val close = txt.indexOf('}', open)
+              if (open < 0 || close < 0) Map.empty[String, Double]
+              else """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+                .findAllMatchIn(txt.substring(open, close))
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
         // canary re-pins ride the same run: mean of the epoch run's
         // brackets (both must be live samples)
         def mid(a: Option[Double], b: Option[Double]): Double =
@@ -298,9 +326,10 @@ object Bench {
             case (Some(x), Some(y)) if x > 0 && y > 0 => (x + y) / 2.0
             case _ => -1.0
           }
-        num("ref_total_sec").map(t => EpochRef(commit, t, qs,
+        num("ref_total_sec").map(t => EpochRef(commit, t, objMap("queries"),
           mid(num("ref_canary_start_sec"), num("ref_canary_end_sec")),
-          mid(num("ref_canary2_start_sec"), num("ref_canary2_end_sec"))))
+          mid(num("ref_canary2_start_sec"), num("ref_canary2_end_sec")),
+          objMap("queries_cpu")))
       }
     } catch { case _: Throwable => None }
     val epochMult = sys.env
@@ -312,17 +341,36 @@ object Bench {
     // The epoch-relative check now requires the common set to cover at
     // least half the live head queries (floor 8); below that the env
     // constant takes over and budget_total_source says why.
-    val epochCommonRaw: Option[(Int, Double, Double)] = epochRef.map {
-      er =>
-        val common = results.toSeq.filter { case (n, s) =>
-          s >= 0 && er.queries.get(n).exists(_ >= 0) }
-        (common.size, common.map(_._2).sum,
-          common.map { case (n, _) => er.queries(n) }.sum)
+    def commonTotals(ref: Map[String, Double],
+        head: Seq[(String, Double)]): (Int, Double, Double) = {
+      val common = head.filter { case (n, s) =>
+        s >= 0 && ref.get(n).exists(_ >= 0) }
+      (common.size, common.map(_._2).sum,
+        common.map { case (n, _) => ref(n) }.sum)
     }
-    val minCommonN = math.max(8, results.count(_._2 >= 0) / 2)
+    val epochCommonRaw: Option[(Int, Double, Double)] =
+      epochRef.map(er => commonTotals(er.queries, results))
+    // ADVICE r18 #2: the floor is half the REF set (not half the live
+    // head) — catalog growth alone must never erode the epoch-relative
+    // guard into the env constant; only a stale/partial EPOCH.json or
+    // mass query renames shrink ref coverage.
+    val minCommonN = math.max(8,
+      epochRef.map(_.queries.count(_._2 >= 0) / 2)
+        .getOrElse(results.count(_._2 >= 0) / 2))
     val epochCommonTooSmall = epochCommonRaw.exists(_._1 < minCommonN)
     val epochCommon: Option[(Double, Double)] = epochCommonRaw
       .filter(_._1 >= minCommonN).map(c => (c._2, c._3))
+    // CPU leg (VERDICT r18 #2): when the epoch ref carries per-query
+    // executor-CPU totals, the TOTAL budget compares CPU-vs-CPU — the
+    // drift-immune basis — and wall drops to telemetry + the
+    // reference-envelope check. Same common-set floor discipline.
+    val epochCommonCpuRaw: Option[(Int, Double, Double)] =
+      epochRef.filter(_.queriesCpu.nonEmpty)
+        .map(er => commonTotals(er.queriesCpu, cpuByQuery))
+    val minCommonNCpu = math.max(8,
+      epochRef.map(_.queriesCpu.count(_._2 >= 0) / 2).getOrElse(0))
+    val epochCommonCpu: Option[(Double, Double)] = epochCommonCpuRaw
+      .filter(_._1 >= minCommonNCpu).map(c => (c._2, c._3))
     // Reviewed composite-budget entries (the Expand-allowlist pattern):
     // a chained multi-stage pipeline is k solo queries in ONE entry —
     // its stages are budget-checked individually by their solo twins
@@ -338,18 +386,19 @@ object Bench {
       Map("q_x_pipeline" -> 2.0, "q_x_bpe_merges" -> 2.0)
     def budgetOf(n: String): Double =
       queryBudget * compositeBudgetX.getOrElse(n, 1.0)
-    val budgetViolations: Seq[String] =
-      if (!sfDir.contains("sf0.1")) Seq.empty // budgets are sf0.1-calibrated
-      else (epochCommon match {
-        // epoch-relative: common-set head total vs common-set ref total
-        case Some((head, ref)) if ref > 0 =>
-          if (head > ref * epochMult) Seq(f"total:$head%.1f") else Seq.empty
-        case _ =>
-          if (total > totalBudget) Seq(f"total:$total%.1f") else Seq.empty
-      }) ++
-        results.toSeq.filter { case (n, s) => s > budgetOf(n) }
-          .sortBy(-_._2)
-          .map { case (n, s) => f"$n:$s%.2f" }
+    val sfBudgeted = sfDir.contains("sf0.1") // budgets are sf0.1-calibrated
+    // Budget-basis chain: epoch CPU (drift-immune) → epoch wall →
+    // env constant; the source field names which leg evaluated
+    // (BenchReport.totalBudgetEval — spec'd, including the
+    // time-sliced-window case where wall flags and CPU doesn't).
+    val (totalViolation, budgetTotalSource): (Seq[String], String) =
+      if (!sfBudgeted) (Seq.empty, "off_sf")
+      else BenchReport.totalBudgetEval(epochCommonCpu, epochCommon,
+        epochCommonTooSmall, total, totalBudget, epochMult)
+    val queryViolationsRaw: Seq[(String, Double)] =
+      if (!sfBudgeted) Seq.empty
+      else results.toSeq.filter { case (n, s) => s > budgetOf(n) }
+        .sortBy(-_._2)
     val canaryEnd = canarySec(samples = 3)
     val canary2End = canary2Sec()
     // JSON null when either measurement failed — a -1.0 sentinel would
@@ -357,6 +406,65 @@ object Bench {
     val canaryDeltaPct: String = deltaPct(canaryStart, canaryEnd)
     lastCanary = canaryEnd
     lastCanary2 = canary2End
+
+    // Clean-bracket adjudication of per-query budget flags (VERDICT
+    // r18 #1): sections self-heal with an automatic rerun; individual
+    // queries did not — the r18 official artifact shipped q_x_pagerank
+    // at 11.98 s warm (5.4× its same-day seal) with no same-session
+    // evidence either way. Each flagged query (cap
+    // SPARK_GRAFT_BUDGET_RERUN_N) re-runs min-of-2 inside its own
+    // canary bracket HERE — same session, full catalog already behind
+    // it, so memory pressure and checkpoint state match the flagged
+    // execution. At-or-under budget on the rerun demotes the flag (the
+    // catalog-loop number was the window); still-over stays a
+    // violation carrying raw + rerun + CPU + its bracket. Rerun mins
+    // do NOT fold into the per-query results map: violators would get
+    // executions the rest of the catalog didn't.
+    val rerunCap =
+      sys.env.getOrElse("SPARK_GRAFT_BUDGET_RERUN_N", "8").toInt
+    final case class BudgetRerun(name: String, raw: Double,
+      rerun: Double, cpu: Double, canaryBefore: Double,
+      canaryAfter: Double, healed: Boolean)
+    val budgetReruns: Seq[BudgetRerun] =
+      queryViolationsRaw.take(rerunCap).map { case (name, raw) =>
+        val cb = canarySec()
+        val fn = SparkEntry.queries(name)
+        val rsecs: Seq[(Double, String)] = (1 to 2).map { _ =>
+          try timedGroupedRun(s"$name::rerun")(fn(spark, sfDir).write
+            .format("noop").mode("overwrite").save())
+          catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] $name budget rerun failed: ${e.getMessage}")
+              (-1.0, "")
+          } finally graft.core.Metrics.drainUnpersist()
+        }
+        org.apache.spark.sql.graft.Shims.waitListenerBus(spark, 10000L)
+        val goodR = rsecs.filter(_._1 >= 0)
+        val rmin = goodR.map(_._1).minOption.getOrElse(-1.0)
+        val rcpu = goodR.map(g => benchCpu.cpuSec(g._2)).filter(_ >= 0)
+          .minOption.getOrElse(-1.0)
+        val ca = canarySec()
+        BudgetRerun(name, raw, rmin, rcpu, cb, ca,
+          healed = rmin >= 0 && rmin <= budgetOf(name))
+      }
+    // keep the section harness's rolling canary honest about the time
+    // the reruns consumed
+    budgetReruns.lastOption.filter(_.canaryAfter > 0)
+      .foreach(r => lastCanary = r.canaryAfter)
+    val healedNames = budgetReruns.filter(_.healed).map(_.name).toSet
+    val queryViolations: Seq[String] = queryViolationsRaw.collect {
+      case (n, s) if !healedNames.contains(n) =>
+        val clean = budgetReruns.find(_.name == n).map(_.rerun)
+          .filter(_ >= 0)
+        f"$n:${clean.getOrElse(s)}%.2f"
+    }
+    val budgetViolations: Seq[String] = totalViolation ++ queryViolations
+    val budgetRerunDetail: Seq[String] = budgetReruns.map { r =>
+      f"${r.name}:raw=${r.raw}%.2f,rerun=${r.rerun}%.2f," +
+        f"cpu=${r.cpu}%.2f,canary_before=${r.canaryBefore}%.4f," +
+        f"canary_after=${r.canaryAfter}%.4f,healed=${r.healed}"
+    }
 
     // Window-normalized reporting (VERDICT r12 #3): this host's windows
     // drift ±15%/hour, so a slow-window seal used to need a detached-
@@ -1096,6 +1204,24 @@ object Bench {
       section("substr") { substrRun(64L << 20, "small") }
     val (subgSec, subgDocs, subgKept, subgDropped) =
       section("substr_gated") { substrRun(0L, "gated") }
+    // ADVICE r18 #3: the gated twin's kept/dropped equality vs the
+    // small-path run is the live per-seal equivalence check — enforce
+    // it in the artifact instead of relying on a human diffing the
+    // file-only fields. A mismatch is a correctness flag, not a perf
+    // one: it rides budget_violations so the seal checklist fails.
+    val substrGatedMatch: Option[Boolean] =
+      if (subSec > 0 && subgSec > 0)
+        Some(subKept == subgKept && subDropped == subgDropped)
+      else None
+    if (substrGatedMatch.contains(false))
+      System.err.println("[bench] GATED SUBSTR DECISION MISMATCH: " +
+        s"small-path kept/dropped=$subKept/$subDropped, " +
+        s"gated=$subgKept/$subgDropped")
+    val gatedViolation: Seq[String] =
+      if (substrGatedMatch.contains(false))
+        Seq(s"substr_gated_decisions:kept=$subgKept/$subKept," +
+          s"dropped=$subgDropped/$subDropped")
+      else Seq.empty
 
     // Streaming winnow quote detection e2e (VERDICT r12 #4): documents
     // through WinnowQuoteStream.processBatch, default cadence AND a
@@ -1272,17 +1398,36 @@ object Bench {
       "queries_failed" ->
         qFailed.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "queries_slowest" -> slowest,
-      "budget_violations_n" -> budgetViolations.size.toString,
+      "budget_violations_n" ->
+        (budgetViolations ++ gatedViolation).size.toString,
       "budget_worst" ->
-        ("\"" + budgetViolations.headOption.getOrElse("") + "\""),
-      "budget_violations" ->
-        budgetViolations.map("\"" + _ + "\"").mkString("[", ",", "]"),
+        ("\"" + (budgetViolations ++ gatedViolation).headOption
+          .getOrElse("") + "\""),
+      "budget_violations" -> (budgetViolations ++ gatedViolation)
+        .map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "budget_rerun_n" -> budgetReruns.size.toString,
+      "budget_healed_n" -> budgetReruns.count(_.healed).toString,
+      "budget_rerun_detail" -> budgetRerunDetail
+        .map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "budget_violations_pre_rerun" -> queryViolationsRaw
+        .map { case (n, s) => "\"" + n + ":" + f"$s%.2f" + "\"" }
+        .mkString("[", ",", "]"),
+      "substr_gated_decisions_match" ->
+        substrGatedMatch.map(_.toString).getOrElse("null"),
       "budget_query_sec" -> queryBudget.toString,
       "budget_total_sec" -> totalBudget.toString,
-      "budget_total_source" ->
-        ("\"" + (if (epochCommon.isDefined) "epoch_ref"
-          else if (epochCommonTooSmall) "env_common_too_small"
-          else "env") + "\""),
+      "budget_total_source" -> ("\"" + budgetTotalSource + "\""),
+      "total_cpu_sec" -> totalCpu.toString,
+      "queries_cpu" -> cpuByQuery
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}"),
+      "epoch_ref_common_cpu_sec" -> epochCommonCpu
+        .map(c => f"${c._2}%.2f").getOrElse("null"),
+      "epoch_head_common_cpu_sec" -> epochCommonCpu
+        .map(c => f"${c._1}%.2f").getOrElse("null"),
+      "epoch_common_cpu_queries_n" -> epochCommonCpuRaw
+        .map(_._1.toString).getOrElse("null"),
+      "epoch_common_cpu_min_n" -> minCommonNCpu.toString,
       "epoch_common_min_n" -> minCommonN.toString,
       "epoch_ref_commit" -> epochRef.map("\"" + _.commit + "\"")
         .getOrElse("null"),

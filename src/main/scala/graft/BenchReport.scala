@@ -29,12 +29,18 @@ object BenchReport {
     "metric", "value", "unit", "bench_runs", "queries_n",
     "queries_failed_n", "queries_slowest",
     "budget_violations_n", "budget_worst",
-    "canary_query",
+    // r19 (VERDICT r18 #1/#2): flagged queries re-run once in a clean
+    // same-session bracket before the flag ships (healed count rides
+    // the line; per-rerun detail is file-only), and the total budget's
+    // basis is named — epoch_ref_cpu (executor CPU, drift-immune) when
+    // the epoch ref carries per-query CPU, else wall legs
+    "budget_healed_n", "budget_total_source", "total_cpu_sec",
     // r18: canary_pre_build_sec moved file-only to fund
-    // window_adjust_source (the r13 rule: absolutes file-only, their
-    // *_delta_pct drift signals stay on the line)
-    "canary_build_delta_pct",
-    "canary_start_sec", "canary_end_sec", "canary_delta_pct",
+    // window_adjust_source; r19: canary_query + canary_start/end_sec
+    // absolutes moved file-only to fund the three budget keys above
+    // (the r13 rule: absolutes file-only, their *_delta_pct drift
+    // signals stay on the line)
+    "canary_build_delta_pct", "canary_delta_pct",
     // r18 (VERDICT r17 #3): total_at_ref_window_est REPLACES r15's
     // total_window_adjusted — the semantics are now named in the field:
     // "what this total would read on the epoch-ref window". Per-chunk
@@ -102,6 +108,35 @@ object BenchReport {
     * 1.21 window; r18 seal 2: +32% on a 0.97 window). Outside the
     * band, raw ÷ global is the estimate and the source says so.
     * Returns (estimate, source); estimate -1 when no factor exists. */
+  /** The TOTAL budget evaluation chain (VERDICT r18 #2): epoch CPU →
+    * epoch wall → env constant, first available basis wins and names
+    * itself. CPU is primary because it is drift-immune: wall drifted
+    * 15–20% intra-day twice (r17 binary 107.6 its own morning, 121.5
+    * the same evening) while the CPU canary held, so a wall budget
+    * flags host windows as regressions; executor CPU cycles don't
+    * stretch under contention. Each common pair is (head total, ref
+    * total) over the query set BOTH catalogs share — None when the
+    * ref basis is absent or its common set is under the coverage
+    * floor. Returns (violations, source). */
+  def totalBudgetEval(cpuCommon: Option[(Double, Double)],
+      wallCommon: Option[(Double, Double)], wallCommonTooSmall: Boolean,
+      rawTotal: Double, envBudget: Double, mult: Double)
+      : (Seq[String], String) =
+    cpuCommon match {
+      case Some((headCpu, refCpu)) if refCpu > 0 =>
+        (if (headCpu > refCpu * mult) Seq(f"total_cpu:$headCpu%.1f")
+         else Seq.empty, "epoch_ref_cpu")
+      case _ => wallCommon match {
+        case Some((head, ref)) if ref > 0 =>
+          (if (head > ref * mult) Seq(f"total:$head%.1f")
+           else Seq.empty, "epoch_ref")
+        case _ =>
+          (if (rawTotal > envBudget) Seq(f"total:$rawTotal%.1f")
+           else Seq.empty,
+           if (wallCommonTooSmall) "env_common_too_small" else "env")
+      }
+    }
+
   def atRefWindowEst(rawTotal: Double, perChunkEst: Double,
       globalFactor: Double): (Double, String) =
     if (globalFactor <= 0) (-1.0, "none")

@@ -53,6 +53,9 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, paragraphs kept, dropped). */
   def stats: (Long, Long, Long) = (batchesSeen, parasKept, parasDropped)
 
+  /** O(store) gate-sketch rebuilds so far (growth-harness telemetry). */
+  def gateRebuilds: Long = gate.rebuilds
+
   // the shared side-store protocol: recover-on-read, lineage-scoped
   // replay visibility, tagged append, fold-compact (see StreamStore)
   private val store =

@@ -57,6 +57,9 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
   /** Totals since construction: (batches, quote pairs, fps stored). */
   def stats: (Long, Long, Long) = (batchesSeen, pairsFound, fpsStored)
 
+  /** O(store) gate-sketch rebuilds so far (growth-harness telemetry). */
+  def gateRebuilds: Long = gate.rebuilds
+
   private val store =
     new StreamStore(spark, storePath, lineage, storeBuckets, "fp")
   // live driver-side corpus fp sketch — lifecycle (crossing build,

@@ -55,6 +55,9 @@ object StoreGrowth {
     import spark.implicits._
 
     if (mode == "minhashdup") { runMinhashDup(spark, nTriggers, perBatch); spark.stop(); return }
+    if (mode == "winnowdup" || mode == "paradup") {
+      runDup(spark, mode, nTriggers, perBatch); spark.stop(); return
+    }
 
     // (storePath, processBatch, gate-rebuild counter) per mode
     def mkStream(dir: String, compactEvery: Int)
@@ -158,6 +161,100 @@ object StoreGrowth {
     println(tpl.replace("@PLAIN@", fmt(plain))
       .replace("@COMPACT@", fmt(compacted)))
     spark.stop()
+  }
+
+  /** winnowdup / paradup (VERDICT r18 #4): duplicate-heavy growth legs
+    * for the two probe shapes the r18 dup harness left uncovered — the
+    * winnow fp inner-join and the para key semi-join. Unlike minhash
+    * signatures, per-doc processing here is cheap enough to grow the
+    * corpus THROUGH the stream: per round a seed trigger of
+    * `seedPerRound` novel docs runs unmeasured, then ONE 25%-repeat
+    * trigger is measured (wall + decision deltas). winnowdup
+    * constructs with `maxFpDocs = 4` and `compactEvery = 4`, so the
+    * cadence compact CAPS hot fingerprints and SHRINKS the store — the
+    * shrink(-regrow) regime the GateKeeper small-path sketch drop
+    * exists for — and with an undersized sketch
+    * (items 2^10 / bits 2^13) so saturation rebuilds fire: cap + gate
+    * + saturation exercised together. Run with
+    * `SPARK_GRAFT_STREAM_GATE=off` for the A/B leg: decisions per
+    * measured trigger (pairs for winnow, kept/dropped for para) must
+    * be byte-identical — the fixture is seeded, so equality is exact. */
+  private def runDup(spark: SparkSession, mode: String, rounds: Int,
+      perBatch: Int): Unit = {
+    import spark.implicits._
+    val seedPerRound =
+      sys.env.getOrElse("SPARK_GRAFT_SEED_PER_ROUND", "4000").toInt
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_growth_$mode").toString
+    val rnd = new scala.util.Random(7)
+    var id = 0L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    // multi-paragraph docs so the para probe has per-paragraph keys;
+    // winnow fingerprints span the same token stream either way
+    def novel(): String =
+      (0 until 4).map(_ => (0 until 10)
+        .map(_ => "w" + rnd.nextInt(500000)).mkString(" "))
+        .mkString(" <p> ")
+    val (process, decisions, rebuilds):
+        ((DataFrame, Long) => Unit, () => (Long, Long), () => Long) =
+      mode match {
+        case "winnowdup" =>
+          val s = new graft.streaming.WinnowQuoteStream(spark,
+            dir + "/fps", "doc_id", "text", k = 3, w = 4,
+            minShared = 2L, compactEvery = 4, gateFromBytes = 0L,
+            sketchItems = 1L << 10, sketchBits = 1L << 13,
+            maxFpDocs = 4L)
+          ((df, b) => { s.processBatch(df, b).count(); () },
+            () => { val (_, p, f) = s.stats; (p, f) },
+            () => s.gateRebuilds)
+        case _ =>
+          val s = new graft.streaming.ParaDedupStream(spark,
+            dir + "/keys", "doc_id", "text", " <p> ",
+            compactEvery = 4, gateFromBytes = 0L,
+            sketchItems = 1L << 10, sketchBits = 1L << 13)
+          ((df, b) => { s.processBatch(df, b).count(); () },
+            () => { val (_, k, d) = s.stats; (k, d) },
+            () => s.gateRebuilds)
+      }
+    val rows = (0 until rounds).map { r =>
+      // unmeasured seed trigger: grows the corpus with novel docs
+      val seedDocs = (0 until seedPerRound).map { _ =>
+        id += 1; val t = novel(); seen += t; (id, t)
+      }
+      process(seedDocs.toDF("doc_id", "text"), (2L * r))
+      graft.core.Metrics.drainUnpersist()
+      val (a0, b0) = decisions()
+      // measured trigger: 25% verbatim repeats of seen docs
+      val batch = (0 until perBatch).map { k =>
+        id += 1
+        if (k % 4 == 0) (id, seen(rnd.nextInt(seen.length)))
+        else (id, novel())
+      }
+      val t0 = System.nanoTime()
+      process(batch.toDF("doc_id", "text"), (2L * r + 1))
+      graft.core.Metrics.drainUnpersist()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (a1, b1) = decisions()
+      (r, (r + 1).toLong * seedPerRound, wall, rebuilds(),
+        a1 - a0, b1 - b0)
+    }
+    val gate =
+      if (sys.env.get("SPARK_GRAFT_STREAM_GATE")
+          .exists(_.equalsIgnoreCase("off"))) "OFF" else "ON"
+    val cols =
+      if (mode == "winnowdup") "pairs | fps stored" else "kept | dropped"
+    println(s"## StreamStore growth — $mode, gate $gate " +
+      s"($perBatch-doc triggers, 25% repeats, $seedPerRound seeds/round)")
+    println("")
+    println(s"| round | corpus docs | trigger wall (s) | rebuilds | $cols |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { r =>
+      println(f"| ${r._1} | ${r._2} | ${r._3}%.2f | ${r._4} | ${r._5} | ${r._6} |")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
   }
 
   /** The minhashdup leg (mode doc above): per round, `seedPerRound`

@@ -22,6 +22,14 @@ object Shims {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Block until the listener bus has delivered every queued event (or
+    * the timeout passes) — task-metric accounting ([[graft.BenchCpu]])
+    * reads listener state right after an action returns, and the bus
+    * posts asynchronously. */
+  def waitListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: Throwable => () }
+
   /** The query's output as an RDD of (buffer-reused) InternalRows —
     * bounded sampling passes ([[graft.ops.Ranks.sampleBoundaries]]) use
     * this to skip the external Row conversion; callers must copy any

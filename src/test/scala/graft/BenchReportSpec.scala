@@ -35,11 +35,12 @@ class BenchReportSpec extends AnyFunSuite {
       case k @ "store_merge_sec" => k -> storeMap
       case k @ ("sections_rerun" | "sections_skewed") => k -> allSections
       case k @ ("bench_runs" | "queries_n" | "queries_failed_n" |
-        "budget_violations_n" | "sections_rerun_n" |
+        "budget_violations_n" | "budget_healed_n" | "sections_rerun_n" |
         "sections_skewed_n" | "cdc_events") => k -> "999999"
       case k @ "budget_worst" =>
         k -> ("\"" + "q_x_" + "a" * 36 + ":99999.99\"")
       case k @ "window_adjust_source" => k -> "\"global_direction_fix\""
+      case k @ "budget_total_source" => k -> "\"env_common_too_small\""
       case k => k -> wideDouble
     }
   }
@@ -57,7 +58,7 @@ class BenchReportSpec extends AnyFunSuite {
     val line = BenchReport.stdoutLine(worstCaseFields)
     assert(!"(-?\\d+\\.\\d{5,})(?=[,}\\]])".r.findFirstIn(line).isDefined,
       s"unrounded double survived: $line")
-    assert(line.contains("\"canary_start_sec\":-99999.1235"))
+    assert(line.contains("\"canary_window_factor\":-99999.1235"))
     // inside the slowest-5 map too, not only top-level values
     assert(line.contains("1\":99.1235"))
   }
@@ -77,13 +78,50 @@ class BenchReportSpec extends AnyFunSuite {
     val fields = worstCaseFields :+ ("queries" -> "{\"q1\":1.23456789}")
     val json = BenchReport.fileJson(fields)
     assert(json.contains("\"queries\":{\"q1\":1.23456789}"))
-    assert(json.contains("\"canary_start_sec\":-99999.123456789"))
+    assert(json.contains("\"canary_window_factor\":-99999.123456789"))
     assert(json.startsWith("{") && json.endsWith("}"))
   }
 
   test("headline skips keys absent from the field list") {
     val line = BenchReport.stdoutLine(Seq("metric" -> "\"total\""))
     assert(line == "{\"metric\":\"total\"}")
+  }
+
+  /** VERDICT r18 #2: the TOTAL budget evaluates on executor CPU when
+    * the epoch ref carries it — the drift-immune basis — and only
+    * falls through to wall legs without it. */
+  test("totalBudgetEval: CPU basis is primary and immune to wall-window drift") {
+    // the time-sliced A/B shape: the head ran in a 20%-slow wall
+    // window (wall would flag at mult 1.05) while CPU matches the ref
+    // — the CPU budget stays silent and names its basis
+    val (v1, s1) = BenchReport.totalBudgetEval(
+      cpuCommon = Some((100.0, 100.0)),
+      wallCommon = Some((120.0, 100.0)), wallCommonTooSmall = false,
+      rawTotal = 130.0, envBudget = 90.0, mult = 1.05)
+    assert(v1.isEmpty && s1 == "epoch_ref_cpu",
+      s"wall drift must not flag under the CPU basis: $v1 $s1")
+    // a real regression burns real cycles: CPU flags it even on a
+    // fast wall window that would have hidden it
+    val (v2, s2) = BenchReport.totalBudgetEval(
+      cpuCommon = Some((130.0, 100.0)),
+      wallCommon = Some((100.0, 100.0)), wallCommonTooSmall = false,
+      rawTotal = 80.0, envBudget = 90.0, mult = 1.05)
+    assert(v2 == Seq("total_cpu:130.0") && s2 == "epoch_ref_cpu")
+    // no CPU ref: wall leg evaluates as before
+    val (v3, s3) = BenchReport.totalBudgetEval(None,
+      Some((120.0, 100.0)), wallCommonTooSmall = false,
+      rawTotal = 130.0, envBudget = 90.0, mult = 1.05)
+    assert(v3 == Seq("total:120.0") && s3 == "epoch_ref")
+    // no epoch ref at all: env constant, and the too-small marker
+    // names why the epoch leg was skipped
+    val (v4, s4) = BenchReport.totalBudgetEval(None, None,
+      wallCommonTooSmall = true, rawTotal = 80.0, envBudget = 90.0,
+      mult = 1.05)
+    assert(v4.isEmpty && s4 == "env_common_too_small")
+    val (v5, s5) = BenchReport.totalBudgetEval(None, None,
+      wallCommonTooSmall = false, rawTotal = 95.0, envBudget = 90.0,
+      mult = 1.05)
+    assert(v5 == Seq("total:95.0") && s5 == "env")
   }
 
   /** VERDICT r17 #3: the at-ref-window estimate must move the direction

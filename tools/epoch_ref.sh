@@ -45,6 +45,11 @@ epoch = {
     'ref_canary2_start_sec': raw.get('canary2_start_sec'),
     'ref_canary2_end_sec': raw.get('canary2_end_sec'),
     'queries': raw.get('queries', {}),
+    # per-query executor CPU (present from r19 binaries on): when the
+    # pinned ref emits it, graft.Bench budgets CPU-vs-CPU — the
+    # drift-immune basis — and wall drops to telemetry
+    'queries_cpu': raw.get('queries_cpu', {}),
+    'ref_total_cpu_sec': raw.get('total_cpu_sec'),
 }
 json.dump(epoch, open('/root/repo/EPOCH.json', 'w'), indent=1)
 print('EPOCH.json written: ref_total_sec=%s over %d queries'
