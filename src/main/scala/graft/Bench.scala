@@ -1120,9 +1120,11 @@ object Bench {
       val q = mem.toDF().toDF("doc_id", "text").writeStream
         .option("checkpointLocation", dir + "/_ckpt")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          s.processBatch(b, id).write
+          // overlapped tail (r19, VERDICT r18 #6): the output write
+          // runs concurrently with the key append
+          s.processBatch(b, id, out => out.write
             .mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(dir + "/out")
+            .parquet(dir + "/out"))
           // the sink was the terminal action — free this trigger's
           // deferred checkpoint blocks before the next one
           graft.core.Metrics.drainUnpersist()
@@ -1177,9 +1179,11 @@ object Bench {
         val q = mem.toDF().toDF("doc_id", "text").writeStream
           .option("checkpointLocation", dir + "/_ckpt")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            s.processBatch(b, id).write
+            // overlapped tail (r19, VERDICT r18 #6): the output write
+            // runs concurrently with the corpus append
+            s.processBatch(b, id, out => out.write
               .mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(dir + "/out")
+              .parquet(dir + "/out"))
             graft.core.Metrics.drainUnpersist()
           }
           .start()
@@ -1243,9 +1247,13 @@ object Bench {
         var pairs = 0L
         val sec = try time {
           (0 until nTriggers).foreach { b =>
-            pairs += st.processBatch(
+            // overlapped tail (r19, VERDICT r18 #6): the pair count
+            // (the section's sink) runs concurrently with the fp append
+            var got = 0L
+            st.processBatch(
               docsW.filter(pmod(col("doc_id"), lit(nTriggers)) === b),
-              b.toLong).count()
+              b.toLong, out => got = out.count())
+            pairs += got
             graft.core.Metrics.drainUnpersist()
           }
         } finally {

@@ -226,17 +226,25 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
           .join(drops, col("id") === col("__drop"), "left_anti")
           .select(col("id"), col("sig")).localCheckpoint(false)
         graft.core.Metrics.deferUnpersist(survivorSigs)
-        store.append(survivorSigs, batchId)
         // pointer rows ride the same survivor frame. Skipped only while
         // the table doesn't exist (pre-crossing regime — the backfill
         // at the crossing covers those batches wholesale); once it
         // exists EVERY trigger appends, or a shrink-regrow would leave
         // it missing candidates (the completeness invariant pruning
-        // soundness rests on)
+        // soundness rests on). The two appends are independent writes
+        // to distinct store paths, so they submit CONCURRENTLY
+        // ([[Overlap]], VERDICT r18 #6) — crash safety is
+        // order-independent: a half-appended batch is invisible to its
+        // own replay under the batch_id < current filter whichever
+        // half landed, and the re-run re-appends to both
         if (pointer.exists)
-          pointer.append(survivorSigs.select(bandKeyCol.as("__bk"),
-              col("id"))
-            .select(xxhash64(col("__bk")).as("bkh"), col("id")), batchId)
+          Overlap.concurrently(store.append(survivorSigs, batchId)) {
+            pointer.append(survivorSigs.select(bandKeyCol.as("__bk"),
+                col("id"))
+              .select(xxhash64(col("__bk")).as("bkh"), col("id")),
+              batchId)
+          }
+        else store.append(survivorSigs, batchId)
         // keep the band-key gate a corpus superset (batch band keys ⊇
         // survivors'; staleness/saturation rules: GateKeeper doc)
         gate.afterAppend(kg)

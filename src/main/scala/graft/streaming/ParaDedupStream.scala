@@ -75,7 +75,22 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
     * `graft.core.Metrics.drainUnpersist()` after sinking it (the
     * CdcStream per-trigger discipline), or a resident stream
     * accumulates checkpoint blocks. */
-  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame =
+    processBatchImpl(batch, batchId, None)
+
+  /** Overlapped `foreachBatch` body (r19, VERDICT r18 #6): `sink(out)`
+    * runs on the calling thread WHILE the key append runs on its own —
+    * both read only cached checkpoint blocks by then, so the two tail
+    * jobs overlap instead of queuing. Both complete before return (the
+    * replay contract); decisions and store contents are identical to
+    * the 2-arg form. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      sink: DataFrame => Unit): Unit = {
+    processBatchImpl(batch, batchId, Some(sink)); ()
+  }
+
+  private def processBatchImpl(batch: DataFrame, batchId: Long,
+      sink: Option[DataFrame => Unit]): DataFrame = {
     // consumed twice (corpus-probe broadcast + the marked stream side):
     // lazy checkpoint, materialized by the broadcast build in marked's job
     val paras = batch
@@ -149,8 +164,14 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
       // blocks via the deferred pool (the CdcMerge soft-leak
       // discipline), not an eager unpersist
       graft.core.Metrics.deferUnpersist(out)
-      store.append(marked.filter(keep).select(col("__key").as("key")),
-        batchId)
+      val newKeys = marked.filter(keep).select(col("__key").as("key"))
+      sink match {
+        case Some(s) =>
+          // overlapped tail: append reads marked's cache, sink reads
+          // out's cache — disjoint state, concurrent submission
+          Overlap.concurrently(store.append(newKeys, batchId))(s(out))
+        case None => store.append(newKeys, batchId)
+      }
       // keep the gate a corpus superset (the collected hashes cover
       // every appended key; staleness/saturation rules: GateKeeper doc)
       gate.afterAppend(kg)

@@ -73,7 +73,23 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
     * n_dropped) with the batch's new window keys already appended. The
     * result rides a deferred localCheckpoint — call
     * `graft.core.Metrics.drainUnpersist()` after sinking it. */
-  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame =
+    processBatchImpl(batch, batchId, None)
+
+  /** Overlapped `foreachBatch` body (VERDICT r18 #6): `sink(out)` runs
+    * on the calling thread WHILE the corpus append runs on its own —
+    * by the time the output frame exists both read only cached
+    * checkpoint blocks, so the two tail jobs are independent and the
+    * trigger floor drops by their overlap. Both complete before this
+    * returns (the replay contract); decisions, stats, and store
+    * contents are byte-identical to the 2-arg form (spec'd). */
+  def processBatch(batch: DataFrame, batchId: Long,
+      sink: DataFrame => Unit): Unit = {
+    processBatchImpl(batch, batchId, Some(sink)); ()
+  }
+
+  private def processBatchImpl(batch: DataFrame, batchId: Long,
+      sink: Option[DataFrame => Unit]): DataFrame = {
     // LAZY checkpoint (r16, the SemDedupStream discipline): toks is
     // consumed by the joined checkpoint below AND the reassembly join —
     // the joined materialization is its first action and persists it,
@@ -184,9 +200,18 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
           graft.core.Metrics.deferUnpersist(out)
           // advance the corpus: this batch's first-seen keys (absent
           // from the visible store; the rn=1 row is the representative)
-          store.append(joined
+          val firstSeen = joined
             .filter(col("__corpus").isNull && col("__rn") === 1)
-            .select(col("__key").as("key")), batchId)
+            .select(col("__key").as("key"))
+          sink match {
+            case Some(s) =>
+              // overlapped tail: the append reads joined's cache, the
+              // sink reads out's cache — disjoint state, concurrent
+              // submission fills the inter-job scheduling idle
+              Overlap.concurrently(store.append(firstSeen, batchId))(
+                s(out))
+            case None => store.append(firstSeen, batchId)
+          }
           // keep the gate a corpus superset: ALL of the batch's
           // window-key hashes (⊇ the appended first-seen set) fold into
           // the live sketch — replayed/raced appends can only add false

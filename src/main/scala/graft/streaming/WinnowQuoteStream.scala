@@ -74,7 +74,22 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
     * batch's fingerprints already appended. The result rides a
     * deferred localCheckpoint: call
     * `graft.core.Metrics.drainUnpersist()` after sinking it. */
-  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame =
+    processBatchImpl(batch, batchId, None)
+
+  /** Overlapped `foreachBatch` body (r19, VERDICT r18 #6): `sink(out)`
+    * runs on the calling thread WHILE the fp append runs on its own —
+    * the append reads bFps' cache, the sink reads out's cache, so the
+    * two tail jobs overlap instead of queuing. Both complete before
+    * return; pair output and store contents identical to the 2-arg
+    * form. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      sink: DataFrame => Unit): Unit = {
+    processBatchImpl(batch, batchId, Some(sink)); ()
+  }
+
+  private def processBatchImpl(batch: DataFrame, batchId: Long,
+      sink: Option[DataFrame => Unit]): DataFrame = {
     // fp count rides the checkpoint materialization as an observed
     // metric (r16): the r15 body paid two standalone count jobs per
     // trigger (bFps, out) on top of its three real actions — at stream
@@ -129,8 +144,14 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
         .observe(oObs, count(lit(1)).as("n"))
         .localCheckpoint()
       graft.core.Metrics.deferUnpersist(out)
-      store.append(bFps.select(col("__nid").as("doc"), col("fp")),
-        batchId)
+      val newFps = bFps.select(col("__nid").as("doc"), col("fp"))
+      sink match {
+        case Some(s) =>
+          // overlapped tail: append reads bFps' cache, sink reads
+          // out's cache — disjoint state, concurrent submission
+          Overlap.concurrently(store.append(newFps, batchId))(s(out))
+        case None => store.append(newFps, batchId)
+      }
       // keep the gate a corpus superset (the collected hashes cover
       // every appended fp; staleness/saturation rules: GateKeeper doc)
       gate.afterAppend(kg)

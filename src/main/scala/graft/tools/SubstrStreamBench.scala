@@ -73,11 +73,19 @@ object SubstrStreamBench {
     val s = new graft.streaming.SubstrDedupStream(spark, dir + "/keys",
       "doc_id", "text", n = 8, storeBuckets =
         sys.env.getOrElse("SPARK_GRAFT_STORE_BUCKETS", "64").toInt)
+    // SUBSTR_OVERLAP=0: sequential tail (append, then write) — the A/B
+    // baseline for the r19 overlapped default, where the output write
+    // and the corpus append submit concurrently
+    val overlap = !sys.env.get("SUBSTR_OVERLAP").contains("0")
     val t0 = System.nanoTime()
     batches.zipWithIndex.foreach { case (b, i) =>
       val tb = System.nanoTime()
-      s.processBatch(b.toSeq.toDF("doc_id", "text"), i.toLong).write
+      def write(out: org.apache.spark.sql.DataFrame): Unit = out.write
         .mode(SaveMode.Append).parquet(dir + "/out")
+      if (overlap)
+        s.processBatch(b.toSeq.toDF("doc_id", "text"), i.toLong, write)
+      else
+        write(s.processBatch(b.toSeq.toDF("doc_id", "text"), i.toLong))
       graft.core.Metrics.drainUnpersist()
       println(f"  batch $i wall=${(System.nanoTime() - tb) / 1e9}%.2f")
     }
