@@ -55,6 +55,9 @@ object StoreGrowth {
     import spark.implicits._
 
     if (mode == "minhashdup") { runMinhashDup(spark, nTriggers, perBatch); spark.stop(); return }
+    if (mode == "minhashburst") {
+      runMinhashBurst(spark, nTriggers, perBatch); spark.stop(); return
+    }
     if (mode == "winnowdup" || mode == "paradup") {
       runDup(spark, mode, nTriggers, perBatch); spark.stop(); return
     }
@@ -250,6 +253,118 @@ object StoreGrowth {
     println("|---|---|---|---|---|---|")
     rows.foreach { r =>
       println(f"| ${r._1} | ${r._2} | ${r._3}%.2f | ${r._4} | ${r._5} | ${r._6} |")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  /** minhashburst (VERDICT r18 #5): the leg that shows the pointer
+    * table's WALL-TIME win, which minhashdup could not. minhashdup's
+    * 25%-scattered repeats touch every bucket (2000 batch docs × 16
+    * bands ≫ bucket count), so pruning saved nothing and the gated
+    * path's fixed cost never crossed under the OFF leg's full scan by
+    * 400k docs. The winning regime is a FOCUSED duplicate burst — the
+    * hot-document shape (a viral page re-ingested): repeats drawn from
+    * `SPARK_GRAFT_HOT_DOCS` (default 20) hot seeds, so candidates
+    * collapse to ~hot ids, the signature store reads ~hot/buckets of
+    * its bytes, and the OFF leg's corpus term (full scan + 16×
+    * band-explode of EVERY stored signature) has nothing to amortize
+    * it against. Corpus is built from DETERMINISTIC id→text generation
+    * (`textOf`), so repeat texts regenerate from seed ids with no
+    * driver-side corpus buffer — points can reach millions of docs.
+    * Per point: `SPARK_GRAFT_SEED_PER_ROUND` (default 500k) novel
+    * docs' signatures append out-of-band (lineage "seed"), a fresh
+    * stream adopts + compacts (single-writer contract, as minhashdup),
+    * one warm trigger pays adoption outside the window, then TWO
+    * measured bursts. ON/OFF kept/dropped must match exactly.
+    * args: [points] [perBatch]. */
+  private def runMinhashBurst(spark: SparkSession, points: Int,
+      perBatch: Int): Unit = {
+    import spark.implicits._
+    val seedPerPoint =
+      sys.env.getOrElse("SPARK_GRAFT_SEED_PER_ROUND", "500000").toInt
+    val hotN = sys.env.getOrElse("SPARK_GRAFT_HOT_DOCS", "20").toInt
+    val buckets =
+      sys.env.getOrElse("SPARK_GRAFT_STORE_BUCKETS", "1024").toInt
+    val dupsPerBatch = perBatch / 4
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_growth_mhburst").toString
+    val sigPath = dir + "/sigs"
+    // deterministic 40-token doc for any id (negative ids = never
+    // seeded, i.e. novel) — same id, same text, so a repeat of seed id
+    // k is regenerated, not remembered
+    def textOf(idc: org.apache.spark.sql.Column) =
+      concat_ws(" ", (0 until 40).map(j =>
+        concat(lit("w"), pmod(xxhash64(idc, lit(j)), lit(500000)))): _*)
+    var novelBase = 10_000_000_000L // batch doc ids, above any seed id
+    val rows = (0 until points).flatMap { r =>
+      val lo = r.toLong * seedPerPoint
+      val seed = spark.range(lo, lo + seedPerPoint)
+        .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+      val sigs = graft.ops.Dedup.minHashSignaturesPortable(
+        seed, "doc_id", "text").localCheckpoint()
+      new graft.streaming.StreamStore(spark, sigPath, "seed", buckets,
+        "id").append(sigs.select(col("id"), col("sig")), r.toLong)
+      val ptr = new graft.streaming.StreamStore(spark,
+        sigPath + "__bands", "seed", buckets, "bkh")
+      if (ptr.exists)
+        ptr.append(sigs.select(col("id"),
+            explode(graft.ops.Dedup.portableBandKeys(col("sig"), 16, 4))
+              .as("__bk"))
+          .select(xxhash64(col("__bk")).as("bkh"), col("id")), r.toLong)
+      sigs.unpersist()
+      // sketch sizing is the lever that decides whether pruning bites:
+      // at the GateKeeper's default steady state (rebuild band 0.2)
+      // ~20% of the batch's NOVEL band keys survive the bloom as false
+      // positives, which alone touches every bucket — the 100 TB
+      // deployment sizing rule is ~8-10 bits per corpus band key
+      // (fpp ≤ 1%), and the env overrides let the leg measure both
+      // regimes
+      val skItems = sys.env.getOrElse("SPARK_GRAFT_SKETCH_ITEMS",
+        (1L << 21).toString).toLong
+      val skBits = sys.env.getOrElse("SPARK_GRAFT_SKETCH_BITS",
+        (1L << 24).toString).toLong
+      val s = new graft.streaming.MinHashDedupStream(spark, sigPath,
+        "doc_id", "text", gateFromBytes = 0L, storeBuckets = buckets,
+        sketchItems = skItems, sketchBits = skBits)
+      s.compact()
+      novelBase += perBatch
+      s.processBatch(spark.range(1).select(lit(novelBase).as("doc_id"),
+        textOf(lit(-novelBase)).as("text")), (1000 + 10 * r).toLong)
+      graft.core.Metrics.drainUnpersist()
+      (0 until 2).map { t =>
+        val (_, k0, d0) = s.stats
+        novelBase += perBatch + 1
+        val base = novelBase
+        // first dupsPerBatch rows repeat a hot seed id's text; the
+        // rest are novel (negative generator ids, never seeded)
+        val batch = spark.range(perBatch).select(
+          (lit(base) + col("id")).as("doc_id"),
+          when(col("id") < dupsPerBatch,
+            textOf(pmod(xxhash64(col("id"), lit(r * 2 + t)), lit(hotN))))
+            .otherwise(textOf(-(lit(base) + col("id")))).as("text"))
+        val t0 = System.nanoTime()
+        s.processBatch(batch, (1000 + 10 * r + 1 + t).toLong)
+        graft.core.Metrics.drainUnpersist()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (_, k1, d1) = s.stats
+        (r, (r + 1).toLong * seedPerPoint, t, wall, s.gateRebuilds,
+          k1 - k0, d1 - d0)
+      }
+    }
+    val gate =
+      if (sys.env.get("SPARK_GRAFT_STREAM_GATE")
+          .exists(_.equalsIgnoreCase("off"))) "OFF" else "ON"
+    println(s"## StreamStore growth — minhashburst, gate $gate " +
+      s"($perBatch-doc triggers, $dupsPerBatch repeats of $hotN hot " +
+      s"docs, $seedPerPoint seeds/point, $buckets buckets)")
+    println("")
+    println("| point | corpus docs | trigger | wall (s) | rebuilds | batch kept | batch dropped |")
+    println("|---|---|---|---|---|---|---|")
+    rows.foreach { r =>
+      println(f"| ${r._1} | ${r._2} | ${r._3} | ${r._4}%.2f | ${r._5} | ${r._6} | ${r._7} |")
     }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
