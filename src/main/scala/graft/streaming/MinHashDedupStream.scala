@@ -232,13 +232,15 @@ final class MinHashDedupStream(spark: SparkSession, storePath: String,
         // exists EVERY trigger appends, or a shrink-regrow would leave
         // it missing candidates (the completeness invariant pruning
         // soundness rests on). The two appends are independent writes
-        // to distinct store paths, so they submit CONCURRENTLY
-        // ([[Overlap]], VERDICT r18 #6) — crash safety is
-        // order-independent: a half-appended batch is invisible to its
-        // own replay under the batch_id < current filter whichever
-        // half landed, and the re-run re-appends to both
+        // to distinct store paths — [[Overlap.auto]]: sequential by
+        // default (the r19 A/B rejected local-mode concurrency),
+        // concurrent under SPARK_GRAFT_TRIGGER_OVERLAP=on; crash
+        // safety is order-independent either way: a half-appended
+        // batch is invisible to its own replay under the batch_id <
+        // current filter whichever half landed, and the re-run
+        // re-appends to both
         if (pointer.exists)
-          Overlap.concurrently(store.append(survivorSigs, batchId)) {
+          Overlap.auto(store.append(survivorSigs, batchId)) {
             pointer.append(survivorSigs.select(bandKeyCol.as("__bk"),
                 col("id"))
               .select(xxhash64(col("__bk")).as("bkh"), col("id")),

@@ -23,6 +23,31 @@ package graft.streaming
   * not recompute it. */
 object Overlap {
 
+  /** Concurrent submission is OPT-IN (`SPARK_GRAFT_TRIGGER_OVERLAP=on`
+    * or sysprop `graft.trigger.overlap=on`) — the r19 A/B REJECTED it
+    * as the local-mode default: on the sf0.1 substr probe the two
+    * short tail jobs anti-scale under concurrent submission (each
+    * inflates 4–6×, 0.13–0.20 s → 0.5–0.8 s; trigger wall 1.9 → 3.3 s
+    * warm, decisions identical — BENCHNOTES r19). Local mode
+    * serializes both jobs' driver-side stage preparation and codegen
+    * through single-threaded machinery while their 32-task sets
+    * contend for the same cores, so overlap buys nothing and the
+    * context-switching costs ~1.4 s/trigger. A deep multi-executor
+    * cluster is the regime the switch exists for: there the two
+    * writes land on disjoint executor pools and the idle actually
+    * fills. */
+  def enabled: Boolean =
+    sys.props.get("graft.trigger.overlap")
+      .orElse(sys.env.get("SPARK_GRAFT_TRIGGER_OVERLAP"))
+      .exists(_.equalsIgnoreCase("on"))
+
+  /** [[concurrently]] when [[enabled]], else `side` then `main` in the
+    * streams' legacy order — effects are disjoint either way, so the
+    * choice changes wall only (OverlapSpec pins output equality). */
+  def auto[T](side: => Unit)(main: => T): T =
+    if (enabled) concurrently(side)(main)
+    else { side; main }
+
   /** Run `side` on its own thread while `main` runs on the calling
     * thread; join before returning. `main`'s result is returned;
     * either failure propagates (both are reported when both fail —

@@ -78,12 +78,12 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
   def processBatch(batch: DataFrame, batchId: Long): DataFrame =
     processBatchImpl(batch, batchId, None)
 
-  /** Overlapped `foreachBatch` body (r19, VERDICT r18 #6): `sink(out)`
-    * runs on the calling thread WHILE the key append runs on its own —
-    * both read only cached checkpoint blocks by then, so the two tail
-    * jobs overlap instead of queuing. Both complete before return (the
-    * replay contract); decisions and store contents are identical to
-    * the 2-arg form. */
+  /** Sink-fused `foreachBatch` body (r19, VERDICT r18 #6): the output sink and the store append runs
+    * via [[Overlap.auto]]: sequential by default (the r19 A/B rejected
+    * local-mode concurrency — Overlap doc), concurrent under
+    * `SPARK_GRAFT_TRIGGER_OVERLAP=on`. Both complete before return
+    * (the replay contract); decisions and effects identical either
+    * way (spec'd). */
   def processBatch(batch: DataFrame, batchId: Long,
       sink: DataFrame => Unit): Unit = {
     processBatchImpl(batch, batchId, Some(sink)); ()
@@ -169,7 +169,7 @@ final class ParaDedupStream(spark: SparkSession, storePath: String,
         case Some(s) =>
           // overlapped tail: append reads marked's cache, sink reads
           // out's cache — disjoint state, concurrent submission
-          Overlap.concurrently(store.append(newKeys, batchId))(s(out))
+          Overlap.auto(store.append(newKeys, batchId))(s(out))
         case None => store.append(newKeys, batchId)
       }
       // keep the gate a corpus superset (the collected hashes cover

@@ -76,13 +76,15 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
   def processBatch(batch: DataFrame, batchId: Long): DataFrame =
     processBatchImpl(batch, batchId, None)
 
-  /** Overlapped `foreachBatch` body (VERDICT r18 #6): `sink(out)` runs
-    * on the calling thread WHILE the corpus append runs on its own —
-    * by the time the output frame exists both read only cached
-    * checkpoint blocks, so the two tail jobs are independent and the
-    * trigger floor drops by their overlap. Both complete before this
-    * returns (the replay contract); decisions, stats, and store
-    * contents are byte-identical to the 2-arg form (spec'd). */
+  /** Sink-fused `foreachBatch` body (VERDICT r18 #6): the output sink
+    * and the corpus append are independent tail actions (both read
+    * only cached checkpoint blocks), run via [[Overlap.auto]] —
+    * sequential by default (the r19 A/B rejected local-mode
+    * concurrency, see Overlap doc), concurrent under
+    * `SPARK_GRAFT_TRIGGER_OVERLAP=on` for deep-cluster deployments.
+    * Both complete before this returns (the replay contract);
+    * decisions, stats, and store contents are byte-identical to the
+    * 2-arg form either way (spec'd). */
   def processBatch(batch: DataFrame, batchId: Long,
       sink: DataFrame => Unit): Unit = {
     processBatchImpl(batch, batchId, Some(sink)); ()
@@ -208,7 +210,7 @@ final class SubstrDedupStream(spark: SparkSession, storePath: String,
               // overlapped tail: the append reads joined's cache, the
               // sink reads out's cache — disjoint state, concurrent
               // submission fills the inter-job scheduling idle
-              Overlap.concurrently(store.append(firstSeen, batchId))(
+              Overlap.auto(store.append(firstSeen, batchId))(
                 s(out))
             case None => store.append(firstSeen, batchId)
           }

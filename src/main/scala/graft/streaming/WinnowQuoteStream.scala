@@ -77,12 +77,12 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
   def processBatch(batch: DataFrame, batchId: Long): DataFrame =
     processBatchImpl(batch, batchId, None)
 
-  /** Overlapped `foreachBatch` body (r19, VERDICT r18 #6): `sink(out)`
-    * runs on the calling thread WHILE the fp append runs on its own —
-    * the append reads bFps' cache, the sink reads out's cache, so the
-    * two tail jobs overlap instead of queuing. Both complete before
-    * return; pair output and store contents identical to the 2-arg
-    * form. */
+  /** Sink-fused `foreachBatch` body (r19, VERDICT r18 #6): the output sink and the store append runs
+    * via [[Overlap.auto]]: sequential by default (the r19 A/B rejected
+    * local-mode concurrency — Overlap doc), concurrent under
+    * `SPARK_GRAFT_TRIGGER_OVERLAP=on`. Both complete before return
+    * (the replay contract); decisions and effects identical either
+    * way (spec'd). */
   def processBatch(batch: DataFrame, batchId: Long,
       sink: DataFrame => Unit): Unit = {
     processBatchImpl(batch, batchId, Some(sink)); ()
@@ -149,7 +149,7 @@ final class WinnowQuoteStream(spark: SparkSession, storePath: String,
         case Some(s) =>
           // overlapped tail: append reads bFps' cache, sink reads
           // out's cache — disjoint state, concurrent submission
-          Overlap.concurrently(store.append(newFps, batchId))(s(out))
+          Overlap.auto(store.append(newFps, batchId))(s(out))
         case None => store.append(newFps, batchId)
       }
       // keep the gate a corpus superset (the collected hashes cover

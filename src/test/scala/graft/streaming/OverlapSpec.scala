@@ -9,9 +9,26 @@ import org.apache.spark.sql.DataFrame
   * of the independent tail actions (corpus append ∥ output sink) must
   * change WALL only — decisions, stats, and store contents stay
   * byte-identical to the sequential form, and failures on either side
-  * propagate out of the trigger. */
+  * propagate out of the trigger. The stream equivalence tests FORCE
+  * the concurrent path (sysprop) — the shipping default is sequential
+  * after the r19 A/B rejected local-mode concurrency, so without the
+  * override they would compare sequential to sequential and pin
+  * nothing. */
 class OverlapSpec extends SparkSpec {
   import spark.implicits._
+
+  private def forcedOn[T](body: => T): T = {
+    sys.props("graft.trigger.overlap") = "on"
+    try body finally sys.props.remove("graft.trigger.overlap")
+  }
+
+  test("auto: default is sequential, side-then-main order") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = Overlap.auto { order += "side" } { order += "main"; 7 }
+    assert(r == 7 && order.toSeq == Seq("side", "main"))
+    assert(!Overlap.enabled)
+    forcedOn { assert(Overlap.enabled) }
+  }
 
   test("concurrently: returns main's value after both sides complete") {
     @volatile var sideDone = false
@@ -62,7 +79,8 @@ class OverlapSpec extends SparkSpec {
       df.collect().map(_.toString).sorted.toSeq
     Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
       seqOut += rows(seq0.processBatch(docs(b), i.toLong))
-      ovl.processBatch(docs(b), i.toLong, out => ovlOut += rows(out))
+      forcedOn(ovl.processBatch(docs(b), i.toLong,
+        out => ovlOut += rows(out)))
       graft.core.Metrics.drainUnpersist()
     }
     assert(seqOut.toSeq == ovlOut.toSeq,
@@ -87,7 +105,7 @@ class OverlapSpec extends SparkSpec {
     Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
       val a = rows(s0.processBatch(docs(b), i.toLong))
       var c: Seq[String] = null
-      s1.processBatch(docs(b), i.toLong, out => c = rows(out))
+      forcedOn(s1.processBatch(docs(b), i.toLong, out => c = rows(out)))
       graft.core.Metrics.drainUnpersist()
       assert(a == c, s"batch $i pairs diverged: seq=$a ovl=$c")
     }
@@ -108,8 +126,8 @@ class OverlapSpec extends SparkSpec {
     pb.zipWithIndex.foreach { case (b, i) =>
       val a = rows(s0.processBatch(b.toDF("doc_id", "text"), i.toLong))
       var c: Seq[String] = null
-      s1.processBatch(b.toDF("doc_id", "text"), i.toLong,
-        out => c = rows(out))
+      forcedOn(s1.processBatch(b.toDF("doc_id", "text"), i.toLong,
+        out => c = rows(out)))
       graft.core.Metrics.drainUnpersist()
       assert(a == c, s"batch $i outputs diverged: seq=$a ovl=$c")
     }
