@@ -67,6 +67,25 @@ object Graph {
     val nodes = outdeg.select(col("src").as("node"))
     val n = outdeg.count()
     require(n > 0, "empty graph")
+    // The per-iteration joins keep one side O(nodes) by construction
+    // (contrib = rank÷outdeg, the rank vector itself); the driver
+    // already holds the exact node count, so pick the join strategy
+    // from it instead of leaving AQE to rescue a statically-planned
+    // SortMergeJoin at runtime (the static plan carried 6 SMJs for 3
+    // iterations; under full-bench memory/scheduler pressure the AQE
+    // rescue is exactly what went missing in the r18 official
+    // artifact's 11.98 s pagerank). Broadcast is only hinted while the
+    // rank vector provably fits — ~16 B/row of (long, long) puts the
+    // default 8M-node ceiling at ~128 MiB framed, far under the 8 GiB
+    // broadcast cap; web-scale graphs (n > ceiling) keep the
+    // shuffle-join plan, where both sides hash-partition on the node
+    // id and the partitioning is reused across iterations.
+    val bcastMaxNodes =
+      try edges.sparkSession.conf.get(
+        "graft.pagerank.broadcastMaxNodes", "8000000").toLong
+      catch { case _: NumberFormatException => 8000000L }
+    def small(df: DataFrame): DataFrame =
+      if (n <= bcastMaxNodes) broadcast(df) else df
     val r0 = Scale / n
     val base = (15L * r0) / 100L
     var rank = nodes.select(col("node"), lit(r0).as("rank"))
@@ -75,10 +94,12 @@ object Graph {
       // frame that broadcasts onto the checkpointed edge list, so the
       // O(edges) rows are scanned once per iteration with no degree
       // column materialized alongside them (the former `withDeg`
-      // edge+degree join is gone entirely)
-      val contrib = rank.join(outdeg, rank("node") === outdeg("src"))
+      // edge+degree join is gone entirely). `outdeg` is checkpointed
+      // and loop-invariant, so its hinted broadcast is built once and
+      // reused by every iteration (ReusedExchange).
+      val contrib = rank.join(small(outdeg), rank("node") === outdeg("src"))
         .select(col("src"), expr("rank div od").as("contrib"))
-      val mass = e.join(contrib, "src")
+      val mass = e.join(small(contrib), "src")
         .select(col("dst"), col("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("mass"))
       rank =
@@ -87,7 +108,7 @@ object Graph {
             (lit(base) + expr(s"($DampNum * mass) div $DampDen"))
               .as("rank"))
         else
-          nodes.join(mass, nodes("node") === mass("dst"), "left")
+          nodes.join(small(mass), nodes("node") === mass("dst"), "left")
             .select(col("node"),
               (lit(base) +
                 expr(s"($DampNum * coalesce(mass, 0L)) div $DampDen"))
