@@ -58,10 +58,59 @@ object Dsir {
     * hash ([[Portable.h60]]), integer arithmetic throughout. */
   def weights(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      buckets: Int = 1024, scale: Long = 1000000L): DataFrame =
-    weightsWithRatios(corpus, idCol, textCol,
-      ratioTable(corpus, idCol, textCol, target, targetTextCol,
-        buckets, scale), buckets, scale)
+      buckets: Int = 1024, scale: Long = 1000000L): DataFrame = {
+    // ONE corpus tokenize+explode pass, not two: the per-(doc, bucket)
+    // counts feed BOTH the ratio table's source-side bucket sums and
+    // the scoring join, but the two references do not share work in the
+    // executed plan (measured: the final adaptive plan carries two
+    // Generate explodes over the corpus and zero ReusedExchange), so
+    // the seam is materialized once — the slim 3-long-column frame, not
+    // the corpus — exactly the pipeline-stage checkpoint pattern. At
+    // corpus scale this halves the dominant cost (the corpus pass);
+    // the checkpoint is O(docs × touched buckets) rows.
+    val dbc = docBucketCounts(corpus, idCol, textCol, buckets)
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(dbc)
+    val sb = dbc.groupBy("__b").agg(sum(col("__c")).as("__s"))
+    val ratios = ratioFromSourceSums(sb, target, targetTextCol, buckets,
+      scale)
+    scoreLinear(corpus.select(col(idCol)), idCol, dbc, ratios, scale)
+  }
+
+  /** Ratio table from prebuilt source-side bucket sums (__b, __s) —
+    * the shared tail of [[ratioTable]]. */
+  private def ratioFromSourceSums(sb: DataFrame, target: DataFrame,
+      targetTextCol: String, buckets: Int, scale: Long): DataFrame = {
+    val tb = target
+      .select(explode(bigrams(col(targetTextCol))).as("__bg"))
+      .select(pmod(Portable.h60(col("__bg")), lit(buckets)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__t"))
+    sb.join(tb, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        expr(s"((coalesce(__t, 0L) + 1L) * ${scale}L) div " +
+          "(coalesce(__s, 0L) + 1L)").as("__r"))
+  }
+
+  /** Linear-ratio scoring over prebuilt per-(doc, bucket) counts — the
+    * shared tail of [[weightsWithRatios]]; `ids` restores bigram-less
+    * documents with zeros. */
+  private def scoreLinear(ids: DataFrame, idCol: String, dbc: DataFrame,
+      ratios: DataFrame, scale: Long): DataFrame = {
+    val perDoc = dbc
+      .join(broadcast(ratios), Seq("__b"), "left")
+      .withColumn("__r", coalesce(col("__r"), lit(scale)))
+      .groupBy("__id").agg(
+        sum(col("__c")).as("n_bigrams"),
+        sum(col("__c") * col("__r")).as("weight"))
+    ids
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight"), lit(0L)).as("weight"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("weight div n_bigrams"))
+          .otherwise(lit(0L)).cast(LongType).as("avg_ratio"))
+  }
 
   /** Per-(doc, bucket) hashed-bigram counts — the only corpus-sized
     * aggregate; its key is (id, bucket): high-cardinality, map-side
@@ -88,14 +137,7 @@ object Dsir {
     require(buckets > 0 && scale > 0, "need buckets > 0 and scale > 0")
     val sb = docBucketCounts(corpus, idCol, textCol, buckets)
       .groupBy("__b").agg(sum(col("__c")).as("__s"))
-    val tb = target
-      .select(explode(bigrams(col(targetTextCol))).as("__bg"))
-      .select(pmod(Portable.h60(col("__bg")), lit(buckets)).as("__b"))
-      .groupBy("__b").agg(count(lit(1)).as("__t"))
-    sb.join(tb, Seq("__b"), "full_outer")
-      .select(col("__b"),
-        expr(s"((coalesce(__t, 0L) + 1L) * ${scale}L) div " +
-          "(coalesce(__s, 0L) + 1L)").as("__r"))
+    ratioFromSourceSums(sb, target, targetTextCol, buckets, scale)
   }
 
   /** Score `batch` against a prebuilt [[ratioTable]] — the ingest-time
@@ -107,24 +149,11 @@ object Dsir {
     * exactly that. */
   def weightsWithRatios(batch: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame, buckets: Int = 1024,
-      scale: Long = 1000000L): DataFrame = {
-    val perDoc = docBucketCounts(batch, idCol, textCol, buckets)
-      .join(broadcast(ratios), Seq("__b"), "left")
-      .withColumn("__r", coalesce(col("__r"), lit(scale)))
-      .groupBy("__id").agg(
-        sum(col("__c")).as("n_bigrams"),
-        sum(col("__c") * col("__r")).as("weight"))
+      scale: Long = 1000000L): DataFrame =
     // ids are primary keys at every call site (the crossDocShingleFrac
     // zero-row-docs pattern) — the left join restores bigram-less docs
-    batch.select(col(idCol))
-      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("weight"), lit(0L)).as("weight"),
-        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-          expr("weight div n_bigrams"))
-          .otherwise(lit(0L)).cast(LongType).as("avg_ratio"))
-  }
+    scoreLinear(batch.select(col(idCol)), idCol,
+      docBucketCounts(batch, idCol, textCol, buckets), ratios, scale)
 
   /** Importance SELECTION: the `k` most target-like documents by
     * length-free score (avg_ratio desc, id asc — total order, so any
@@ -152,6 +181,13 @@ object Dsir {
     require(buckets > 0, "need buckets > 0")
     val sb = docBucketCounts(corpus, idCol, textCol, buckets)
       .groupBy("__b").agg(sum(col("__c")).as("__s"))
+    logRatioFromSourceSums(sb, target, targetTextCol, buckets)
+  }
+
+  /** Log-ratio table from prebuilt source-side bucket sums — the shared
+    * tail of [[logRatioTable]]. */
+  private def logRatioFromSourceSums(sb: DataFrame, target: DataFrame,
+      targetTextCol: String, buckets: Int): DataFrame = {
     val tb = target
       .select(explode(bigrams(col(targetTextCol))).as("__bg"))
       .select(pmod(Portable.h60(col("__bg")), lit(buckets)).as("__b"))
@@ -193,16 +229,22 @@ object Dsir {
     * integer µnats; bigram-less documents carry the empty product's
     * log w = 0 and legitimately participate.
     *
-    * Scale shape: identical to [[weights]] (two explodes, map-side
+    * Scale shape: identical to [[weights]] (one corpus explode + one
+    * target explode, map-side
     * aggregates, one O(buckets) broadcast) + one scan with
     * per-partition top-k heaps (TakeOrderedAndProject). */
   def resample(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, k: Int,
       buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
     require(k > 0, "k must be positive")
-    val lr = logRatioTable(corpus, idCol, textCol, target, targetTextCol,
-      buckets)
-    val perDoc = docBucketCounts(corpus, idCol, textCol, buckets)
+    // one corpus pass, shared by the log-ratio table and the scoring
+    // join — same measured rationale as [[weights]]
+    val dbc = docBucketCounts(corpus, idCol, textCol, buckets)
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(dbc)
+    val sb = dbc.groupBy("__b").agg(sum(col("__c")).as("__s"))
+    val lr = logRatioFromSourceSums(sb, target, targetTextCol, buckets)
+    val perDoc = dbc
       .join(broadcast(lr), Seq("__b"), "left")
       .withColumn("__lr", coalesce(col("__lr"), lit(0L)))
       .groupBy("__id").agg(
