@@ -443,9 +443,17 @@ object Dedup {
     * occurrences. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int = 2): DataFrame = {
+    // tokenize ONCE: the token-array frame has four consumers (position
+    // explode, two shingle-start passes, word counts) and the executed
+    // plan shares nothing between them (measured: 7 scans and 12
+    // regex-tokenize subtrees per run before this seam; one after) —
+    // the materialized seam is the tokenized corpus, the price every
+    // span pipeline pays once instead of four regex passes
     val words = spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"),
         TextOps.tokens(TextOps.normalized(col("__t"))).as("__w"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(words)
     val pos = words.select(col("id"),
       posexplode(col("__w")).as(Seq("pos", "word")))
     val starts = words.select(col("id"),
