@@ -38,12 +38,22 @@ object SemDedup {
     * standard skewed-key defense, applied geometrically). */
   def pairs(df: DataFrame, idCol: String, vecCol: String, model: Ivf.Model,
       threshold: Double, maxCellSize: Option[Long] = None): DataFrame = {
+    // materialize the assigned frame ONCE: the self-join references it
+    // on both sides and the executed plan shares nothing between them
+    // (measured on q_x_keep_best: the k×dim assignment projection and
+    // the upstream scan/join ran per side — 15 scans per run), so
+    // without the seam every row pays the k-centroid distance array
+    // twice. The checkpoint is (id, vec, nrm, cell) — the same O(corpus
+    // embeddings) frame SemDeDup materializes as its cell index at
+    // deployment scale.
     val a = maxCellSize
       .map(b => Ivf.assignBounded(df, idCol, vecCol, model, b))
       .getOrElse(Ivf.assign(df, vecCol, model))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"),
         col("__cluster").as("cell"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(a)
     a.as("a").join(a.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

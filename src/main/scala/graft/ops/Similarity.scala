@@ -234,12 +234,16 @@ object Similarity {
       model: graft.ops.Ivf.Model, k: Int,
       maxCellSize: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one assignment pass, not two: the self-join consumes `a` on both
+    // sides (the SemDedup.pairs seam — see the measured rationale there)
     val a = maxCellSize
       .map(b => graft.ops.Ivf.assignBounded(df, idCol, vecCol, model, b))
       .getOrElse(graft.ops.Ivf.assign(df, vecCol, model))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
         col("__cluster").as("cell"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(a)
     val pairs = a.as("a").join(a.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("nbr"),
