@@ -347,6 +347,11 @@ object TextOps {
     * single aggregate. Empty docs survive with empty ids. */
   def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
+    // NOT seamed on purpose (measured r19): checkpointing this
+    // positional token stream for its two consumers cost MORE than the
+    // saved regex pass (0.96 → 1.08 s warm at sf0.1) — unlike the
+    // (id, term, tf) histogram seams (topKeywords, vocabCoverage), the
+    // positional stream is larger than the corpus text itself
     val toks = df.select(col(idCol),
       posexplode(tokens(normalized(col(textCol)))).as(Seq("pos", "w")))
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
@@ -391,7 +396,13 @@ object TextOps {
     val n = df.count()
     val toks = df.select(col(idCol).as("id"),
         explode(tokens(normalized(col(textCol)))).as("term"))
+    // one tokenization pass: the per-doc term histogram feeds both the
+    // document-frequency aggregate and the score join — unmaterialized,
+    // the corpus tokenize+explode ran once per consumer (the
+    // [[vocabCoverage]] r8-measured double-tokenize, same fix)
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(tf)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("df").asc, col("term").asc)
