@@ -1138,7 +1138,12 @@ object Queries {
       // chain of replaces per word (no joins — the merge table is a
       // driver literal, exactly how a tokenizer ships), then one doc-id
       // aggregate for word/subword counts
-      val mt = graft.ops.TextOps.bpeTrain(docs(s, dir), "text",
+      // batched trainer (r19): byte-identical to the strict trainer —
+      // BpeBatchSpec pins equality on merges×batchN grids and
+      // q_x_bpe_merges hash-matches the strict unrolled oracle over this
+      // corpus — at roughly half the sequential driver jobs (r16 sweep:
+      // 0.80 s vs 2.08 s at 8 merges)
+      val mt = graft.ops.TextOps.bpeTrainBatched(docs(s, dir), "text",
           merges = 8)
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq

@@ -30,32 +30,31 @@ object LangModel {
     * dedup/BM25). */
   private def tokCol = TextOps.tokens(TextOps.normalized(col("__text")))
 
-  /** (doc_id, w1, w2) bigram stream; docs with <2 tokens emit none. */
-  private def bigrams(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol), col(textCol).as("__text"))
-      .select(col(idCol), tokCol.as("__t"))
-      .select(col(idCol), explode(expr(
-        """CASE WHEN size(__t) < 2 THEN array()
-          |ELSE transform(sequence(0, size(__t) - 2),
-          |  i -> struct(__t[i] AS w1, __t[i + 1] AS w2)) END""".stripMargin))
-        .as("__b"))
-      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-
   /** Add-one-smoothed per-doc NLL: (id, n_bigrams, nll_scaled, avg_nll).
     * Every doc survives — zero-bigram docs score 0. */
   def bigramNll(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // tokenization is the expensive projection and four consumers read
     // it (unigram counts, vocab size, bigram counts, scoring join) —
-    // materialize the token and bigram streams once each
-    val toks = docs.select(col(idCol), col(textCol).as("__text"))
-      .select(col(idCol), explode(tokCol).as("w"))
+    // materialize the token-ARRAY frame once (r19: previously the token
+    // stream and the bigram stream each re-ran the regex tokenizer —
+    // two corpus passes; both now derive from one checkpointed array
+    // frame, a cheap explode/transform per consumer)
+    val arr = docs.select(col(idCol), col(textCol).as("__text"))
+      .select(col(idCol), tokCol.as("__t"))
       .localCheckpoint()
-    graft.core.Metrics.deferUnpersist(toks)
+    graft.core.Metrics.deferUnpersist(arr)
+    val toks = arr.select(col(idCol), explode(col("__t")).as("w"))
     val uni = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toks.select(col("w")).distinct().count()
-    val bi = bigrams(docs, idCol, textCol).localCheckpoint()
+    val bi = arr
+      .select(col(idCol), explode(expr(
+        """CASE WHEN size(__t) < 2 THEN array()
+          |ELSE transform(sequence(0, size(__t) - 2),
+          |  i -> struct(__t[i] AS w1, __t[i + 1] AS w2)) END""".stripMargin))
+        .as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .localCheckpoint()
     graft.core.Metrics.deferUnpersist(bi)
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
 

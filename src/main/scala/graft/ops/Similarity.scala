@@ -184,9 +184,14 @@ object Similarity {
     val bitsPer = numPlanes / bands
     val bandMasks = (0 until bands)
       .map(b => (((1L << bitsPer) - 1) << (b * bitsPer), b))
+    // one scan+projection for the three consumers (band keys + the two
+    // verify-side vector rejoins) — unmaterialized, each rejoin re-ran
+    // the scan and the norm dot product (the SemDedup.pairs seam)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       signature(col(vecCol)).as("sig"))
+      .localCheckpoint()
+    graft.core.Metrics.deferUnpersist(sigs)
     // Band join on (id, band-key) ONLY — a pair colliding in several bands
     // would otherwise drag its vectors through the join once per band and
     // pay the verification dot product per collision; dedup to one row
