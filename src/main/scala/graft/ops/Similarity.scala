@@ -184,14 +184,17 @@ object Similarity {
     val bitsPer = numPlanes / bands
     val bandMasks = (0 until bands)
       .map(b => (((1L << bitsPer) - 1) << (b * bitsPer), b))
-    // one scan+projection for the three consumers (band keys + the two
-    // verify-side vector rejoins) — unmaterialized, each rejoin re-ran
-    // the scan and the norm dot product (the SemDedup.pairs seam)
+    // NOT seamed on purpose (measured r19): checkpointing this frame for
+    // its three consumers read as a wall wash in the standalone A/B but
+    // +62% executor CPU (2.28 → 3.69 s) in the sealed full run — the two
+    // verify-side rejoins are COLUMN-PRUNED (they never compute `sig`),
+    // so the duplicated work is only a scan + one norm dot, cheaper than
+    // materializing the vector payload and re-reading it as rows.
+    // Contrast SemDedup.pairs, whose duplicated subtree is the k-centroid
+    // assignment projection — there the seam wins on CPU and wall.
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       signature(col(vecCol)).as("sig"))
-      .localCheckpoint()
-    graft.core.Metrics.deferUnpersist(sigs)
     // Band join on (id, band-key) ONLY — a pair colliding in several bands
     // would otherwise drag its vectors through the join once per band and
     // pay the verification dot product per collision; dedup to one row
