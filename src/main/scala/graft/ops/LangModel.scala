@@ -40,9 +40,12 @@ object LangModel {
     // stream and the bigram stream each re-ran the regex tokenizer —
     // two corpus passes; both now derive from one checkpointed array
     // frame, a cheap explode/transform per consumer)
+    // lazy (the rfm chained-rank pattern): the vocab-size count below is
+    // an eager action over `arr` anyway — it materializes the seam, so
+    // an eager checkpoint here would pay a whole extra job for nothing
     val arr = docs.select(col(idCol), col(textCol).as("__text"))
       .select(col(idCol), tokCol.as("__t"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     graft.core.Metrics.deferUnpersist(arr)
     val toks = arr.select(col(idCol), explode(col("__t")).as("w"))
     val uni = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
