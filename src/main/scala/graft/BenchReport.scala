@@ -137,6 +137,20 @@ object BenchReport {
       }
     }
 
+  /** Heal rule for the stream/CDC/store section rates (VERDICT r19
+    * #2): queries got a CPU-basis budget and clean-bracket reruns in
+    * r19, but section throughputs still shipped raw — the r19 official
+    * artifact's −30–60% stream swings were adjudicated as window noise
+    * only because an 8-core run happened to follow. A section rate
+    * more than `pct` percent BELOW its epoch-ref rate earns one
+    * same-session rerun before the number ships (the better rate is
+    * kept, both ride the artifact). Rates at or above ref, a dead ref,
+    * or a failed first run (rate < 0) never rerun. */
+  def rateNeedsHeal(rate: Double, ref: Option[Double],
+      pct: Double): Boolean =
+    pct > 0 && rate >= 0 &&
+      ref.exists(r => r > 0 && rate < r * (1.0 - pct / 100.0))
+
   def atRefWindowEst(rawTotal: Double, perChunkEst: Double,
       globalFactor: Double): (Double, String) =
     if (globalFactor <= 0) (-1.0, "none")

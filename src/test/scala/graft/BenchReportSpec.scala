@@ -124,6 +124,25 @@ class BenchReportSpec extends AnyFunSuite {
     assert(v5 == Seq("total:95.0") && s5 == "env")
   }
 
+  /** VERDICT r19 #2: a section rate >pct below its epoch-ref rate earns
+    * one rerun; at-or-above-ref rates, dead refs, failed runs and a
+    * disabled pct never do. */
+  test("rateNeedsHeal fires only on a live rate far below a live ref") {
+    assert(BenchReport.rateNeedsHeal(700.0, Some(1000.0), 25.0))
+    assert(!BenchReport.rateNeedsHeal(760.0, Some(1000.0), 25.0),
+      "within 25% of ref must not rerun")
+    assert(!BenchReport.rateNeedsHeal(1200.0, Some(1000.0), 25.0),
+      "above ref must not rerun")
+    assert(!BenchReport.rateNeedsHeal(700.0, None, 25.0),
+      "no ref (pre-repin EPOCH.json) keeps the heal rule inert")
+    assert(!BenchReport.rateNeedsHeal(700.0, Some(-1.0), 25.0),
+      "dead ref must not rerun")
+    assert(!BenchReport.rateNeedsHeal(-1.0, Some(1000.0), 25.0),
+      "a failed run (-1 sentinel) is a failure, not a slow rate")
+    assert(!BenchReport.rateNeedsHeal(700.0, Some(1000.0), 0.0),
+      "pct=0 disables the rule")
+  }
+
   /** VERDICT r17 #3: the at-ref-window estimate must move the direction
     * the global factor says — a slower-than-ref window normalizes DOWN
     * (between the epoch ref and raw), a faster one UP — and fall back

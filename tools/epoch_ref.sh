@@ -50,6 +50,14 @@ epoch = {
     # drift-immune basis — and wall drops to telemetry
     'queries_cpu': raw.get('queries_cpu', {}),
     'ref_total_cpu_sec': raw.get('total_cpu_sec'),
+    # section throughputs (VERDICT r19 #2): graft.Bench compares each
+    # rate-bearing section's first result against these and earns one
+    # same-session rerun when it lands >SPARK_GRAFT_SECTION_RATE_HEAL_PCT
+    # below — a hot window can no longer masquerade as a 2x stream
+    # regression in the official artifact
+    'section_rates': {k: v for k, v in raw.items()
+                      if k.endswith('_per_sec')
+                      and isinstance(v, (int, float)) and v > 0},
 }
 json.dump(epoch, open('/root/repo/EPOCH.json', 'w'), indent=1)
 print('EPOCH.json written: ref_total_sec=%s over %d queries'
