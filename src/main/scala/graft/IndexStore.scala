@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Ivf, Pq}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Session-scoped builds of the PERSISTED artifacts behind the
@@ -19,6 +19,37 @@ object IndexStore {
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Built]
+
+  // Session-memoized read PLANS over built artifacts (VERDICT r19 #3):
+  // every probe run used to pay `spark.read.parquet(path)` — a fresh
+  // file listing plus parquet-footer schema inference — against a
+  // store that IS immutable for the session (built once, above). The
+  // memo holds the lazy DataFrame (an InMemoryFileIndex + schema, i.e.
+  // PATH METADATA — the same thing Spark's filesourcePartitionFileCache
+  // keeps for catalog tables), never results: each run still executes
+  // the full scan + probe from parquet. Only IndexStore scratch paths
+  // may use this — paths that get appended or compacted (stream
+  // indexes) would read a stale listing.
+  private val readCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Count of real `read.parquet` metadata loads through [[readBuilt]]
+    * — the spec's observability hook: a second probe of the same built
+    * store must not add a load. */
+  private[graft] val metaLoads = new java.util.concurrent.atomic.AtomicLong
+
+  /** The session-memoized lazy read plan for a built artifact; loads
+    * (lists + infers schema) once per (kind, dir) per session. */
+  def readBuilt(s: SparkSession, kind: String, dir: String,
+      path: String): DataFrame =
+    readCache.get((kind, dir)) match {
+      case Some(df) if df.sparkSession eq s => df
+      case _ =>
+        metaLoads.incrementAndGet()
+        val df = s.read.parquet(path)
+        readCache((kind, dir)) = df
+        df
+    }
 
   /** Scratch location keyed by sf dir so concurrent runs against
     * different scales never collide: readable sanitized name PLUS a hash

@@ -610,7 +610,7 @@ object Queries {
       val store = IndexStore.dsirRatios(s, dir)
       graft.ops.Dsir.weightsWithRatios(
         docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
-        s.read.parquet(store.path))
+        IndexStore.readBuilt(s, "dsir_ratios", dir, store.path))
     }),
 
     "q_x_dsir_resample" -> ((s, dir) =>
@@ -683,7 +683,7 @@ object Queries {
       val store = IndexStore.minhashSigs(s, dir)
       Dedup.minHashIncrementalPortable(
         docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
-        s.read.parquet(store.path),
+        IndexStore.readBuilt(s, "minhash_sigs", dir, store.path),
         n = 3, numHashes = 64, bands = 16, estThreshold = 0.3)
     }),
 
@@ -1050,7 +1050,8 @@ object Queries {
       val store = IndexStore.winnowFps(s, dir)
       Dedup.winnowIncremental(
         docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
-        s.read.parquet(store.path), k = 3, w = 4, minShared = 2L)
+        IndexStore.readBuilt(s, "winnow_fps", dir, store.path),
+        k = 3, w = 4, minShared = 2L)
     }),
 
     "q_x_winnow_capped" -> ((s, dir) => {
@@ -1061,7 +1062,9 @@ object Queries {
       val store = IndexStore.winnowFps(s, dir)
       Dedup.winnowIncremental(
         docs(s, dir).filter(col("doc_id") > 400), "doc_id", "text",
-        Dedup.capFpFrequency(s.read.parquet(store.path), "doc_id", 2L),
+        Dedup.capFpFrequency(
+          IndexStore.readBuilt(s, "winnow_fps", dir, store.path),
+          "doc_id", 2L),
         k = 3, w = 4, minShared = 1L)
     }),
 

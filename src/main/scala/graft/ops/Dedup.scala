@@ -1388,6 +1388,15 @@ object Dedup {
         .union(frontier.join(allP, col("cluster") === col("pid"))
           .select(col("id"), col("pc")))
         .groupBy("id").agg(min(col("pc")).as("jc"))
+      // LAZY checkpoint + full-count convergence probe (VERDICT r19
+      // #5): the eager checkpoint paid one job to materialize `next`
+      // and the probe paid a second; a lazy checkpoint materializes
+      // under the probe's full scan, so each round is ONE job. The
+      // probe must be a FULL count (not limit(1)) — an early-exit scan
+      // would leave checkpoint partitions unmaterialized and push
+      // their lineage into the next round. On a 30-round graph at
+      // deployment scale the per-round job count is the term that
+      // matters (driver scheduling floor × rounds).
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .join(jumped, Seq("id"), "left")
@@ -1395,9 +1404,8 @@ object Dedup {
           least(col("cluster"),
             least(coalesce(col("nmin"), col("cluster")),
               coalesce(col("jc"), col("cluster")))).as("cluster"))
-        .localCheckpoint()
-      val changed = next.filter(col("cluster") =!= col("prev"))
-        .limit(1).count()
+        .localCheckpoint(false)
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
       // the superseded checkpoint's blocks are dead once `next` is
       // materialized — free them, or a long component chain retains one
       // full label set per round in executor storage

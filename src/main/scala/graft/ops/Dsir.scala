@@ -59,6 +59,10 @@ object Dsir {
   def weights(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 1024, scale: Long = 1000000L): DataFrame = {
+    // the r19 rewrite no longer routes through ratioTable, which owned
+    // this check — without it buckets <= 0 yields pmod(h60, 0) = null
+    // bucket ids and silently zero-ish weights (ADVICE r19)
+    require(buckets > 0 && scale > 0, "need buckets > 0 and scale > 0")
     // ONE corpus tokenize+explode pass, not two: the per-(doc, bucket)
     // counts feed BOTH the ratio table's source-side bucket sums and
     // the scoring join, but the two references do not share work in the
@@ -237,6 +241,9 @@ object Dsir {
       target: DataFrame, targetTextCol: String, k: Int,
       buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
     require(k > 0, "k must be positive")
+    // no longer inherited from logRatioTable after the r19 one-pass
+    // rewrite (ADVICE r19): fail fast instead of null bucket ids
+    require(buckets > 0, "need buckets > 0")
     // one corpus pass, shared by the log-ratio table and the scoring
     // join — same measured rationale as [[weights]]
     val dbc = docBucketCounts(corpus, idCol, textCol, buckets)

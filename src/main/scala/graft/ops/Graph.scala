@@ -75,15 +75,19 @@ object Graph {
     // iterations; under full-bench memory/scheduler pressure the AQE
     // rescue is exactly what went missing in the r18 official
     // artifact's 11.98 s pagerank). Broadcast is only hinted while the
-    // rank vector provably fits — ~16 B/row of (long, long) puts the
-    // default 8M-node ceiling at ~128 MiB framed, far under the 8 GiB
-    // broadcast cap; web-scale graphs (n > ceiling) keep the
+    // rank vector provably fits. Default ceiling 2M nodes (ADVICE r19:
+    // 8M was aggressive vs Spark's own sizing) — ~16 B/row of
+    // (long, long) is ~32 MiB framed, but the driver-built hash
+    // relation runs ~3-4x the framed bytes and is re-broadcast per
+    // iteration for contrib/mass, so 2M keeps the per-iteration
+    // relation near the ~100 MiB class that default driver/executor
+    // memory absorbs. Web-scale graphs (n > ceiling) keep the
     // shuffle-join plan, where both sides hash-partition on the node
     // id and the partitioning is reused across iterations.
     val bcastMaxNodes =
       try edges.sparkSession.conf.get(
-        "graft.pagerank.broadcastMaxNodes", "8000000").toLong
-      catch { case _: NumberFormatException => 8000000L }
+        "graft.pagerank.broadcastMaxNodes", "2000000").toLong
+      catch { case _: NumberFormatException => 2000000L }
     def small(df: DataFrame): DataFrame =
       if (n <= bcastMaxNodes) broadcast(df) else df
     val r0 = Scale / n

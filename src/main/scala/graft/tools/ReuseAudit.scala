@@ -30,8 +30,12 @@ object ReuseAudit {
         val scans = c("Scan parquet")
         val rdds = c("Scan ExistingRDD")
         val gens = c("Generate ")
-        val tok = c("split_regex|regexp_replace")
-        val reuse = c("ReusedExchange|ReusedQueryStage|ShuffleQueryStage [0-9]+\\)(?= .*reused)")
+        // ADVICE r19: count the names Spark's physical plans actually
+        // emit — split_regex is the DuckDB oracle's spelling (never in
+        // a Spark plan), and the old ShuffleQueryStage lookahead could
+        // not match across lines, so it counted nothing
+        val tok = c("split\\(|regexp_replace")
+        val reuse = c("ReusedExchange|ReusedQueryStage")
         println(f"[reuse] $n%-28s scans=$scans%-3d rdd=$rdds%-3d gen=$gens%-3d tokenize=$tok%-3d reuse=$reuse")
       } catch {
         case e: Throwable =>

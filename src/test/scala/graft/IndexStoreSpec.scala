@@ -30,4 +30,20 @@ class IndexStoreSpec extends SparkSpec {
     assert(stored.columns.toSet == Set("id", "sig"))
     assert(stored.count() > 0)
   }
+
+  /** VERDICT r19 #3: probes of a session-built (immutable) store must
+    * not re-pay file listing + schema inference per run — readBuilt
+    * memoizes the read PLAN (path metadata), never results: each
+    * action still scans parquet. */
+  test("readBuilt loads store metadata once per (kind, dir)") {
+    val sigs = IndexStore.minhashSigs(spark, dir)
+    val before = IndexStore.metaLoads.get()
+    val df1 = IndexStore.readBuilt(spark, "spec_probe", dir, sigs.path)
+    val df2 = IndexStore.readBuilt(spark, "spec_probe", dir, sigs.path)
+    assert(df1 eq df2, "second probe must reuse the memoized plan")
+    assert(IndexStore.metaLoads.get() == before + 1,
+      "exactly one metadata load for two probes")
+    // the memo is a plan, not a result: actions still compute
+    assert(df1.count() > 0 && df1.count() == df2.count())
+  }
 }
