@@ -1291,9 +1291,16 @@ object Queries {
       val counts = gated.groupBy("source").agg(sum("n_chars").as("c"))
       val quotas = Sampling.fairShareQuota(counts, "source", "c", 30000L)
         .select(col("source"), col("quota"))
+      // lazy (r20): interleave is this seam's ONLY consumer, so the
+      // final action materializes it — one fewer driver job with zero
+      // duplicated compute (interleaved ABAB: 4.02–4.41 eager vs
+      // 3.58–4.12 lazy, task CPU equal-or-lower). `gated` stays EAGER:
+      // its two consumers (quota counts + the trim join) race in the
+      // lazy form and re-compute the quantile subtree (task CPU +20%
+      // in the same A/B).
       val trimmed = Sampling.tokenBudgetByQuota(gated, "source", "doc_id",
           "n_chars", quotas)
-        .localCheckpoint()
+        .localCheckpoint(false)
       graft.core.Metrics.deferUnpersist(trimmed)
       // 6 INTERLEAVE: deterministic balanced write order of the final mix
       Sampling.interleave(trimmed, "source", "doc_id")
@@ -2361,7 +2368,10 @@ object Queries {
           (digits.cast(DoubleType) /
             greatest(chars, lit(1)).cast(DoubleType)).as("f3"),
           when(words >= 40, 1.0).otherwise(0.0).as("y"))
-        .localCheckpoint()
+        // lazy (r20, the perplexity pattern): train() opens with an
+        // eager df.count() — THAT action materializes the seam, so an
+        // eager checkpoint here would pay a whole extra job for nothing
+        .localCheckpoint(false)
       graft.core.Metrics.deferUnpersist(feats)
       val fcols = (0 to 3).map(j => col(s"f$j"))
       val wq = QualityModel.train(feats, fcols, col("y"),

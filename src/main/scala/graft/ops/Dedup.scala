@@ -1124,7 +1124,13 @@ object Dedup {
     val batchSigs =
       minHashSignaturesPortable(batch, idCol, textCol, n, numHashes)
         // consumed by the within-batch self-join AND the cross join — one
-        // signature computation, not three
+        // signature computation, not three. EAGER on purpose (r20 A/B):
+        // the lazy form lets the self-join's scan stages race the
+        // broadcast build and re-run the md5 signature aggregate per
+        // consumer — measured task CPU 15 → 34 s on the sf0.1 probe.
+        // Lazy seams are only safe with a single consumer or a
+        // sequential first materializer (the quality-model/perplexity
+        // pattern).
         .localCheckpoint()
     // per-micro-batch ingest would otherwise accumulate checkpoint blocks
     // every trigger until driver GC — same soft-leak class CdcMerge defers
