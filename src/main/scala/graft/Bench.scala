@@ -424,6 +424,16 @@ object Bench {
       if (!sfBudgeted) (Seq.empty, "off_sf")
       else BenchReport.totalBudgetEval(epochCommonCpu, epochCommon,
         epochCommonTooSmall, total, totalBudget, epochMult)
+    // Adjudication companion for a CPU-leg total flag (r20): local[32]
+    // executor CPU turned out to be CONTENTION-coupled (~2x swings at
+    // constant code between same-night runs — BENCHNOTES r20
+    // CPU-vs-cores table), so a lone total_cpu flag needs the wall
+    // leg's independent verdict next to it. false = the wall common-set
+    // total stayed under ref x mult while CPU flagged, i.e. the flag is
+    // a hot-cache window, not a code regression. Telemetry only —
+    // budgets still evaluate exactly as before.
+    val totalWallWouldFlag: Option[Boolean] =
+      epochCommon.map { case (head, ref) => head > ref * epochMult }
     val queryViolationsRaw: Seq[(String, Double)] =
       if (!sfBudgeted) Seq.empty
       else results.toSeq.filter { case (n, s) => s > budgetOf(n) }
@@ -1500,6 +1510,8 @@ object Bench {
       "budget_query_sec" -> queryBudget.toString,
       "budget_total_sec" -> totalBudget.toString,
       "budget_total_source" -> ("\"" + budgetTotalSource + "\""),
+      "budget_total_wall_would_flag" -> totalWallWouldFlag
+        .map(_.toString).getOrElse("null"),
       "total_cpu_sec" -> totalCpu.toString,
       "queries_cpu" -> cpuByQuery
         .map { case (k, v) => "\"" + k + "\":" + v }
